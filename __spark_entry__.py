@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (TPC-H Q1 shape, built
+through the engine's Pipeline surface) on sf0.001. ``queries()`` /
+``oracle_sql()`` expose the full declared inventory from SURVEY.md §2
+(relational Q1–Q24 plus the training-data extension operators), each
+oracle-checked against DuckDB at sf0.01 unless inherently
+non-SQL-expressible.
 """
 
 from __future__ import annotations
@@ -16,23 +17,35 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from smartpipeline_spark.operators import QUERIES
+
+    return QUERIES["q11_agg_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from smartpipeline_spark.operators import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    registry = dict(QUERIES)
+    try:
+        from smartpipeline_spark.functions import EXT_QUERIES
+
+        registry.update(EXT_QUERIES)
+    except ImportError:
+        pass
+    return registry
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query key (omitted keys get the
+    driver's weaker rows-only check)."""
+    from smartpipeline_spark.operators import ORACLES
+
+    registry = dict(ORACLES)
+    try:
+        from smartpipeline_spark.functions import EXT_ORACLES
+
+        registry.update(EXT_ORACLES)
+    except ImportError:
+        pass
+    return registry

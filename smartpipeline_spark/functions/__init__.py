@@ -1,0 +1,32 @@
+"""Training-data pipeline operators (north-star extensions).
+
+Registries mirror ``operators/``: EXT_QUERIES maps query keys to
+``(spark, sf_dir) -> DataFrame``; EXT_ORACLES holds DuckDB SQL for the
+exactly-checkable subset.
+"""
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+EXT_ORACLES: dict[str, str] = {}
+
+
+def ext_query(name: str, oracle: str | None = None):
+    def deco(fn):
+        EXT_QUERIES[name] = fn
+        if oracle is not None:
+            EXT_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# importing the modules populates the registries
+from smartpipeline_spark.functions import dedup, similarity, text  # noqa: E402,F401
+
+try:  # multimodal plumbing is stub-gated (image/audio libs absent)
+    from smartpipeline_spark.functions import multimodal  # noqa: E402,F401
+except ImportError:  # pragma: no cover
+    pass

@@ -1,0 +1,308 @@
+"""Deduplication operators over the ``documents`` / ``embeddings``
+tables — exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+Scale design (the point of this module):
+* exact dedup groups on a 128-bit md5 fingerprint, never on document
+  bodies — the shuffle key is 16 bytes regardless of doc size;
+* MinHash/LSH is the classic shingle→minhash→band→bucket-join chain,
+  expressed entirely as explode/groupBy/join (no driver loops, no
+  UDFs) so it scales to any corpus that fits the cluster;
+* candidate verification joins back on shingle sets, so LSH recall
+  errors only cost false *candidates*, never false positives.
+
+Exact operators (fingerprint groups, n-gram Jaccard pairs, cosine
+pairs) are DuckDB-oracled; MinHash/SimHash candidate generation is
+inherently hash-seed-specific, so those are rows-only checked plus
+pytest recall tests against the exact Jaccard ground truth.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, functions as F
+
+from smartpipeline_spark import sources
+from smartpipeline_spark.functions import ext_query
+
+# --- minhash parameters (fixed seed: deterministic across runs) -----------
+_N_HASHES = 16
+_N_BANDS = 4  # 4 rows per band
+_P = 4294967311  # prime > 2^32
+_rng = random.Random(42)
+_A = [_rng.randrange(1, 1 << 30) for _ in range(_N_HASHES)]
+_B = [_rng.randrange(0, 1 << 30) for _ in range(_N_HASHES)]
+
+JACCARD_THRESHOLD = 0.2
+# the synthetic embeddings are random (max pairwise cosine ~0.51), so a
+# production-style 0.9 threshold would make the oracle check vacuous;
+# 0.35 keeps the operator's output non-empty and genuinely verified
+COSINE_DUP_THRESHOLD = 0.35
+
+
+def _norm_text():
+    return F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+
+
+def word_shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh): distinct word n-gram shingles per document.
+
+    Documents with fewer than ``n`` words produce no shingles (matches
+    the oracle's generate_series semantics).
+    """
+    words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    shingles = F.when(
+        F.size(words) >= n,
+        F.expr(
+            f"transform(sequence(0, size(split(lower(trim(text)), '\\\\s+')) - {n}), "
+            f"i -> concat_ws(' ', slice(split(lower(trim(text)), '\\\\s+'), i + 1, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select("doc_id", F.explode(shingles).alias("sh"))
+        .distinct()
+    )
+
+
+@ext_query(
+    "ext_dedup_exact",
+    """SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+              MIN(doc_id) AS keep_id,
+              COUNT(*) AS n_copies
+       FROM documents
+       GROUP BY fp""",
+)
+def ext_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint,
+    keep the lowest doc_id of each group."""
+    d = sources.table(spark, "documents", sf_dir)
+    return (
+        d.select("doc_id", F.md5(_norm_text()).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via shingle inverted index:
+    explode shingles → self-join on shingle → per-pair common counts →
+    |A∪B| = |A|+|B|-common. The self-join shuffles on the shingle hash,
+    so hot shingles are the skew risk — at scale, drop top-frequency
+    shingles (stopword shingles) first; AQE skew-join splits the rest.
+    """
+    sh = word_shingles(docs, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("c"))
+    return (
+        common.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .filter(jac >= threshold)
+        .select(
+            "d1",
+            "d2",
+            (F.floor(jac * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias("jaccard"),
+        )
+    )
+
+
+@ext_query(
+    "ext_dedup_ngram_jaccard",
+    f"""WITH words AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM words, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT d1, d2,
+               FLOOR(c * 1.0 / (sa.n + sb.n - c) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = d1
+        JOIN sizes sb ON sb.doc_id = d2
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}""",
+)
+def ext_dedup_ngram_jaccard(spark, sf_dir):
+    d = sources.table(spark, "documents", sf_dir)
+    return jaccard_pairs(d)
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, h0..h{k-1}) MinHash signatures from word shingles.
+
+    base = xxhash64(shingle) & 0xFFFFFFFF, then k universal-hash
+    permutations (a*base + b) mod p minimized per doc. Pure DataFrame
+    aggregation: one explode + one groupBy, partial aggregation keeps
+    the shuffle at one row per (doc, k) mins.
+    """
+    sh = word_shingles(docs, n)
+    base = F.expr("xxhash64(sh)").bitwiseAND(F.lit(0xFFFFFFFF)).alias("b32")
+    with_base = sh.select("doc_id", base)
+    aggs = [
+        F.min((F.lit(_A[i]) * F.col("b32") + F.lit(_B[i])) % F.lit(_P)).alias(f"h{i}")
+        for i in range(_N_HASHES)
+    ]
+    return with_base.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_candidates(sigs: DataFrame) -> DataFrame:
+    """LSH banding: signature → (band_id, band_hash) keys → bucket join.
+    Pairs sharing any band are candidates. The band join shuffles on
+    (band_id, band_hash) — uniformly distributed by construction."""
+    rows_per_band = _N_HASHES // _N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.hash(*[F.col(f"h{j * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+                    "band_hash"
+                ),
+            )
+            for j in range(_N_BANDS)
+        ]
+    )
+    keyed = sigs.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_hash"
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+@ext_query("ext_dedup_minhash")  # hash-seed-specific: rows-only + pytest recall test
+def ext_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup: candidates from banding, then exact
+    Jaccard verification of candidates only (false positives are
+    eliminated; LSH can only lose borderline pairs)."""
+    d = sources.table(spark, "documents", sf_dir)
+    cands = minhash_candidates(minhash_signatures(d))
+    exact = jaccard_pairs(d).withColumnRenamed("jaccard", "jaccard_verified")
+    return cands.join(exact, ["d1", "d2"]).select("d1", "d2", "jaccard_verified")
+
+
+@ext_query("ext_dedup_simhash")  # hash-specific: rows-only + pytest tests
+def ext_dedup_simhash(spark, sf_dir):
+    """64-bit SimHash from word unigrams; near-dup candidates = equal
+    16-bit chunk in any of 4 chunks (≈ Hamming distance ≤ 3 recall).
+    All bit math is JVM-side integer ops — no UDFs."""
+    d = sources.table(spark, "documents", sf_dir)
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("w")
+    )
+    hashed = words.select("doc_id", F.expr("xxhash64(w)").alias("h"))
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    # bit 63 via shiftleft: the literal 1<<63 overflows a signed long
+    simhash = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+                ).otherwise(F.lit(0).cast("long"))
+                for j in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    chunks = simhash.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk_id"),
+                        F.shiftrightunsigned(F.col("simhash"), j * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("sh1"),
+            F.col("b.simhash").alias("sh2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    return cand.select("d1", "d2", hamming.alias("hamming")).filter(F.col("hamming") <= 3)
+
+
+@ext_query(
+    "ext_dedup_embedding",
+    f"""SELECT a.vec_id AS v1, b.vec_id AS v2,
+               FLOOR(list_cosine_similarity(a.embedding::DOUBLE[],
+                     b.embedding::DOUBLE[]) * 10000.0 + 0.5) / 10000.0 AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              >= {COSINE_DUP_THRESHOLD}""",
+)
+def ext_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup, exact brute force (the oracle-checked
+    baseline; the LSH-bucketed scale path is ext_knn_lsh in
+    similarity.py)."""
+    from smartpipeline_spark.functions.similarity import cosine_expr
+
+    e = sources.table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine_expr(F.col("a.emb"), F.col("b.emb"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            cos.alias("_cos"),
+        )
+        .filter(F.col("_cos") >= COSINE_DUP_THRESHOLD)
+        .select(
+            "v1",
+            "v2",
+            (F.floor(F.col("_cos") * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+                "cosine"
+            ),
+        )
+    )

@@ -1,0 +1,198 @@
+"""Text analysis operators over the ``documents`` table.
+
+All hot-path logic is built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen) — no Python UDFs. Each operator is embarrassingly
+parallel (per-row), so it scales linearly with partitions at 100 TB.
+
+Oracle note: every expression here has an exact DuckDB twin, so all of
+these are hash-checked, including language ID (a deterministic
+stopword-marker heuristic implemented identically in both dialects).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from smartpipeline_spark import sources
+from smartpipeline_spark.functions import ext_query
+
+# deterministic marker lists for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it"]
+
+# BPE-ish tokenizer: letter runs, digit runs, or single non-space symbol
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def _word_count_expr(col):
+    """Whitespace token count, null/empty-safe."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, "\\s+"))
+    )
+
+
+def _marker_hits(col, word: str):
+    """Occurrences of a marker word (word-ish boundaries via spaces)."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    target = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(target), F.lit(""))))
+        / F.length(F.lit(target))
+    ).cast("int")
+
+
+@ext_query(
+    "ext_token_count",
+    f"""SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens,
+              len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_bpe_tokens,
+              length(text) AS n_chars
+       FROM documents""",
+)
+def ext_token_count(spark, sf_dir):
+    d = sources.table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        _word_count_expr(F.col("text")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_REGEX), 0)).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@ext_query(
+    "ext_fingerprint",
+    """SELECT doc_id,
+              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       FROM documents""",
+)
+def ext_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    — the canonical exact-dedup key at scale (fixed 128-bit shuffle key
+    instead of shuffling full document bodies)."""
+    d = sources.table(spark, "documents", sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    return d.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def _quality_cols():
+    text = F.col("text")
+    n_chars = F.length(text)
+    n_tokens = _word_count_expr(text)
+    n_punct = F.size(F.regexp_extract_all("text", F.lit("[.,;:!?]"), 0))
+    n_stop = None
+    for w in STOPWORDS:
+        hits = _marker_hits(text, w)
+        n_stop = hits if n_stop is None else (n_stop + hits)
+    return n_chars, n_tokens, n_punct, n_stop
+
+
+def _quality_sql_stop_expr() -> str:
+    parts = [
+        "CAST((length(concat(' ', lower(text), ' ')) - "
+        f"length(replace(concat(' ', lower(text), ' '), ' {w} ', ''))) / {len(w) + 2} AS INT)"
+        for w in STOPWORDS
+    ]
+    return " + ".join(parts)
+
+
+@ext_query(
+    "ext_quality_score",
+    f"""SELECT doc_id,
+              length(text) AS n_chars,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+              len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+              {_quality_sql_stop_expr()} AS n_stopwords,
+              FLOOR(CAST(
+                CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 0.4 ELSE 0.0 END
+                + CASE WHEN len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+                         / greatest(length(text), 1) < 0.1 THEN 0.3 ELSE 0.0 END
+                + CASE WHEN ({_quality_sql_stop_expr()}) > 0 THEN 0.3 ELSE 0.0 END
+              AS DOUBLE) * 100.0 + 0.5) / 100.0 AS quality
+       FROM documents""",
+)
+def ext_quality_score(spark, sf_dir):
+    """Heuristic quality score: length band + punctuation ratio +
+    stopword presence (the classic C4/Gopher-style filters, computed
+    JVM-side)."""
+    d = sources.table(spark, "documents", sf_dir)
+    n_chars, n_tokens, n_punct, n_stop = _quality_cols()
+    quality = (
+        F.when((n_chars >= 50) & (n_chars <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(n_punct * F.lit(1.0) / F.greatest(n_chars, F.lit(1)) < 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(n_stop > 0, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        (F.floor(quality * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)).alias("quality"),
+    )
+
+
+def _langid_sql_score(lang: str) -> str:
+    parts = [
+        "CAST((length(concat(' ', lower(text), ' ')) - "
+        f"length(replace(concat(' ', lower(text), ' '), ' {w} ', ''))) / {len(w) + 2} AS INT)"
+        for w in LANG_MARKERS[lang]
+    ]
+    return " + ".join(parts)
+
+
+@ext_query(
+    "ext_lang_id",
+    f"""WITH scores AS (
+          SELECT doc_id,
+                 {', '.join(f'({_langid_sql_score(lg)}) AS s_{lg}' for lg in LANG_MARKERS)}
+          FROM documents)
+        SELECT doc_id,
+               CASE
+                 WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+                 WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+                 WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+                 WHEN s_de >= s_zh THEN 'de'
+                 ELSE 'zh'
+               END AS pred_lang
+        FROM scores""",
+)
+def ext_lang_id(spark, sf_dir):
+    """Stopword-marker language ID with a deterministic priority-order
+    tie-break (en > es > fr > de > zh), identical in the oracle."""
+    d = sources.table(spark, "documents", sf_dir)
+    scores = {}
+    for lang, words in LANG_MARKERS.items():
+        s = None
+        for w in words:
+            hits = _marker_hits(F.col("text"), w)
+            s = hits if s is None else (s + hits)
+        scores[lang] = s
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["zh"]),
+            F.lit("en"),
+        )
+        .when(
+            (scores["es"] >= scores["fr"])
+            & (scores["es"] >= scores["de"])
+            & (scores["es"] >= scores["zh"]),
+            F.lit("es"),
+        )
+        .when((scores["fr"] >= scores["de"]) & (scores["fr"] >= scores["zh"]), F.lit("fr"))
+        .when(scores["de"] >= scores["zh"], F.lit("de"))
+        .otherwise(F.lit("zh"))
+    )
+    return d.select("doc_id", pred.alias("pred_lang"))

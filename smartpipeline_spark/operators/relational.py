@@ -1,0 +1,728 @@
+"""The relational operator inventory — SURVEY.md §2.11 Q1–Q24+.
+
+The reference has NO relational algebra (no joins/aggs/windows/sorts/
+set-ops, SURVEY.md §2.11 evidence column); this module fills every
+category with the idiomatic built-in Spark operator, declared as
+concrete oracle-checkable queries over the /root/testdata tables.
+
+Each query is a function ``(spark, sf_dir) -> DataFrame`` registered
+in ``QUERIES``; its DuckDB oracle SQL lives in ``ORACLES`` under the
+same key with IDENTICAL output column names (the driver's comparator
+sorts columns by name before hashing).
+
+Determinism rules applied throughout (the hash-match hazards from
+SURVEY.md §7.3, solved once here):
+* money/measure SUM/AVG go through DECIMAL: per-row doubles are
+  bit-identical across engines, casting them to DECIMAL(18,4)/(22,8)
+  is exact (inputs have <=6 true decimal digits, far from cast-tie
+  boundaries), and DECIMAL summation is exact integer arithmetic —
+  immune to float summation-order differences between Spark's
+  partial-aggregate tree and DuckDB's scan order;
+* rounding uses FLOOR(x*100+0.5)/100 instead of ROUND: Spark's ROUND
+  rounds the shortest-decimal-string of the double (BigDecimal.valueOf)
+  while DuckDB rounds the binary value, so exact .xx5 ties diverge;
+  the FLOOR form is the same IEEE ops on both sides;
+* dates/timestamps output as formatted strings or epoch integers;
+* every top-k / window ordering carries a unique-key tiebreak.
+
+Scale notes are inline: dimension joins are broadcast, aggregations
+rely on partial (map-side) aggregation, filters are Catalyst-native so
+they push into the parquet scan.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from smartpipeline_spark import sources
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return sources.table(spark, name, sf_dir)
+
+
+DEC4 = "decimal(18,4)"
+DEC8 = "decimal(22,8)"
+
+
+def r2(col):
+    """Engine-portable 2-decimal rounding: FLOOR(x*100+0.5)/100 is the
+    same IEEE double ops in Spark and DuckDB (unlike ROUND, see module
+    docstring)."""
+    return F.floor(col * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
+
+
+def dsum2(col, dec: str = DEC4):
+    """Exact decimal SUM of a per-row double, output as 2-dec double."""
+    return r2(F.sum(col.cast(dec)).cast("double"))
+
+
+def davg2(col, count_col, dec: str = DEC4):
+    """AVG as exact-decimal SUM / COUNT, rounded: both engines divide
+    the identical double by the identical count."""
+    return r2(F.sum(col.cast(dec)).cast("double") / count_col)
+
+
+# SQL fragments mirroring the helpers above (DuckDB dialect)
+def _sql_r2(expr: str) -> str:
+    return f"FLOOR(({expr}) * 100.0 + 0.5) / 100.0"
+
+
+def _sql_dsum2(expr: str, dec: str = "DECIMAL(18,4)") -> str:
+    return _sql_r2(f"CAST(SUM(CAST({expr} AS {dec})) AS DOUBLE)")
+
+
+def _sql_davg2(expr: str, count_expr: str = "COUNT(*)", dec: str = "DECIMAL(18,4)") -> str:
+    return _sql_r2(f"CAST(SUM(CAST({expr} AS {dec})) AS DOUBLE) / {count_expr}")
+
+
+# ---------------------------------------------------------------------------
+# Scans & sinks
+# ---------------------------------------------------------------------------
+
+@query("q01_scan_count", "SELECT COUNT(*) AS cnt FROM lineitem")
+def q01_scan_count(spark, sf_dir):
+    """Parquet scan + count — row-group metadata only, no data read."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "q02_sink_roundtrip",
+    f"""SELECT COUNT(*) AS n_rows,
+               {_sql_dsum2('o_totalprice')} AS sum_total
+        FROM orders""",
+)
+def q02_sink_roundtrip(spark, sf_dir):
+    """Sink + re-scan: orders -> json -> re-read -> aggregate.
+
+    The re-read passes an explicit partial schema so only the needed
+    column is parsed (JSON projection pushdown).
+    """
+    out = "/root/repo/.tmp/q02_roundtrip_json"
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
+    _t(spark, sf_dir, "orders").write.mode("overwrite").json(out)
+    back = spark.read.schema("o_totalprice double").json(out)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        dsum2(F.col("o_totalprice")).alias("sum_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter (Catalyst-native: pushes into the parquet scan)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q03_filter_project",
+    """SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (1 - l_discount) AS rev
+       FROM lineitem
+       WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'""",
+)
+def q03_filter_project(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date")).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins — every flavor. Dimensions are broadcast explicitly; fact-fact
+# joins shuffle on the join key and benefit from AQE skew handling.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q04_join_inner",
+    """SELECT o_orderkey, c_name, o_totalprice
+       FROM orders JOIN customer ON o_custkey = c_custkey""",
+)
+def q04_join_inner(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    # customer is the small side at any SF ratio -> broadcast
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@query(
+    "q05_join_left_agg",
+    f"""SELECT c_custkey, c_name,
+               COUNT(o_orderkey) AS n_orders,
+               COALESCE({_sql_dsum2('o_totalprice')}, 0.0) AS sum_spent
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name""",
+)
+def q05_join_left_agg(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    # At scale: pre-aggregate the fact side BEFORE the join so the
+    # left join is dim-sized vs custkey-sized, not dim vs full fact.
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("_n"),
+        dsum2(F.col("o_totalprice")).alias("_s"),
+    )
+    return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("_s"), F.lit(0.0)).alias("sum_spent"),
+    )
+
+
+@query(
+    "q06_join_broadcast",
+    f"""SELECT n_name,
+               {_sql_dsum2('l_extendedprice * (1 - l_discount)', 'DECIMAL(22,8)')} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name""",
+)
+def q06_join_broadcast(spark, sf_dir):
+    """Star join: the filtered dim chain broadcasts, so the fact table
+    streams through map-side hash joins with zero shuffle before the
+    final (partial-agg'd) groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dim = sup.join(
+        F.broadcast(nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)),
+        sup.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    return (
+        li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .groupBy("n_name")
+        .agg(
+            dsum2(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), DEC8
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q07_join_semi",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+def q07_join_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q08_join_anti",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+def q08_join_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q09_join_3way",
+    f"""SELECT l_orderkey,
+              strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date,
+              o_orderpriority,
+              {_sql_dsum2('l_extendedprice * (1 - l_discount)', 'DECIMAL(22,8)')} AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+         AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+       GROUP BY l_orderkey, o_date, o_orderpriority""",
+)
+def q09_join_3way(spark, sf_dir):
+    """TPC-H Q3 shape. Filters applied before the joins (Catalyst pushes
+    them into the scans); customer side broadcast."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1998-01-01").cast("date")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            dsum2(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), DEC8
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q10_join_range",
+    f"""SELECT l_returnflag, COUNT(*) AS n_rows,
+              {_sql_dsum2('l_extendedprice * (1 - l_discount)', 'DECIMAL(22,8)')} AS sum_rev
+       FROM lineitem JOIN orders
+         ON l_orderkey = o_orderkey
+        AND CAST(l_shipdate AS DATE) BETWEEN CAST(o_orderdate AS DATE)
+                                         AND CAST(o_orderdate AS DATE) + 90
+       GROUP BY l_returnflag""",
+)
+def q10_join_range(spark, sf_dir):
+    """Equi + range predicate: the equi key keeps it a hash/sort-merge
+    join (NOT a cartesian range join); the BETWEEN is a post-join
+    filter evaluated inside the join operator."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (F.to_date(li.l_shipdate) >= F.to_date(o.o_orderdate))
+        & (F.to_date(li.l_shipdate) <= F.date_add(F.to_date(o.o_orderdate), 90))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum2(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), DEC8
+            ).alias("sum_rev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+@query(
+    "q11_agg_pricing_summary",
+    f"""SELECT l_returnflag, l_linestatus,
+              {_sql_dsum2('l_quantity')} AS sum_qty,
+              {_sql_dsum2('l_extendedprice')} AS sum_base_price,
+              {_sql_dsum2('l_extendedprice * (1 - l_discount)', 'DECIMAL(22,8)')} AS sum_disc_price,
+              {_sql_dsum2('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)', 'DECIMAL(22,8)')} AS sum_charge,
+              {_sql_davg2('l_quantity')} AS avg_qty,
+              {_sql_davg2('l_extendedprice')} AS avg_price,
+              {_sql_davg2('l_discount')} AS avg_disc,
+              COUNT(*) AS count_order
+       FROM lineitem
+       WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q11_agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape — the flagship aggregation. Hash aggregate with
+    automatic partial (map-side) combine; 6 groups total, so the final
+    exchange moves ~nothing."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc * (F.lit(1) + F.col("l_tax"))
+    cnt = F.count("*")
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum2(F.col("l_quantity")).alias("sum_qty"),
+            dsum2(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum2(disc, DEC8).alias("sum_disc_price"),
+            dsum2(charge, DEC8).alias("sum_charge"),
+            davg2(F.col("l_quantity"), cnt).alias("avg_qty"),
+            davg2(F.col("l_extendedprice"), cnt).alias("avg_price"),
+            davg2(F.col("l_discount"), cnt).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q12_count_distinct",
+    """SELECT COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+       FROM orders""",
+)
+def q12_count_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_cust"), F.count("*").alias("n_orders")
+    )
+
+
+@query("q12b_approx_distinct")  # no SQL oracle: approx algorithms differ by engine
+def q12b_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) — the scale path for
+    distinct counting: one pass, no distinct shuffle, bounded memory."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(F.approx_count_distinct("o_custkey", 0.01).alias("n_cust_approx"))
+
+
+@query(
+    "q13_rollup",
+    f"""SELECT n_name, c_mktsegment, COUNT(*) AS n_cust,
+              {_sql_davg2('c_acctbal')} AS avg_bal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY ROLLUP(n_name, c_mktsegment)""",
+)
+def q13_rollup(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            davg2(F.col("c_acctbal"), F.count("*")).alias("avg_bal"),
+        )
+    )
+
+
+@query(
+    "q14_cube",
+    f"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+              {_sql_dsum2('o_totalprice')} AS total
+       FROM orders
+       GROUP BY CUBE(o_orderpriority, o_orderstatus)""",
+)
+def q14_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n"), dsum2(F.col("o_totalprice")).alias("total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "q15_window_topk",
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) t
+       WHERE rn <= 3""",
+)
+def q15_window_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "q16_window_running",
+    f"""SELECT o_custkey, o_orderkey,
+              {_sql_r2('''CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)''')} AS running
+       FROM orders""",
+)
+def q16_window_running(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.to_date("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        r2(F.sum(F.col("o_totalprice").cast(DEC4)).over(w).cast("double")).alias("running"),
+    )
+
+
+@query(
+    "q17_window_lag",
+    f"""SELECT o_custkey, o_orderkey,
+              LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                  ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_price,
+              {_sql_r2('''o_totalprice - LAG(o_totalprice) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY CAST(o_orderdate AS DATE), o_orderkey)''')} AS delta
+       FROM orders""",
+)
+def q17_window_lag(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.to_date("o_orderdate"), F.col("o_orderkey"))
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        prev.alias("prev_price"),
+        r2(F.col("o_totalprice") - prev).alias("delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit
+# ---------------------------------------------------------------------------
+
+@query(
+    "q18_orderby_limit",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def q18_orderby_limit(spark, sf_dir):
+    """Top-k: Spark plans this as TakeOrderedAndProject — per-partition
+    heap + driver merge, no global sort, no full shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+@query(
+    "q19_union",
+    """SELECT
+         (SELECT COUNT(*) FROM (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            UNION ALL
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000) t) AS n_all,
+         (SELECT COUNT(*) FROM (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            UNION
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000) t) AS n_distinct""",
+)
+def q19_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    n_all = a.unionAll(b).agg(F.count("*").alias("n_all"))
+    n_distinct = a.union(b).distinct().agg(F.count("*").alias("n_distinct"))
+    return n_all.crossJoin(n_distinct)
+
+
+@query(
+    "q20_intersect_except",
+    """SELECT
+         (SELECT COUNT(*) FROM (
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O') t) AS n_intersect,
+         (SELECT COUNT(*) FROM (
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O') t) AS n_except""",
+)
+def q20_intersect_except(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    f_ = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    n_int = f_.intersect(op).agg(F.count("*").alias("n_intersect"))
+    n_exc = f_.exceptAll(op).agg(F.count("*").alias("n_except"))
+    return n_int.crossJoin(n_exc)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function battery (strings / math / dates / json) — mirrors every
+# concrete reference stage (TextReverser/TextReplacer/TextReducer/VatFinder
+# /JsonlDump, SURVEY.md §2.3) with the built-in JVM-side equivalent.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q21_scalar_strings",
+    f"""SELECT p_partkey,
+              reverse(p_name) AS rev_name,
+              substring(p_name, 1, 12) AS name12,
+              upper(p_type) AS type_upper,
+              length(p_name) AS name_len,
+              CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num,
+              {_sql_r2('p_retailprice * 1.1')} AS uplift,
+              concat(p_brand, ':', p_type) AS brand_type,
+              replace(p_name, ' ', '_') AS snake_name
+       FROM part""",
+)
+def q21_scalar_strings(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.reverse("p_name").alias("rev_name"),
+        F.substring("p_name", 1, 12).alias("name12"),
+        F.upper("p_type").alias("type_upper"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).cast("int").alias("brand_num"),
+        r2(F.col("p_retailprice") * 1.1).alias("uplift"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", " ", "_").alias("snake_name"),
+    )
+
+
+@query(
+    "q21b_scalar_dates",
+    """SELECT o_orderkey,
+              year(o_orderdate) AS o_year,
+              month(o_orderdate) AS o_month,
+              quarter(o_orderdate) AS o_quarter,
+              strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date,
+              date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+              strftime(CAST(o_orderdate AS DATE) + 7, '%Y-%m-%d') AS next_week
+       FROM orders""",
+)
+def q21b_scalar_dates(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.date_format(d, "yyyy-MM-dd").alias("o_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_2002"),
+        F.date_format(F.date_add(d, 7), "yyyy-MM-dd").alias("next_week"),
+    )
+
+
+@query(
+    "q21c_scalar_json",
+    """SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+              event_type
+       FROM events""",
+)
+def q21c_scalar_json(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        "event_type",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows in batch mode (streaming semantics in §streaming/)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q22_tumbling_window",
+    f"""SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
+                       '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type,
+              COUNT(*) AS n_events,
+              {_sql_dsum2('value', 'DECIMAL(28,12)')} AS sum_value
+       FROM events
+       GROUP BY window_start, event_type""",
+)
+def q22_tumbling_window(spark, sf_dir):
+    """Tumbling 1h event-time window; epoch-aligned in both engines."""
+    e = _t(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    return e.groupBy(w, "event_type").agg(
+        F.count("*").alias("n_events"),
+        dsum2(F.col("value"), "decimal(28,12)").alias("sum_value"),
+    ).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "q23_session_window",
+    f"""WITH e AS (
+         SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, value
+         FROM events),
+       marked AS (
+         SELECT user_id, t_us, value,
+                CASE WHEN t_us - LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us)
+                          >= 1800000000
+                       OR LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us) IS NULL
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM e),
+       sess AS (
+         SELECT user_id, t_us, value,
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM marked)
+       SELECT user_id, MIN(t_us) AS sess_start_us, COUNT(*) AS n_events,
+              {_sql_dsum2('value', 'DECIMAL(28,12)')} AS sum_value
+       FROM sess GROUP BY user_id, sid""",
+)
+def q23_session_window(spark, sf_dir):
+    """Session windows (30-min gap) in batch mode via F.session_window;
+    the oracle is the classic gaps-and-islands rewrite (new session iff
+    gap >= 30min, matching Spark's half-open [start, start+gap))."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("t_us", F.unix_micros(F.col("ts")))
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.min("t_us").alias("sess_start_us"),
+            F.count("*").alias("n_events"),
+            dsum2(F.col("value"), "decimal(28,12)").alias("sum_value"),
+        )
+        .select("user_id", "sess_start_us", "n_events", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDF surface: a Stage-authored transformation through the full engine
+# wrapper (mapInPandas + error/timing columns), oracle-checked against
+# the equivalent built-in.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q24_udf_stage",
+    "SELECT p_partkey, reverse(p_name) AS rev_name FROM part",
+)
+def q24_udf_stage(spark, sf_dir):
+    """The engine's UDF authoring surface in the correctness gate: a
+    Stage subclass compiled through the wrapper must agree with DuckDB's
+    built-in reverse()."""
+    from smartpipeline_spark.pipeline import Pipeline
+    from smartpipeline_spark.stage import Stage
+
+    class ReverseStage(Stage):
+        output_fields = {"rev_name": "string"}
+
+        def process(self, item):
+            item.data["rev_name"] = (item.data.get("p_name") or "")[::-1]
+            return item
+
+    pipe = (
+        Pipeline(spark)
+        .set_source(_t(spark, sf_dir, "part").select("p_partkey", "p_name"))
+        .append("reverse", ReverseStage())
+    )
+    return pipe.dataframe().select("p_partkey", "rev_name")

@@ -1,0 +1,373 @@
+"""Pipeline — the engine object and plan builder.
+
+The reference's ``Pipeline`` (``smartpipeline/pipeline.py:57-89``,
+SURVEY.md §2.5) owns an ordered dict of queue-linked stage containers
+and drives them with threads. Here the "plan" is a lazily-composed
+DataFrame lineage: ``set_source`` yields the initial DataFrame, every
+``append``/``transform`` extends it, and ``run()`` executes ONE Spark
+action. Catalyst owns optimization; consecutive user stages are fused
+into a single ``mapInPandas`` so items cross the Arrow boundary once.
+
+API familiarity is preserved where it costs nothing (``set_source``,
+``append(name, stage, concurrency=, parallel=, retryable_errors=,
+max_retries=, backoff=)``, ``build``, ``run``, ``process``,
+``process_async``/``get_item``, ``stop``, ``count``, ``get_stage``) —
+but concurrency knobs become partitioning hints: Spark tasks are the
+unit of parallelism, and thread-vs-process distinctions disappear
+(executors are separate processes already, SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import queue as _queue
+import threading
+from typing import Any, Callable, Iterator, Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smartpipeline_spark.errors import ErrorManager, RetryManager, StagePolicy
+from smartpipeline_spark.item import Item
+from smartpipeline_spark.stage import BatchStage, Source, Stage
+from smartpipeline_spark.wrapper import (
+    ERRORS_COL,
+    ERRORS_DDL,
+    TIMINGS_COL,
+    TIMINGS_DDL,
+    compile_chain,
+    run_chain_on_items,
+)
+
+SourceLike = Union[DataFrame, Source, Callable[[SparkSession], DataFrame]]
+
+
+class _PlanStep:
+    """One plan node: either a python stage or a relational transform."""
+
+    __slots__ = ("kind", "name", "stage", "policy", "isolate", "fn")
+
+    def __init__(self, kind, name, stage=None, policy=None, isolate=False, fn=None):
+        self.kind = kind  # "stage" | "transform"
+        self.name = name
+        self.stage = stage
+        self.policy = policy
+        self.isolate = isolate
+        self.fn = fn
+
+
+class Pipeline:
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        error_manager: ErrorManager | None = None,
+        # accepted for reference-API familiarity; meaningless on Spark
+        # (queues/threads are Spark's problem now):
+        max_init_workers: int | None = None,
+        max_queues_size: int | None = None,
+    ):
+        self._spark = spark
+        self._error_manager = error_manager or ErrorManager()
+        self._source: SourceLike | None = None
+        self._source_schema = None
+        self._steps: list[_PlanStep] = []
+        self._names: set[str] = set()
+        self._built_df: DataFrame | None = None
+        self._count = 0
+        self._count_lock = threading.Lock()
+        # process_async machinery
+        self._async_pool: "_AsyncRunner | None" = None
+
+    # ------------------------------------------------------------------
+    # plan building
+    # ------------------------------------------------------------------
+    @property
+    def spark(self) -> SparkSession:
+        if self._spark is None:
+            from smartpipeline_spark.session import get_spark
+
+            self._spark = get_spark()
+        return self._spark
+
+    def set_error_manager(self, error_manager: ErrorManager) -> "Pipeline":
+        self._error_manager = error_manager
+        return self
+
+    def set_source(self, source: SourceLike, schema=None) -> "Pipeline":
+        """Attach the source: a DataFrame, a reader callable
+        ``spark -> DataFrame``, or a pull-based :class:`Source`
+        (driver-drained, for genuinely driver-local feeds)."""
+        self._source = source
+        self._source_schema = schema
+        self._built_df = None
+        return self
+
+    def append(
+        self,
+        name: str,
+        stage: Union[Stage, BatchStage],
+        concurrency: int = 0,
+        parallel: bool = False,
+        retryable_errors: tuple = (),
+        max_retries: int = 0,
+        backoff: float = 0.0,
+        isolate_failures: bool = False,
+    ) -> "Pipeline":
+        """Append a named user stage (validation mirrors the reference:
+        unique names, non-negative retry params)."""
+        if name in self._names:
+            raise ValueError(f"stage name already used: {name!r}")
+        if not isinstance(stage, (Stage, BatchStage)):
+            raise TypeError("stage must be a Stage or BatchStage")
+        policy = StagePolicy(
+            name=name,
+            retry=RetryManager(tuple(retryable_errors), max_retries, backoff),
+            concurrency=concurrency,
+            parallel=parallel,
+        )
+        stage.set_name(name)
+        self._names.add(name)
+        self._steps.append(
+            _PlanStep("stage", name, stage=stage, policy=policy, isolate=isolate_failures)
+        )
+        self._built_df = None
+        return self
+
+    def append_concurrently(self, name, stage_class, args=(), kwargs=None, **append_kw):
+        """Reference API shim: Spark plans are lazy, heavyweight stage
+        __init__ already runs executor-side on first use, so this just
+        constructs and appends (reference ``pipeline.py:592-665``)."""
+        return self.append(name, stage_class(*args, **(kwargs or {})), **append_kw)
+
+    def transform(self, name: str, fn: Callable[[DataFrame], DataFrame]) -> "Pipeline":
+        """Append a relational step (DataFrame -> DataFrame). These stay
+        fully Catalyst-native — filters/joins/aggs declared here get
+        pushdown, pruning, and codegen for free."""
+        if name in self._names:
+            raise ValueError(f"stage name already used: {name!r}")
+        self._names.add(name)
+        self._steps.append(_PlanStep("transform", name, fn=fn))
+        self._built_df = None
+        return self
+
+    def get_stage(self, name: str):
+        for s in self._steps:
+            if s.name == name:
+                return s.stage if s.kind == "stage" else s.fn
+        raise KeyError(name)
+
+    # ------------------------------------------------------------------
+    # compilation
+    # ------------------------------------------------------------------
+    def _source_df(self) -> DataFrame:
+        src = self._source
+        if src is None:
+            raise ValueError("no source set")
+        if isinstance(src, DataFrame):
+            return src
+        if isinstance(src, Source):
+            rows = [dict(it.data) for it in src.items()]
+            if self._source_schema is not None:
+                return self.spark.createDataFrame(rows, schema=self._source_schema)
+            if not rows:
+                raise ValueError("Source produced no items and no schema was given")
+            return self.spark.createDataFrame(rows)
+        return src(self.spark)
+
+    @staticmethod
+    def _ensure_companions(df: DataFrame) -> DataFrame:
+        if ERRORS_COL not in df.columns:
+            df = df.withColumn(
+                ERRORS_COL, F.lit(None).cast(ERRORS_DDL)
+            ).withColumn(ERRORS_COL, F.coalesce(F.col(ERRORS_COL), F.array()))
+        if TIMINGS_COL not in df.columns:
+            df = df.withColumn(TIMINGS_COL, F.lit(None).cast(TIMINGS_DDL))
+        return df
+
+    def _compile(self) -> DataFrame:
+        df = self._source_df()
+        i, n = 0, len(self._steps)
+        has_stages = any(s.kind == "stage" for s in self._steps)
+        if has_stages:
+            df = self._ensure_companions(df)
+        while i < n:
+            step = self._steps[i]
+            if step.kind == "transform":
+                df = step.fn(df)
+                i += 1
+                continue
+            # fuse the maximal run of consecutive python stages
+            seg = []
+            while i < n and self._steps[i].kind == "stage":
+                s = self._steps[i]
+                seg.append((s.stage, s.policy, s.isolate))
+                i += 1
+            df = self._apply_segment(df, seg)
+        return df
+
+    def _apply_segment(self, df: DataFrame, seg) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        payload_cols = [c for c in df.columns if c not in (ERRORS_COL, TIMINGS_COL)]
+        in_schema = df.schema
+        # output schema: existing payload fields (retyped if redeclared)
+        # + new declared fields, + companions
+        out_fields: dict[str, str] = {}
+        for f_ in in_schema.fields:
+            if f_.name in (ERRORS_COL, TIMINGS_COL):
+                continue
+            out_fields[f_.name] = f_.dataType.simpleString()
+        for stage, _pol, _iso in seg:
+            for col, ddl in (stage.output_fields or {}).items():
+                out_fields[col] = ddl
+        ddl = ", ".join(
+            [f"`{c}` {t}" for c, t in out_fields.items()]
+            + [f"`{ERRORS_COL}` {ERRORS_DDL}", f"`{TIMINGS_COL}` {TIMINGS_DDL}"]
+        )
+        out_cols = list(out_fields) + [ERRORS_COL, TIMINGS_COL]
+        # advisory concurrency hint: max over the segment, if any stage
+        # asked for explicit horizontal scaling wider than the current
+        # partitioning (reference concurrency=N -> partition count)
+        want = max((p.concurrency for _s, p, _i in seg), default=0)
+        if want > df.rdd.getNumPartitions():
+            df = df.repartition(want)
+        fn = compile_chain(seg, payload_cols, out_cols, self._error_manager)
+        return df.mapInPandas(fn, schema=ddl)
+
+    def build(self) -> "Pipeline":
+        self._built_df = self._compile()
+        return self
+
+    def dataframe(self) -> DataFrame:
+        if self._built_df is None:
+            self.build()
+        return self._built_df
+
+    # ------------------------------------------------------------------
+    # execution
+    # ------------------------------------------------------------------
+    def run(self) -> Iterator[Item]:
+        """Execute and yield finished Items (reference ``run()``
+        generator → ``toLocalIterator`` over the compiled plan)."""
+        df = self.dataframe()
+        payload_cols = [c for c in df.columns if c not in (ERRORS_COL, TIMINGS_COL)]
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            d = row.asDict(recursive=True)
+            item = Item({k: d.get(k) for k in payload_cols})
+            item._error_entries = [dict(e) for e in (d.get(ERRORS_COL) or [])]
+            item._timings = dict(d.get(TIMINGS_COL) or {})
+            with self._count_lock:
+                self._count += 1
+            yield item
+
+    def write(self, path: str, fmt: str = "parquet", mode: str = "overwrite", **options):
+        """Sink the pipeline output without driver round-trip."""
+        df = self.dataframe()
+        self._count += df.count()
+        df.write.format(fmt).mode(mode).options(**options).save(path)
+        return self
+
+    @property
+    def count(self) -> int:
+        """Items processed across runs, including failed ones."""
+        return self._count
+
+    def stop(self) -> None:
+        if isinstance(self._source, Source):
+            self._source.stop()
+        if self._async_pool is not None:
+            self._async_pool.stop()
+
+    def shutdown(self) -> None:
+        self.stop()
+        if self._async_pool is not None:
+            self._async_pool.join()
+        for s in self._steps:
+            if s.kind == "stage":
+                try:
+                    s.stage.on_end()
+                except Exception:
+                    pass
+
+    # ------------------------------------------------------------------
+    # single-item paths (reference §3.2 / §3.3): pure-local execution of
+    # the same kernel code the distributed path runs — parity by
+    # construction, no JVM round-trip per item.
+    # ------------------------------------------------------------------
+    def _local_steps(self):
+        steps = []
+        for s in self._steps:
+            if s.kind != "stage":
+                raise ValueError(
+                    "process()/process_async() support stage-only pipelines "
+                    f"(relational step {s.name!r} present) — use run()"
+                )
+            steps.append((s.stage, s.policy, s.isolate))
+        return steps
+
+    def process(self, item: Item) -> Item:
+        out = run_chain_on_items(self._local_steps(), [item], self._error_manager)[0]
+        with self._count_lock:
+            self._count += 1
+        return out
+
+    def process_async(self, item: Item, callback: Optional[Callable] = None) -> None:
+        if callback is not None:
+            item.set_callback(callback)
+        if self._async_pool is None:
+            self._async_pool = _AsyncRunner(self)
+        self._async_pool.submit(item)
+
+    def get_item(self, block: bool = True, timeout: float | None = None) -> Item:
+        if self._async_pool is None:
+            raise RuntimeError("process_async was never called")
+        return self._async_pool.get(block=block, timeout=timeout)
+
+
+class _AsyncRunner:
+    """Thread-pool executor for process_async: items run through the
+    local kernel path concurrently and land in an output queue, with
+    per-item completion callbacks (reference ``pipeline.py:385-424``;
+    callback/completion ordering is unordered, as in the reference's
+    concurrent mode)."""
+
+    def __init__(self, pipeline: Pipeline, workers: int = 8):
+        self._pipeline = pipeline
+        self._in: _queue.Queue = _queue.Queue()
+        self._out: _queue.Queue = _queue.Queue()
+        self._stop = threading.Event()
+        self._threads = [
+            threading.Thread(target=self._loop, daemon=True) for _ in range(workers)
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                item = self._in.get(timeout=0.1)
+            except _queue.Empty:
+                continue
+            try:
+                out = self._pipeline.process(item)
+            except Exception:  # raise_on_critical mode: surface via queue
+                self._in.task_done()
+                raise
+            try:
+                out.callback()
+            finally:
+                self._out.put(out)
+                self._in.task_done()
+
+    def submit(self, item: Item) -> None:
+        self._in.put(item)
+
+    def get(self, block=True, timeout=None) -> Item:
+        return self._out.get(block=block, timeout=timeout)
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def join(self) -> None:
+        self._stop.set()
+        for t in self._threads:
+            t.join(timeout=1.0)

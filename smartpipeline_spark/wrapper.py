@@ -1,0 +1,243 @@
+"""The stage execution wrapper — the one genuinely custom executor-side
+piece of the engine (SURVEY.md §4.3).
+
+Compiles a chain of user ``Stage``/``BatchStage`` objects into a single
+``mapInPandas`` function that reproduces the reference's per-item
+kernel (reference ``runners.py:20-138``):
+
+* critical-skip: an item with a critical error skips every later stage
+  (unless the ErrorManager is in ``no_skip_on_critical_error`` mode)
+  but still reaches the output;
+* retry with exponential backoff ``2^(attempt-1) * backoff`` on the
+  stage's retryable exception classes, one ``RetryError`` recorded per
+  failed attempt (so ``max_retries=3`` -> up to 4 soft errors);
+* soft errors skip only the failing stage; any other exception becomes
+  critical via the pluggable ErrorManager;
+* per-stage wall-clock timing written into the ``_timings`` map
+  (includes backoff sleeps, like the reference);
+* BatchStage: the batch is chunked to ``stage.size``; a non-retryable
+  failure poisons the whole chunk (reference semantics,
+  ``runners.py:107-125``) unless ``isolate_failures`` is set, in which
+  case the wrapper retries the chunk row-by-row and only the truly
+  failing rows are poisoned (strictly better, opt-in);
+* ``on_start`` runs once per Python worker process per stage (lazy
+  executor-side singleton), ``on_end`` at worker exit via atexit —
+  lifetime documented in SURVEY.md §7.3.
+
+Everything relational bypasses this wrapper entirely and stays inside
+Catalyst/Tungsten; only user-authored per-item logic pays the Python
+price, over Arrow-transferred batches.
+"""
+
+from __future__ import annotations
+
+import atexit
+import time
+from typing import Callable, Iterable, Iterator, Sequence
+
+import pandas as pd
+
+from smartpipeline_spark.errors import (
+    KIND_SOFT,
+    ErrorManager,
+    RetryError,
+    StagePolicy,
+    error_entry,
+)
+from smartpipeline_spark.item import Item
+from smartpipeline_spark.stage import BatchStage, Stage
+
+#: companion column names + Spark DDL
+ERRORS_COL = "_errors"
+TIMINGS_COL = "_timings"
+ERRORS_DDL = "array<struct<stage:string,kind:string,message:string,exc_class:string>>"
+TIMINGS_DDL = "map<string,double>"
+
+# executor-side registry: one initialized stage copy per worker process
+# (key -> stage instance whose on_start has run)
+_WORKER_STAGES: dict[str, object] = {}
+
+
+def _worker_stage(key: str, stage):
+    live = _WORKER_STAGES.get(key)
+    if live is None:
+        stage.on_start()
+        _WORKER_STAGES[key] = stage
+        atexit.register(_safe_on_end, stage)
+        live = stage
+    return live
+
+
+def _safe_on_end(stage) -> None:  # pragma: no cover - worker teardown
+    try:
+        stage.on_end()
+    except Exception:
+        pass
+
+
+def run_stage_on_item(
+    stage: Stage, policy: StagePolicy, item: Item, error_manager: ErrorManager
+) -> Item:
+    """Per-item kernel: critical-skip, retry w/ backoff, error routing,
+    timing. Shared verbatim by the distributed path (inside
+    ``mapInPandas``) and the local ``Pipeline.process`` fast path, so
+    the two agree by construction."""
+    if item.has_critical_errors() and error_manager.skips_rest():
+        return item
+    retry = policy.retry
+    start = time.monotonic()
+    try:
+        attempt = 0
+        while True:
+            try:
+                stage.process(item)
+                break
+            except retry.retryable_errors as exc:
+                if not retry.enabled:  # defensive; empty tuple never matches
+                    raise
+                attempt += 1
+                rerr = RetryError(str(exc)).with_exception(exc)
+                rerr.set_stage(policy.name)
+                item.add_error_entry(error_entry(policy.name, KIND_SOFT, rerr))
+                if attempt > retry.max_retries:
+                    break
+                time.sleep(retry.sleep_for(attempt))
+            except Exception as exc:  # soft / critical routing
+                item.add_error_entry(error_manager.handle(exc, policy.name, item))
+                break
+    finally:
+        item.set_timing(policy.name, time.monotonic() - start)
+    return item
+
+
+def run_stage_on_batch(
+    stage: BatchStage,
+    policy: StagePolicy,
+    items: Sequence[Item],
+    error_manager: ErrorManager,
+    isolate_failures: bool = False,
+) -> list[Item]:
+    """Batched kernel (reference ``runners.py:71-138`` semantics)."""
+    out: list[Item] = []
+    for chunk_start in range(0, len(items), stage.size):
+        chunk = list(items[chunk_start : chunk_start + stage.size])
+        skipped = [
+            it for it in chunk if it.has_critical_errors() and error_manager.skips_rest()
+        ]
+        todo = [it for it in chunk if it not in skipped]
+        if todo:
+            _process_chunk(stage, policy, todo, error_manager, isolate_failures)
+        out.extend(chunk)
+    return out
+
+
+def _process_chunk(stage, policy, todo, error_manager, isolate_failures):
+    retry = policy.retry
+    start = time.monotonic()
+    try:
+        attempt = 0
+        while True:
+            try:
+                stage.process_batch(todo)
+                break
+            except retry.retryable_errors as exc:
+                attempt += 1
+                rerr = RetryError(str(exc)).with_exception(exc)
+                rerr.set_stage(policy.name)
+                entry = error_entry(policy.name, KIND_SOFT, rerr)
+                for it in todo:
+                    it.add_error_entry(dict(entry))
+                if attempt > retry.max_retries:
+                    break
+                time.sleep(retry.sleep_for(attempt))
+            except Exception as exc:
+                if isolate_failures and len(todo) > 1:
+                    # better-than-reference: fall back to singleton
+                    # sub-batches so only truly-failing rows are poisoned
+                    for it in todo:
+                        _process_chunk(stage, policy, [it], error_manager, False)
+                    return
+                for it in todo:
+                    it.add_error_entry(error_manager.handle(exc, policy.name, it))
+                break
+    finally:
+        per_item = (time.monotonic() - start) / max(len(todo), 1)
+        for it in todo:
+            it.set_timing(policy.name, per_item)
+
+
+def run_chain_on_items(
+    steps: Sequence[tuple[object, StagePolicy, bool]],
+    items: Iterable[Item],
+    error_manager: ErrorManager,
+) -> list[Item]:
+    """Run a full stage chain over a collection of Items (local path).
+
+    ``steps`` is ``[(stage, policy, isolate_failures), ...]``.
+    """
+    current = list(items)
+    for stage, policy, isolate in steps:
+        if isinstance(stage, BatchStage):
+            current = run_stage_on_batch(stage, policy, current, error_manager, isolate)
+        else:
+            current = [run_stage_on_item(stage, policy, it, error_manager) for it in current]
+    return current
+
+
+def _rows_to_items(pdf: pd.DataFrame, payload_cols: list[str]) -> list[Item]:
+    records = pdf.to_dict("records")
+    items: list[Item] = []
+    for rec in records:
+        item = Item({k: rec.get(k) for k in payload_cols})
+        errs = rec.get(ERRORS_COL)
+        if errs is not None and len(errs) > 0:
+            item._error_entries = [dict(e) for e in errs]
+        tm = rec.get(TIMINGS_COL)
+        if tm:
+            item._timings = dict(tm)
+        items.append(item)
+    return items
+
+
+def _items_to_pdf(items: list[Item], out_cols: list[str]) -> pd.DataFrame:
+    data: dict[str, list] = {c: [] for c in out_cols}
+    for it in items:
+        for c in out_cols:
+            if c == ERRORS_COL:
+                data[c].append(list(it.error_entries))
+            elif c == TIMINGS_COL:
+                data[c].append(dict(it.timings))
+            else:
+                data[c].append(it.data.get(c))
+    return pd.DataFrame(data, columns=out_cols)
+
+
+def compile_chain(
+    steps: Sequence[tuple[object, StagePolicy, bool]],
+    payload_cols: list[str],
+    out_cols: list[str],
+    error_manager: ErrorManager,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Compile a stage chain into a mapInPandas function.
+
+    One function for the WHOLE chain: items cross the Arrow boundary
+    once, flow through every stage in pure Python, and cross back once
+    — no per-stage exchange (the reference's queue hand-offs collapse
+    into function composition, SURVEY.md §3.1 Spark mapping).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        error_manager.on_start()
+        live_steps = [
+            (_worker_stage(f"{policy.name}#{type(stage).__qualname__}", stage), policy, iso)
+            for stage, policy, iso in steps
+        ]
+        try:
+            for pdf in batches:
+                items = _rows_to_items(pdf, payload_cols)
+                items = run_chain_on_items(live_steps, items, error_manager)
+                yield _items_to_pdf(items, out_cols)
+        finally:
+            error_manager.on_end()
+
+    return fn
