@@ -26,11 +26,21 @@ from smartpipeline_spark.functions import ext_query
 K_NEIGHBORS = 10
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 _DIM = 64
-_N_PLANES = 8
+
+# Multi-table hyperplane LSH: collision prob for angle θ is
+# (1-θ/π)^BITS per table, 1-(1-p)^TABLES overall. Random 64-d vectors
+# put true neighbors at θ≈60-70°, so one wide table has ~0 recall;
+# 16 tables × 4 bits gives ~0.95 union recall there while still
+# cutting each probe to ~1/2^4 of the corpus per table.
+_N_TABLES = 16
+_BITS_PER_TABLE = 4
 
 _rng = random.Random(7)
 # fixed random hyperplanes (deterministic across runs / both paths)
-_PLANES = [[_rng.gauss(0.0, 1.0) for _ in range(_DIM)] for _ in range(_N_PLANES)]
+_PLANES = [
+    [[_rng.gauss(0.0, 1.0) for _ in range(_DIM)] for _ in range(_BITS_PER_TABLE)]
+    for _ in range(_N_TABLES)
+]
 
 
 def round4(col: Column) -> Column:
@@ -102,46 +112,59 @@ def ext_knn_bruteforce(spark, sf_dir):
     )
 
 
-def lsh_bucket_expr(emb: Column) -> Column:
-    """Random-hyperplane signature: bit j = sign(emb · plane_j)."""
-    bucket = F.lit(0)
-    for j, plane in enumerate(_PLANES):
-        d = F.aggregate(
-            F.zip_with(emb, F.array(*[F.lit(v) for v in plane]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
+def lsh_buckets_expr(emb: Column) -> Column:
+    """Array of (table_id, bucket) structs: per table, bucket bit j =
+    sign(emb · plane_tj). All JVM-side higher-order functions."""
+    tables = []
+    for t, planes in enumerate(_PLANES):
+        bucket = F.lit(0)
+        for j, plane in enumerate(planes):
+            d = F.aggregate(
+                F.zip_with(emb, F.array(*[F.lit(v) for v in plane]), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        tables.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
+    return F.array(*tables)
 
 
 @ext_query("ext_knn_lsh")  # recall-tested in pytest against brute force
 def ext_knn_lsh(spark, sf_dir):
-    """LSH-bucketed ANN: corpus hashed once into 2^8 hyperplane
-    buckets; each query probes only its own bucket. At 100 TB the
-    bucketed corpus is a partitioned table (WRITE ONCE, probe many)
-    and per-bucket fan-out replaces the full-corpus scan."""
+    """LSH-bucketed ANN, the scale path: the corpus is hashed once
+    into _N_TABLES independent bucket keys (at 100 TB: a write-once
+    table partitioned by (table_id, bucket), probe many); each query
+    scores only the union of its 16 buckets instead of the full
+    corpus. Candidates dedup on (query_id, neighbor_id) before the
+    exact re-score, so multi-table hits cost one cosine each."""
     from pyspark.sql.window import Window
 
     e = sources.table(spark, "embeddings", sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    bucketed = e.withColumn("bucket", lsh_bucket_expr(F.col("emb")))
-    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+    keyed = e.select(
+        "vec_id", "emb", F.explode(lsh_buckets_expr(F.col("emb"))).alias("k")
+    ).select("vec_id", "emb", "k.table_id", "k.bucket")
+    q = keyed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
+        F.col("table_id").alias("q_table"),
         F.col("bucket").alias("q_bucket"),
     )
-    scored = (
-        bucketed.join(
+    cands = (
+        keyed.join(
             F.broadcast(q),
-            (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+            (F.col("table_id") == F.col("q_table"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
         )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            round4(cosine_expr(F.col("q_emb"), F.col("emb"))).alias("score"),
-        )
+        .select("query_id", "q_emb", F.col("vec_id").alias("neighbor_id"), "emb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        round4(cosine_expr(F.col("q_emb"), F.col("emb"))).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (

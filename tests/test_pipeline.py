@@ -1,0 +1,382 @@
+"""Pipeline contract tests — the reference's dominant invariants
+(SURVEY.md §5): set-completeness, per-stage timings, error channel
+contents and stage attribution, retry counts/timing envelopes, batch
+semantics, count, and local/distributed parity.
+"""
+
+import time
+
+import pytest
+
+from smartpipeline_spark import (
+    BatchStage,
+    ErrorManager,
+    Item,
+    Pipeline,
+    SoftError,
+    Stage,
+)
+
+
+class TextReverser(Stage):
+    output_fields = {"text": "string"}
+
+    def process(self, item):
+        item.data["text"] = item.data["text"][::-1]
+        return item
+
+
+class TextDuplicator(Stage):
+    output_fields = {"text_copy": "string"}
+
+    def process(self, item):
+        item.data["text_copy"] = item.data["text"]
+        return item
+
+
+class SoftFailEven(Stage):
+    def process(self, item):
+        if item.data["count"] % 2 == 0:
+            raise SoftError("even item")
+        return item
+
+
+class CriticalOnFive(Stage):
+    def process(self, item):
+        if item.data["count"] % 5 == 0:
+            raise ValueError("multiple of five")
+        return item
+
+
+class CustomException(Exception):
+    pass
+
+
+class AlwaysRaise(Stage):
+    def __init__(self, exc_class=CustomException):
+        self._exc_class = exc_class
+
+    def process(self, item):
+        raise self._exc_class("boom")
+
+
+class BatchReverser(BatchStage):
+    output_fields = {"text": "string"}
+
+    def __init__(self, size=10, check_batch_max=None):
+        super().__init__(size=size)
+        self._check_max = check_batch_max
+
+    def process_batch(self, items):
+        if self._check_max is not None:
+            assert len(items) <= self._check_max
+        for it in items:
+            it.data["text"] = it.data["text"][::-1]
+        return items
+
+
+class BatchBoom(BatchStage):
+    def __init__(self, size=10):
+        super().__init__(size=size)
+
+    def process_batch(self, items):
+        if any(it.data["count"] == 42 for it in items):
+            raise ValueError("poison")
+        return items
+
+
+def _run(pipe):
+    return sorted(pipe.run(), key=lambda it: it.data["count"])
+
+
+# ---------------------------------------------------------------------------
+# set-completeness + enrichment + timings
+# ---------------------------------------------------------------------------
+
+def test_set_completeness_and_timings(spark, items_df):
+    pipe = (
+        Pipeline(spark)
+        .set_source(items_df)
+        .append("reverser", TextReverser())
+        .append("duplicator", TextDuplicator())
+    )
+    items = _run(pipe)
+    # every source item comes out exactly once
+    assert sorted(it.data["count"] for it in items) == list(range(1, 101))
+    assert pipe.count == 100
+    for it in items:
+        assert it.data["text_copy"] == it.data["text"]
+        # timing present for every traversed stage
+        assert sorted(it.timed_stages()) == ["duplicator", "reverser"]
+        assert it.get_timing("reverser") >= 0
+
+
+def test_double_reverse_is_identity(spark, items_df):
+    pipe = (
+        Pipeline(spark)
+        .set_source(items_df)
+        .append("r1", TextReverser())
+        .append("r2", TextReverser())
+    )
+    originals = {r["count"]: r["text"] for r in items_df.collect()}
+    for it in pipe.run():
+        assert it.data["text"] == originals[it.data["count"]]
+
+
+# ---------------------------------------------------------------------------
+# error semantics
+# ---------------------------------------------------------------------------
+
+def test_soft_error_skips_stage_only(spark, items_df):
+    pipe = (
+        Pipeline(spark)
+        .set_source(items_df)
+        .append("softfail", SoftFailEven())
+        .append("duplicator", TextDuplicator())
+    )
+    items = _run(pipe)
+    assert len(items) == 100
+    for it in items:
+        if it.data["count"] % 2 == 0:
+            (err,) = it.soft_errors()
+            assert err["stage"] == "softfail"
+            assert err["exc_class"] == "SoftError"
+        else:
+            assert not it.error_entries
+        # later stage ran for everyone (soft = skip failing stage only)
+        assert it.data["text_copy"] == it.data["text"]
+
+
+def test_critical_error_skips_rest_but_item_survives(spark, items_df):
+    pipe = (
+        Pipeline(spark)
+        .set_source(items_df)
+        .append("critfail", CriticalOnFive())
+        .append("duplicator", TextDuplicator())
+    )
+    items = _run(pipe)
+    assert len(items) == 100  # failed items still reach the sink
+    for it in items:
+        if it.data["count"] % 5 == 0:
+            (err,) = it.critical_errors()
+            assert err["stage"] == "critfail"
+            assert err["exc_class"] == "ValueError"
+            assert it.data["text_copy"] is None  # later stage skipped
+            assert "duplicator" not in list(it.timed_stages())
+        else:
+            assert it.data["text_copy"] == it.data["text"]
+
+
+def test_no_skip_on_critical_mode(spark, items_df):
+    em = ErrorManager().no_skip_on_critical_error()
+    pipe = (
+        Pipeline(spark, error_manager=em)
+        .set_source(items_df)
+        .append("critfail", CriticalOnFive())
+        .append("duplicator", TextDuplicator())
+    )
+    for it in pipe.run():
+        # critical recorded but stages keep running
+        assert it.data["text_copy"] == it.data["text"]
+
+
+def test_raise_on_critical_mode(spark, items_df):
+    em = ErrorManager().raise_on_critical_error()
+    pipe = (
+        Pipeline(spark, error_manager=em)
+        .set_source(items_df)
+        .append("critfail", CriticalOnFive())
+    )
+    with pytest.raises(Exception):
+        list(pipe.run())
+
+
+# ---------------------------------------------------------------------------
+# retry semantics (reference tests/pipeline/test_pipeline.py:227-436)
+# ---------------------------------------------------------------------------
+
+def test_retry_exhaustion_attaches_one_error_per_attempt(spark):
+    pipe = Pipeline(spark).append(
+        "flaky",
+        AlwaysRaise(),
+        retryable_errors=(CustomException,),
+        max_retries=3,
+        backoff=0.0,
+    )
+    it = pipe.process(Item({"count": 1, "text": "x"}))
+    # 4 attempts (1 + 3 retries) -> 4 soft RetryErrors, no critical
+    assert len(it.soft_errors()) == 4
+    assert not it.has_critical_errors()
+    assert all(e["exc_class"] == "CustomException" for e in it.soft_errors())
+
+
+def test_retry_zero_means_single_attempt(spark):
+    pipe = Pipeline(spark).append(
+        "flaky", AlwaysRaise(), retryable_errors=(CustomException,), max_retries=0,
+        backoff=1.0,
+    )
+    t0 = time.monotonic()
+    it = pipe.process(Item({"count": 1}))
+    assert time.monotonic() - t0 < 1.0  # fast fail: no backoff sleep
+    assert len(it.soft_errors()) == 1
+    assert it.get_timing("flaky") < 1.0
+
+
+def test_retry_backoff_timing_envelope(spark):
+    # 2 retries at backoff=0.2 -> sleeps 0.2 + 0.4 = 0.6s inside timing
+    pipe = Pipeline(spark).append(
+        "flaky", AlwaysRaise(), retryable_errors=(CustomException,), max_retries=2,
+        backoff=0.2,
+    )
+    it = pipe.process(Item({"count": 1}))
+    assert 0.6 <= it.get_timing("flaky") <= 1.2
+    assert len(it.soft_errors()) == 3
+
+
+def test_non_retryable_exception_is_critical_despite_retry_policy(spark):
+    pipe = Pipeline(spark).append(
+        "flaky", AlwaysRaise(ValueError), retryable_errors=(CustomException,),
+        max_retries=3, backoff=0.0,
+    )
+    it = pipe.process(Item({"count": 1}))
+    assert len(it.critical_errors()) == 1
+    assert not it.soft_errors()
+
+
+def test_retry_param_validation(spark):
+    pipe = Pipeline(spark)
+    with pytest.raises(ValueError):
+        pipe.append("a", TextReverser(), max_retries=-1)
+    with pytest.raises(ValueError):
+        pipe.append("b", TextReverser(), backoff=-0.5)
+    with pytest.raises(ValueError):
+        pipe.append("c", TextReverser(), retryable_errors=("notaclass",))
+
+
+def test_unique_stage_names(spark, items_df):
+    pipe = Pipeline(spark).set_source(items_df).append("x", TextReverser())
+    with pytest.raises(ValueError):
+        pipe.append("x", TextDuplicator())
+
+
+# ---------------------------------------------------------------------------
+# batch stages
+# ---------------------------------------------------------------------------
+
+def test_batch_stage_results_match_row_stage(spark, items_df):
+    pipe = (
+        Pipeline(spark)
+        .set_source(items_df.coalesce(1))
+        .append("batchrev", BatchReverser(size=7, check_batch_max=7))
+    )
+    items = _run(pipe)
+    assert len(items) == 100
+    originals = {r["count"]: r["text"] for r in items_df.collect()}
+    for it in items:
+        assert it.data["text"] == originals[it.data["count"]][::-1]
+        assert it.get_timing("batchrev") is not None
+
+
+def test_batch_error_poisons_whole_chunk(spark, items_df):
+    pipe = (
+        Pipeline(spark)
+        .set_source(items_df.coalesce(1))
+        .append("boom", BatchBoom(size=10))
+    )
+    items = _run(pipe)
+    poisoned = [it for it in items if it.has_critical_errors()]
+    # item 42 sits in a chunk of 10; reference semantics poison all of it
+    assert len(poisoned) == 10
+    assert all(e["stage"] == "boom" for it in poisoned for e in it.critical_errors())
+
+
+def test_batch_isolate_failures_poisons_only_culprit(spark, items_df):
+    pipe = (
+        Pipeline(spark)
+        .set_source(items_df.coalesce(1))
+        .append("boom", BatchBoom(size=10), isolate_failures=True)
+    )
+    items = _run(pipe)
+    poisoned = [it for it in items if it.has_critical_errors()]
+    assert [it.data["count"] for it in poisoned] == [42]
+
+
+def test_batch_critical_items_skip_batch_stage(spark, items_df):
+    pipe = (
+        Pipeline(spark)
+        .set_source(items_df.coalesce(1))
+        .append("critfail", CriticalOnFive())
+        .append("batchrev", BatchReverser(size=10))
+    )
+    originals = {r["count"]: r["text"] for r in items_df.collect()}
+    for it in pipe.run():
+        if it.data["count"] % 5 == 0:
+            assert it.data["text"] == originals[it.data["count"]]  # untouched
+        else:
+            assert it.data["text"] == originals[it.data["count"]][::-1]
+
+
+def test_batch_stage_size_validation():
+    with pytest.raises(ValueError):
+        BatchReverser(size=0)
+
+
+# ---------------------------------------------------------------------------
+# single-item paths + parity
+# ---------------------------------------------------------------------------
+
+def test_process_parity_with_distributed_run(spark, items_df):
+    def build():
+        return (
+            Pipeline(spark)
+            .set_source(items_df)
+            .append("softfail", SoftFailEven())
+            .append("critfail", CriticalOnFive())
+            .append("duplicator", TextDuplicator())
+        )
+
+    dist = {it.data["count"]: it for it in build().run()}
+    local_pipe = build()
+    for row in items_df.collect():
+        local = local_pipe.process(Item(row.asDict()))
+        d = dist[row["count"]]
+        assert local.data.get("text_copy") == d.data.get("text_copy")
+        assert [e["kind"] for e in local.error_entries] == [
+            e["kind"] for e in d.error_entries
+        ]
+        assert sorted(local.timed_stages()) == sorted(d.timed_stages())
+
+
+def test_process_async_callbacks_and_results(spark):
+    pipe = Pipeline(spark).append("reverser", TextReverser())
+    seen = []
+    for i in range(10):
+        pipe.process_async(Item({"count": i, "text": f"t{i}"}), callback=seen.append)
+    got = sorted(pipe.get_item(timeout=10).data["count"] for _ in range(10))
+    assert got == list(range(10))
+    assert len(seen) == 10
+    assert pipe.count == 10
+    pipe.shutdown()
+
+
+def test_count_accumulates_across_runs(spark, items_df):
+    pipe = Pipeline(spark).set_source(items_df).append("r", TextReverser())
+    list(pipe.run())
+    list(pipe.run())
+    assert pipe.count == 200
+
+
+def test_transform_step_relational(spark, items_df):
+    from pyspark.sql import functions as F
+
+    pipe = (
+        Pipeline(spark)
+        .set_source(items_df)
+        .append("reverser", TextReverser())
+        .transform("only_even", lambda df: df.filter(F.col("count") % 2 == 0))
+    )
+    items = list(pipe.run())
+    assert len(items) == 50
+    # relational steps cannot be used with the local single-item path
+    with pytest.raises(ValueError):
+        pipe.process(Item({"count": 2, "text": "x"}))

@@ -1,0 +1,63 @@
+"""Source/scan surface (reference helpers.py + tests/test_helpers.py)."""
+
+import os
+
+from smartpipeline_spark import sources
+from tests.conftest import SF_SMOKE
+
+
+def test_local_files_postfix_and_dotfile_skip(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("alpha")
+    (tmp_path / "b.txt").write_text("beta")
+    (tmp_path / "c.skip").write_text("nope")
+    (tmp_path / ".hidden.txt").write_text("dot")
+    df = sources.local_files(spark, str(tmp_path), postfix=".txt")
+    rows = {r["id"]: bytes(r["content"]).decode() for r in df.collect()}
+    assert rows == {"a.txt": "alpha", "b.txt": "beta"}
+
+
+def test_text_lines(spark, tmp_path):
+    p = tmp_path / "lines.txt"
+    p.write_text("one\ntwo\nthree\n")
+    df = sources.text_lines(spark, str(p))
+    assert sorted(r["value"] for r in df.collect()) == ["one", "three", "two"]
+
+
+def test_from_rows_and_range(spark):
+    df = sources.from_rows(spark, [{"a": 1}, {"a": 2}])
+    assert df.count() == 2
+    rng = sources.range_source(spark, 5)
+    assert sorted(r["count"] for r in rng.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_tables_load_all(spark):
+    ts = sources.tables(spark, SF_SMOKE)
+    assert set(ts) == set(sources.TABLE_NAMES)
+    assert dict(ts["events"].dtypes)["ts"] == "timestamp"
+
+
+def test_custom_source_drained_via_pipeline(spark):
+    from smartpipeline_spark import Item, Pipeline, Source, Stage
+
+    class ListSource(Source):
+        def __init__(self, n):
+            super().__init__()
+            self._it = iter(range(1, n + 1))
+
+        def pop(self):
+            try:
+                return Item({"count": next(self._it)})
+            except StopIteration:
+                self.stop()
+                return None
+
+    class AddOne(Stage):
+        output_fields = {"plus": "bigint"}
+
+        def process(self, item):
+            item.data["plus"] = item.data["count"] + 1
+            return item
+
+    pipe = Pipeline(spark).set_source(ListSource(10)).append("addone", AddOne())
+    out = sorted(it.data["plus"] for it in pipe.run())
+    assert out == list(range(2, 12))
