@@ -228,7 +228,7 @@ class Pipeline:
         # asked for explicit horizontal scaling wider than the current
         # partitioning (reference concurrency=N -> partition count)
         want = max((p.concurrency for _s, p, _i in seg), default=0)
-        if want > df.rdd.getNumPartitions():
+        if want > 0 and not df.isStreaming and want > df.rdd.getNumPartitions():
             df = df.repartition(want)
         fn = compile_chain(seg, payload_cols, out_cols, self._error_manager)
         return df.mapInPandas(fn, schema=ddl)
@@ -258,6 +258,40 @@ class Pipeline:
             with self._count_lock:
                 self._count += 1
             yield item
+
+    def start_stream(
+        self,
+        checkpoint: str,
+        sink: Union[str, Callable[[DataFrame, int], None]] = None,
+        queryName: str | None = None,
+        available_now: bool = False,
+        processing_time: str | None = None,
+        output_mode: str = "append",
+        fmt: str = "parquet",
+    ):
+        """Execute the pipeline over an unbounded source: the SAME
+        compiled plan (stage wrapper included) runs per micro-batch.
+        ``sink`` is a path (file sink), a callable (foreachBatch), or
+        None with ``queryName`` (memory sink, tests). Returns the
+        StreamingQuery — stop() for graceful shutdown, or use
+        ``available_now`` to drain-and-terminate."""
+        df = self.dataframe()
+        if not df.isStreaming:
+            raise ValueError("source is not a streaming DataFrame")
+        if callable(sink):
+            writer = df.writeStream.foreachBatch(sink)
+        elif isinstance(sink, str):
+            writer = df.writeStream.format(fmt).option("path", sink)
+        elif queryName:
+            writer = df.writeStream.format("memory").queryName(queryName)
+        else:
+            raise ValueError("need a sink path, a foreachBatch callable, or queryName")
+        writer = writer.outputMode(output_mode).option("checkpointLocation", checkpoint)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
 
     def write(self, path: str, fmt: str = "parquet", mode: str = "overwrite", **options):
         """Sink the pipeline output without driver round-trip."""

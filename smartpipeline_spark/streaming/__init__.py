@@ -1,0 +1,156 @@
+"""Structured Streaming surface — SURVEY.md §2.10 / M3.
+
+The reference owes only: unbounded sources, per-stage map/batch-map,
+graceful stop, and backpressure (bounded queues). Spark gives all of
+that natively (readStream, mapInPandas on streaming DataFrames,
+query.stop(), maxFilesPerTrigger/maxOffsetsPerTrigger); this module
+adds the event-time operators the reference lacks entirely —
+watermarks, tumbling/sliding/session windows, late-data handling,
+streaming dedup — as thin Catalyst-native helpers, plus streaming
+execution for the Pipeline stage chain.
+
+Batch-mode twins of the windowed aggregations live in
+operators/relational.py (q22/q23) where they are DuckDB-oracled; the
+functions here produce the SAME plans on unbounded inputs (tested by
+equivalence against the batch results under an availableNow trigger).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events_dir(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-drop stream of event batches: new parquet files under
+    ``path`` arrive as micro-batches. ``maxFilesPerTrigger`` is the
+    backpressure knob (the reference's bounded-queue analog)."""
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "1 hour") -> DataFrame:
+    """Late-data bound: rows older than max(event time) - delay are
+    dropped from stateful operators and their state evicted — the
+    thing that makes unbounded windowed aggregation bounded-memory."""
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_counts(
+    df: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling event-time window aggregation (streaming twin of q22)."""
+    return (
+        df.groupBy(F.window(ts_col, window), *keys)
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Sliding windows: each event lands in window/slide overlapping
+    buckets; Spark expands them JVM-side, no row duplication in user
+    code."""
+    return (
+        df.groupBy(F.window(ts_col, window, slide), *keys)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format(F.col("window.end"), "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            *keys,
+            "n_events",
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Session windows (dynamic-length, gap-closed). Streaming twin of
+    q23; in streaming mode requires a watermark on ``ts_col``."""
+    return (
+        df.groupBy(F.session_window(ts_col, gap), *keys)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            *keys,
+            F.unix_micros(F.col("session_window.start")).alias("sess_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(df: DataFrame, keys: list[str], ts_col: str = "ts", delay: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates arriving
+    within the watermark delay are dropped; state for old keys is
+    evicted. The unbounded-corpus version of ext_dedup_exact."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def start_foreach_batch(
+    df: DataFrame,
+    fn: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    available_now: bool = False,
+    processing_time: str | None = None,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """foreachBatch sink: ``fn(batch_df, batch_id)`` per micro-batch —
+    the streaming sink pattern for external systems (the reference's
+    Elasticsearch ``Indexer`` stage maps here)."""
+    writer = (
+        df.writeStream.foreachBatch(fn)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def start_memory_sink(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Memory sink for tests/interactive use: results land in the
+    in-memory table ``name`` (driver-sized outputs only)."""
+    writer = (
+        df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

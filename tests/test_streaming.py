@@ -1,0 +1,133 @@
+"""Streaming semantics (M3): unbounded sources, watermarked windows,
+session windows, streaming dedup, foreachBatch sinks, stage chains on
+streams, graceful termination. Each windowed operator is checked for
+EQUIVALENCE against its batch twin over the same data — streaming and
+batch must agree when the stream is fully drained (availableNow)."""
+
+import glob
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from smartpipeline_spark import sources, streaming
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(tmp_path_factory):
+    """Replay the events table as a file-drop directory (4 chunks)."""
+    base = tmp_path_factory.mktemp("events_stream")
+    from smartpipeline_spark.session import get_spark
+
+    spark = get_spark("pytest")
+    ev = sources.table(spark, "events", SF_SMOKE)
+    ev.repartition(4).write.mode("overwrite").parquet(str(base / "data"))
+    return str(base / "data")
+
+
+def _drain(query):
+    query.awaitTermination(120)
+
+
+def test_tumbling_window_stream_matches_batch(spark, events_stream_dir, tmp_path):
+    stream = streaming.stream_events_dir(spark, events_stream_dir, max_files_per_trigger=2)
+    agg = streaming.tumbling_counts(streaming.with_watermark(stream, "ts", "2 hours"))
+    q = streaming.start_memory_sink(agg, "tumbling_out", output_mode="complete")
+    _drain(q)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.table("tumbling_out").collect()
+    }
+    batch = streaming.tumbling_counts(sources.table(spark, "events", SF_SMOKE))
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_sliding_window_stream_runs(spark, events_stream_dir):
+    stream = streaming.stream_events_dir(spark, events_stream_dir)
+    agg = streaming.sliding_counts(streaming.with_watermark(stream, "ts", "2 hours"))
+    q = streaming.start_memory_sink(agg, "sliding_out", output_mode="complete")
+    _drain(q)
+    rows = spark.table("sliding_out").collect()
+    assert rows
+    # a 1h window sliding by 15min: every event lands in 4 windows
+    n_events = sources.table(spark, "events", SF_SMOKE).count()
+    assert sum(r["n_events"] for r in rows) == 4 * n_events
+
+
+def test_session_window_stream_matches_batch_q23(spark, events_stream_dir):
+    stream = streaming.stream_events_dir(spark, events_stream_dir)
+    sess = streaming.sessionize(streaming.with_watermark(stream, "ts", "2 hours"))
+    q = streaming.start_memory_sink(sess, "session_out", output_mode="complete")
+    _drain(q)
+    got = {
+        (r["user_id"], r["sess_start_us"]): r["n_events"]
+        for r in spark.table("session_out").collect()
+    }
+    from smartpipeline_spark.operators import QUERIES
+
+    want = {
+        (r["user_id"], r["sess_start_us"]): r["n_events"]
+        for r in QUERIES["q23_session_window"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    src_dir = tmp_path / "dup_stream"
+    ev = sources.table(spark, "events", SF_SMOKE).limit(200)
+    dup = ev.unionAll(ev)  # every event twice
+    dup.repartition(2).write.mode("overwrite").parquet(str(src_dir))
+    stream = streaming.stream_events_dir(spark, str(src_dir))
+    deduped = streaming.dedup_within_watermark(stream, ["event_id"], "ts", "365 days")
+    q = streaming.start_memory_sink(deduped, "dedup_out", output_mode="append")
+    _drain(q)
+    out = spark.table("dedup_out")
+    assert out.count() == 200
+    assert out.select("event_id").distinct().count() == 200
+
+
+def test_pipeline_stage_chain_on_stream(spark, events_stream_dir, tmp_path):
+    from smartpipeline_spark import Pipeline, Stage
+
+    class Flag(Stage):
+        output_fields = {"flagged": "string"}
+
+        def process(self, item):
+            item.data["flagged"] = f"{item.data['event_type']}!"
+            return item
+
+    stream = streaming.stream_events_dir(spark, events_stream_dir)
+    pipe = Pipeline(spark).set_source(stream).append("flag", Flag())
+    out_dir = str(tmp_path / "out")
+    q = pipe.start_stream(
+        checkpoint=str(tmp_path / "ckpt"), sink=out_dir, available_now=True
+    )
+    _drain(q)
+    result = spark.read.parquet(out_dir)
+    n = sources.table(spark, "events", SF_SMOKE).count()
+    assert result.count() == n
+    assert result.filter(F.col("flagged") == F.concat("event_type", F.lit("!"))).count() == n
+    # companion columns flow through streaming too
+    assert "_errors" in result.columns
+
+
+def test_foreach_batch_sink_and_graceful_stop(spark, events_stream_dir, tmp_path):
+    seen = []
+    stream = streaming.stream_events_dir(spark, events_stream_dir, max_files_per_trigger=1)
+    q = streaming.start_foreach_batch(
+        stream.groupBy("event_type").count(),
+        lambda df, bid: seen.append((bid, df.count())),
+        checkpoint=str(tmp_path / "ckpt2"),
+        available_now=True,
+        output_mode="complete",
+    )
+    _drain(q)
+    assert seen and not q.isActive  # drained and terminated gracefully
+    assert all(n > 0 for _, n in seen)
