@@ -55,6 +55,10 @@ def main() -> None:
 
     spark = get_spark("bench")
     registry = entrymod.queries()
+    # warm up the JVM / codegen / parquet footer cache so the first
+    # timed query doesn't absorb one-time session costs
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    registry["q01_scan_count"](spark, sf_dir).collect()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry[name]

@@ -90,7 +90,7 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = JACCARD_THRESH
     so hot shingles are the skew risk — at scale, drop top-frequency
     shingles (stopword shingles) first; AQE skew-join splits the rest.
     """
-    sh = word_shingles(docs, n).cache()
+    sh = word_shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -194,12 +194,40 @@ def minhash_candidates(sigs: DataFrame) -> DataFrame:
 @ext_query("ext_dedup_minhash")  # hash-seed-specific: rows-only + pytest recall test
 def ext_dedup_minhash(spark, sf_dir):
     """MinHash+LSH near-dup: candidates from banding, then exact
-    Jaccard verification of candidates only (false positives are
-    eliminated; LSH can only lose borderline pairs)."""
+    Jaccard verification of the CANDIDATE PAIRS ONLY — the whole point
+    of LSH is that the quadratic all-pairs comparison never happens.
+    Verification joins each candidate pair to the two docs' shingle
+    sets and intersects JVM-side (array_intersect); cost is linear in
+    candidate count, not corpus size squared. False positives are
+    eliminated exactly; LSH can only lose borderline pairs."""
     d = sources.table(spark, "documents", sf_dir)
     cands = minhash_candidates(minhash_signatures(d))
-    exact = jaccard_pairs(d).withColumnRenamed("jaccard", "jaccard_verified")
-    return cands.join(exact, ["d1", "d2"]).select("d1", "d2", "jaccard_verified")
+    shingle_sets = (
+        word_shingles(d)
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("sh_set"))
+    )
+    s1 = shingle_sets.select(
+        F.col("doc_id").alias("d1"), F.col("sh_set").alias("sh1")
+    )
+    s2 = shingle_sets.select(
+        F.col("doc_id").alias("d2"), F.col("sh_set").alias("sh2")
+    )
+    common = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
+    union = F.size("sh1") + F.size("sh2") - common
+    jac = common / union
+    return (
+        cands.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(jac >= F.lit(JACCARD_THRESHOLD))
+        .select(
+            "d1",
+            "d2",
+            (F.floor(jac * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+                "jaccard_verified"
+            ),
+        )
+    )
 
 
 @ext_query("ext_dedup_simhash")  # hash-specific: rows-only + pytest tests
