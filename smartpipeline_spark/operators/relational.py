@@ -418,6 +418,28 @@ def q14_cube(spark, sf_dir):
     )
 
 
+@query(
+    "q13b_grouping_sets",
+    f"""SELECT n_name, c_mktsegment, COUNT(*) AS n_cust,
+               {_sql_dsum2('c_acctbal')} AS sum_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""",
+)
+def q13b_grouping_sets(spark, sf_dir):
+    """GROUPING SETS via the SQL surface (the DataFrame API only has
+    rollup/cube); also demonstrates the engine's spark.sql entry point
+    over registered temp views."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """SELECT n_name, c_mktsegment, COUNT(*) AS n_cust,
+                  FLOOR(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                        * 100.0 + 0.5) / 100.0 AS sum_bal
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions
 # ---------------------------------------------------------------------------
@@ -485,6 +507,63 @@ def q17_window_lag(spark, sf_dir):
         "o_orderkey",
         prev.alias("prev_price"),
         r2(F.col("o_totalprice") - prev).alias("delta"),
+    )
+
+
+@query(
+    "q15b_window_ranks",
+    """SELECT o_custkey, o_orderkey,
+              RANK() OVER w AS rnk,
+              DENSE_RANK() OVER w AS drnk,
+              NTILE(4) OVER w AS quartile,
+              LEAD(o_orderkey) OVER w AS next_orderkey
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey)""",
+)
+def q15b_window_ranks(spark, sf_dir):
+    """The rank-function family over one shared window definition."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@query(
+    "q16b_window_range_frame",
+    f"""SELECT o_custkey, o_orderkey,
+               {_sql_r2('''CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)''')}
+               AS rolling_30d
+        FROM orders""",
+)
+def q16b_window_range_frame(spark, sf_dir):
+    """RANGE frame over event-time: 30-day rolling spend per customer.
+    Range frames differ from row frames: all orders in the value window
+    count, ties included, independent of row position."""
+    o = _t(spark, sf_dir, "orders")
+    epoch_day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        r2(F.sum(F.col("o_totalprice").cast(DEC4)).over(w).cast("double")).alias(
+            "rolling_30d"
+        ),
     )
 
 
@@ -626,6 +705,82 @@ def q21c_scalar_json(spark, sf_dir):
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_val"),
         "event_type",
+    )
+
+
+@query(
+    "q21d_array_map",
+    """SELECT doc_id,
+              len(string_split(text, ' ')) AS n_words,
+              array_to_string(string_split(text, ' ')[1:3], '-') AS first3,
+              CAST(list_contains(string_split(lower(text), ' '), 'data') AS INT) AS has_data,
+              list_sort(string_split(lower(substring(text, 1, 30)), ' '))[1] AS min_word,
+              string_split(text, ' ')[-1] AS last_word
+       FROM documents""",
+)
+def q21d_array_map(spark, sf_dir):
+    """Array-function battery (split/size/slice/contains/sort/element_at)
+    — all JVM-side higher-order operations, no UDFs."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    words_lower = F.split(F.lower(F.col("text")), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.array_join(F.slice(words, 1, 3), "-").alias("first3"),
+        F.array_contains(words_lower, "data").cast("int").alias("has_data"),
+        F.element_at(
+            F.sort_array(F.split(F.lower(F.substring("text", 1, 30)), " ")), 1
+        ).alias("min_word"),
+        F.element_at(words, -1).alias("last_word"),
+    )
+
+
+@query(
+    "q27_explode_wordfreq",
+    """SELECT word, COUNT(*) AS n
+       FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+             FROM documents)
+       GROUP BY word
+       HAVING COUNT(*) >= 50""",
+)
+def q27_explode_wordfreq(spark, sf_dir):
+    """UDTF-shaped row expansion: explode (flatMap) + aggregate — the
+    word-count canonical. At 100 TB the explode is streamed, never
+    materialized; partial aggregation collapses per-partition counts
+    before the one shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 50)
+    )
+
+
+@query(
+    "q02b_partitioned_sink",
+    f"""SELECT COUNT(*) AS n_rows,
+               {_sql_dsum2('o_totalprice')} AS sum_total
+        FROM orders WHERE year(o_orderdate) = 1997""",
+)
+def q02b_partitioned_sink(spark, sf_dir):
+    """Partitioned sink + partition-pruned re-scan: orders written
+    partitionBy(o_year); the filtered re-read touches ONLY the
+    o_year=1997 directory (partition pruning — the single most
+    important layout lever at 100 TB)."""
+    out = "/root/repo/.tmp/q02b_partitioned"
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
+    o = _t(spark, sf_dir, "orders")
+    o.withColumn("o_year", F.year("o_orderdate")).write.mode("overwrite").partitionBy(
+        "o_year"
+    ).parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_year") == 1997)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        dsum2(F.col("o_totalprice")).alias("sum_total"),
     )
 
 

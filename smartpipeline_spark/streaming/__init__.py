@@ -117,6 +117,36 @@ def dedup_within_watermark(df: DataFrame, keys: list[str], ts_col: str = "ts", d
     return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
+def stateful_user_counts(df: DataFrame, key: str = "user_id") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key
+    running event counts that survive across micro-batches (the
+    template for arbitrary user state machines — sessionization with
+    custom logic, per-entity CDC folds, online feature accumulation).
+
+    State is one row per key, partitioned by the grouping key across
+    executors; Spark checkpoints it per batch, so at scale state size
+    is bounded by distinct keys, not stream length. Emits the updated
+    count for every key seen in the batch (update semantics).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key_tuple, pdf_iter, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({key: [key_tuple[0]], "n_events": [n]})
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key} bigint, n_events bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def start_foreach_batch(
     df: DataFrame,
     fn: Callable[[DataFrame, int], None],

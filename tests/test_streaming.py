@@ -118,6 +118,34 @@ def test_pipeline_stage_chain_on_stream(spark, events_stream_dir, tmp_path):
     assert "_errors" in result.columns
 
 
+def test_stateful_counts_accumulate_across_microbatches(spark, events_stream_dir, tmp_path):
+    stream = streaming.stream_events_dir(spark, events_stream_dir, max_files_per_trigger=1)
+    counted = streaming.stateful_user_counts(stream)
+    rows = []
+    q = streaming.start_foreach_batch(
+        counted,
+        lambda df, bid: rows.extend((bid, r["user_id"], r["n_events"]) for r in df.collect()),
+        checkpoint=str(tmp_path / "ckpt_state"),
+        available_now=True,
+        output_mode="update",
+    )
+    _drain(q)
+    n_batches = len({b for b, _, _ in rows})
+    assert n_batches > 1, "state must span multiple micro-batches"
+    # the final state per user equals the batch-mode count
+    final = {}
+    for _, uid, n in rows:
+        final[uid] = max(n, final.get(uid, 0))
+    want = {
+        r["user_id"]: r["cnt"]
+        for r in sources.table(spark, "events", SF_SMOKE)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert final == want
+
+
 def test_foreach_batch_sink_and_graceful_stop(spark, events_stream_dir, tmp_path):
     seen = []
     stream = streaming.stream_events_dir(spark, events_stream_dir, max_files_per_trigger=1)
