@@ -129,6 +129,26 @@ def lsh_buckets_expr(emb: Column) -> Column:
     return F.array(*tables)
 
 
+@ext_query(
+    "ext_embedding_centroids",
+    """SELECT label, i AS pos,
+              FLOOR(AVG(embedding[i]) * 10000.0 + 0.5) / 10000.0 AS centroid
+       FROM embeddings, LATERAL (
+         SELECT unnest(generate_series(1, len(embedding))) AS i) t
+       GROUP BY label, i""",
+)
+def ext_embedding_centroids(spark, sf_dir):
+    """Per-label centroid vectors via posexplode + groupBy(label, pos):
+    the standard distributed reduction for k-means-style updates —
+    shuffle carries (label, pos, partial sums), never whole vectors."""
+    e = sources.table(spark, "embeddings", sf_dir)
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(round4(F.avg("v")).alias("centroid"))
+    )
+
+
 @ext_query("ext_knn_lsh")  # recall-tested in pytest against brute force
 def ext_knn_lsh(spark, sf_dir):
     """LSH-bucketed ANN, the scale path: the corpus is hashed once

@@ -141,6 +141,46 @@ def ext_quality_score(spark, sf_dir):
     )
 
 
+@ext_query(
+    "ext_tfidf",
+    """WITH words AS (
+         SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+         FROM documents),
+       tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
+       dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY w),
+       n AS (SELECT COUNT(*) AS n FROM documents)
+       SELECT doc_id, w AS word, tf, df,
+              FLOOR((tf * (ln((n + 1.0) / (df + 1.0)) + 1.0)) * 10000.0 + 0.5)
+                / 10000.0 AS tfidf
+       FROM tf JOIN dfreq USING (w), n""",
+)
+def ext_tfidf(spark, sf_dir):
+    """TF-IDF as pure DataFrame algebra: one explode, two aggregations,
+    one broadcast join of the (small) document-frequency table back
+    onto term frequencies. The df table is vocabulary-sized — always
+    broadcastable — so the fact-side explode never shuffles twice."""
+    d = sources.table(spark, "documents", sf_dir)
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("w")
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.count()  # scalar; at scale use a broadcast one-row agg instead
+    tfidf = F.col("tf") * (
+        F.log((F.lit(n) + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "w")
+        .select(
+            "doc_id",
+            F.col("w").alias("word"),
+            "tf",
+            "df",
+            (F.floor(tfidf * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias("tfidf"),
+        )
+    )
+
+
 def _langid_sql_score(lang: str) -> str:
     parts = [
         "CAST((length(concat(' ', lower(text), ' ')) - "

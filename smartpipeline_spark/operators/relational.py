@@ -445,6 +445,29 @@ def q13b_grouping_sets(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @query(
+    "q28_percentiles",
+    f"""SELECT o_orderstatus,
+               {_sql_r2("quantile_cont(o_totalprice, 0.5)")} AS median_price,
+               {_sql_r2("quantile_cont(o_totalprice, 0.9)")} AS p90_price,
+               {_sql_r2("MIN(o_totalprice)")} AS min_price,
+               {_sql_r2("MAX(o_totalprice)")} AS max_price
+        FROM orders GROUP BY o_orderstatus""",
+)
+def q28_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (median/p90) per group. The
+    oracle-checked exact form sorts within groups; the 100 TB path is
+    approx_percentile (one-pass sketch, no sort) — same API shape,
+    swap when exactness isn't required."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        r2(F.expr("percentile(o_totalprice, 0.5)")).alias("median_price"),
+        r2(F.expr("percentile(o_totalprice, 0.9)")).alias("p90_price"),
+        r2(F.min("o_totalprice")).alias("min_price"),
+        r2(F.max("o_totalprice")).alias("max_price"),
+    )
+
+
+@query(
     "q15_window_topk",
     """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
          SELECT o_custkey, o_orderkey, o_totalprice,

@@ -300,6 +300,26 @@ class Pipeline:
         df.write.format(fmt).mode(mode).options(**options).save(path)
         return self
 
+    def write_errors(self, path: str, fmt: str = "parquet", mode: str = "overwrite"):
+        """Dead-letter sink: one row per error entry (item payload plus
+        exploded stage/kind/message/exc_class), written distributed.
+        The engine-side analog of the reference docs' custom
+        ErrorManager that ships errors to Elasticsearch — point this
+        at any Spark-writable target instead."""
+        df = self.dataframe()
+        errs = df.filter(F.size(F.col(ERRORS_COL)) > 0).withColumn(
+            "_err", F.explode(F.col(ERRORS_COL))
+        )
+        errs = errs.select(
+            *[c for c in df.columns if c not in (ERRORS_COL, TIMINGS_COL)],
+            F.col("_err.stage").alias("error_stage"),
+            F.col("_err.kind").alias("error_kind"),
+            F.col("_err.message").alias("error_message"),
+            F.col("_err.exc_class").alias("error_exc_class"),
+        )
+        errs.write.format(fmt).mode(mode).save(path)
+        return self
+
     @property
     def count(self) -> int:
         """Items processed across runs, including failed ones."""

@@ -1,0 +1,88 @@
+"""Scale machinery: salted joins/aggs must be result-identical to
+their plain forms, and bucketed joins must eliminate the exchange."""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from smartpipeline_spark.operators import scale
+from tests.conftest import SF_SMOKE
+
+
+def _skewed_df(spark):
+    # 90% of rows share key 1 (hot key), the rest spread over 100 keys
+    hot = spark.range(900).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    cold = spark.range(100).select(
+        (F.col("id") % 100 + 2).alias("k"), F.col("id").alias("v")
+    )
+    return hot.unionAll(cold)
+
+
+def test_salted_join_matches_plain_join(spark):
+    fact = _skewed_df(spark)
+    dim = spark.range(102).select(
+        (F.col("id") + 1).alias("k"), F.concat(F.lit("d"), "id").alias("name")
+    )
+    plain = fact.join(dim, "k").groupBy("k").agg(F.count("*").alias("n")).collect()
+    salted = (
+        scale.salted_join(fact, dim, "k")
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert sorted((r["k"], r["n"]) for r in plain) == sorted(
+        (r["k"], r["n"]) for r in salted
+    )
+
+
+def test_salted_count_matches_plain_count(spark):
+    df = _skewed_df(spark)
+    plain = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    salted = {r["k"]: r["cnt"] for r in scale.salted_count(df, "k").collect()}
+    assert salted == plain
+    assert salted[1] == 900
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    scale.write_bucketed(c, "bt_customer", "c_custkey", num_buckets=8)
+    scale.write_bucketed(o, "bt_orders", "c_custkey", num_buckets=8)
+    # disable auto-broadcast so the join would otherwise shuffle both
+    # sides — bucketing must eliminate that shuffle entirely
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = scale.bucketed_join(spark, "bt_customer", "bt_orders", "c_custkey")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == o.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_write_errors_dead_letter_sink(spark, items_df, tmp_path):
+    from smartpipeline_spark import Pipeline, Stage
+
+    class FailSome(Stage):
+        def process(self, item):
+            if item.data["count"] % 10 == 0:
+                raise ValueError(f"bad {item.data['count']}")
+            return item
+
+    pipe = Pipeline(spark).set_source(items_df).append("failsome", FailSome())
+    out = str(tmp_path / "dead_letter")
+    pipe.write_errors(out)
+    errs = spark.read.parquet(out)
+    assert errs.count() == 10
+    row = errs.orderBy("count").first()
+    assert row["error_stage"] == "failsome"
+    assert row["error_kind"] == "critical"
+    assert row["error_exc_class"] == "ValueError"
