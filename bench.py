@@ -36,13 +36,17 @@ BENCH_QUERIES = [
     "q20_intersect_except",
     "q21_scalar_strings",
     "q22_tumbling_window",
+    "q22b_sliding_window",
     "q23_session_window",
     "q24_udf_stage",
+    "q28_percentiles",
     "ext_dedup_exact",
     "ext_dedup_minhash",
     "ext_fingerprint",
     "ext_knn_bruteforce",
+    "ext_knn_lsh",
     "ext_quality_score",
+    "ext_tfidf",
 ]
 
 

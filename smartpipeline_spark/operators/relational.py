@@ -656,6 +656,29 @@ def q20_intersect_except(spark, sf_dir):
     return n_int.crossJoin(n_exc)
 
 
+@query(
+    "q20b_intersect_except_all",
+    """SELECT
+         (SELECT COUNT(*) FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT ALL
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t) AS n_intersect_all,
+         (SELECT COUNT(*) FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            EXCEPT ALL
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t) AS n_except_all""",
+)
+def q20b_intersect_except_all(spark, sf_dir):
+    """Bag-semantics set ops (ALL variants): multiplicity-aware
+    intersect/except — min(count) / count difference per key."""
+    o = _t(spark, sf_dir, "orders")
+    f_ = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    n_int = f_.intersectAll(op).agg(F.count("*").alias("n_intersect_all"))
+    n_exc = f_.exceptAll(op).agg(F.count("*").alias("n_except_all"))
+    return n_int.crossJoin(n_exc)
+
+
 # ---------------------------------------------------------------------------
 # Scalar function battery (strings / math / dates / json) — mirrors every
 # concrete reference stage (TextReverser/TextReplacer/TextReducer/VatFinder
@@ -833,6 +856,32 @@ def q22_tumbling_window(spark, sf_dir):
         "event_type",
         "n_events",
         "sum_value",
+    )
+
+
+@query(
+    "q22b_sliding_window",
+    """SELECT strftime(time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+                      - k * INTERVAL 15 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type, COUNT(*) AS n_events
+       FROM events, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) t
+       GROUP BY window_start, event_type""",
+)
+def q22b_sliding_window(spark, sf_dir):
+    """Sliding 1h/15min event-time windows in batch mode: each event
+    lands in exactly 4 overlapping windows (the oracle enumerates them
+    with generate_series)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
     )
 
 

@@ -30,6 +30,8 @@ from smartpipeline_spark.errors import ErrorManager, RetryManager, StagePolicy
 from smartpipeline_spark.item import Item
 from smartpipeline_spark.stage import BatchStage, Source, Stage
 from smartpipeline_spark.wrapper import (
+    DATA_COL,
+    DATA_DDL,
     ERRORS_COL,
     ERRORS_DDL,
     TIMINGS_COL,
@@ -219,6 +221,10 @@ class Pipeline:
         for stage, _pol, _iso in seg:
             for col, ddl in (stage.output_fields or {}).items():
                 out_fields[col] = ddl
+        # dynamic-payload tier (SURVEY.md §1.3): stages that invent keys
+        # at runtime (dynamic=True) spill them into a _data map column
+        if any(getattr(stage, "dynamic", False) for stage, _p, _i in seg):
+            out_fields[DATA_COL] = DATA_DDL
         ddl = ", ".join(
             [f"`{c}` {t}" for c, t in out_fields.items()]
             + [f"`{ERRORS_COL}` {ERRORS_DDL}", f"`{TIMINGS_COL}` {TIMINGS_DDL}"]
@@ -252,7 +258,9 @@ class Pipeline:
         payload_cols = [c for c in df.columns if c not in (ERRORS_COL, TIMINGS_COL)]
         for row in df.toLocalIterator(prefetchPartitions=True):
             d = row.asDict(recursive=True)
-            item = Item({k: d.get(k) for k in payload_cols})
+            item = Item({k: d.get(k) for k in payload_cols if k != DATA_COL})
+            for k, v in (d.get(DATA_COL) or {}).items():
+                item.data.setdefault(k, v)
             item._error_entries = [dict(e) for e in (d.get(ERRORS_COL) or [])]
             item._timings = dict(d.get(TIMINGS_COL) or {})
             with self._count_lock:

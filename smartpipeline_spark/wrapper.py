@@ -50,8 +50,11 @@ from smartpipeline_spark.stage import BatchStage, Stage
 #: companion column names + Spark DDL
 ERRORS_COL = "_errors"
 TIMINGS_COL = "_timings"
+DATA_COL = "_data"  # dynamic-payload tier (SURVEY.md §1.3): stages with
+#                     dynamic=True spill undeclared keys here as strings
 ERRORS_DDL = "array<struct<stage:string,kind:string,message:string,exc_class:string>>"
 TIMINGS_DDL = "map<string,double>"
+DATA_DDL = "map<string,string>"
 
 # executor-side registry: one initialized stage copy per worker process
 # (key -> stage instance whose on_start has run)
@@ -188,7 +191,14 @@ def _rows_to_items(pdf: pd.DataFrame, payload_cols: list[str]) -> list[Item]:
     records = pdf.to_dict("records")
     items: list[Item] = []
     for rec in records:
-        item = Item({k: rec.get(k) for k in payload_cols})
+        item = Item({k: rec.get(k) for k in payload_cols if k != DATA_COL})
+        # dynamic tier: splat _data map entries back into the payload so
+        # stages see keys invented by earlier stages (reference semantics:
+        # schemaless dict, SURVEY.md §1.2)
+        dyn = rec.get(DATA_COL) if DATA_COL in payload_cols else None
+        if dyn:
+            for k, v in dict(dyn).items():
+                item.data.setdefault(k, v)
         errs = rec.get(ERRORS_COL)
         if errs is not None and len(errs) > 0:
             item._error_entries = [dict(e) for e in errs]
@@ -201,12 +211,21 @@ def _rows_to_items(pdf: pd.DataFrame, payload_cols: list[str]) -> list[Item]:
 
 def _items_to_pdf(items: list[Item], out_cols: list[str]) -> pd.DataFrame:
     data: dict[str, list] = {c: [] for c in out_cols}
+    typed = set(out_cols) - {ERRORS_COL, TIMINGS_COL, DATA_COL}
     for it in items:
         for c in out_cols:
             if c == ERRORS_COL:
                 data[c].append(list(it.error_entries))
             elif c == TIMINGS_COL:
                 data[c].append(dict(it.timings))
+            elif c == DATA_COL:
+                data[c].append(
+                    {
+                        k: (v if isinstance(v, str) else repr(v))
+                        for k, v in it.data.items()
+                        if k not in typed and v is not None
+                    }
+                )
             else:
                 data[c].append(it.data.get(c))
     return pd.DataFrame(data, columns=out_cols)

@@ -366,6 +366,61 @@ def test_count_accumulates_across_runs(spark, items_df):
     assert pipe.count == 200
 
 
+def test_dynamic_payload_tier(spark, items_df):
+    """Stages that invent keys at runtime (reference TextDuplicator
+    invents random key names) spill them into the _data map tier and
+    later stages + the driver see them."""
+
+    class InventKeys(Stage):
+        dynamic = True
+
+        def process(self, item):
+            item.data[f"dyn_{item.data['count'] % 3}"] = item.data["text"]
+            return item
+
+    class ReadDynamic(Stage):
+        dynamic = True
+
+        def process(self, item):
+            key = f"dyn_{item.data['count'] % 3}"
+            item.data["roundtrip_ok"] = str(item.data.get(key) == item.data["text"])
+            return item
+
+    pipe = (
+        Pipeline(spark)
+        .set_source(items_df)
+        .append("invent", InventKeys())
+        .append("readback", ReadDynamic())
+    )
+    items = _run(pipe)
+    assert len(items) == 100
+    for it in items:
+        assert it.data["roundtrip_ok"] == "True"
+        assert it.data[f"dyn_{it.data['count'] % 3}"] == it.data["text"]
+
+
+def test_custom_error_manager_subclass(spark):
+    """Pluggable ErrorManager: subclasses can classify/route errors
+    (the reference docs ship them to Elasticsearch; here we downgrade
+    ValueErrors to soft)."""
+    from smartpipeline_spark.errors import KIND_SOFT, error_entry
+
+    class Downgrading(ErrorManager):
+        def handle(self, error, stage, item):
+            if isinstance(error, ValueError):
+                return error_entry(stage, KIND_SOFT, error)
+            return super().handle(error, stage, item)
+
+    pipe = (
+        Pipeline(spark, error_manager=Downgrading())
+        .append("boom", AlwaysRaise(ValueError))
+        .append("dup", TextDuplicator())
+    )
+    it = pipe.process(Item({"count": 1, "text": "x"}))
+    assert len(it.soft_errors()) == 1 and not it.has_critical_errors()
+    assert it.data["text_copy"] == "x"  # later stage still ran
+
+
 def test_transform_step_relational(spark, items_df):
     from pyspark.sql import functions as F
 
