@@ -68,6 +68,76 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
+def _fake_resize(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """STUB resize kernel: deterministic re-encoding standing in for a
+    real image resize (PIL absent). Output length scales with the
+    target area so batch-size/memory behavior is realistic."""
+    if payload is None:
+        raise NotImplementedError("real resize requires codec libs")
+    out_len = max(1, (target_w * target_h) // 4)
+    reps = (out_len // max(len(payload), 1)) + 1
+    return (payload * reps)[:out_len]
+
+
+def _fake_frames(payload: bytes, every_n: int) -> list[bytes]:
+    """STUB frame sampler: deterministic chunking standing in for video
+    frame extraction (ffmpeg absent)."""
+    if payload is None:
+        raise NotImplementedError("real frame sampling requires ffmpeg")
+    size = max(16, len(payload) // 10)
+    frames = [payload[i : i + size] for i in range(0, len(payload), size)]
+    return frames[::every_n]
+
+
+@ext_query("ext_multimodal_resize")  # stubbed kernel: rows-only check
+def ext_multimodal_resize(spark, sf_dir):
+    """Resize kernel over mapInPandas: binary in -> binary out with
+    typed target metadata. Batch shape and schema are production-real;
+    only _fake_resize swaps for a codec-backed kernel."""
+    b = binary_documents(spark, sf_dir)
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [_fake_resize(p, 64, 64) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": 64,
+                    "height": 64,
+                    "payload": resized,
+                    "n_bytes_out": [len(r) for r in resized],
+                }
+            )
+
+    return b.mapInPandas(
+        resize_batches,
+        schema="doc_id bigint, width int, height int, payload binary, n_bytes_out int",
+    ).select("doc_id", "width", "height", "n_bytes_out")
+
+
+@ext_query("ext_multimodal_frames")  # stubbed kernel: rows-only check
+def ext_multimodal_frames(spark, sf_dir):
+    """Frame sampling: 1 media row -> N frame rows (flatMap shape).
+    The row-count expansion happens inside mapInPandas so downstream
+    operators see ordinary rows; at scale the expansion factor drives
+    partition sizing (explode-aware maxRecordsPerBatch)."""
+    b = binary_documents(spark, sf_dir)
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, frame in enumerate(_fake_frames(payload, every_n=3)):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sizes.append(len(frame))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_bytes": sizes})
+
+    return b.mapInPandas(
+        frame_batches, schema="doc_id bigint, frame_idx int, frame_bytes int"
+    )
+
+
 @ext_query("ext_multimodal_decode")  # decode stub: rows-only check
 def ext_multimodal_decode(spark, sf_dir):
     """Decode / feature-extract via mapInPandas: bytes cross the Arrow

@@ -923,6 +923,54 @@ def q23_session_window(spark, sf_dir):
     )
 
 
+@query(
+    "q30_correlated_exists",
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+       FROM orders
+       WHERE EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND CAST(l_shipdate AS DATE) >
+                           CAST(o_orderdate AS DATE) + 60)
+       GROUP BY o_orderpriority""",
+)
+def q30_correlated_exists(spark, sf_dir):
+    """Correlated EXISTS subquery (TPC-H Q4 shape) through the SQL
+    surface — Catalyst rewrites it to a left-semi join; no manual
+    decorrelation needed."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n_orders
+           FROM orders
+           WHERE EXISTS (SELECT 1 FROM lineitem
+                         WHERE l_orderkey = o_orderkey
+                           AND CAST(l_shipdate AS DATE) >
+                               DATE_ADD(CAST(o_orderdate AS DATE), 60))
+           GROUP BY o_orderpriority"""
+    )
+
+
+@query(
+    "q31_scalar_subquery",
+    """SELECT p_partkey, p_name, p_retailprice
+       FROM part
+       WHERE p_retailprice > 1.02 * (SELECT AVG(p_retailprice) FROM part)""",
+)
+def q31_scalar_subquery(spark, sf_dir):
+    """Uncorrelated scalar subquery: parts priced above 1.02x the
+    mean (prices are uniform in [900, 1000], so this selects a real
+    subset). Catalyst evaluates the subquery once and broadcasts the
+    scalar. The threshold is a random real against 2-decimal prices,
+    so the ~1e-10 summation-order difference between engines cannot
+    flip membership."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """SELECT p_partkey, p_name, p_retailprice
+           FROM part
+           WHERE p_retailprice > 1.02 * (SELECT AVG(p_retailprice) FROM part)"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # UDF surface: a Stage-authored transformation through the full engine
 # wrapper (mapInPandas + error/timing columns), oracle-checked against

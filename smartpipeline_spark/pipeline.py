@@ -76,6 +76,8 @@ class Pipeline:
         self._built_df: DataFrame | None = None
         self._count = 0
         self._count_lock = threading.Lock()
+        #: metrics from the most recent write() (df.observe-backed)
+        self.last_metrics: dict[str, Any] = {}
         # process_async machinery
         self._async_pool: "_AsyncRunner | None" = None
 
@@ -302,10 +304,30 @@ class Pipeline:
         return writer.start()
 
     def write(self, path: str, fmt: str = "parquet", mode: str = "overwrite", **options):
-        """Sink the pipeline output without driver round-trip."""
+        """Sink the pipeline output without driver round-trip.
+
+        Item/error counters ride on ``df.observe`` — collected during
+        the write itself, no second scan (the reference's pipeline
+        counter, SURVEY §2.5, rebuilt as an accumulator-style metric).
+        Metrics land in ``self.last_metrics``.
+        """
+        from pyspark.sql import Observation
+
         df = self.dataframe()
-        self._count += df.count()
+        obs = None
+        if not df.isStreaming:
+            obs = Observation()
+            err_rows = (
+                F.sum((F.size(F.col(ERRORS_COL)) > 0).cast("long")).alias("error_items")
+                if ERRORS_COL in df.columns
+                else F.lit(0).alias("error_items")
+            )
+            df = df.observe(obs, F.count(F.lit(1)).alias("n_items"), err_rows)
         df.write.format(fmt).mode(mode).options(**options).save(path)
+        if obs is not None:
+            self.last_metrics = dict(obs.get)
+            with self._count_lock:
+                self._count += int(self.last_metrics.get("n_items") or 0)
         return self
 
     def write_errors(self, path: str, fmt: str = "parquet", mode: str = "overwrite"):

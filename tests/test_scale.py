@@ -68,6 +68,22 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_write_collects_observe_metrics(spark, items_df, tmp_path):
+    from smartpipeline_spark import Pipeline, Stage, SoftError
+
+    class FlakyOdd(Stage):
+        def process(self, item):
+            if item.data["count"] % 2:
+                raise SoftError("odd")
+            return item
+
+    pipe = Pipeline(spark).set_source(items_df).append("flaky", FlakyOdd())
+    pipe.write(str(tmp_path / "out"))
+    assert pipe.last_metrics["n_items"] == 100
+    assert pipe.last_metrics["error_items"] == 50
+    assert pipe.count == 100
+
+
 def test_write_errors_dead_letter_sink(spark, items_df, tmp_path):
     from smartpipeline_spark import Pipeline, Stage
 
