@@ -924,6 +924,34 @@ def q23_session_window(spark, sf_dir):
 
 
 @query(
+    "q32_pivot",
+    f"""SELECT o_orderpriority,
+               COALESCE("F", 0) AS status_f,
+               COALESCE("O", 0) AS status_o,
+               COALESCE("P", 0) AS status_p
+        FROM (PIVOT orders ON o_orderstatus IN ('F', 'O', 'P')
+              USING COUNT(*) GROUP BY o_orderpriority)""",
+)
+def q32_pivot(spark, sf_dir):
+    """Pivot / crosstab: order counts per priority x status. Pivot
+    values are declared explicitly — at scale an undeclared pivot
+    first runs a distinct scan to discover them AND makes the output
+    schema data-dependent; never do that on a 100 TB fact table."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+@query(
     "q30_correlated_exists",
     """SELECT o_orderpriority, COUNT(*) AS n_orders
        FROM orders
