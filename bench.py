@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "q22b_sliding_window",
     "q23_session_window",
     "q24_udf_stage",
+    "q24b_udf_chain_throughput",
     "q28_percentiles",
     "ext_dedup_exact",
     "ext_dedup_minhash",

@@ -924,6 +924,68 @@ def q23_session_window(spark, sf_dir):
 
 
 @query(
+    "q24b_udf_chain_throughput",
+    """SELECT l_orderkey, l_linenumber,
+              reverse(l_returnflag) AS flag_rev,
+              l_extendedprice * (1 - l_discount) AS rev,
+              CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END AS size_class
+       FROM lineitem""",
+)
+def q24b_udf_chain_throughput(spark, sf_dir):
+    """Wrapper throughput probe: a 3-stage Python chain over the full
+    fact table (~600k rows at sf0.1). The three stages fuse into ONE
+    mapInPandas (single Arrow crossing) and the input is auto-widened
+    to cluster parallelism — this is the engine's answer to the
+    reference's per-stage concurrency scaling."""
+    from smartpipeline_spark.pipeline import Pipeline
+    from smartpipeline_spark.stage import Stage
+
+    class RevStage(Stage):
+        output_fields = {"rev": "double"}
+
+        def process(self, item):
+            item.data["rev"] = item.data["l_extendedprice"] * (
+                1 - item.data["l_discount"]
+            )
+            return item
+
+    class FlagRev(Stage):
+        output_fields = {"flag_rev": "string"}
+
+        def process(self, item):
+            item.data["flag_rev"] = item.data["l_returnflag"][::-1]
+            return item
+
+    class Classify(Stage):
+        output_fields = {"size_class": "string"}
+
+        def process(self, item):
+            item.data["size_class"] = (
+                "bulk" if item.data["l_quantity"] >= 25 else "small"
+            )
+            return item
+
+    src = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice",
+        "l_discount",
+        "l_quantity",
+    )
+    pipe = (
+        Pipeline(spark)
+        .set_source(src)
+        .append("rev", RevStage())
+        .append("flagrev", FlagRev())
+        .append("classify", Classify())
+    )
+    return pipe.dataframe().select(
+        "l_orderkey", "l_linenumber", "flag_rev", "rev", "size_class"
+    )
+
+
+@query(
     "q32_pivot",
     f"""SELECT o_orderpriority,
                COALESCE("F", 0) AS status_f,

@@ -235,9 +235,23 @@ class Pipeline:
         # advisory concurrency hint: max over the segment, if any stage
         # asked for explicit horizontal scaling wider than the current
         # partitioning (reference concurrency=N -> partition count)
-        want = max((p.concurrency for _s, p, _i in seg), default=0)
-        if want > 0 and not df.isStreaming and want > df.rdd.getNumPartitions():
-            df = df.repartition(want)
+        # Parallelism for the Python segment: the reference scaled each
+        # stage with concurrency=N threads/processes; here partitions
+        # are the unit. Small-file scans often arrive with fewer
+        # partitions than cores, which would serialize the (CPU-bound)
+        # stage chain — widen to the explicit concurrency hint or the
+        # cluster default, whichever is larger. Segments containing a
+        # BatchStage keep the caller's partitioning untouched (batch
+        # chunk membership is partitioning-sensitive, and callers pin
+        # it deliberately — only an explicit concurrency= overrides).
+        if not df.isStreaming:
+            explicit = max((p.concurrency for _s, p, _i in seg), default=0)
+            has_batch = any(isinstance(s, BatchStage) for s, _p, _i in seg)
+            want = explicit if has_batch else max(
+                explicit, df.sparkSession.sparkContext.defaultParallelism
+            )
+            if want > df.rdd.getNumPartitions():
+                df = df.repartition(want)
         fn = compile_chain(seg, payload_cols, out_cols, self._error_manager)
         return df.mapInPandas(fn, schema=ddl)
 

@@ -188,46 +188,63 @@ def run_chain_on_items(
 
 
 def _rows_to_items(pdf: pd.DataFrame, payload_cols: list[str]) -> list[Item]:
-    records = pdf.to_dict("records")
+    """Columnar batch -> Items. Hot path: pandas ``to_dict("records")``
+    measured ~3x slower than zipping raw column lists, and
+    ``Item.__init__`` copies its dict — both bypassed here (this
+    conversion dominated wrapper cost before the stages even ran)."""
+    cols = [c for c in payload_cols if c != DATA_COL]
+    col_lists = [pdf[c].tolist() for c in cols]
+    err_list = pdf[ERRORS_COL].tolist() if ERRORS_COL in pdf.columns else None
+    tim_list = pdf[TIMINGS_COL].tolist() if TIMINGS_COL in pdf.columns else None
+    dyn_list = (
+        pdf[DATA_COL].tolist()
+        if DATA_COL in payload_cols and DATA_COL in pdf.columns
+        else None
+    )
     items: list[Item] = []
-    for rec in records:
-        item = Item({k: rec.get(k) for k in payload_cols if k != DATA_COL})
+    for idx, vals in enumerate(zip(*col_lists) if col_lists else iter(())):
+        item = Item.__new__(Item)
+        data = dict(zip(cols, vals))
         # dynamic tier: splat _data map entries back into the payload so
-        # stages see keys invented by earlier stages (reference semantics:
-        # schemaless dict, SURVEY.md §1.2)
-        dyn = rec.get(DATA_COL) if DATA_COL in payload_cols else None
-        if dyn:
-            for k, v in dict(dyn).items():
-                item.data.setdefault(k, v)
-        errs = rec.get(ERRORS_COL)
-        if errs is not None and len(errs) > 0:
-            item._error_entries = [dict(e) for e in errs]
-        tm = rec.get(TIMINGS_COL)
-        if tm:
-            item._timings = dict(tm)
+        # stages see keys invented by earlier stages (reference
+        # semantics: schemaless dict, SURVEY.md §1.2)
+        if dyn_list is not None and dyn_list[idx]:
+            for k, v in dict(dyn_list[idx]).items():
+                data.setdefault(k, v)
+        item._data = data
+        item._metadata = {}
+        errs = err_list[idx] if err_list is not None else None
+        item._error_entries = (
+            [dict(e) for e in errs] if errs is not None and len(errs) > 0 else []
+        )
+        tm = tim_list[idx] if tim_list is not None else None
+        item._timings = dict(tm) if tm else {}
+        item._callback_fun = None
         items.append(item)
     return items
 
 
 def _items_to_pdf(items: list[Item], out_cols: list[str]) -> pd.DataFrame:
-    data: dict[str, list] = {c: [] for c in out_cols}
+    """Items -> columnar batch; one comprehension per column (the
+    per-row inner dispatch loop was ~2x slower)."""
     typed = set(out_cols) - {ERRORS_COL, TIMINGS_COL, DATA_COL}
-    for it in items:
-        for c in out_cols:
-            if c == ERRORS_COL:
-                data[c].append(list(it.error_entries))
-            elif c == TIMINGS_COL:
-                data[c].append(dict(it.timings))
-            elif c == DATA_COL:
-                data[c].append(
-                    {
-                        k: (v if isinstance(v, str) else repr(v))
-                        for k, v in it.data.items()
-                        if k not in typed and v is not None
-                    }
-                )
-            else:
-                data[c].append(it.data.get(c))
+    data: dict[str, list] = {}
+    for c in out_cols:
+        if c == ERRORS_COL:
+            data[c] = [list(it._error_entries) for it in items]
+        elif c == TIMINGS_COL:
+            data[c] = [dict(it._timings) for it in items]
+        elif c == DATA_COL:
+            data[c] = [
+                {
+                    k: (v if isinstance(v, str) else repr(v))
+                    for k, v in it._data.items()
+                    if k not in typed and v is not None
+                }
+                for it in items
+            ]
+        else:
+            data[c] = [it._data.get(c) for it in items]
     return pd.DataFrame(data, columns=out_cols)
 
 
