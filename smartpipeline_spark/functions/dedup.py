@@ -163,19 +163,33 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     row-local over the shingle ARRAY with transform + array_min:
     signature construction costs ZERO shuffles (the naive
     explode→groupBy(min) formulation shuffles every shingle)."""
-    sets_ = shingle_sets(docs, n)
+    sets_ = shingle_sets(docs, n).filter(F.size("sh_set") > 0)
+    # Single-pass fold: acc[i] = min(acc[i], (a_i*hash + b_i) % p) via
+    # aggregate + zip_with over a literal (a_i, b_i) array. The naive
+    # form (16 separate array_min(transform(...)) columns) inlines the
+    # shingle+hash subtree 16x and costs ~10s of driver-side query
+    # compilation alone on first run.
+    ab = F.array(
+        *[
+            F.struct(
+                F.lit(_A[i]).cast("long").alias("a"), F.lit(_B[i]).cast("long").alias("b")
+            )
+            for i in range(_N_HASHES)
+        ]
+    )
+    init = F.array_repeat(F.lit(_P + 1).cast("long"), _N_HASHES)
     base_arr = F.expr("transform(sh_set, s -> xxhash64(s) & 4294967295)")
-
-    def _perm(a: int, b: int):
-        # single-arg lambda: a two-arg lambda would make F.transform
-        # pass the array index as the second argument
-        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_P)
-
-    sig_cols = [
-        F.array_min(F.transform(base_arr, _perm(_A[i], _B[i]))).alias(f"h{i}")
-        for i in range(_N_HASHES)
-    ]
-    return sets_.select("doc_id", *sig_cols)
+    sig_arr = F.aggregate(
+        base_arr,
+        init,
+        lambda acc, x: F.zip_with(
+            acc, ab, lambda accv, p: F.least(accv, (p["a"] * x + p["b"]) % F.lit(_P))
+        ),
+    )
+    sets_ = sets_.select("doc_id", sig_arr.alias("sig"))
+    return sets_.select(
+        "doc_id", *[F.element_at("sig", i + 1).alias(f"h{i}") for i in range(_N_HASHES)]
+    )
 
 
 def minhash_candidates(sigs: DataFrame) -> DataFrame:
