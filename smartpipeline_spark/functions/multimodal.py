@@ -27,7 +27,7 @@ from smartpipeline_spark.functions import ext_query
 
 def binary_documents(spark, sf_dir) -> DataFrame:
     """documents with an opaque payload column, as a media table would
-    look: (doc_id, payload binary, n_bytes)."""
+    look: (doc_id, payload binary)."""
     d = sources.table(spark, "documents", sf_dir)
     return d.select(
         "doc_id",

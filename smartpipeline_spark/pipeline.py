@@ -447,9 +447,12 @@ class _AsyncRunner:
                 continue
             try:
                 out = self._pipeline.process(item)
-            except Exception:  # raise_on_critical mode: surface via queue
+            except Exception as exc:
+                # raise_on_critical mode: deliver the failure to the
+                # consumer instead of silently killing this worker
+                self._out.put(exc)
                 self._in.task_done()
-                raise
+                continue
             try:
                 out.callback()
             finally:
@@ -460,7 +463,10 @@ class _AsyncRunner:
         self._in.put(item)
 
     def get(self, block=True, timeout=None) -> Item:
-        return self._out.get(block=block, timeout=timeout)
+        got = self._out.get(block=block, timeout=timeout)
+        if isinstance(got, BaseException):
+            raise got
+        return got
 
     def stop(self) -> None:
         self._stop.set()

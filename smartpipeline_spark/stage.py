@@ -117,7 +117,13 @@ class Source(_NamedMixin, ABC):
         return self._stopped
 
     def items(self, max_polls_after_none: int = 1000) -> Iterator[Item]:
-        """Drain the source: iterate until stop() or sustained None."""
+        """Drain the source: iterate until stop() or sustained None.
+
+        ``None`` means "no item right now" (reference semantics) — we
+        back off 1ms per miss so a waiting source doesn't busy-spin.
+        """
+        import time as _time
+
         misses = 0
         while not self.is_stopped:
             item = self.pop()
@@ -127,6 +133,7 @@ class Source(_NamedMixin, ABC):
                 misses += 1
                 if misses >= max_polls_after_none:
                     break
+                _time.sleep(0.001)
                 continue
             misses = 0
             yield item

@@ -122,12 +122,12 @@ def run_stage_on_batch(
 ) -> list[Item]:
     """Batched kernel (reference ``runners.py:71-138`` semantics)."""
     out: list[Item] = []
+    skip_critical = error_manager.skips_rest()
     for chunk_start in range(0, len(items), stage.size):
         chunk = list(items[chunk_start : chunk_start + stage.size])
-        skipped = [
-            it for it in chunk if it.has_critical_errors() and error_manager.skips_rest()
+        todo = [
+            it for it in chunk if not (skip_critical and it.has_critical_errors())
         ]
-        todo = [it for it in chunk if it not in skipped]
         if todo:
             _process_chunk(stage, policy, todo, error_manager, isolate_failures)
         out.extend(chunk)

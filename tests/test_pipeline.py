@@ -359,6 +359,15 @@ def test_process_async_callbacks_and_results(spark):
     pipe.shutdown()
 
 
+def test_process_async_surfaces_raise_on_critical(spark):
+    em = ErrorManager().raise_on_critical_error()
+    pipe = Pipeline(spark, error_manager=em).append("boom", AlwaysRaise(ValueError))
+    pipe.process_async(Item({"count": 1}))
+    with pytest.raises(ValueError):
+        pipe.get_item(timeout=10)
+    pipe.shutdown()
+
+
 def test_count_accumulates_across_runs(spark, items_df):
     pipe = Pipeline(spark).set_source(items_df).append("r", TextReverser())
     list(pipe.run())
