@@ -133,6 +133,31 @@ class Item:
         return f"Item(id={self.id!r}, keys={sorted(self._data)})"
 
 
+#: deprecated alias kept for reference-API familiarity (reference
+#: ``item.py:197``)
+DataItem = Item
+
+
+class FilePathItem(Item):
+    """Item carrying a file path; id = basename (reference
+    ``helpers.py:35-49``). The scale path for file corpora is
+    ``sources.local_files`` (distributed binaryFile scan); this class
+    exists for driver-local pull pipelines."""
+
+    def __init__(self, path: str, metadata: dict | None = None):
+        super().__init__({"path": path}, metadata)
+
+    @property
+    def path(self) -> str:
+        return self._data["path"]
+
+    @property
+    def id(self) -> str:
+        import os
+
+        return os.path.basename(self.path)
+
+
 def item_from_row(row: dict, payload_keys: Sequence[str]) -> Item:
     """Build an Item from a flat row dict produced by the wrapper."""
     item = Item({k: row.get(k) for k in payload_keys})

@@ -21,6 +21,9 @@ from typing import Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from smartpipeline_spark.item import FilePathItem
+from smartpipeline_spark.stage import Source
+
 TABLE_NAMES = (
     "region",
     "nation",
@@ -92,6 +95,30 @@ def local_files(spark: SparkSession, dir_path: str, postfix: str = "") -> DataFr
     # basename as the item id (FilePathItem semantics, helpers.py:47-49)
     df = df.withColumn("id", F.element_at(F.split(F.col("path"), "/"), -1))
     return df.filter(~F.col("id").startswith("."))
+
+
+class LocalFilesSource(Source):
+    """Pull-based directory source (reference ``helpers.py:10-32``):
+    one :class:`FilePathItem` per file matching ``postfix``, dotfiles
+    skipped. Driver-local by design — use :func:`local_files` for the
+    distributed scan."""
+
+    def __init__(self, dir_path: str, postfix: str = ""):
+        super().__init__()
+        names = sorted(
+            n
+            for n in os.listdir(dir_path)
+            if not n.startswith(".") and n.endswith(postfix)
+        )
+        self._dir_path = dir_path
+        self._iter = iter(names)
+
+    def pop(self) -> FilePathItem | None:
+        try:
+            return FilePathItem(os.path.join(self._dir_path, next(self._iter)))
+        except StopIteration:
+            self.stop()
+            return None
 
 
 def from_rows(spark: SparkSession, rows: Iterable[dict], schema=None) -> DataFrame:

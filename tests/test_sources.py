@@ -36,6 +36,27 @@ def test_tables_load_all(spark):
     assert dict(ts["events"].dtypes)["ts"] == "timestamp"
 
 
+def test_local_files_pull_source(tmp_path):
+    (tmp_path / "a.txt").write_text("alpha")
+    (tmp_path / "b.txt").write_text("beta")
+    (tmp_path / ".hidden.txt").write_text("dot")
+    (tmp_path / "c.skip").write_text("nope")
+    src = sources.LocalFilesSource(str(tmp_path), postfix=".txt")
+    items = list(src.items())
+    assert [it.id for it in items] == ["a.txt", "b.txt"]
+    assert src.is_stopped
+    assert all(it.path.startswith(str(tmp_path)) for it in items)
+
+
+def test_dataitem_alias_and_filepathitem():
+    from smartpipeline_spark.item import DataItem, FilePathItem, Item
+
+    assert DataItem is Item
+    it = FilePathItem("/some/dir/file.bin")
+    assert it.id == "file.bin"
+    assert it.path == "/some/dir/file.bin"
+
+
 def test_custom_source_drained_via_pipeline(spark):
     from smartpipeline_spark import Item, Pipeline, Source, Stage
 
