@@ -468,6 +468,75 @@ def q28_percentiles(spark, sf_dir):
 
 
 @query(
+    "q33_filtered_agg",
+    f"""SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+               {_sql_dsum2("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS total_finished
+        FROM orders GROUP BY o_orderpriority""",
+)
+def q33_filtered_agg(spark, sf_dir):
+    """Conditional aggregation (FILTER clauses) — one scan computing
+    several disjoint aggregates instead of one scan per predicate."""
+    o = _t(spark, sf_dir, "orders")
+    is_f = F.col("o_orderstatus") == "F"
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(is_f, 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        dsum2(F.when(is_f, F.col("o_totalprice"))).alias("total_finished"),
+    )
+
+
+@query(
+    "q34_minby_maxby",
+    """SELECT o_custkey,
+              min_by(o_orderkey, o_totalprice) AS cheapest_order,
+              max_by(o_orderkey, o_totalprice) AS priciest_order
+       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    ROW_NUMBER() OVER (PARTITION BY o_custkey, o_totalprice
+                                       ORDER BY o_orderkey) AS rn
+             FROM orders) t
+       WHERE rn = 1
+       GROUP BY o_custkey""",
+)
+def q34_minby_maxby(spark, sf_dir):
+    """min_by/max_by argmin aggregates. Ties on o_totalprice are
+    engine-arbitrary, so the inner row_number pre-dedups to one
+    orderkey per (custkey, price), making the arg unique."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_totalprice").orderBy("o_orderkey")
+    dedup = o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return dedup.groupBy("o_custkey").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+    )
+
+
+@query(
+    "q35_string_agg",
+    """SELECT n_name,
+              string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name""",
+)
+def q35_string_agg(spark, sf_dir):
+    """Ordered string aggregation: collect_set -> sort -> join gives a
+    deterministic result regardless of row arrival order (bare
+    collect_list/string_agg order is partitioning-dependent)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("c_mktsegment")), ","
+            ).alias("segments")
+        )
+    )
+
+
+@query(
     "q15_window_topk",
     """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
          SELECT o_custkey, o_orderkey, o_totalprice,
