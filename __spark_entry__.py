@@ -23,7 +23,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered oracle-checkable-first: the driver's correctness harness
+    checks a bounded prefix of this dict, so every query with an
+    exact DuckDB oracle registers ahead of the rows-only entries
+    (approx sketches, hash-seed-specific LSH, stub-kernel multimodal),
+    which are covered by pytest instead.
+    """
     from smartpipeline_spark.operators import QUERIES
 
     registry = dict(QUERIES)
@@ -33,7 +40,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         registry.update(EXT_QUERIES)
     except ImportError:
         pass
-    return registry
+    oracles = oracle_sql()
+    return dict(
+        sorted(registry.items(), key=lambda kv: (kv[0] not in oracles,))
+    )
 
 
 def oracle_sql() -> dict[str, str]:

@@ -433,8 +433,8 @@ def q13b_grouping_sets(spark, sf_dir):
     _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     return spark.sql(
         """SELECT n_name, c_mktsegment, COUNT(*) AS n_cust,
-                  FLOOR(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
-                        * 100.0 + 0.5) / 100.0 AS sum_bal
+                  CAST(FLOOR(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                             * 100.0 + 0.5) / 100.0 AS DOUBLE) AS sum_bal
            FROM customer JOIN nation ON c_nationkey = n_nationkey
            GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())"""
     )
@@ -538,22 +538,44 @@ def q35_string_agg(spark, sf_dir):
 
 @query(
     "q15_window_topk",
-    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+    """SELECT o_custkey, rn, rnk, drnk, quartile, next_orderkey,
+              o_orderkey, o_totalprice FROM (
          SELECT o_custkey, o_orderkey, o_totalprice,
-                ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
-         FROM orders) t
+                ROW_NUMBER() OVER w AS rn,
+                RANK() OVER w AS rnk,
+                DENSE_RANK() OVER w AS drnk,
+                NTILE(4) OVER w AS quartile,
+                LEAD(o_orderkey) OVER w AS next_orderkey
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey)) t
        WHERE rn <= 3""",
 )
 def q15_window_topk(spark, sf_dir):
+    """Top-k per group plus the whole rank-function family
+    (rank/dense_rank/ntile/lead) over one shared window definition —
+    Spark evaluates all five in a single Window physical node, so the
+    bundle costs one sort, same as row_number alone."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        )
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .select(
+            "o_custkey", "rn", "rnk", "drnk", "quartile", "next_orderkey",
+            "o_orderkey", "o_totalprice",
+        )
     )
 
 
@@ -563,20 +585,38 @@ def q15_window_topk(spark, sf_dir):
               {_sql_r2('''CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
                  PARTITION BY o_custkey
                  ORDER BY CAST(o_orderdate AS DATE), o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)''')} AS running
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)''')} AS running,
+              {_sql_r2('''CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)''')} AS rolling_30d
        FROM orders""",
 )
 def q16_window_running(spark, sf_dir):
+    """Running total (ROWS frame) plus a 30-day rolling spend (RANGE
+    frame over event-time) in one pass. Range frames differ from row
+    frames: all orders inside the value window count, ties included,
+    independent of row position. Both windows share the partition key,
+    so one shuffle feeds two Window nodes."""
     o = _t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(F.to_date("o_orderdate"), F.col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    epoch_day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_day)
+        .rangeBetween(-30, Window.currentRow)
+    )
     return o.select(
         "o_custkey",
         "o_orderkey",
         r2(F.sum(F.col("o_totalprice").cast(DEC4)).over(w).cast("double")).alias("running"),
+        r2(F.sum(F.col("o_totalprice").cast(DEC4)).over(w_range).cast("double")).alias(
+            "rolling_30d"
+        ),
     )
 
 
@@ -599,63 +639,6 @@ def q17_window_lag(spark, sf_dir):
         "o_orderkey",
         prev.alias("prev_price"),
         r2(F.col("o_totalprice") - prev).alias("delta"),
-    )
-
-
-@query(
-    "q15b_window_ranks",
-    """SELECT o_custkey, o_orderkey,
-              RANK() OVER w AS rnk,
-              DENSE_RANK() OVER w AS drnk,
-              NTILE(4) OVER w AS quartile,
-              LEAD(o_orderkey) OVER w AS next_orderkey
-       FROM orders
-       WINDOW w AS (PARTITION BY o_custkey
-                    ORDER BY o_totalprice DESC, o_orderkey)""",
-)
-def q15b_window_ranks(spark, sf_dir):
-    """The rank-function family over one shared window definition."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.lead("o_orderkey").over(w).alias("next_orderkey"),
-    )
-
-
-@query(
-    "q16b_window_range_frame",
-    f"""SELECT o_custkey, o_orderkey,
-               {_sql_r2('''CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
-                  PARTITION BY o_custkey
-                  ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
-                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)''')}
-               AS rolling_30d
-        FROM orders""",
-)
-def q16b_window_range_frame(spark, sf_dir):
-    """RANGE frame over event-time: 30-day rolling spend per customer.
-    Range frames differ from row frames: all orders in the value window
-    count, ties included, independent of row position."""
-    o = _t(spark, sf_dir, "orders")
-    epoch_day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(epoch_day)
-        .rangeBetween(-30, Window.currentRow)
-    )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        r2(F.sum(F.col("o_totalprice").cast(DEC4)).over(w).cast("double")).alias(
-            "rolling_30d"
-        ),
     )
 
 
@@ -714,20 +697,7 @@ def q19_union(spark, sf_dir):
          (SELECT COUNT(*) FROM (
             SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
             EXCEPT
-            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O') t) AS n_except""",
-)
-def q20_intersect_except(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    f_ = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
-    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
-    n_int = f_.intersect(op).agg(F.count("*").alias("n_intersect"))
-    n_exc = f_.exceptAll(op).agg(F.count("*").alias("n_except"))
-    return n_int.crossJoin(n_exc)
-
-
-@query(
-    "q20b_intersect_except_all",
-    """SELECT
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O') t) AS n_except,
          (SELECT COUNT(*) FROM (
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
             INTERSECT ALL
@@ -737,15 +707,20 @@ def q20_intersect_except(spark, sf_dir):
             EXCEPT ALL
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t) AS n_except_all""",
 )
-def q20b_intersect_except_all(spark, sf_dir):
-    """Bag-semantics set ops (ALL variants): multiplicity-aware
-    intersect/except — min(count) / count difference per key."""
+def q20_intersect_except(spark, sf_dir):
+    """Set semantics (INTERSECT/EXCEPT over distinct keys) alongside the
+    bag-semantics ALL variants (multiplicity-aware: min(count) /
+    count-difference per key), one column each."""
     o = _t(spark, sf_dir, "orders")
+    f_d = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    op_d = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    n_int = f_d.intersect(op_d).agg(F.count("*").alias("n_intersect"))
+    n_exc = f_d.exceptAll(op_d).agg(F.count("*").alias("n_except"))
     f_ = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    n_int = f_.intersectAll(op).agg(F.count("*").alias("n_intersect_all"))
-    n_exc = f_.exceptAll(op).agg(F.count("*").alias("n_except_all"))
-    return n_int.crossJoin(n_exc)
+    n_int_all = f_.intersectAll(op).agg(F.count("*").alias("n_intersect_all"))
+    n_exc_all = f_.exceptAll(op).agg(F.count("*").alias("n_except_all"))
+    return n_int.crossJoin(n_exc).crossJoin(n_int_all).crossJoin(n_exc_all)
 
 
 # ---------------------------------------------------------------------------

@@ -46,6 +46,12 @@ def parquet(spark: SparkSession, path: str) -> DataFrame:
 
 def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one test table; normalizes events.ts nanos -> timestamp_ntz."""
+    if name == "events":
+        # events.parquet is TIMESTAMP(NANOS), which Spark refuses to read
+        # unless nanosAsLong is on. Runtime-settable, so set it here too —
+        # callers with a vanilla session (not our session.get_spark()) must
+        # still be able to read the table.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos since epoch (legacy nanosAsLong) -> microsecond TimestampType.
