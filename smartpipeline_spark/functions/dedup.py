@@ -156,14 +156,21 @@ def ext_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, h0..h{k-1}) MinHash signatures from word shingles.
+    """(doc_id, h0..h{k-1}) MinHash signatures from word shingles."""
+    return minhash_signatures_from_sets(shingle_sets(docs, n))
+
+
+def minhash_signatures_from_sets(sets_: DataFrame) -> DataFrame:
+    """Signatures from a prebuilt (doc_id, sh_set) frame — lets callers
+    shingle the corpus ONCE and reuse the same (persisted) frame for
+    both signature construction and candidate verification.
 
     base = xxhash64(shingle) & 0xFFFFFFFF, then k universal-hash
     permutations (a*base + b) mod p minimized per doc — all computed
     row-local over the shingle ARRAY with transform + array_min:
     signature construction costs ZERO shuffles (the naive
     explode→groupBy(min) formulation shuffles every shingle)."""
-    sets_ = shingle_sets(docs, n).filter(F.size("sh_set") > 0)
+    sets_ = sets_.filter(F.size("sh_set") > 0)
     # Single-pass fold: acc[i] = min(acc[i], (a_i*hash + b_i) % p) via
     # aggregate + zip_with over a literal (a_i, b_i) array. The naive
     # form (16 separate array_min(transform(...)) columns) inlines the
@@ -233,10 +240,17 @@ def ext_dedup_minhash(spark, sf_dir):
     Verification joins each candidate pair to the two docs' shingle
     sets and intersects JVM-side (array_intersect); cost is linear in
     candidate count, not corpus size squared. False positives are
-    eliminated exactly; LSH can only lose borderline pairs."""
+    eliminated exactly; LSH can only lose borderline pairs.
+
+    The corpus is shingled ONCE: the (doc_id, sh_set) frame is
+    persisted and feeds both the signature fold and the verification
+    joins (previously the regex-shingle pass ran twice — the single
+    most expensive bench item; caching halved it)."""
+    from pyspark import StorageLevel
+
     d = sources.table(spark, "documents", sf_dir)
-    cands = minhash_candidates(minhash_signatures(d))
-    sets_ = shingle_sets(d)
+    sets_ = shingle_sets(d).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = minhash_candidates(minhash_signatures_from_sets(sets_))
     s1 = sets_.select(F.col("doc_id").alias("d1"), F.col("sh_set").alias("sh1"))
     s2 = sets_.select(F.col("doc_id").alias("d2"), F.col("sh_set").alias("sh2"))
     common = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))

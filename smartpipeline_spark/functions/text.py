@@ -156,21 +156,25 @@ def ext_quality_score(spark, sf_dir):
 )
 def ext_tfidf(spark, sf_dir):
     """TF-IDF as pure DataFrame algebra: one explode, two aggregations,
-    one broadcast join of the (small) document-frequency table back
-    onto term frequencies. The df table is vocabulary-sized — always
-    broadcastable — so the fact-side explode never shuffles twice."""
+    one join of the document-frequency table back onto term
+    frequencies. Scale notes: the corpus size N stays IN-PLAN (1-row
+    agg cross-joined onto the result — no separate driver-side count
+    job), and the tf⋈dfreq join strategy is left to Catalyst/AQE — a
+    web-scale vocabulary is not broadcast-sized, and AQE will still
+    pick a broadcast join whenever dfreq measures small at runtime."""
     d = sources.table(spark, "documents", sf_dir)
     words = d.select(
         "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("w")
     )
     tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     dfreq = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-    n = d.count()  # scalar; at scale use a broadcast one-row agg instead
+    n_df = d.agg(F.count("*").alias("n"))  # 1 row; broadcast-nested-loop joined
     tfidf = F.col("tf") * (
-        F.log((F.lit(n) + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+        F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
     )
     return (
-        tf.join(F.broadcast(dfreq), "w")
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n_df))
         .select(
             "doc_id",
             F.col("w").alias("word"),

@@ -50,6 +50,17 @@ class Item:
     def metadata(self) -> dict:
         return self._metadata
 
+    def set_metadata(self, field: str, value: Any) -> "Item":
+        """DEPRECATED accessor kept for reference-API familiarity
+        (reference ``item.py:50-65``); use ``item.metadata[field]``."""
+        self._metadata[field] = value
+        return self
+
+    def get_metadata(self, field: str) -> Any:
+        """DEPRECATED accessor (reference ``item.py:50-65``); returns
+        None when the field is absent."""
+        return self._metadata.get(field)
+
     # -- id resolution: data["id"] → metadata["id"] → lazy uuid4 ----------
     @property
     def id(self) -> Any:

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import queue as _queue
 import threading
+import uuid
 from typing import Any, Callable, Iterator, Optional, Union
 
 from pyspark.sql import DataFrame, SparkSession
@@ -74,6 +75,10 @@ class Pipeline:
         self._steps: list[_PlanStep] = []
         self._names: set[str] = set()
         self._built_df: DataFrame | None = None
+        # disambiguates the executor-side initialized-stage cache: two
+        # pipelines reusing a stage name + class within one long-lived
+        # Python worker must not share (stale) stage instances
+        self._chain_uid = uuid.uuid4().hex
         self._count = 0
         self._count_lock = threading.Lock()
         #: metrics from the most recent write() (df.observe-backed)
@@ -252,7 +257,9 @@ class Pipeline:
             )
             if want > df.rdd.getNumPartitions():
                 df = df.repartition(want)
-        fn = compile_chain(seg, payload_cols, out_cols, self._error_manager)
+        fn = compile_chain(
+            seg, payload_cols, out_cols, self._error_manager, chain_uid=self._chain_uid
+        )
         return df.mapInPandas(fn, schema=ddl)
 
     def build(self) -> "Pipeline":
@@ -269,19 +276,39 @@ class Pipeline:
     # ------------------------------------------------------------------
     def run(self) -> Iterator[Item]:
         """Execute and yield finished Items (reference ``run()``
-        generator → ``toLocalIterator`` over the compiled plan)."""
+        generator → ``toLocalIterator`` over the compiled plan).
+
+        Teardown on consumer break: the reference stops its containers
+        when the caller closes/breaks out of the generator
+        (``/root/reference/smartpipeline/pipeline.py:283-286``). Here
+        every job the iterator triggers runs under a dedicated job
+        group; if the generator is abandoned before exhaustion, the
+        group is cancelled so prefetched partition jobs don't keep
+        executing behind the caller's back."""
+        import uuid as _uuid
+
         df = self.dataframe()
         payload_cols = [c for c in df.columns if c not in (ERRORS_COL, TIMINGS_COL)]
-        for row in df.toLocalIterator(prefetchPartitions=True):
-            d = row.asDict(recursive=True)
-            item = Item({k: d.get(k) for k in payload_cols if k != DATA_COL})
-            for k, v in (d.get(DATA_COL) or {}).items():
-                item.data.setdefault(k, v)
-            item._error_entries = [dict(e) for e in (d.get(ERRORS_COL) or [])]
-            item._timings = dict(d.get(TIMINGS_COL) or {})
-            with self._count_lock:
-                self._count += 1
-            yield item
+        sc = df.sparkSession.sparkContext
+        group = f"smartpipeline-run-{_uuid.uuid4().hex}"
+        sc.setJobGroup(group, "Pipeline.run()", interruptOnCancel=True)
+        completed = False
+        try:
+            for row in df.toLocalIterator(prefetchPartitions=True):
+                d = row.asDict(recursive=True)
+                item = Item({k: d.get(k) for k in payload_cols if k != DATA_COL})
+                for k, v in (d.get(DATA_COL) or {}).items():
+                    item.data.setdefault(k, v)
+                item._error_entries = [dict(e) for e in (d.get(ERRORS_COL) or [])]
+                item._timings = dict(d.get(TIMINGS_COL) or {})
+                with self._count_lock:
+                    self._count += 1
+                yield item
+            completed = True
+        finally:
+            if not completed:  # break / close() / thrown exception
+                sc.cancelJobGroup(group)
+            sc.setLocalProperty("spark.jobGroup.id", None)
 
     def start_stream(
         self,

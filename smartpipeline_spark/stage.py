@@ -17,6 +17,7 @@ the ``_data`` map column (declare ``{"_data": "map<string,string>"}``).
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
+from collections import deque
 from typing import Iterator, Optional, Sequence
 
 from smartpipeline_spark.item import Item
@@ -105,6 +106,7 @@ class Source(_NamedMixin, ABC):
 
     def __init__(self):
         self._stopped = False
+        self._prepended: deque[Item] = deque()
 
     @abstractmethod
     def pop(self) -> Optional[Item]: ...
@@ -116,23 +118,41 @@ class Source(_NamedMixin, ABC):
     def is_stopped(self) -> bool:
         return self._stopped
 
-    def items(self, max_polls_after_none: int = 1000) -> Iterator[Item]:
-        """Drain the source: iterate until stop() or sustained None.
+    def prepend_item(self, item: Item) -> None:
+        """Inject an item ahead of the source's own feed (reference
+        ``SourceContainer.prepend_item``, containers.py:277-285):
+        prepended items come out FIFO among themselves, before anything
+        ``pop`` produces, even after the source stopped."""
+        self._prepended.append(item)
 
-        ``None`` means "no item right now" (reference semantics) — we
-        back off 1ms per miss so a waiting source doesn't busy-spin.
+    def items(self, max_polls_after_none: int | None = None) -> Iterator[Item]:
+        """Drain the source: iterate until stop().
+
+        ``None`` from ``pop`` means "no item right now" (reference
+        semantics) — we back off 1ms per miss so a waiting source
+        doesn't busy-spin, and keep polling until ``stop()`` like the
+        reference's pump loop. ``max_polls_after_none`` is an opt-in
+        safety valve for callers that want a bounded drain of a source
+        that never stops (it raises rather than silently truncating).
         """
         import time as _time
 
         misses = 0
-        while not self.is_stopped:
-            item = self.pop()
+        while True:
+            while self._prepended:
+                yield self._prepended.popleft()
             if self.is_stopped:
                 break
+            item = self.pop()
             if item is None:
+                if self.is_stopped:
+                    continue  # drain any late prepends, then exit
                 misses += 1
-                if misses >= max_polls_after_none:
-                    break
+                if max_polls_after_none is not None and misses >= max_polls_after_none:
+                    raise TimeoutError(
+                        f"source {self.name!r} returned None {misses} times "
+                        "without stop(); still running"
+                    )
                 _time.sleep(0.001)
                 continue
             misses = 0

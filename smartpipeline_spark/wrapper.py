@@ -253,6 +253,7 @@ def compile_chain(
     payload_cols: list[str],
     out_cols: list[str],
     error_manager: ErrorManager,
+    chain_uid: str = "",
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """Compile a stage chain into a mapInPandas function.
 
@@ -265,7 +266,13 @@ def compile_chain(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         error_manager.on_start()
         live_steps = [
-            (_worker_stage(f"{policy.name}#{type(stage).__qualname__}", stage), policy, iso)
+            (
+                _worker_stage(
+                    f"{chain_uid}:{policy.name}#{type(stage).__qualname__}", stage
+                ),
+                policy,
+                iso,
+            )
             for stage, policy, iso in steps
         ]
         try:

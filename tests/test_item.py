@@ -62,3 +62,13 @@ def test_callback():
     it.set_callback(lambda i: seen.append(i.data["x"]))
     it.callback()
     assert seen == [1]
+
+
+def test_deprecated_metadata_accessors():
+    from smartpipeline_spark.item import Item
+
+    it = Item({"x": 1})
+    assert it.set_metadata("origin", "unit") is it
+    assert it.get_metadata("origin") == "unit"
+    assert it.get_metadata("absent") is None
+    assert it.metadata["origin"] == "unit"

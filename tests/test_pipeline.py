@@ -444,3 +444,52 @@ def test_transform_step_relational(spark, items_df):
     # relational steps cannot be used with the local single-item path
     with pytest.raises(ValueError):
         pipe.process(Item({"count": 2, "text": "x"}))
+
+
+def test_run_generator_break_cancels_jobs(spark):
+    """Reference behavior: breaking/closing the run() generator tears
+    the pipeline down (/root/reference/smartpipeline/pipeline.py:283-286,
+    tests/pipeline/test_concurrent.py:784-808). Spark mapping: jobs the
+    iterator triggered run in a dedicated job group that is cancelled
+    on generator close, so no orphan jobs keep burning the cluster."""
+    import time
+
+    from smartpipeline_spark import Pipeline, Stage
+
+    class Slow(Stage):
+        def process(self, item):
+            time.sleep(0.25)
+            return item
+
+    df = spark.createDataFrame([{"id": i} for i in range(64)]).repartition(16)
+    pipe = Pipeline(spark).set_source(df).append("slow", Slow())
+    gen = pipe.run()
+    next(gen)  # at least one partition computed
+    gen.close()  # consumer breaks out -> job group cancelled
+
+    tracker = spark.sparkContext.statusTracker()
+    deadline = time.time() + 15
+    while time.time() < deadline and tracker.getActiveJobsIds():
+        time.sleep(0.2)
+    assert not tracker.getActiveJobsIds()
+
+
+def test_worker_stage_cache_is_per_pipeline(spark):
+    """Two pipelines reusing a stage name+class with different ctor
+    args must not share executor-side initialized instances."""
+    from smartpipeline_spark import Pipeline, Stage
+
+    class Tagger(Stage):
+        output_fields = {"tag": "string"}
+
+        def __init__(self, tag):
+            self._tag = tag
+
+        def process(self, item):
+            item.data["tag"] = self._tag
+            return item
+
+    df = spark.createDataFrame([{"id": 1}])
+    first = [it.data["tag"] for it in Pipeline(spark).set_source(df).append("t", Tagger("a")).run()]
+    second = [it.data["tag"] for it in Pipeline(spark).set_source(df).append("t", Tagger("b")).run()]
+    assert first == ["a"] and second == ["b"]

@@ -82,3 +82,83 @@ def test_custom_source_drained_via_pipeline(spark):
     pipe = Pipeline(spark).set_source(ListSource(10)).append("addone", AddOne())
     out = sorted(it.data["plus"] for it in pipe.run())
     assert out == list(range(2, 12))
+
+
+def test_prepend_item_fifo_before_source_items():
+    """Reference SourceContainer.prepend_item semantics
+    (/root/reference/tests/test_stage.py:87-105): prepended items come
+    out FIFO, ahead of the source's own feed, including mid-drain."""
+    from smartpipeline_spark import Item, Source
+
+    class ListSource(Source):
+        def __init__(self, data):
+            super().__init__()
+            self._it = iter(data)
+
+        def pop(self):
+            try:
+                return Item(next(self._it))
+            except StopIteration:
+                self.stop()
+                return None
+
+    src = ListSource([{"id": 1}, {"id": 2}, {"id": 3}])
+    src.prepend_item(Item({"id": 1001}))
+    src.prepend_item(Item({"id": 1002}))
+    it = src.items()
+    assert next(it).data["id"] == 1001
+    assert next(it).data["id"] == 1002
+    assert next(it).data["id"] == 1
+    src.prepend_item(Item({"id": 1003}))
+    assert next(it).data["id"] == 1003
+    assert next(it).data["id"] == 2
+    assert next(it).data["id"] == 3
+    assert not src.is_stopped  # stop() fires on the next exhausted pop
+
+
+def test_prepend_item_drained_even_after_stop():
+    from smartpipeline_spark import Item, Source
+
+    class EmptySource(Source):
+        def pop(self):
+            self.stop()
+            return None
+
+    src = EmptySource()
+    src.prepend_item(Item({"id": 7}))
+    src.stop()
+    got = list(src.items())
+    assert [g.data["id"] for g in got] == [7]
+
+
+def test_items_polls_until_stop_and_opt_in_valve_raises():
+    """Default drain polls through None gaps until stop() (reference
+    pump semantics); the miss cap is opt-in and raises loudly instead
+    of silently truncating."""
+    import pytest
+
+    from smartpipeline_spark import Item, Source
+
+    class GappySource(Source):
+        def __init__(self):
+            super().__init__()
+            self._seq = iter(
+                [None, None, Item({"id": 1})] + [None] * 1500 + [Item({"id": 2})]
+            )
+
+        def pop(self):
+            try:
+                return next(self._seq)
+            except StopIteration:
+                self.stop()
+                return None
+
+    # >1000 consecutive Nones mid-feed: default keeps polling to stop()
+    assert [i.data["id"] for i in GappySource().items()] == [1, 2]
+
+    class NeverStops(Source):
+        def pop(self):
+            return None
+
+    with pytest.raises(TimeoutError):
+        list(NeverStops().items(max_polls_after_none=5))
