@@ -107,23 +107,47 @@ def q01_scan_count(spark, sf_dir):
 @query(
     "q02_sink_roundtrip",
     f"""SELECT COUNT(*) AS n_rows,
-               {_sql_dsum2('o_totalprice')} AS sum_total
+               {_sql_dsum2('o_totalprice')} AS sum_total,
+               (SELECT COUNT(*) FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1997)
+                 AS n_rows_1997,
+               (SELECT {_sql_dsum2('o_totalprice')} FROM orders
+                WHERE year(CAST(o_orderdate AS DATE)) = 1997) AS sum_total_1997
         FROM orders""",
 )
 def q02_sink_roundtrip(spark, sf_dir):
-    """Sink + re-scan: orders -> json -> re-read -> aggregate.
+    """Both sink shapes in one round trip: (a) orders -> json ->
+    re-read with an explicit partial schema (JSON projection pushdown)
+    -> aggregate; (b) orders -> parquet partitionBy(o_year) -> filtered
+    re-read that touches ONLY the o_year=1997 directory (partition
+    pruning — the single most important layout lever at 100 TB).
 
-    The re-read passes an explicit partial schema so only the needed
-    column is parsed (JSON projection pushdown).
-    """
-    out = "/root/repo/.tmp/q02_roundtrip_json"
-    os.makedirs("/root/repo/.tmp", exist_ok=True)
-    _t(spark, sf_dir, "orders").write.mode("overwrite").json(out)
-    back = spark.read.schema("o_totalprice double").json(out)
-    return back.agg(
+    Paths are per-process so concurrent runs don't collide on the sink
+    directory."""
+    base = f"/root/repo/.tmp/q02_sink_{os.getpid()}"
+    os.makedirs(base, exist_ok=True)
+    o = _t(spark, sf_dir, "orders")
+
+    out_json = f"{base}/roundtrip_json"
+    o.write.mode("overwrite").json(out_json)
+    back = spark.read.schema("o_totalprice double").json(out_json)
+    flat = back.agg(
         F.count("*").alias("n_rows"),
         dsum2(F.col("o_totalprice")).alias("sum_total"),
     )
+
+    out_part = f"{base}/partitioned"
+    o.withColumn("o_year", F.year("o_orderdate")).write.mode("overwrite").partitionBy(
+        "o_year"
+    ).parquet(out_part)
+    pruned = (
+        spark.read.parquet(out_part)
+        .filter(F.col("o_year") == 1997)
+        .agg(
+            F.count("*").alias("n_rows_1997"),
+            dsum2(F.col("o_totalprice")).alias("sum_total_1997"),
+        )
+    )
+    return flat.crossJoin(pruned)
 
 
 # ---------------------------------------------------------------------------
@@ -847,30 +871,6 @@ def q27_explode_wordfreq(spark, sf_dir):
         .groupBy("word")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 50)
-    )
-
-
-@query(
-    "q02b_partitioned_sink",
-    f"""SELECT COUNT(*) AS n_rows,
-               {_sql_dsum2('o_totalprice')} AS sum_total
-        FROM orders WHERE year(o_orderdate) = 1997""",
-)
-def q02b_partitioned_sink(spark, sf_dir):
-    """Partitioned sink + partition-pruned re-scan: orders written
-    partitionBy(o_year); the filtered re-read touches ONLY the
-    o_year=1997 directory (partition pruning — the single most
-    important layout lever at 100 TB)."""
-    out = "/root/repo/.tmp/q02b_partitioned"
-    os.makedirs("/root/repo/.tmp", exist_ok=True)
-    o = _t(spark, sf_dir, "orders")
-    o.withColumn("o_year", F.year("o_orderdate")).write.mode("overwrite").partitionBy(
-        "o_year"
-    ).parquet(out)
-    back = spark.read.parquet(out).filter(F.col("o_year") == 1997)
-    return back.agg(
-        F.count("*").alias("n_rows"),
-        dsum2(F.col("o_totalprice")).alias("sum_total"),
     )
 
 
