@@ -9,8 +9,10 @@ kernel (reference ``runners.py:20-138``):
   (unless the ErrorManager is in ``no_skip_on_critical_error`` mode)
   but still reaches the output;
 * retry with exponential backoff ``2^(attempt-1) * backoff`` on the
-  stage's retryable exception classes, one ``RetryError`` recorded per
-  failed attempt (so ``max_retries=3`` -> up to 4 soft errors);
+  stage's retryable exception classes; RetryErrors attach only when
+  retries are EXHAUSTED — one per failed attempt (``max_retries=3`` ->
+  4 soft errors) — while an item that recovers on a later attempt
+  stays clean (reference ``runners.py:33-67``);
 * soft errors skip only the failing stage; any other exception becomes
   critical via the pluggable ErrorManager;
 * per-stage wall-clock timing written into the ``_timings`` map
@@ -89,8 +91,11 @@ def run_stage_on_item(
         return item
     retry = policy.retry
     start = time.monotonic()
+    # failed retryable attempts buffer here and only attach if the stage
+    # EXHAUSTS its retries — an item that recovers on a later attempt
+    # carries no soft errors (reference kernel, runners.py:33-67)
+    caught: list[Exception] = []
     try:
-        attempt = 0
         while True:
             try:
                 stage.process(item)
@@ -98,13 +103,14 @@ def run_stage_on_item(
             except retry.retryable_errors as exc:
                 if not retry.enabled:  # defensive; empty tuple never matches
                     raise
-                attempt += 1
-                rerr = RetryError(str(exc)).with_exception(exc)
-                rerr.set_stage(policy.name)
-                item.add_error_entry(error_entry(policy.name, KIND_SOFT, rerr))
-                if attempt > retry.max_retries:
+                caught.append(exc)
+                if len(caught) > retry.max_retries:
+                    for rexc in caught:
+                        rerr = RetryError(str(rexc)).with_exception(rexc)
+                        rerr.set_stage(policy.name)
+                        item.add_error_entry(error_entry(policy.name, KIND_SOFT, rerr))
                     break
-                time.sleep(retry.sleep_for(attempt))
+                time.sleep(retry.sleep_for(len(caught)))
             except Exception as exc:  # soft / critical routing
                 item.add_error_entry(error_manager.handle(exc, policy.name, item))
                 break
@@ -137,22 +143,23 @@ def run_stage_on_batch(
 def _process_chunk(stage, policy, todo, error_manager, isolate_failures):
     retry = policy.retry
     start = time.monotonic()
+    caught: list[Exception] = []  # attach only on exhaustion (see kernel above)
     try:
-        attempt = 0
         while True:
             try:
                 stage.process_batch(todo)
                 break
             except retry.retryable_errors as exc:
-                attempt += 1
-                rerr = RetryError(str(exc)).with_exception(exc)
-                rerr.set_stage(policy.name)
-                entry = error_entry(policy.name, KIND_SOFT, rerr)
-                for it in todo:
-                    it.add_error_entry(dict(entry))
-                if attempt > retry.max_retries:
+                caught.append(exc)
+                if len(caught) > retry.max_retries:
+                    for rexc in caught:
+                        rerr = RetryError(str(rexc)).with_exception(rexc)
+                        rerr.set_stage(policy.name)
+                        entry = error_entry(policy.name, KIND_SOFT, rerr)
+                        for it in todo:
+                            it.add_error_entry(dict(entry))
                     break
-                time.sleep(retry.sleep_for(attempt))
+                time.sleep(retry.sleep_for(len(caught)))
             except Exception as exc:
                 if isolate_failures and len(todo) > 1:
                     # better-than-reference: fall back to singleton

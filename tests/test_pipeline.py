@@ -493,3 +493,35 @@ def test_worker_stage_cache_is_per_pipeline(spark):
     first = [it.data["tag"] for it in Pipeline(spark).set_source(df).append("t", Tagger("a")).run()]
     second = [it.data["tag"] for it in Pipeline(spark).set_source(df).append("t", Tagger("b")).run()]
     assert first == ["a"] and second == ["b"]
+
+
+def test_retry_recovery_leaves_item_clean(spark):
+    """Reference kernel (runners.py:33-67): a stage that fails then
+    succeeds within its retry budget attaches NO RetryErrors — only
+    exhaustion does. Recovered items must not land in write_errors."""
+    from smartpipeline_spark import Pipeline, Stage
+
+    class FlakyOnce(Stage):
+        output_fields = {"ok": "boolean"}
+
+        def __init__(self):
+            self._failed = set()
+
+        def process(self, item):
+            key = item.data["id"]
+            if key not in self._failed:
+                self._failed.add(key)
+                raise ValueError("transient")
+            item.data["ok"] = True
+            return item
+
+    df = spark.createDataFrame([{"id": i} for i in range(4)]).coalesce(1)
+    out = list(
+        Pipeline(spark)
+        .set_source(df)
+        .append("flaky", FlakyOnce(), retryable_errors=(ValueError,), max_retries=2, backoff=0.0)
+        .run()
+    )
+    assert len(out) == 4
+    assert all(it.data["ok"] for it in out)
+    assert not any(it.has_soft_errors() for it in out)

@@ -62,8 +62,9 @@ def test_retry_error_invariants(max_retries, exc, retryable, fail_times):
             assert not item.has_critical_errors()
             assert not item.data.get("done")
         else:
-            # recovered: one RetryError per failed attempt, then success
-            assert len(item.soft_errors()) == fail_times
+            # recovered within budget: NO errors attach (reference
+            # runners.py:33-67 — only exhaustion attaches RetryErrors)
+            assert not item.error_entries
             assert item.data.get("done")
     else:
         # non-retryable: exactly one critical, no retries
