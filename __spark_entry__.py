@@ -41,8 +41,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     except ImportError:
         pass
     oracles = oracle_sql()
+    # q01 (bare count(*)) is the most redundant oracled entry — every
+    # other query's scan already proves it — so it yields its slot in
+    # the driver's bounded check window to richer operators.
     return dict(
-        sorted(registry.items(), key=lambda kv: (kv[0] not in oracles,))
+        sorted(
+            registry.items(),
+            key=lambda kv: (kv[0] not in oracles, kv[0] == "q01_scan_count"),
+        )
     )
 
 

@@ -1135,3 +1135,65 @@ def q24_udf_stage(spark, sf_dir):
         .append("reverse", ReverseStage())
     )
     return pipe.dataframe().select("p_partkey", "rev_name")
+
+
+# ---------------------------------------------------------------------------
+# As-of join — an operator Spark has no native node for, expressed as a
+# composition of existing ops (union + window) so it stays one shuffle
+# ---------------------------------------------------------------------------
+
+@query(
+    "q36_asof_join",
+    """SELECT l.event_id, l.user_id,
+              epoch_us(l.ts) AS click_us,
+              r.event_id AS matched_view_id,
+              epoch_us(r.ts) AS view_us
+       FROM (SELECT * FROM events WHERE event_type = 'click') l
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
+)
+def q36_asof_join(spark, sf_dir):
+    """As-of join: each click matched to the user's most recent view at
+    or before the click (DuckDB ASOF JOIN; Pandas merge_asof). Spark
+    has no asof node, and the naive range-join formulation explodes to
+    O(clicks x views) per user then re-aggregates. Instead: tag and
+    UNION the two sides, and carry the latest view forward with
+    last_value(ignorenulls) over (user, ts) — ONE shuffle on user_id,
+    linear work, no join at all. Ties (view.ts == click.ts) order the
+    view first, matching ASOF's >= semantics. At 100 TB this is the
+    shape that survives: hot users are plain window skew (salt by
+    coarse time bucket if needed), and the window is a running carry,
+    not an unbounded frame sort-merge."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts",
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast("long").alias("view_id"),
+        F.lit(None).cast("timestamp_ntz").alias("view_ts"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts",
+        F.lit(0).alias("is_click"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click")  # view sorts before click on equal ts
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(views).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_click",
+        F.last("view_id", ignorenulls=True).over(w).alias("matched_view_id"),
+        F.last("view_ts", ignorenulls=True).over(w).alias("matched_view_ts"),
+    )
+    return merged.filter(F.col("is_click") == 1).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_us"),
+        "matched_view_id",
+        F.unix_micros(F.col("matched_view_ts").cast("timestamp")).alias("view_us"),
+    )

@@ -72,3 +72,34 @@ def test_partial_aggregation_before_exchange(spark, queries):
 def test_semi_join_strategy(spark, queries):
     plan = _plan(queries["q07_join_semi"](spark, SF_SMOKE))
     assert "LeftSemi" in plan, plan
+
+
+def test_no_decimal_output_in_oracled_queries(spark, queries):
+    """Regression guard for the q13b class of bug: Spark SQL parses
+    bare numeric literals (100.0, 0.5) as DECIMAL, which silently
+    changes an output column's type and breaks the cross-engine value
+    hash even when the numbers agree. Every oracled query's OUTPUT
+    schema must be decimal-free (decimals are fine internally — the
+    dsum2 helpers use them on purpose for deterministic summation)."""
+    from pyspark.sql.types import DecimalType
+
+    import __spark_entry__ as entrymod
+
+    oracles = entrymod.oracle_sql()
+    offenders = []
+    for key in oracles:
+        df = queries[key](spark, SF_SMOKE)
+        for field in df.schema.fields:
+            if isinstance(field.dataType, DecimalType):
+                offenders.append(f"{key}.{field.name}: {field.dataType}")
+    assert not offenders, offenders
+
+
+def test_asof_join_is_single_shuffle_no_join(spark, queries):
+    """The as-of join must compile to union + one Window exchange —
+    never a per-user range join or nested loop."""
+    plan = _plan(queries["q36_asof_join"](spark, SF_SMOKE))
+    assert "Join" not in plan, plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
