@@ -140,6 +140,14 @@ class Item:
             return self._callback_fun(self)
         return None
 
+    def data_snippet(self, max_size: int = 100) -> str:
+        """Short string view of :attr:`data` for logs (reference
+        ``item.py:42-48``; override for custom rendering)."""
+        return str(self._data)[:max_size]
+
+    def __str__(self) -> str:
+        return f"Data item {self.id} with payload {self.data_snippet()}..."
+
     def __repr__(self) -> str:  # pragma: no cover - debug aid
         return f"Item(id={self.id!r}, keys={sorted(self._data)})"
 

@@ -1197,3 +1197,47 @@ def q36_asof_join(spark, sf_dir):
         "matched_view_id",
         F.unix_micros(F.col("matched_view_ts").cast("timestamp")).alias("view_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4) — the table-function authoring surface
+# ---------------------------------------------------------------------------
+
+@query(
+    "q37_udtf_sentences",
+    r"""WITH sents AS (
+          SELECT doc_id, string_split_regex(text, '[.!?]+') AS parts
+          FROM documents)
+        SELECT doc_id, i AS sent_idx,
+               regexp_replace(parts[i], '^\s+|\s+$', '', 'g') AS sentence
+        FROM sents, LATERAL (
+          SELECT unnest(generate_series(1, len(parts))) AS i) t
+        WHERE length(regexp_replace(parts[i], '^\s+|\s+$', '', 'g')) > 0""",
+)
+def q37_udtf_sentences(spark, sf_dir):
+    """Python UDTF (Spark 4): one document row -> N sentence rows via a
+    user-authored table function, joined laterally in SQL. This is the
+    1->N authoring surface the reference has no analog for (its stages
+    are strictly 1->1). UDTFs are row-at-a-time Python — fine for the
+    authoring demo; the engine's hot-path equivalent of THIS particular
+    split is pure JVM (split + posexplode, see q27) and that is what a
+    pipeline should use when the logic fits built-ins."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text):
+            parts = _re.split(r"[.!?]+", text or "")
+            for i, p in enumerate(parts, start=1):
+                clean = _re.sub(r"^\s+|\s+$", "", p)
+                if clean:
+                    yield i, clean
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """SELECT d.doc_id, s.sent_idx, s.sentence
+           FROM docs_for_udtf d, LATERAL split_sentences(d.text) s"""
+    )
