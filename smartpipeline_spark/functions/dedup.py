@@ -105,7 +105,11 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = JACCARD_THRESH
     so hot shingles are the skew risk — at scale, drop top-frequency
     shingles (stopword shingles) first; AQE skew-join splits the rest.
     """
-    sh = word_shingles(docs, n)
+    from pyspark import StorageLevel
+
+    # sh feeds three consumers (sizes + both join sides): persist so
+    # the regex-shingle explode runs once, not three times
+    sh = word_shingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

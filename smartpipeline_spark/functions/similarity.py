@@ -182,9 +182,14 @@ def ext_knn_lsh(spark, sf_dir):
 
     e = _emb(spark, sf_dir)
     buckets = _lsh_buckets_udf()
-    keyed = (
-        e.select("vec_id", "emb", F.posexplode(buckets(F.col("emb"))).alias("table_id", "bucket"))
-    )
+    from pyspark import StorageLevel
+
+    # both the probe side and the corpus side read `keyed`: persist so
+    # the signature UDF runs one pass over the corpus, not two (at
+    # 100 TB this persist IS the write-once (table_id, bucket) index)
+    keyed = e.select(
+        "vec_id", "emb", F.posexplode(buckets(F.col("emb"))).alias("table_id", "bucket")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     q = keyed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
