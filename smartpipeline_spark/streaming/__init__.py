@@ -184,3 +184,30 @@ def start_memory_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pairs a left row with
+    every right row of the same ``key`` whose event time falls in
+    ``[left.ts - within, left.ts]``. Both sides carry watermarks and
+    the join condition bounds event time in BOTH directions, so Spark
+    can evict join state past the horizon — the requirement that makes
+    a stream-stream join run with bounded memory on unbounded input.
+    Works identically on batch DataFrames (state logic just vanishes).
+    """
+    l = left.withWatermark(ts_col, watermark).alias("l") if left.isStreaming else left.alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r") if right.isStreaming else right.alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{key} = r.{key} AND "
+            f"r.{ts_col} BETWEEN l.{ts_col} - INTERVAL {within} AND l.{ts_col}"
+        ),
+    )

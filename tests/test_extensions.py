@@ -221,3 +221,29 @@ def test_multimodal_resize_and_frames_queries(spark):
             assert r["count"] == -(-n_samples // 400)
         else:
             assert r["count"] == 1
+
+
+def test_training_data_curation_pipeline(spark):
+    """The end-to-end curation composition (examples/
+    training_data_pipeline.py): exact dedup -> near-dup removal ->
+    quality/lang gates -> token accounting, one lazy plan. Survivors
+    must be unique, english, quality-gated, and never the dropped side
+    of a verified near-dup pair."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "training_data_pipeline", "/root/repo/examples/training_data_pipeline.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    curated = mod.curate(spark, SF_SMOKE).collect()
+    assert 0 < len(curated) <= 500
+    ids = [r["doc_id"] for r in curated]
+    assert len(ids) == len(set(ids))
+    assert all(r["pred_lang"] == "en" and r["quality"] >= 0.7 for r in curated)
+
+    from smartpipeline_spark.functions import EXT_QUERIES
+
+    dropped = {r["d2"] for r in EXT_QUERIES["ext_dedup_minhash"](spark, SF_SMOKE).collect()}
+    assert not (set(ids) & dropped)

@@ -159,3 +159,44 @@ def test_foreach_batch_sink_and_graceful_stop(spark, events_stream_dir, tmp_path
     _drain(q)
     assert seen and not q.isActive  # drained and terminated gracefully
     assert all(n > 0 for _, n in seen)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
+    """Watermarked stream-stream join: clicks joined to same-user views
+    within the preceding 10 minutes must produce exactly the batch
+    join's pairs once the stream drains."""
+    stream = streaming.stream_events_dir(spark, events_stream_dir, max_files_per_trigger=2)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    views = stream.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    joined = streaming.interval_join(
+        clicks, views.withColumnRenamed("v_user", "user_id").withColumnRenamed("v_ts", "ts"),
+        key="user_id", ts_col="ts", within="10 minutes",
+    ).select("l.click_id", "r.view_id")
+    q = streaming.start_memory_sink(joined, "ssjoin_out", output_mode="append")
+    _drain(q)
+    got = {
+        (r["click_id"], r["view_id"])
+        for r in spark.sql("SELECT * FROM ssjoin_out").collect()
+    }
+
+    ev = sources.table(spark, "events", SF_SMOKE)
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    ).alias("l")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("user_id"), F.col("ts").alias("ts"),
+        F.col("event_id").alias("view_id"),
+    ).alias("r")
+    expected = {
+        (r["click_id"], r["view_id"])
+        for r in c.join(
+            v,
+            F.expr("l.user_id = r.user_id AND r.ts BETWEEN l.ts - INTERVAL 10 minutes AND l.ts"),
+        ).select("l.click_id", "r.view_id").collect()
+    }
+    assert got == expected and expected
