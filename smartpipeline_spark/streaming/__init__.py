@@ -211,3 +211,58 @@ def interval_join(
             f"r.{ts_col} BETWEEN l.{ts_col} - INTERVAL {within} AND l.{ts_col}"
         ),
     )
+
+
+def continuous_rollup(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    watermark: str = "2 hours",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuously-maintained time-bucketed aggregate table (the
+    hypertable / continuous-aggregate pattern): a watermarked windowed
+    aggregation runs in UPDATE mode and each micro-batch upserts ONLY
+    the (bucket, key) groups it changed — the sink is parquet
+    partitioned by (bucket, *keys), so one group = one partition and
+    dynamic partition overwrite IS the upsert. Readers always see the
+    latest finalized-or-running totals with spark.read.parquet(path).
+
+    At 100 TB: buckets are coarse (hours/days) so partitions stay
+    chunky; the many-small-files pressure from hot keys is handled by
+    a periodic compaction pass, and watermarking bounds both state and
+    how far back a partition can still be rewritten."""
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), *keys)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd-HH").alias("bucket"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket", *keys)
+            .parquet(path)
+        )
+
+    writer = (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -37,3 +37,63 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "sum_disc_price" in df.columns
+
+
+def test_asof_join_property_vs_pandas(spark):
+    """q36's union+window formulation vs pandas merge_asof on
+    adversarial small inputs: ties (view.ts == click.ts must match),
+    clicks with no preceding view (null match), interleaved users,
+    duplicate timestamps."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = []
+    eid = 0
+    # user 1: view at 100, click at 100 (tie), click at 99 (no match)
+    # user 2: views at 50/60, clicks at 55/60/70
+    # user 3: clicks only
+    for user, kind, ts in [
+        (1, "view", 100), (1, "click", 100), (1, "click", 99),
+        (2, "view", 50), (2, "view", 60), (2, "click", 55),
+        (2, "click", 60), (2, "click", 70),
+        (3, "click", 10), (3, "click", 20),
+    ]:
+        rows.append({"event_id": eid, "user_id": user, "event_type": kind, "ts": ts})
+        eid += 1
+
+    df = spark.createDataFrame(rows)
+    clicks = df.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_click"),
+        F.lit(None).cast("long").alias("view_id"),
+    )
+    views = df.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_click"),
+        F.col("event_id").alias("view_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r["event_id"]: r["m"]
+        for r in clicks.unionByName(views)
+        .select("event_id", "is_click", F.last("view_id", ignorenulls=True).over(w).alias("m"))
+        .filter(F.col("is_click") == 1)
+        .collect()
+    }
+
+    pdf = pd.DataFrame(rows)
+    pc = pdf[pdf.event_type == "click"].sort_values("ts", kind="stable")
+    pv = pdf[pdf.event_type == "view"].sort_values("ts", kind="stable")
+    merged = pd.merge_asof(
+        pc, pv.rename(columns={"event_id": "view_id"})[["user_id", "ts", "view_id"]],
+        on="ts", by="user_id", direction="backward", allow_exact_matches=True,
+    )
+    expected = {
+        int(r.event_id): (None if pd.isna(r.view_id) else int(r.view_id))
+        for r in merged.itertuples()
+    }
+    assert got == expected

@@ -200,3 +200,39 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
         ).select("l.click_id", "r.view_id").collect()
     }
     assert got == expected and expected
+
+
+def test_continuous_rollup_matches_batch(spark, events_stream_dir, tmp_path):
+    """The incrementally-upserted rollup table, after draining the
+    stream, must equal the one-shot batch aggregation exactly
+    (counts and decimal-summed values)."""
+    stream = streaming.stream_events_dir(spark, events_stream_dir, max_files_per_trigger=1)
+    out = str(tmp_path / "rollup")
+    # the replay chunks are in random time order, so the "late data"
+    # horizon must span the whole corpus (production watermarks match
+    # the real disorder bound)
+    q = streaming.continuous_rollup(
+        stream, out, str(tmp_path / "ckpt"), window="1 hour",
+        watermark="365 days", available_now=True,
+    )
+    _drain(q)
+
+    got = {
+        (r["bucket"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    ev = sources.table(spark, "events", SF_SMOKE)
+    expected = {
+        (r["bucket"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd-HH").alias("bucket"),
+            "event_type", "n_events", "sum_value",
+        )
+        .collect()
+    }
+    assert got == expected and expected
