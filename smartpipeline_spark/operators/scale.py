@@ -102,3 +102,86 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: s
     """Join two same-bucketed saved tables — plan shows zero Exchange
     under the join when bucketing lines up (verified in tests)."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def salted_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "DAY",
+) -> DataFrame:
+    """Skew-resistant as-of join (the 100 TB form of q36): match each
+    left row to the latest right row with the same ``key`` at or
+    before its ``ts_col``.
+
+    The plain formulation windows over ``key`` alone — one giant
+    sorted partition per hot key. Here the window partitions by
+    (key, time-bucket), splitting a hot key across its buckets, and a
+    second, BUCKET-LEVEL pass repairs rows whose true match precedes
+    their bucket: per (key, bucket) the last right value is carried
+    forward with a window over bucket rows (thousands per key at
+    most, never row-scale), and unmatched left rows coalesce to the
+    carry of the previous bucket. Total cost: one (key, bucket)
+    window, one tiny bucket-level window, one join of the carry table
+    back onto the rows — all skew-proof.
+
+    Left/right rows are identified by ``value_col`` being null/set;
+    output: left columns + ``matched_<value_col>``.
+    """
+    bucket_col = F.date_trunc(bucket, F.col(ts_col)).alias("_bucket")
+    l = left.select(
+        "*",
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast(dict(right.dtypes)[value_col]).alias("_rv"),
+        bucket_col,
+    )
+    r = right.select(
+        F.col(key),
+        F.col(ts_col),
+        F.lit(0).alias("_is_left"),
+        F.col(value_col).alias("_rv"),
+        bucket_col,
+    )
+    left_cols = [c for c in left.columns]
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    from pyspark.sql.window import Window
+
+    w_in = (
+        Window.partitionBy(key, "_bucket")
+        .orderBy(ts_col, "_is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.select(
+        *left_cols,
+        "_is_left",
+        "_bucket",
+        F.last("_rv", ignorenulls=True).over(w_in).alias("_in_match"),
+    ).filter(F.col("_is_left") == 1)
+
+    # bucket-level carry: last right value of each (key, bucket), then
+    # carried from strictly earlier buckets over ALL buckets seen
+    rb = r.groupBy(key, "_bucket").agg(F.max_by("_rv", F.col(ts_col)).alias("_lastv"))
+    all_buckets = u.select(key, "_bucket").distinct()
+    w_carry = (
+        Window.partitionBy(key)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        all_buckets.join(rb, [key, "_bucket"], "left")
+        .select(
+            key,
+            "_bucket",
+            F.last("_lastv", ignorenulls=True).over(w_carry).alias("_prev_carry"),
+        )
+    )
+    return (
+        matched.join(carry, [key, "_bucket"], "left")
+        .select(
+            *left_cols,
+            F.coalesce("_in_match", "_prev_carry").alias(f"matched_{value_col}"),
+        )
+    )

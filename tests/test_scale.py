@@ -102,3 +102,55 @@ def test_write_errors_dead_letter_sink(spark, items_df, tmp_path):
     assert row["error_stage"] == "failsome"
     assert row["error_kind"] == "critical"
     assert row["error_exc_class"] == "ValueError"
+
+
+def test_salted_asof_join_matches_plain_window_form(spark):
+    """The bucket-salted as-of join must produce exactly the plain
+    single-window as-of result (q36 semantics) on the events table,
+    including cross-bucket matches (a click whose latest view happened
+    on an earlier day) and no-match rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.operators.scale import salted_asof_join
+
+    e = sources.table(spark, "events", SF_SMOKE)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+
+    got = {
+        (r["event_id"], r["matched_view_id"])
+        for r in salted_asof_join(
+            clicks, views, key="user_id", ts_col="ts", value_col="view_id"
+        ).collect()
+    }
+
+    # plain single-window formulation (q36 shape)
+    l = clicks.select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_click"),
+        F.lit(None).cast("long").alias("view_id"),
+    )
+    v = views.select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.lit(0).alias("is_click"), "view_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["event_id"], r["m"])
+        for r in l.unionByName(v)
+        .select("event_id", "is_click", F.last("view_id", ignorenulls=True).over(w).alias("m"))
+        .filter(F.col("is_click") == 1)
+        .collect()
+    }
+    assert got == want and got
+    # sanity: the dataset actually exercises cross-bucket repair
+    assert any(m is not None for _, m in got)
