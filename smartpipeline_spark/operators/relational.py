@@ -647,22 +647,35 @@ def q16_window_running(spark, sf_dir):
 @query(
     "q17_window_lag",
     f"""SELECT o_custkey, o_orderkey,
-              LAG(o_totalprice) OVER (PARTITION BY o_custkey
-                  ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_price,
-              {_sql_r2('''o_totalprice - LAG(o_totalprice) OVER (
-                  PARTITION BY o_custkey
-                  ORDER BY CAST(o_orderdate AS DATE), o_orderkey)''')} AS delta
-       FROM orders""",
+              LAG(o_totalprice) OVER w AS prev_price,
+              {_sql_r2('o_totalprice - LAG(o_totalprice) OVER w')} AS delta,
+              FIRST_VALUE(o_orderkey) OVER w AS first_key,
+              NTH_VALUE(o_orderkey, 3) OVER w AS third_key,
+              {_sql_r2('PERCENT_RANK() OVER w * 1000.0')} AS pct_rank_k,
+              {_sql_r2('CUME_DIST() OVER w * 1000.0')} AS cume_k
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey
+                    ORDER BY CAST(o_orderdate AS DATE), o_orderkey)""",
 )
 def q17_window_lag(spark, sf_dir):
+    """Offset + distribution window functions over one shared spec:
+    lag/delta, first_value, nth_value (default running frame, so the
+    3rd key is null until 3 rows accumulate), percent_rank and
+    cume_dist (scaled+rounded — their double division is identical
+    IEEE math in both engines on exact small-int operands)."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.to_date("o_orderdate"), F.col("o_orderkey"))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag("o_totalprice").over(w)
     return o.select(
         "o_custkey",
         "o_orderkey",
         prev.alias("prev_price"),
         r2(F.col("o_totalprice") - prev).alias("delta"),
+        F.first("o_orderkey").over(wf).alias("first_key"),
+        F.nth_value("o_orderkey", 3).over(wf).alias("third_key"),
+        r2(F.percent_rank().over(w) * F.lit(1000.0)).alias("pct_rank_k"),
+        r2(F.cume_dist().over(w) * F.lit(1000.0)).alias("cume_k"),
     )
 
 
@@ -829,12 +842,19 @@ def q21c_scalar_json(spark, sf_dir):
               array_to_string(string_split(text, ' ')[1:3], '-') AS first3,
               CAST(list_contains(string_split(lower(text), ' '), 'data') AS INT) AS has_data,
               list_sort(string_split(lower(substring(text, 1, 30)), ' '))[1] AS min_word,
-              string_split(text, ' ')[-1] AS last_word
+              string_split(text, ' ')[-1] AS last_word,
+              len(list_filter(string_split(text, ' '), w -> length(w) > 5))
+                AS n_long_words,
+              CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w)))
+                AS BIGINT) AS total_chars,
+              array_to_string(list_transform(string_split(text, ' ')[1:2],
+                                             w -> upper(w)), '-') AS first2_upper
        FROM documents""",
 )
 def q21d_array_map(spark, sf_dir):
-    """Array-function battery (split/size/slice/contains/sort/element_at)
-    — all JVM-side higher-order operations, no UDFs."""
+    """Array-function battery: split/size/slice/contains/sort/element_at
+    plus the lambda higher-order trio (filter / transform / aggregate)
+    — all JVM-side, no UDFs."""
     d = _t(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     words_lower = F.split(F.lower(F.col("text")), " ")
@@ -847,6 +867,13 @@ def q21d_array_map(spark, sf_dir):
             F.sort_array(F.split(F.lower(F.substring("text", 1, 30)), " ")), 1
         ).alias("min_word"),
         F.element_at(words, -1).alias("last_word"),
+        F.size(F.filter(words, lambda w: F.length(w) > 5)).alias("n_long_words"),
+        F.aggregate(
+            words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+        ).alias("total_chars"),
+        F.array_join(
+            F.transform(F.slice(words, 1, 2), lambda w: F.upper(w)), "-"
+        ).alias("first2_upper"),
     )
 
 
