@@ -66,6 +66,19 @@ def tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataF
     return {name: table(spark, name, sf_dir) for name in TABLE_NAMES}
 
 
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every corpus table as a temp view so arbitrary
+    ``spark.sql(...)`` runs against the same normalized tables the
+    DataFrame operators read (events.ts included). The engine's ad-hoc
+    SQL entry point:
+
+        sources.register_views(spark, sf_dir)
+        spark.sql("SELECT ... FROM lineitem JOIN orders ON ...")
+    """
+    for name, df in tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
 def text_lines(spark: SparkSession, path: str) -> DataFrame:
     """One row per line (reference ``FileIter``, examples/dump_es_ids.py:25)."""
     return spark.read.text(path)

@@ -162,3 +162,28 @@ def test_items_polls_until_stop_and_opt_in_valve_raises():
 
     with pytest.raises(TimeoutError):
         list(NeverStops().items(max_polls_after_none=5))
+
+
+def test_register_views_sql_entry_point(spark):
+    """Ad-hoc SQL over registered views must agree with the DataFrame
+    read of the same normalized tables (events.ts conversion
+    included)."""
+    from pyspark.sql import functions as F
+
+    sources.register_views(spark, SF_SMOKE)
+    got = spark.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+    ).collect()
+    want = (
+        sources.table(spark, "orders", SF_SMOKE)
+        .join(sources.table(spark, "customer", SF_SMOKE),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderstatus").count().orderBy("o_orderstatus").collect()
+    )
+    assert [(r["o_orderstatus"], r["n"]) for r in got] == [
+        (r["o_orderstatus"], r["count"]) for r in want
+    ]
+    # the events view carries the normalized timestamp column
+    assert dict(spark.table("events").dtypes)["ts"].startswith("timestamp")
