@@ -525,3 +525,62 @@ def test_retry_recovery_leaves_item_clean(spark):
     assert len(out) == 4
     assert all(it.data["ok"] for it in out)
     assert not any(it.has_soft_errors() for it in out)
+
+
+def test_append_concurrently_parity_with_append(spark):
+    """Reference shape (tests/pipeline/test_concurrent.py): the same
+    chain built with append vs append_concurrently (+ concurrency
+    knobs) must produce identical items."""
+    from smartpipeline_spark import Pipeline, Stage
+
+    class Mark(Stage):
+        output_fields = {"mark": "string"}
+
+        def __init__(self, tag="x"):
+            self._tag = tag
+
+        def process(self, item):
+            item.data["mark"] = f"{self._tag}{item.data['id']}"
+            return item
+
+    df = spark.createDataFrame([{"id": i} for i in range(20)])
+    plain = sorted(
+        it.data["mark"]
+        for it in Pipeline(spark).set_source(df).append("m", Mark("a")).run()
+    )
+    conc = sorted(
+        it.data["mark"]
+        for it in Pipeline(spark)
+        .set_source(df)
+        .append_concurrently("m", Mark, kwargs={"tag": "a"}, concurrency=4)
+        .run()
+    )
+    assert plain == conc
+
+
+def test_source_error_propagates_to_driver(spark):
+    """Reference behavior (tests/test_error.py::test_source_errors): an
+    exception raised inside the source's pop() surfaces to the caller
+    driving the pipeline, not swallowed."""
+    import pytest
+
+    from smartpipeline_spark import Item, Pipeline, Source, Stage
+
+    class Exploding(Source):
+        def __init__(self):
+            super().__init__()
+            self._n = 0
+
+        def pop(self):
+            self._n += 1
+            if self._n > 3:
+                raise RuntimeError("source blew up")
+            return Item({"id": self._n})
+
+    class Noop(Stage):
+        def process(self, item):
+            return item
+
+    pipe = Pipeline(spark).set_source(Exploding()).append("noop", Noop())
+    with pytest.raises(RuntimeError, match="source blew up"):
+        list(pipe.run())
