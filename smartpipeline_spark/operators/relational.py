@@ -823,15 +823,31 @@ def q21b_scalar_dates(spark, sf_dir):
     "q21c_scalar_json",
     """SELECT event_id,
               CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
-              event_type
+              event_type,
+              CAST(json_extract_string(props, '$.k') AS INT) AS k_from_map,
+              len(json_keys(props)) AS n_keys,
+              json_keys(props)[1] AS first_key,
+              CAST(json_extract_string(props, '$.k') AS INT) AS k_typed
        FROM events""",
 )
 def q21c_scalar_json(spark, sf_dir):
+    """JSON + map-type battery: path extraction, parse into
+    map<string,int> (element_at / map_keys / size), and parse into a
+    typed struct — the three ways semi-structured columns become
+    relational. The oracle computes the same values through DuckDB's
+    json functions; only OUTPUT values must agree, not the
+    intermediate representation."""
     e = _t(spark, sf_dir, "events")
+    props_map = F.from_json("props", "map<string,int>")
+    props_struct = F.from_json("props", "struct<k:int>")
     return e.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_val"),
         "event_type",
+        F.element_at(props_map, "k").alias("k_from_map"),
+        F.size(props_map).alias("n_keys"),
+        F.element_at(F.map_keys(props_map), 1).alias("first_key"),
+        props_struct["k"].alias("k_typed"),
     )
 
 
