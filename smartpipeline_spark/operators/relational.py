@@ -1284,3 +1284,47 @@ def q37_udtf_sentences(spark, sf_dir):
         """SELECT d.doc_id, s.sent_idx, s.sentence
            FROM docs_for_udtf d, LATERAL split_sentences(d.text) s"""
     )
+
+
+@query(
+    "q38_tpch_q5",
+    f"""SELECT n_name,
+               {_sql_dsum2("l_extendedprice * (1 - l_discount)", "DECIMAL(28,12)")} AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        GROUP BY n_name""",
+)
+def q38_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local-supplier-volume): the 6-table join stress case.
+    Plan shape that survives 100 TB: lineitem⋈orders is the one
+    fact-fact shuffle; supplier/nation/region broadcast (region's
+    r_name filter prunes BEFORE the broadcast, so the whole dim chain
+    collapses to a few hundred keys); customer joins shuffle-free off
+    the broadcast chain too at these ratios, with AQE free to demote
+    it to shuffle when customer outgrows the threshold. The
+    c_nationkey = s_nationkey co-location predicate rides the join,
+    not a post-filter."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    od = F.to_date("o_orderdate")
+    o = o.filter(
+        (od >= F.lit("1996-01-01").cast("date")) & (od < F.lit("1997-01-01").cast("date"))
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC8)
+    return joined.groupBy("n_name").agg(r2(F.sum(rev).cast("double")).alias("revenue"))
