@@ -181,6 +181,7 @@ class StagePolicy:
     retry: RetryManager = field(default_factory=RetryManager)
     concurrency: int = 0  # advisory: repartition hint; Spark is already parallel
     parallel: bool = False  # no-op on Spark (executors are processes)
+    profile_memory: bool = False  # record worker RSS into timings (<name>#rss_kb)
 
 
 def count_errors(entries: Sequence[dict], kind: str) -> int:

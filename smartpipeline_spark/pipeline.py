@@ -47,15 +47,17 @@ SourceLike = Union[DataFrame, Source, Callable[[SparkSession], DataFrame]]
 class _PlanStep:
     """One plan node: either a python stage or a relational transform."""
 
-    __slots__ = ("kind", "name", "stage", "policy", "isolate", "fn")
+    __slots__ = ("kind", "name", "stage", "policy", "isolate", "fn", "cache")
 
-    def __init__(self, kind, name, stage=None, policy=None, isolate=False, fn=None):
+    def __init__(self, kind, name, stage=None, policy=None, isolate=False, fn=None,
+                 cache=False):
         self.kind = kind  # "stage" | "transform"
         self.name = name
         self.stage = stage
         self.policy = policy
         self.isolate = isolate
         self.fn = fn
+        self.cache = cache
 
 
 class Pipeline:
@@ -120,9 +122,19 @@ class Pipeline:
         max_retries: int = 0,
         backoff: float = 0.0,
         isolate_failures: bool = False,
+        cache: bool = False,
+        profile_memory: bool = False,
     ) -> "Pipeline":
         """Append a named user stage (validation mirrors the reference:
-        unique names, non-negative retry params)."""
+        unique names, non-negative retry params).
+
+        ``cache=True`` persists this stage's output (the reference
+        roadmap's "processed items cached at stage level" — here it is
+        a real cluster cache: downstream re-use and repeated ``run()``
+        calls skip recomputing everything up to this stage).
+        ``profile_memory=True`` records the Python worker's RSS after
+        each item/chunk into the timings map under ``<name>#rss_kb``
+        (the roadmap's "stages can be memory profiled")."""
         if name in self._names:
             raise ValueError(f"stage name already used: {name!r}")
         if not isinstance(stage, (Stage, BatchStage)):
@@ -132,11 +144,15 @@ class Pipeline:
             retry=RetryManager(tuple(retryable_errors), max_retries, backoff),
             concurrency=concurrency,
             parallel=parallel,
+            profile_memory=profile_memory,
         )
         stage.set_name(name)
         self._names.add(name)
         self._steps.append(
-            _PlanStep("stage", name, stage=stage, policy=policy, isolate=isolate_failures)
+            _PlanStep(
+                "stage", name, stage=stage, policy=policy, isolate=isolate_failures,
+                cache=cache,
+            )
         )
         self._built_df = None
         return self
@@ -204,13 +220,21 @@ class Pipeline:
                 df = step.fn(df)
                 i += 1
                 continue
-            # fuse the maximal run of consecutive python stages
+            # fuse the maximal run of consecutive python stages; a
+            # cache=True stage ends its segment (its output must
+            # materialize there to be reusable)
             seg = []
+            cache_after = False
             while i < n and self._steps[i].kind == "stage":
                 s = self._steps[i]
                 seg.append((s.stage, s.policy, s.isolate))
                 i += 1
+                if s.cache:
+                    cache_after = True
+                    break
             df = self._apply_segment(df, seg)
+            if cache_after:
+                df = df.persist()
         return df
 
     def _apply_segment(self, df: DataFrame, seg) -> DataFrame:

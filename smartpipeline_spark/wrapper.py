@@ -116,7 +116,17 @@ def run_stage_on_item(
                 break
     finally:
         item.set_timing(policy.name, time.monotonic() - start)
+        if policy.profile_memory:
+            item.set_timing(f"{policy.name}#rss_kb", _worker_rss_kb())
     return item
+
+
+def _worker_rss_kb() -> float:
+    """Python worker peak RSS in KB (reference roadmap: "stages can be
+    memory profiled") — one getrusage syscall, cheap enough per item."""
+    import resource
+
+    return float(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)
 
 
 def run_stage_on_batch(
@@ -172,8 +182,11 @@ def _process_chunk(stage, policy, todo, error_manager, isolate_failures):
                 break
     finally:
         per_item = (time.monotonic() - start) / max(len(todo), 1)
+        rss = _worker_rss_kb() if policy.profile_memory else None
         for it in todo:
             it.set_timing(policy.name, per_item)
+            if rss is not None:
+                it.set_timing(f"{policy.name}#rss_kb", rss)
 
 
 def run_chain_on_items(

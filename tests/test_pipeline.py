@@ -584,3 +584,35 @@ def test_source_error_propagates_to_driver(spark):
     pipe = Pipeline(spark).set_source(Exploding()).append("noop", Noop())
     with pytest.raises(RuntimeError, match="source blew up"):
         list(pipe.run())
+
+
+def test_stage_cache_and_memory_profiling(spark):
+    """Reference roadmap features, real here: cache=True persists the
+    stage's output (repeat consumption skips recompute), and
+    profile_memory=True records worker RSS under <name>#rss_kb."""
+    from pyspark import StorageLevel
+
+    from smartpipeline_spark import Pipeline, Stage
+
+    class Tag(Stage):
+        output_fields = {"tag": "string"}
+
+        def process(self, item):
+            item.data["tag"] = f"t{item.data['id']}"
+            return item
+
+    df = spark.createDataFrame([{"id": i} for i in range(8)])
+    pipe = (
+        Pipeline(spark)
+        .set_source(df)
+        .append("tag", Tag(), cache=True, profile_memory=True)
+    )
+    out = pipe.dataframe()
+    assert out.storageLevel != StorageLevel.NONE
+
+    items = list(pipe.run())
+    assert len(items) == 8
+    for it in items:
+        assert it.get_timing("tag") is not None
+        assert it.get_timing("tag#rss_kb") and it.get_timing("tag#rss_kb") > 1000
+    out.unpersist()
