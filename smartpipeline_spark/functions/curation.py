@@ -1,0 +1,215 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Three curation primitives every large-scale ingest needs, each pure
+JVM-side column algebra (no Python in the hot path) and each with an
+exact DuckDB oracle:
+
+* deterministic hash-based dataset splitting (train/val/test),
+* PII redaction (email / URL / phone scrubbing with counts),
+* C4-style keep-first chunk dedup (intra-corpus repeated-passage
+  removal at sub-document granularity — Lee et al., "Deduplicating
+  Training Data Makes Language Models Better").
+
+Scale notes are per-function; the common theme: shuffle 16-byte
+hashes, never document bodies, and keep every aggregation
+partial-agg-friendly (map-side combine) instead of windowed.
+
+The synthetic corpus contains no real PII, so ``ext_redact``
+synthesizes deterministic contact strings from ``doc_id`` (same
+pattern as the multimodal ops synthesizing binaries) — the redaction
+expressions themselves are the real operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smartpipeline_spark import sources
+from smartpipeline_spark.functions import ext_query
+
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+URL_RE = "https?://[^ ]+"
+PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+# ---------------------------------------------------------------- split
+
+def assign_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    fractions: tuple[int, int] = (80, 10),
+) -> DataFrame:
+    """Deterministic, rerun-stable dataset split: bucket = first 8 hex
+    chars of md5(key) mod 100; (train, val) get ``fractions`` percent,
+    test the rest. Per-row and key-local — no shuffle, no sampling
+    state, and adding rows later never reassigns existing keys (the
+    property random splits lack). At 100 TB this is a free projection
+    fused into whatever scan feeds it."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    train_lt, val_width = fractions
+    split = (
+        F.when(bucket < train_lt, F.lit("train"))
+        .when(bucket < train_lt + val_width, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("bucket", bucket).withColumn("split", split)
+
+
+@ext_query(
+    "ext_split",
+    """SELECT doc_id,
+              ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
+              CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                   WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM documents""",
+)
+def ext_split(spark, sf_dir):
+    d = sources.table(spark, "documents", sf_dir)
+    return assign_split(d).select("doc_id", "bucket", "split")
+
+
+# --------------------------------------------------------------- redact
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails, URLs, and phone numbers from ``text_col`` into
+    ``clean``, recording per-kind match counts. One pass of chained
+    ``regexp_replace`` — whole-stage-codegen, embarrassingly parallel,
+    zero shuffle; the counts come from ``regexp_extract_all`` on the
+    same scan so nothing is read twice."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+            URL_RE,
+            "<URL>",
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return (
+        df.withColumn("n_email", F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), 0)))
+        .withColumn("n_url", F.size(F.regexp_extract_all(text_col, F.lit(URL_RE), 0)))
+        .withColumn("n_phone", F.size(F.regexp_extract_all(text_col, F.lit(PHONE_RE), 0)))
+        .withColumn("clean", clean)
+    )
+
+
+@ext_query(
+    "ext_redact",
+    r"""WITH e AS (
+          SELECT doc_id,
+                 concat(text, ' contact user', CAST(doc_id % 50 AS VARCHAR), '@mail',
+                        CAST(doc_id % 7 AS VARCHAR), '.example.com or visit https://site',
+                        CAST(doc_id % 9 AS VARCHAR), '.net/p/', CAST(doc_id AS VARCHAR),
+                        ' call +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS enriched
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(enriched, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+               len(regexp_extract_all(enriched, 'https?://[^ ]+')) AS n_url,
+               len(regexp_extract_all(enriched, '\+1-555-[0-9]{4}')) AS n_phone,
+               regexp_replace(regexp_replace(regexp_replace(enriched,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                   'https?://[^ ]+', '<URL>', 'g'),
+                   '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
+        FROM e""",
+)
+def ext_redact(spark, sf_dir):
+    """PII redaction over deterministically synthesized contact info
+    (the corpus itself is PII-free; synthesis is keyed on doc_id so the
+    oracle reproduces it exactly)."""
+    d = sources.table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), (did % 50).cast("string"),
+        F.lit("@mail"), (did % 7).cast("string"),
+        F.lit(".example.com or visit https://site"), (did % 9).cast("string"),
+        F.lit(".net/p/"), did.cast("string"),
+        F.lit(" call +1-555-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    return redact_pii(d.select("doc_id", enriched.alias("enriched")), "enriched").select(
+        "doc_id", "n_email", "n_url", "n_phone", "clean"
+    )
+
+
+# ---------------------------------------------------------- chunk dedup
+
+def dedup_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Keep-first repeated-passage removal: split each document into
+    consecutive ``chunk_words``-word chunks, fingerprint each chunk,
+    and mark the globally-first occurrence (lowest (doc, position)) of
+    every fingerprint as kept. Returns per-document
+    (n_chunks, n_kept, n_dup).
+
+    100 TB design: only (id, pos, 16-byte md5) rows ever shuffle —
+    chunk text dies at the map side. The keep-first winner is a
+    ``groupBy(hash).min(key)`` (partial-aggregated, map-side combine),
+    NOT a window over the hash partition — a window would shuffle and
+    sort every occurrence row; min() combines them early. Boilerplate
+    chunks (headers, empty strings) make hot hash keys: min() keeps
+    the combine cheap, and AQE skew-join handles the join-back side.
+    """
+    n = chunk_words
+    w = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("words"),
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, int(ceil(size(words)/{n}.0))-1), "
+        f"i -> array_join(slice(words, i*{n}+1, {n}), ' '))"
+    )
+    c = w.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    hs = c.select(
+        "doc_id",
+        "pos",
+        F.md5("chunk").alias("h"),
+        (F.col("doc_id") * 1000000 + F.col("pos")).alias("k"),
+    )
+    winners = hs.groupBy("h").agg(F.min("k").alias("k_min"))
+    kept = F.col("k") == F.col("k_min")
+    return (
+        hs.join(winners, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+        )
+        .withColumn("n_dup", F.col("n_chunks") - F.col("n_kept"))
+    )
+
+
+@ext_query(
+    "ext_chunk_dedup",
+    r"""WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        c AS (
+          SELECT doc_id,
+                 unnest(range(0, CAST(ceil(len(words)/10.0) AS BIGINT))) AS pos,
+                 words
+          FROM w),
+        hs AS (
+          SELECT doc_id, pos,
+                 md5(array_to_string(words[(pos*10+1):(pos*10+10)], ' ')) AS h,
+                 doc_id*1000000 + pos AS k
+          FROM c),
+        win AS (SELECT h, min(k) AS k_min FROM hs GROUP BY h)
+        SELECT doc_id,
+               COUNT(*) AS n_chunks,
+               COUNT(*) FILTER (WHERE k = k_min) AS n_kept,
+               COUNT(*) - COUNT(*) FILTER (WHERE k = k_min) AS n_dup
+        FROM hs JOIN win USING (h)
+        GROUP BY doc_id""",
+)
+def ext_chunk_dedup(spark, sf_dir):
+    d = sources.table(spark, "documents", sf_dir)
+    return dedup_chunks(d).select("doc_id", "n_chunks", "n_kept", "n_dup")

@@ -1,0 +1,110 @@
+"""Curation operators: hash split, PII redaction, chunk dedup.
+
+The driver-facing query twins (ext_split/ext_redact/ext_chunk_dedup)
+are DuckDB-oracled via scripts/check_oracles.py; these tests exercise
+the library API on constructed inputs where the expected answer is
+known exactly.
+"""
+
+from pyspark.sql import functions as F
+
+from smartpipeline_spark.functions.curation import (
+    assign_split,
+    dedup_chunks,
+    redact_pii,
+)
+
+from conftest import SF_SMOKE
+
+
+def test_assign_split_deterministic_and_stratified(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = assign_split(df).select("doc_id", "bucket", "split")
+    a = {r.doc_id: (r.bucket, r.split) for r in out.collect()}
+    b = {r.doc_id: (r.bucket, r.split) for r in assign_split(df).collect()}
+    assert a == b  # rerun-stable
+    # adding rows never reassigns existing keys
+    bigger = assign_split(spark.range(4000).withColumnRenamed("id", "doc_id"))
+    c = {r.doc_id: (r.bucket, r.split) for r in bigger.collect()}
+    assert all(c[k] == v for k, v in a.items())
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    n = sum(counts.values())
+    assert n == 2000
+    # md5 buckets are uniform-ish: 80/10/10 within a few points at n=2000
+    assert 0.75 < counts["train"] / n < 0.85
+    assert 0.06 < counts["val"] / n < 0.14
+    assert 0.06 < counts["test"] / n < 0.14
+
+
+def test_assign_split_custom_fractions(spark):
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    out = assign_split(df, fractions=(98, 1))
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert counts["train"] > 450
+    assert set(counts) <= {"train", "val", "test"}
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    rows = [
+        {"id": 1, "text": "mail a.b@x.io and c@y.org now"},
+        {"id": 2, "text": "see https://a.io/p?q=1 or http://b.co"},
+        {"id": 3, "text": "call +1-555-0199 twice +1-555-0200"},
+        {"id": 4, "text": "nothing sensitive here"},
+    ]
+    out = {
+        r.id: r
+        for r in redact_pii(spark.createDataFrame(rows), "text").collect()
+    }
+    assert out[1].n_email == 2 and "@" not in out[1].clean
+    assert out[1].clean == "mail <EMAIL> and <EMAIL> now"
+    assert out[2].n_url == 2 and "http" not in out[2].clean
+    assert out[3].n_phone == 2 and "555" not in out[3].clean
+    assert out[4].clean == "nothing sensitive here"
+    assert (out[4].n_email, out[4].n_url, out[4].n_phone) == (0, 0, 0)
+
+
+def test_dedup_chunks_keep_first_semantics(spark):
+    ten = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    other = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    rows = [
+        {"doc_id": 0, "text": f"{ten} {other}"},   # first owner of both
+        {"doc_id": 1, "text": f"{ten} {ten}"},     # all chunks seen at doc 0
+        {"doc_id": 2, "text": other},              # dup of doc 0's 2nd chunk
+        {"doc_id": 3, "text": "unique tail"},      # short doc -> 1 chunk
+    ]
+    out = {
+        r.doc_id: r
+        for r in dedup_chunks(spark.createDataFrame(rows)).collect()
+    }
+    assert (out[0].n_chunks, out[0].n_kept, out[0].n_dup) == (2, 2, 0)
+    assert (out[1].n_chunks, out[1].n_kept, out[1].n_dup) == (2, 0, 2)
+    assert (out[2].n_chunks, out[2].n_kept, out[2].n_dup) == (1, 0, 1)
+    assert (out[3].n_chunks, out[3].n_kept, out[3].n_dup) == (1, 1, 0)
+
+
+def test_dedup_chunks_invariants_on_corpus(spark):
+    from smartpipeline_spark import sources
+
+    d = sources.table(spark, "documents", SF_SMOKE)
+    out = dedup_chunks(d)
+    agg = out.agg(
+        F.sum("n_chunks").alias("chunks"),
+        F.sum("n_kept").alias("kept"),
+        F.min(F.col("n_kept") <= F.col("n_chunks")).alias("bounded"),
+    ).collect()[0]
+    assert agg.bounded is True
+    # kept == number of distinct chunk fingerprints in the corpus
+    n_distinct = (
+        d.select(
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, int(ceil(size(split(trim(text), '\\\\s+'))/10.0))-1), "
+                    "i -> array_join(slice(split(trim(text), '\\\\s+'), i*10+1, 10), ' '))"
+                )
+            ).alias("pos", "chunk")
+        )
+        .select("chunk")
+        .distinct()
+        .count()
+    )
+    assert agg.kept == n_distinct
