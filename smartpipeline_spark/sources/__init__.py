@@ -79,6 +79,13 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
         df.createOrReplaceTempView(name)
 
 
+def orc_source(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown/pruning properties as parquet (Spark's
+    native ORC reader supports predicate pushdown and column pruning),
+    for corpora that arrive ORC-formatted from Hive-era pipelines."""
+    return spark.read.orc(path)
+
+
 def text_lines(spark: SparkSession, path: str) -> DataFrame:
     """One row per line (reference ``FileIter``, examples/dump_es_ids.py:25)."""
     return spark.read.text(path)

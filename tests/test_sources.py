@@ -187,3 +187,25 @@ def test_register_views_sql_entry_point(spark):
     ]
     # the events view carries the normalized timestamp column
     assert dict(spark.table("events").dtypes)["ts"].startswith("timestamp")
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC sink + source: write through the Pipeline sink (fmt="orc"),
+    read back via sources.orc_source, and confirm predicate pushdown
+    reaches the ORC scan like it does for parquet."""
+    from smartpipeline_spark import Pipeline
+
+    nation = sources.table(spark, "nation", SF_SMOKE)
+    out = str(tmp_path / "nation_orc")
+    Pipeline(spark).set_source(nation).write(out, fmt="orc")
+    back = sources.orc_source(spark, out)
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)
+    plan = (
+        back.filter("n_regionkey = 2")
+        .select("n_name")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan
