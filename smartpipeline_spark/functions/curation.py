@@ -152,13 +152,20 @@ def dedup_chunks(
     (n_chunks, n_kept, n_dup).
 
     100 TB design: only (id, pos, 16-byte md5) rows ever shuffle —
-    chunk text dies at the map side. The keep-first winner is a
+    chunk text dies at the map side, and the hashed frame is persisted
+    so the corpus is scanned and regex-shingled ONCE (it feeds both the
+    winner aggregation and the join-back; without the persist Spark
+    re-derives it from two full scans). The keep-first winner is a
     ``groupBy(hash).min(key)`` (partial-aggregated, map-side combine),
-    NOT a window over the hash partition — a window would shuffle and
-    sort every occurrence row; min() combines them early. Boilerplate
-    chunks (headers, empty strings) make hot hash keys: min() keeps
-    the combine cheap, and AQE skew-join handles the join-back side.
+    NOT a ``row_number`` window over the hash partition: a window would
+    sort every occurrence of a hash inside one task, so one
+    boilerplate chunk repeated 10^9 times (headers, empty strings)
+    becomes one straggler task, while min() folds those occurrences
+    map-side before they ever concentrate; the join-back skew is the
+    kind AQE skew-join does split.
     """
+    from pyspark import StorageLevel
+
     n = chunk_words
     w = df.select(
         F.col(id_col).alias("doc_id"),
@@ -174,7 +181,7 @@ def dedup_chunks(
         "pos",
         F.md5("chunk").alias("h"),
         (F.col("doc_id") * 1000000 + F.col("pos")).alias("k"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     winners = hs.groupBy("h").agg(F.min("k").alias("k_min"))
     kept = F.col("k") == F.col("k_min")
     return (
