@@ -220,3 +220,55 @@ def dedup_chunks(
 def ext_chunk_dedup(spark, sf_dir):
     d = sources.table(spark, "documents", sf_dir)
     return dedup_chunks(d).select("doc_id", "n_chunks", "n_kept", "n_dup")
+
+
+# ------------------------------------------------------ dup clusters
+
+@ext_query(
+    "ext_dedup_clusters",
+    r"""WITH RECURSIVE
+          words AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+            FROM documents),
+          sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+            FROM words, LATERAL (
+              SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          common AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT d1, d2 FROM common
+            JOIN sizes sa ON sa.doc_id = d1
+            JOIN sizes sb ON sb.doc_id = d2
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.2),
+          edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                    UNION SELECT d2, d1 FROM pairs),
+          reach(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        SELECT src AS doc_id,
+               least(src, min(dst)) AS cluster_id,
+               src = least(src, min(dst)) AS keep
+        FROM reach GROUP BY src""",
+)
+def ext_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution: n-gram Jaccard pairs (the exact,
+    oracle-checked similarity join) folded into connected components;
+    cluster_id = min doc_id of the component, keep marks the one
+    canonical doc per cluster. The oracle reproduces the closure with
+    a recursive CTE — Spark runs min-label propagation instead
+    (recursion isn't a DataFrame primitive; the iterative form is the
+    scale path anyway)."""
+    from smartpipeline_spark.functions.dedup import connected_components, jaccard_pairs
+
+    d = sources.table(spark, "documents", sf_dir)
+    cc = connected_components(jaccard_pairs(d))
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("keep"),
+    )

@@ -378,3 +378,63 @@ def ext_dedup_embedding(spark, sf_dir):
             ),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve pairwise duplicate edges into clusters: returns
+    (id, cluster_id) for every node appearing in ``pairs``, where
+    cluster_id is the minimum node id of its connected component —
+    the step that turns a similarity join's output into a "keep one
+    document per group" decision.
+
+    Min-label propagation: each round every node adopts the smallest
+    label among itself and its neighbors; converged when no label
+    changes. Rounds needed = graph diameter, and near-dup graphs are
+    shallow (stars and short chains around a canonical doc), so this
+    terminates in a handful of rounds. Each round is one join + one
+    partial-aggregated groupBy on (id, 8-byte label) rows — no
+    document payloads. ``localCheckpoint`` truncates the plan each
+    round (iterative lineage otherwise doubles per iteration), and the
+    convergence check rides the SAME aggregation pass as the new
+    labels (max(changed) — no second join or count job). For
+    adversarially deep graphs (long chains), swap in the
+    large-star/small-star alternation of Kiveris et al., "Connected
+    Components in MapReduce and Beyond" (O(log n) rounds) — same
+    (id, label) dataflow, different neighbor rule.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    edges = edges.distinct().persist()
+    labels = edges.select("a").distinct().select(
+        F.col("a").alias("id"), F.col("a").alias("label")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iters):
+        neighbor = edges.join(labels, edges.b == labels.id).select(
+            F.col("a").alias("id"), F.col("label")
+        )
+        # fold own + neighbor labels; detect change in the same pass:
+        # tag self rows so min(own) is recoverable post-aggregation
+        own = labels.select("id", "label", F.lit(True).alias("self"))
+        nb = neighbor.select("id", "label", F.lit(False).alias("self"))
+        folded = (
+            own.union(nb)
+            .groupBy("id")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("self"), F.col("label"))).alias("old"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = folded.agg(
+            F.max(F.col("label") != F.col("old")).alias("any")
+        ).collect()[0]["any"]
+        labels = folded.select("id", "label")
+        if not changed:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))

@@ -108,3 +108,26 @@ def test_dedup_chunks_invariants_on_corpus(spark):
         .count()
     )
     assert agg.kept == n_distinct
+
+
+def test_connected_components_known_graph(spark):
+    from smartpipeline_spark.functions.dedup import connected_components
+
+    # components: {1,2,3,4} (chain), {10,11} (pair), {20,21,22} (star on 20)
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+        "d1 bigint, d2 bigint",
+    )
+    got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from smartpipeline_spark.functions.dedup import connected_components
+
+    # a 12-node path needs multiple propagation rounds end to end
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "d1 bigint, d2 bigint"
+    )
+    got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(12)}
