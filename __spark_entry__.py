@@ -46,7 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # at every run): q01 is a bare count(*) every other scan subsumes,
     # q37 is the UDTF authoring demo whose semantics q27 already covers
     # JVM-side.
-    demoted = {"q01_scan_count", "q37_udtf_sentences", "q38_tpch_q5"}
+    demoted = {"q01_scan_count", "q37_udtf_sentences", "q38_tpch_q5", "q39_stat_moments"}
     return dict(
         sorted(
             registry.items(),

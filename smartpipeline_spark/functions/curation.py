@@ -272,3 +272,75 @@ def ext_dedup_clusters(spark, sf_dir):
         "cluster_id",
         (F.col("id") == F.col("cluster_id")).alias("keep"),
     )
+
+
+# ------------------------------------------------------- bigram LM score
+
+def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-trained bigram language-model scoring (the perplexity
+    filter of CCNet/Gopher-style curation, self-trained here): unigram
+    and bigram counts over the whole corpus, then each document scored
+    by its mean add-one-smoothed bigram log-probability
+    ln((c(w1,w2)+1) / (c(w1)+V)). Low scores mark gibberish /
+    boilerplate outliers.
+
+    100 TB design: the exploded bigram frame persists and feeds all
+    three consumers (unigram counts, bigram counts, the scoring join)
+    — one scan, one regex split. Count tables are groupBy aggregations
+    (map-side combine); the scoring joins stay with AQE — a web-scale
+    bigram vocabulary is not broadcast-sized, but AQE broadcasts it
+    whenever it measures small. V rides in-plan as a 1-row broadcast
+    crossJoin (no driver-side count job, same pattern as TF-IDF).
+    """
+    from pyspark import StorageLevel
+
+    w = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("w"),
+    )
+    pairs = F.expr(
+        "CASE WHEN size(w) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(w)-1), i -> struct(w[i-1] AS w1, w[i] AS w2)) END"
+    )
+    words = (
+        w.select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", "bg.w1", "bg.w2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    uni = words.groupBy("w1").agg(F.count("*").alias("cu"))
+    bi = words.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    vocab = uni.agg(F.count("*").alias("vocab"))
+    logp = F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("vocab")))
+    return (
+        words.join(bi, ["w1", "w2"])
+        .join(uni, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.floor(F.avg(logp) * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+@ext_query(
+    "ext_lm_score",
+    r"""WITH words AS (
+          SELECT doc_id, i AS pos, w[i] AS w1, w[i+1] AS w2
+          FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                FROM documents),
+               LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-1, 0))) AS i) t),
+        uni AS (SELECT w1, COUNT(*) AS cu FROM words GROUP BY w1),
+        bi AS (SELECT w1, w2, COUNT(*) AS cb FROM words GROUP BY w1, w2),
+        v AS (SELECT COUNT(*) AS vocab FROM uni)
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               FLOOR(AVG(ln((cb + 1.0) / (cu + vocab))) * 10000.0 + 0.5) / 10000.0 AS avg_logprob
+        FROM words JOIN bi USING (w1, w2) JOIN uni USING (w1), v
+        GROUP BY doc_id""",
+)
+def ext_lm_score(spark, sf_dir):
+    d = sources.table(spark, "documents", sf_dir)
+    return bigram_lm_scores(d)

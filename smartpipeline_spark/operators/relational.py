@@ -70,6 +70,12 @@ def r2(col):
     return F.floor(col * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
 
 
+def r4(col):
+    """4-decimal twin of :func:`r2` for small-magnitude statistics
+    (correlations, variances of narrow columns)."""
+    return F.floor(col * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+
 def dsum2(col, dec: str = DEC4):
     """Exact decimal SUM of a per-row double, output as 2-dec double."""
     return r2(F.sum(col.cast(dec)).cast("double"))
@@ -1328,3 +1334,32 @@ def q38_tpch_q5(spark, sf_dir):
     )
     rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC8)
     return joined.groupBy("n_name").agg(r2(F.sum(rev).cast("double")).alias("revenue"))
+
+
+@query(
+    "q39_stat_moments",
+    """SELECT l_returnflag,
+              FLOOR(corr(l_quantity, l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS corr_qty_price,
+              FLOOR(covar_samp(l_quantity, l_extendedprice) * 100.0 + 0.5) / 100.0 AS covar_qp,
+              FLOOR(stddev_samp(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sd_price,
+              FLOOR(var_pop(l_quantity) * 10000.0 + 0.5) / 10000.0 AS var_qty,
+              FLOOR(regr_slope(l_extendedprice, l_quantity) * 10000.0 + 0.5) / 10000.0 AS slope
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q39_stat_moments(spark, sf_dir):
+    """Statistical-moment aggregation battery: corr / covariance /
+    stddev / variance / regression slope per group. All are built-in
+    declarative aggregates with map-side partial state (sum, sum-of-
+    squares, cross-moments), so the exchange carries one constant-size
+    state row per (partition x group) — identical scale profile to a
+    plain SUM at any corpus size. Rounded like every other double
+    aggregate here (relational.py header: fp sum-order drift)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.corr(q, p)).alias("corr_qty_price"),
+        r2(F.covar_samp(q, p)).alias("covar_qp"),
+        r2(F.stddev_samp(p)).alias("sd_price"),
+        r4(F.var_pop(q)).alias("var_qty"),
+        r4(F.regr_slope(p, q)).alias("slope"),
+    )

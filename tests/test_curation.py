@@ -131,3 +131,24 @@ def test_connected_components_long_chain_converges(spark):
     )
     got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == {i: 0 for i in range(12)}
+
+
+def test_bigram_lm_scores_orders_fluency(spark):
+    from smartpipeline_spark.functions.curation import bigram_lm_scores
+
+    # "a b" appears 3x in the corpus; "x q" once: doc 10 (common bigrams)
+    # must outscore doc 11 (one rare bigram)
+    rows = [
+        {"doc_id": 0, "text": "a b c"},
+        {"doc_id": 1, "text": "a b d"},
+        {"doc_id": 10, "text": "a b"},
+        {"doc_id": 11, "text": "x q"},
+    ]
+    out = {r.doc_id: r for r in bigram_lm_scores(spark.createDataFrame(rows)).collect()}
+    assert out[10].n_bigrams == 1 and out[11].n_bigrams == 1
+    assert out[10].avg_logprob > out[11].avg_logprob
+    # single-word doc produces no bigrams -> absent from output
+    one = bigram_lm_scores(
+        spark.createDataFrame([{"doc_id": 5, "text": "solo"}])
+    ).count()
+    assert one == 0
