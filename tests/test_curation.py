@@ -152,3 +152,38 @@ def test_bigram_lm_scores_orders_fluency(spark):
         spark.createDataFrame([{"doc_id": 5, "text": "solo"}])
     ).count()
     assert one == 0
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property check vs a pure-Python union-find on pseudo-random
+    graphs (fixed seeds — deterministic)."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n_nodes, n_edges = 30, 25
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        want = {x: find(x) for x in sorted(touched)}
+
+        from smartpipeline_spark.functions.dedup import connected_components
+
+        pairs = spark.createDataFrame(edges, "d1 bigint, d2 bigint")
+        got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+        assert got == want, f"seed {seed}"
