@@ -103,3 +103,32 @@ def test_asof_join_is_single_shuffle_no_join(spark, queries):
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 1, plan
     assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_split_is_pure_projection(spark, queries):
+    """assign_split must add zero shuffles — it's a per-row hash."""
+    plan = _plan(queries["ext_split"](spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
+    assert "* Project" in plan, plan  # '*' = inside whole-stage codegen
+
+
+def test_redact_is_pure_projection(spark, queries):
+    plan = _plan(queries["ext_redact"](spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
+
+
+def test_chunk_dedup_partial_aggregates_and_single_shingle_pass(spark, queries):
+    """Winner selection must be a partial-agg'd groupBy (map-side
+    combine) and the hashed frame must come from the persisted cache,
+    not a second parquet scan + regex pass."""
+    df = queries["ext_chunk_dedup"](spark, SF_SMOKE)
+    plan = _plan(df)
+    # keep-first via hash aggregate, not a sort-based window
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    # the persist makes BOTH consumers (winner agg + join-back) read the
+    # cached hashed frame instead of re-scanning + re-shingling parquet
+    # (explain re-renders the cached child plan under each
+    # InMemoryRelation, so counting "Scan parquet" overcounts)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    df.sparkSession.catalog.clearCache()
