@@ -1,12 +1,16 @@
 """End-to-end training-data curation pipeline — the north-star
-composition: raw documents -> exact dedup -> near-dup (MinHash+LSH)
-removal -> quality + language filters -> token accounting -> curated
-parquet, entirely as one lazy DataFrame program (single action at the
-write; every filter fuses into the scans).
+composition: raw documents -> exact dedup -> near-dup clustering
+(MinHash+LSH pairs resolved to one canonical doc per connected
+component) -> quality / language / LM-perplexity gates -> repeated-
+passage accounting -> PII redaction -> token accounting ->
+deterministic train/val/test split -> curated parquet. Everything
+except the cluster fixpoint is one lazy DataFrame program; the
+connected-components step runs its bounded label-propagation loop and
+feeds back in as an ordinary (doc_id, keep) frame.
 
 This is the shape a 100 TB pretraining-data job takes on this engine:
 each step is a column-algebra or bucketed-join operator from
-``functions/`` — no driver loops, no per-row Python.
+``functions/`` — no driver loops over rows, no per-row Python.
 
 Run: python examples/training_data_pipeline.py [sf_dir]
 """
@@ -19,7 +23,8 @@ from pyspark.sql import functions as F
 
 from smartpipeline_spark import get_spark, sources
 from smartpipeline_spark.functions import EXT_QUERIES
-from smartpipeline_spark.functions.dedup import JACCARD_THRESHOLD  # noqa: F401
+from smartpipeline_spark.functions.curation import assign_split, redact_pii
+from smartpipeline_spark.functions.dedup import connected_components
 
 
 def curate(spark, sf_dir: str):
@@ -31,33 +36,66 @@ def curate(spark, sf_dir: str):
         .select(F.col("keep_id").alias("doc_id"))
     )
 
-    # 2. near-dup removal: drop the higher doc_id of every verified
-    #    MinHash+LSH pair (candidates only ever came from band buckets)
-    near_dupes = (
-        EXT_QUERIES["ext_dedup_minhash"](spark, sf_dir)
-        .select(F.col("d2").alias("doc_id"))
-        .distinct()
+    # 2. near-dup removal, cluster-resolved: MinHash+LSH generates the
+    #    candidate pairs at scale (band buckets, never corpus²);
+    #    connected components folds overlapping pairs into groups and
+    #    keeps exactly ONE canonical doc (min id) per group — pairwise
+    #    dropping alone can orphan chains (a~b, b~c drops b and c but a
+    #    and c were never compared).
+    pairs = EXT_QUERIES["ext_dedup_minhash"](spark, sf_dir)
+    clusters = connected_components(pairs, "d1", "d2")
+    non_canonical = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
     )
 
-    # 3. quality + language gates (pure column algebra, fuse into scan)
+    # 3. quality + language + LM gates (column algebra, fuse into scan;
+    #    the bigram LM trains on the corpus itself in two aggregations)
     quality = EXT_QUERIES["ext_quality_score"](spark, sf_dir).select(
         "doc_id", "quality"
     )
     lang = EXT_QUERIES["ext_lang_id"](spark, sf_dir)
+    lm = EXT_QUERIES["ext_lm_score"](spark, sf_dir).select(
+        "doc_id", "avg_logprob"
+    )
 
-    # 4. token accounting for the data card
+    # 4. repeated-passage accounting (keep-first chunk dedup): docs that
+    #    are mostly chunks already seen elsewhere get dropped
+    chunks = EXT_QUERIES["ext_chunk_dedup"](spark, sf_dir).select(
+        "doc_id",
+        (F.col("n_kept") / F.greatest(F.col("n_chunks"), F.lit(1))).alias("novelty"),
+    )
+
+    # 5. token accounting for the data card
     tokens = EXT_QUERIES["ext_token_count"](spark, sf_dir).select(
         "doc_id", "n_ws_tokens"
     )
 
-    return (
+    curated = (
         docs.join(keep_exact, "doc_id", "left_semi")
-        .join(near_dupes, "doc_id", "left_anti")
+        .join(non_canonical, "doc_id", "left_anti")
         .join(quality, "doc_id")
         .join(lang, "doc_id")
+        .join(lm, "doc_id")
+        .join(chunks, "doc_id")
         .join(tokens, "doc_id")
-        .filter((F.col("quality") >= 0.7) & (F.col("pred_lang") == "en"))
-        .select("doc_id", "text", "pred_lang", "quality", "n_ws_tokens")
+        .filter(
+            (F.col("quality") >= 0.7)
+            & (F.col("pred_lang") == "en")
+            & (F.col("avg_logprob") > -8.0)  # gibberish floor
+            & (F.col("novelty") >= 0.2)      # mostly-duplicated-content floor
+        )
+    )
+
+    # 6. PII scrub + 7. deterministic split, both pure projections
+    return assign_split(redact_pii(curated, "text")).select(
+        "doc_id",
+        F.col("clean").alias("text"),
+        "pred_lang",
+        "quality",
+        "avg_logprob",
+        "novelty",
+        "n_ws_tokens",
+        "split",
     )
 
 

@@ -225,10 +225,11 @@ def test_multimodal_resize_and_frames_queries(spark):
 
 def test_training_data_curation_pipeline(spark):
     """The end-to-end curation composition (examples/
-    training_data_pipeline.py): exact dedup -> near-dup removal ->
-    quality/lang gates -> token accounting, one lazy plan. Survivors
-    must be unique, english, quality-gated, and never the dropped side
-    of a verified near-dup pair."""
+    training_data_pipeline.py): exact dedup -> cluster-resolved
+    near-dup removal -> quality/lang/LM gates -> chunk novelty ->
+    redaction -> split. Survivors must be unique, english,
+    quality-gated, split-assigned, and exactly one doc per near-dup
+    cluster survives its cluster."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -242,8 +243,15 @@ def test_training_data_curation_pipeline(spark):
     ids = [r["doc_id"] for r in curated]
     assert len(ids) == len(set(ids))
     assert all(r["pred_lang"] == "en" and r["quality"] >= 0.7 for r in curated)
+    assert all(r["split"] in ("train", "val", "test") for r in curated)
+    assert all(r["avg_logprob"] > -8.0 and r["novelty"] >= 0.2 for r in curated)
 
     from smartpipeline_spark.functions import EXT_QUERIES
+    from smartpipeline_spark.functions.dedup import connected_components
 
-    dropped = {r["d2"] for r in EXT_QUERIES["ext_dedup_minhash"](spark, SF_SMOKE).collect()}
-    assert not (set(ids) & dropped)
+    pairs = EXT_QUERIES["ext_dedup_minhash"](spark, SF_SMOKE)
+    clusters = connected_components(pairs, "d1", "d2").collect()
+    # every surviving member of a near-dup cluster is its canonical doc
+    for r in clusters:
+        if r["id"] in set(ids):
+            assert r["id"] == r["cluster_id"]
