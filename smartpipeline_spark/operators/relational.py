@@ -1363,3 +1363,105 @@ def q39_stat_moments(spark, sf_dir):
         r4(F.var_pop(q)).alias("var_qty"),
         r4(F.regr_slope(p, q)).alias("slope"),
     )
+
+
+@query(
+    "q40_variant",
+    """SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+              CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_dbl,
+              json_extract_string(props, '$.missing') IS NULL AS missing_is_null,
+              CAST(json_extract_string(props, '$.k') AS INT) >= 0 AS k_nonneg
+       FROM events""",
+)
+def q40_variant(spark, sf_dir):
+    """Spark 4 VARIANT battery: parse semi-structured JSON once into
+    the binary VARIANT encoding, then do typed path extraction
+    (variant_get) and safe extraction (try_variant_get -> NULL on path
+    miss instead of an error). VARIANT's win at 100 TB over re-parsing
+    JSON strings per expression: the parse happens once per row and
+    extraction is a binary-offset lookup, not a text scan — and unlike
+    a rigid from_json schema it keeps schema drift queryable. The
+    oracle computes identical OUTPUT values through DuckDB's json
+    functions; only values must agree, not the encoding."""
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "double").alias("k_dbl"),
+        F.try_variant_get(v, "$.missing", "string").isNull().alias("missing_is_null"),
+        (F.variant_get(v, "$.k", "int") >= 0).alias("k_nonneg"),
+    )
+
+
+@query(
+    "q41_gapfill",
+    """WITH hourly AS (
+         SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+         FROM events GROUP BY 1, 2),
+       b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+       spine AS (
+         SELECT et.event_type, u.h
+         FROM (SELECT DISTINCT event_type FROM hourly) et, b,
+              LATERAL (SELECT unnest(generate_series(b.h0, b.h1)) AS h) u),
+       j AS (
+         SELECT s.event_type, s.h, coalesce(n, 0) AS n_events, sv
+         FROM spine s LEFT JOIN hourly USING (event_type, h)),
+       g AS (
+         SELECT *, COUNT(sv) OVER (PARTITION BY event_type ORDER BY h
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+         FROM j)
+       SELECT event_type, h, n_events,
+              FLOOR(coalesce(MAX(sv) OVER (PARTITION BY event_type, grp), 0.0)
+                    * 100.0 + 0.5) / 100.0 AS sum_filled,
+              n_events = 0 AS is_gap
+       FROM g""",
+)
+def q41_gapfill(spark, sf_dir):
+    """Time-series gap-fill + carry-forward (the timescale/OLAP
+    resample operator the reference lacks): dense hourly spine per
+    event_type, missing buckets filled with 0 events and the running
+    sum carried forward. Forward-fill is the engine-portable
+    gaps-and-islands form — count(non-null) window assigns each gap
+    row to the island of the last real bucket, then one max() per
+    island — instead of last_value(IGNORE NULLS), which not every
+    engine (or oracle) treats identically.
+
+    At 100 TB: the spine is hours x types (tiny — time spans grow in
+    thousands, not billions), built in-plan from a 1-row min/max agg
+    (broadcast crossJoin, no driver round-trip); the real data only
+    pays the hourly pre-aggregation (partial-agg'd) and the windows
+    run over the SPINE-sized frame, not raw events."""
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.expr("unix_micros(ts) div 3600000000").alias("h"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC4)).cast("double").alias("sv"),
+        )
+    )
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = hourly.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    j = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).alias("n_events"), "sv"
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = j.withColumn("grp", F.count("sv").over(w_run))
+    w_isl = Window.partitionBy("event_type", "grp")
+    return g.select(
+        "event_type",
+        "h",
+        "n_events",
+        r2(F.coalesce(F.max("sv").over(w_isl), F.lit(0.0))).alias("sum_filled"),
+        (F.col("n_events") == 0).alias("is_gap"),
+    )
