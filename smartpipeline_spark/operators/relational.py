@@ -35,6 +35,7 @@ from __future__ import annotations
 import os
 from typing import Callable
 
+import pandas as pd  # resolves stringified type hints of pandas UDFs
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1464,4 +1465,42 @@ def q41_gapfill(spark, sf_dir):
         "n_events",
         r2(F.coalesce(F.max("sv").over(w_isl), F.lit(0.0))).alias("sum_filled"),
         (F.col("n_events") == 0).alias("is_gap"),
+    )
+
+
+@query(
+    "q42_udaf_geomean",
+    """SELECT l_returnflag,
+              FLOOR(exp(avg(ln(l_quantity))) * 10000.0 + 0.5) / 10000.0 AS geomean_qty,
+              COUNT(*) AS n
+       FROM lineitem WHERE l_quantity > 0 GROUP BY l_returnflag""",
+)
+def q42_udaf_geomean(spark, sf_dir):
+    """User-defined AGGREGATE surface (completes the UDF/UDAF/UDTF trio
+    of SURVEY §2.9): a grouped-agg pandas_udf computing the geometric
+    mean per group. Arrow ships each group's column to Python as one
+    numpy vector — vectorized, not per-row. Scale note: a grouped-agg
+    pandas UDF has NO partial aggregation (every raw row shuffles to
+    its group's task, unlike built-in aggregates); that is the real
+    cost of custom Python aggregation and exactly why the built-in
+    equivalent exp(avg(ln(x))) — which does combine map-side — is
+    preferred when expressible. The oracle uses that algebraic twin."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # Spark disallows mixing grouped-agg pandas UDFs with built-in
+    # aggregates in one agg(), so the count is a pandas UDAF too
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    return li.groupBy("l_returnflag").agg(
+        r4(geomean("l_quantity")).alias("geomean_qty"),
+        n_rows("l_quantity").alias("n"),
     )
