@@ -1504,3 +1504,88 @@ def q42_udaf_geomean(spark, sf_dir):
         r4(geomean("l_quantity")).alias("geomean_qty"),
         n_rows("l_quantity").alias("n"),
     )
+
+
+@query(
+    "q43_join_full_outer",
+    f"""SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+               c.c_acctbal AS acctbal,
+               o.n_orders,
+               o.total_f
+        FROM (SELECT c_custkey, c_acctbal FROM customer
+              WHERE c_acctbal > 7000) c
+        FULL OUTER JOIN (
+              SELECT o_custkey,
+                     COUNT(*) AS n_orders,
+                     {_sql_dsum2("o_totalprice")} AS total_f
+              FROM orders WHERE o_orderstatus = 'F'
+              GROUP BY o_custkey) o
+        ON c.c_custkey = o.o_custkey""",
+)
+def q43_join_full_outer(spark, sf_dir):
+    """FULL OUTER join completing the join-type battery (q04-q10 cover
+    inner/left/semi/anti/3-way/range): high-balance customers ⟗
+    per-customer finished-order aggregates, so unmatched rows survive
+    on BOTH sides (rich customers with no finished orders, finished
+    buyers below the balance cut). Both inputs pre-reduce before the
+    join — the aggregate side shrinks to one row per customer — and a
+    full outer cannot broadcast, so sort-merge on the key is the right
+    plan at any scale. Reference has no joins at all (SURVEY §2.11);
+    this is declared-inventory surface."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7000)
+        .select("c_custkey", F.col("c_acctbal").alias("acctbal"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum2(F.col("o_totalprice")).alias("total_f"),
+        )
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "acctbal",
+        "n_orders",
+        "total_f",
+    )
+
+
+@query(
+    "q44_having_in",
+    """SELECT c.c_name, o.o_orderkey, o.o_totalprice, big.sum_qty
+       FROM orders o
+       JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING SUM(l_quantity) > 150) big
+         ON o.o_orderkey = big.l_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey""",
+)
+def q44_having_in(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders): HAVING over a full
+    fact-table aggregate, then join the survivors back to orders and
+    customers. Scale shape: the lineitem groupBy is the one big
+    shuffle and it map-side-combines to one row per order BEFORE the
+    exchange; the HAVING filter then cuts ~80% of groups, so the two
+    downstream joins move only the large-order slice. Neither join is
+    force-broadcast — orders and customer are fact-sized at SF100k,
+    so the hash-partitioned join is correct and AQE may still
+    broadcast the post-filter side when it measures small. SUM of
+    integral doubles is order-insensitive (exact in IEEE up to 2^53),
+    so no decimal detour is needed."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
