@@ -344,3 +344,102 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 def ext_lm_score(spark, sf_dir):
     d = sources.table(spark, "documents", sf_dir)
     return bigram_lm_scores(d)
+
+
+# ------------------------------------------------- stratified sampling
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic language-balanced downsampling: every stratum is
+    thinned to (approximately) the size of the SMALLEST stratum, using
+    the same rerun-stable md5-bucket trick as :func:`assign_split` —
+    so re-ingesting the corpus keeps exactly the same documents, and
+    appending new rows never resamples old ones.
+
+    Scale shape: the per-stratum rates come from a count aggregate
+    whose output is one row per stratum (dozens of rows at any corpus
+    size) crossed with a 1-row global MIN — both stay in-plan, no
+    driver collect. The rates table then BROADCASTS back onto the
+    corpus and the keep-decision is a codegen'd filter on a 16-byte
+    hash: the fact table itself is never shuffled. Contrast
+    ``df.sampleBy``, which needs driver-side fractions and is not
+    rerun-stable."""
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n"))
+    target = counts.agg(F.min("n").alias("min_n"))
+    thresholds = counts.crossJoin(F.broadcast(target)).select(
+        stratum_col,
+        F.floor(F.lit(10000.0) * F.col("min_n") / F.col("n"))
+        .cast("bigint")
+        .alias("keep_lt"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10000
+    )
+    return (
+        df.join(F.broadcast(thresholds), stratum_col)
+        .filter(bucket < F.col("keep_lt"))
+    )
+
+
+@ext_query(
+    "ext_stratified_sample",
+    """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         target AS (SELECT MIN(n) AS min_n FROM counts),
+         th AS (SELECT lang,
+                       CAST(FLOOR(10000.0 * min_n / n) AS BIGINT) AS keep_lt
+                FROM counts, target)
+       SELECT d.doc_id, d.lang
+       FROM documents d JOIN th ON d.lang = th.lang
+       WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 10000 < th.keep_lt""",
+)
+def ext_stratified_sample(spark, sf_dir):
+    d = sources.table(spark, "documents", sf_dir)
+    return stratified_sample(d).select("doc_id", "lang")
+
+
+# ------------------------------------------------ quantile quality gate
+
+def quality_gate(
+    df: DataFrame,
+    metric_col: str = "n_chars",
+    stratum_col: str = "lang",
+    quantile: float = 0.5,
+) -> DataFrame:
+    """Per-stratum quantile gate: keep documents whose ``metric_col``
+    is at or above the stratum's ``quantile`` (the Gopher/C4-style
+    "drop the bottom half by quality" filter).
+
+    Deliberately NOT a ``Window.partitionBy(stratum)`` percent_rank:
+    at corpus scale a per-language window means sorting half the
+    corpus inside one partition (``en`` is routinely >50% of web
+    text — maximal skew). Instead the threshold is a constant-size
+    percentile aggregate (one row per stratum, map-side partial
+    state) broadcast back as a filter — the corpus is scanned twice
+    but never sorted and never shuffled."""
+    th = df.groupBy(stratum_col).agg(
+        F.percentile(metric_col, quantile).alias("gate")
+    )
+    return df.join(F.broadcast(th), stratum_col).filter(
+        F.col(metric_col) >= F.col("gate")
+    )
+
+
+@ext_query(
+    "ext_quality_gate",
+    """WITH th AS (SELECT lang, quantile_cont(n_chars, 0.5) AS gate
+                   FROM documents GROUP BY lang)
+       SELECT d.doc_id, d.lang, d.n_chars, th.gate
+       FROM documents d JOIN th ON d.lang = th.lang
+       WHERE d.n_chars >= th.gate""",
+)
+def ext_quality_gate(spark, sf_dir):
+    """Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    same linear-interpolation definition — verified bit-identical on
+    this corpus, so the gate value itself is part of the oracle."""
+    d = sources.table(spark, "documents", sf_dir)
+    return quality_gate(d).select("doc_id", "lang", "n_chars", "gate")

@@ -240,3 +240,38 @@ def ext_lang_id(spark, sf_dir):
         .otherwise(F.lit("zh"))
     )
     return d.select("doc_id", pred.alias("pred_lang"))
+
+
+@ext_query(
+    "ext_ngram_stats",
+    """WITH words AS (
+         SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+         FROM documents),
+       bg AS (
+         SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS bigram
+         FROM words, LATERAL (
+           SELECT unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i) t)
+       SELECT bigram, COUNT(*) AS df
+       FROM bg GROUP BY bigram
+       ORDER BY df DESC, bigram LIMIT 20""",
+)
+def ext_ngram_stats(spark, sf_dir):
+    """Corpus bigram document-frequency table (top 20): the building
+    block for n-gram LMs, contamination checks, and boilerplate
+    detection. Reuses the dedup module's row-local shingler (one
+    regex split per row, no per-shingle re-split), so the exchange
+    carries (bigram, doc_id) pairs already deduped per document;
+    the groupBy count is partial-agg friendly and the top-20 compiles
+    to TakeOrderedAndProject (no global sort materialization). The
+    ORDER BY carries the bigram as tiebreak so the top-20 boundary is
+    deterministic in both engines."""
+    from smartpipeline_spark.functions.dedup import word_shingles
+
+    d = sources.table(spark, "documents", sf_dir)
+    return (
+        word_shingles(d, 2)
+        .groupBy(F.col("sh").alias("bigram"))
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("bigram"))
+        .limit(20)
+    )

@@ -187,3 +187,44 @@ def test_connected_components_matches_union_find(spark):
         pairs = spark.createDataFrame(edges, "d1 bigint, d2 bigint")
         got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
         assert got == want, f"seed {seed}"
+
+
+def test_stratified_sample_balances_and_is_rerun_stable(spark):
+    from smartpipeline_spark.functions.curation import stratified_sample
+
+    df = spark.createDataFrame(
+        [{"doc_id": i, "lang": "en" if i % 10 < 8 else ("de" if i % 2 == 0 else "fr")}
+         for i in range(3000)]
+    )
+    kept = stratified_sample(df).select("doc_id", "lang")
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(r.doc_id for r in stratified_sample(df).select("doc_id").collect())
+    assert a == b  # rerun-stable
+    counts = {r.lang: r["count"] for r in kept.groupBy("lang").count().collect()}
+    mins = min(
+        r["count"] for r in df.groupBy("lang").count().collect()
+    )
+    # every stratum thinned to ~min stratum size (md5 buckets are
+    # uniform, not exact — allow 25% slack at n=3000)
+    for lang, n in counts.items():
+        assert n <= mins * 1.25, (lang, n, mins)
+        assert n >= mins * 0.6, (lang, n, mins)
+    # smallest stratum keeps (nearly) everything: keep_lt = 10000
+    assert counts["de"] >= mins * 0.95
+
+
+def test_quality_gate_keeps_top_half_per_stratum(spark):
+    from smartpipeline_spark.functions.curation import quality_gate
+
+    df = spark.createDataFrame(
+        [{"doc_id": i, "lang": "en" if i % 2 == 0 else "de", "n_chars": (i * 37) % 1000}
+         for i in range(1000)]
+    )
+    kept = quality_gate(df, metric_col="n_chars", stratum_col="lang")
+    rows = kept.collect()
+    assert all(r.n_chars >= r.gate for r in rows)
+    n_by = {r.lang: r["count"] for r in kept.groupBy("lang").count().collect()}
+    tot = {r.lang: r["count"] for r in df.groupBy("lang").count().collect()}
+    for lang in tot:
+        frac = n_by[lang] / tot[lang]
+        assert 0.45 <= frac <= 0.55, (lang, frac)
