@@ -1589,3 +1589,40 @@ def q44_having_in(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)
         .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
     )
+
+
+@query(
+    "q45_unpivot",
+    f"""WITH w AS (
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS n_open,
+                 CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS n_finished,
+                 {_sql_dsum2("o_totalprice")} AS total_price
+          FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, 'n_open' AS metric, n_open AS value FROM w
+        UNION ALL
+        SELECT o_orderpriority, 'n_finished' AS metric, n_finished AS value FROM w
+        UNION ALL
+        SELECT o_orderpriority, 'total_price' AS metric, total_price AS value FROM w""",
+)
+def q45_unpivot(spark, sf_dir):
+    """Unpivot/melt — the inverse of q32's pivot: a wide per-priority
+    aggregate melts to (priority, metric, value) triples with the
+    built-in ``DataFrame.unpivot`` (Spark's UNPIVOT/stack, one
+    codegen'd projection — each input row expands to K output rows
+    with no shuffle and no UNION re-scan; the oracle spells it as
+    UNION ALL only because that is the dialect-portable phrasing).
+    Value columns must share one type, so counts cast to double up
+    front — same contract as SQL UNPIVOT."""
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).cast("double").alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).cast("double").alias("n_finished"),
+        dsum2(F.col("o_totalprice")).alias("total_price"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_open", "n_finished", "total_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -266,3 +266,39 @@ def continuous_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stateful_user_counts_tws(df: DataFrame, key: str = "user_id") -> DataFrame:
+    """Per-key running counts on the Spark-4 ``transformWithStateInPandas``
+    API — the successor to ``applyInPandasWithState`` above, kept side
+    by side because the two APIs differ operationally at scale:
+    transformWithState runs on the RocksDB state store (state spills
+    to local disk instead of capping at executor heap), supports
+    multiple named state variables, TTL, and timers per key. For a
+    100 TB ingest with hundreds of millions of live keys, this is the
+    one to use; the applyInPandasWithState twin remains the
+    compatibility path. Runtime dependency: the TWS wire protocol
+    needs the ``protobuf`` package on driver and executors."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n bigint")
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            yield pd.DataFrame({key: [key_tuple[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=RunningCount(),
+        outputStructType=f"{key} bigint, n_events bigint",
+        outputMode="Update",
+        timeMode="None",
+    )

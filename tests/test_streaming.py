@@ -236,3 +236,46 @@ def test_continuous_rollup_matches_batch(spark, events_stream_dir, tmp_path):
         .collect()
     }
     assert got == expected and expected
+
+
+def test_transform_with_state_matches_batch_counts(spark, events_stream_dir, tmp_path):
+    """Spark-4 transformWithStateInPandas twin of the stateful-count
+    test: same semantics, RocksDB-backed state store. The TWS protocol
+    speaks protobuf between JVM and the Python state server, so the
+    test skips where protobuf isn't installed (this container) — the
+    applyInPandasWithState twin above covers the semantics there."""
+    pytest.importorskip("google.protobuf")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = streaming.stream_events_dir(spark, events_stream_dir, max_files_per_trigger=1)
+        counted = streaming.stateful_user_counts_tws(stream)
+        rows = []
+        q = streaming.start_foreach_batch(
+            counted,
+            lambda df, bid: rows.extend((bid, r["user_id"], r["n_events"]) for r in df.collect()),
+            checkpoint=str(tmp_path / "ckpt_tws"),
+            available_now=True,
+            output_mode="update",
+        )
+        _drain(q)
+        assert len({b for b, _, _ in rows}) > 1, "state must span micro-batches"
+        final = {}
+        for _, uid, n in rows:
+            final[uid] = max(n, final.get(uid, 0))
+        want = {
+            r["user_id"]: r["cnt"]
+            for r in sources.table(spark, "events", SF_SMOKE)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        assert final == want
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
