@@ -438,3 +438,59 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+# ----------------------------------------------------- blocked fuzzy match
+
+def fuzzy_pairs(
+    df: DataFrame,
+    col: str,
+    block_re: str = "([a-z]+)$",
+    min_dist: int = 1,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Blocked fuzzy string matching (entity resolution): candidate
+    pairs within a block whose Levenshtein distance falls in
+    [min_dist, max_dist]. The classic record-linkage shape:
+
+    1. ``distinct()`` first — fuzzy matching operates on the
+       VOCABULARY, not the corpus, so a 100 TB table collapses to its
+       distinct strings before any pairing (one small shuffle).
+    2. Block on a cheap key (default: trailing word) so the self-join
+       is quadratic only within a block, never across the vocabulary.
+       Block-size skew is the risk to watch — a degenerate block
+       ("inc", "ltd") re-creates the cross product, so production
+       runs should cap or sub-block hot keys.
+    3. ``F.levenshtein`` runs JVM-side inside codegen — no Python.
+
+    min_dist=1 excludes identical strings (those are exact-dedup's
+    job, ext_dedup_exact)."""
+    vocab = df.select(F.col(col).alias("name")).distinct()
+    b = vocab.withColumn("blk", F.regexp_extract("name", block_re, 1))
+    a, c = b.alias("a"), b.alias("c")
+    dist = F.levenshtein(F.col("a.name"), F.col("c.name"))
+    return (
+        a.join(c, (F.col("a.blk") == F.col("c.blk")) & (F.col("a.name") < F.col("c.name")))
+        .filter(dist.between(min_dist, max_dist))
+        .select(
+            F.col("a.name").alias("n1"),
+            F.col("c.name").alias("n2"),
+            dist.alias("dist"),
+        )
+    )
+
+
+@ext_query(
+    "ext_fuzzy_match",
+    """WITH p AS (SELECT DISTINCT p_name FROM part),
+         b AS (SELECT p_name,
+                      regexp_extract(p_name, '([a-z]+)$', 1) AS blk
+               FROM p)
+       SELECT a.p_name AS n1, c.p_name AS n2,
+              levenshtein(a.p_name, c.p_name) AS dist
+       FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+       WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 3""",
+)
+def ext_fuzzy_match(spark, sf_dir):
+    p = sources.table(spark, "part", sf_dir)
+    return fuzzy_pairs(p, "p_name")

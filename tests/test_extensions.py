@@ -255,3 +255,25 @@ def test_training_data_curation_pipeline(spark):
     for r in clusters:
         if r["id"] in set(ids):
             assert r["id"] == r["cluster_id"]
+
+
+def test_fuzzy_pairs_blocked_levenshtein(spark):
+    from smartpipeline_spark.functions.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [{"name": n} for n in
+         ["red bolt", "blue bolt", "red bolt", "grey bolt",
+          "small gear", "smol gear", "ring"]]
+    )
+    got = {(r.n1, r.n2, r.dist) for r in fuzzy_pairs(df, "name").collect()}
+    # identical strings excluded (min_dist=1); cross-block pairs never
+    # compared ("ring" matches nothing; bolt never vs gear)
+    assert ("grey bolt", "red bolt", 2) in got
+    assert ("small gear", "smol gear", 2) in got
+    # blue/red bolt are distance 4 — outside the default cap, inside a wider one
+    assert not any({a, b} == {"blue bolt", "red bolt"} for a, b, _ in got)
+    wider = {(r.n1, r.n2, r.dist) for r in fuzzy_pairs(df, "name", max_dist=4).collect()}
+    assert ("blue bolt", "red bolt", 4) in wider
+    assert all(d >= 1 for _, _, d in got)
+    assert not any("ring" in (a, b) for a, b, _ in got)
+    assert not any(("gear" in a) != ("gear" in b) for a, b, _ in got)
