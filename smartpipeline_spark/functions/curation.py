@@ -443,3 +443,153 @@ def ext_quality_gate(spark, sf_dir):
     this corpus, so the gate value itself is part of the oracle."""
     d = sources.table(spark, "documents", sf_dir)
     return quality_gate(d).select("doc_id", "lang", "n_chars", "gate")
+
+
+# ----------------------------------------------- benchmark decontamination
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+) -> DataFrame:
+    """Train/test contamination check (the GPT-3-appendix /
+    decontamination step every serious pretraining run performs):
+    flag corpus documents sharing at least one word ``n``-gram with a
+    benchmark document. Returns per-contaminated-doc evidence —
+    distinct shared shingles and how many benchmark docs they hit.
+
+    Scale shape: benchmarks are megabytes while the corpus is
+    terabytes, so the benchmark's shingle set is the BROADCAST side
+    and the corpus shingle stream is filtered in the map stage — the
+    corpus is never shuffled to find matches; the only exchange is
+    the final per-doc aggregate of hits (tiny: contaminated docs
+    only). The shingler reuses dedup's row-local expression (one
+    regex split per row)."""
+    from smartpipeline_spark.functions.dedup import word_shingles
+
+    corpus_sh = word_shingles(corpus, n)
+    bench_sh = word_shingles(benchmark, n).select(
+        F.col("doc_id").alias("bench_id"), "sh"
+    )
+    hits = corpus_sh.join(F.broadcast(bench_sh), "sh")
+    return hits.groupBy("doc_id").agg(
+        F.count_distinct("sh").alias("n_shared_shingles"),
+        F.count_distinct("bench_id").alias("n_bench_docs"),
+    )
+
+
+@ext_query(
+    "ext_contamination",
+    r"""WITH split AS (
+          SELECT doc_id, text,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+          FROM documents),
+        words AS (
+          SELECT doc_id, bucket, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM split),
+        sh AS (
+          SELECT DISTINCT doc_id, bucket,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+          FROM words, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i) t),
+        hits AS (
+          SELECT tr.doc_id, tr.s, te.doc_id AS bench_id
+          FROM sh tr JOIN sh te ON tr.s = te.s
+          WHERE tr.bucket < 90 AND te.bucket >= 90)
+       SELECT doc_id,
+              COUNT(DISTINCT s) AS n_shared_shingles,
+              COUNT(DISTINCT bench_id) AS n_bench_docs
+       FROM hits GROUP BY doc_id""",
+)
+def ext_contamination(spark, sf_dir):
+    """Self-contained driver query: the md5-bucket 'test' split plays
+    the benchmark, train plays the corpus — the same deterministic
+    split recipe as ext_split, so the oracle reproduces membership
+    exactly."""
+    d = sources.table(spark, "documents", sf_dir)
+    s = assign_split(d)
+    train = s.filter(F.col("split") != "test").select("doc_id", "text")
+    test = s.filter(F.col("split") == "test").select("doc_id", "text")
+    return contamination_report(train, test, n=5)
+
+
+# ------------------------------------------------- repetition filtering
+
+def repetition_metrics(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition metrics over ``text``:
+
+    * ``dup3_frac`` — fraction of word 3-grams that are repeats of an
+      earlier 3-gram in the same document (1 - distinct/total), the
+      classic boilerplate/spam signal;
+    * ``top_word_frac`` — share of the document occupied by its single
+      most frequent word;
+    * ``keep`` — the combined gate (dup3_frac ≤ 0.5 AND
+      top_word_frac ≤ 0.2).
+
+    The 3-gram metrics are ROW-LOCAL (the dedup module's one-split
+    shingle expression; no explode, no shuffle). The top-word count
+    is the one distributed piece: an explode + two partial-agg
+    friendly aggregations keyed by doc — at corpus scale this is a
+    word-count, the cheapest shuffle Spark knows. A per-row HOF
+    max-count would avoid the shuffle but is O(words²) per document
+    interpreted — wrong trade at any scale."""
+    from smartpipeline_spark.functions.dedup import shingle_array_expr
+
+    words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    base = df.select(
+        id_col,
+        F.greatest(F.size(words) - 2, F.lit(0)).alias("n3_total"),
+        F.size(shingle_array_expr(3)).alias("n3_distinct"),
+    )
+    tf = (
+        df.select(id_col, F.explode(words).alias("word"))
+        .groupBy(id_col, "word")
+        .count()
+    )
+    top = tf.groupBy(id_col).agg(
+        F.max("count").alias("max_c"), F.sum("count").alias("nw")
+    )
+    dup3 = F.when(F.col("n3_total") == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.col("n3_distinct") / F.col("n3_total")
+    )
+    topf = F.col("max_c") / F.col("nw")
+    r4 = lambda c: F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+    return base.join(top, id_col).select(
+        id_col,
+        r4(dup3).alias("dup3_frac"),
+        r4(topf).alias("top_word_frac"),
+        ((dup3 <= 0.5) & (topf <= 0.2)).alias("keep"),
+    )
+
+
+@ext_query(
+    "ext_repetition",
+    r"""WITH words AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        base AS (
+          SELECT doc_id,
+                 greatest(len(w) - 2, 0) AS n3_total,
+                 len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in generate_series(1, greatest(len(w) - 2, 0))])) AS n3_distinct
+          FROM words),
+        tf AS (
+          SELECT doc_id, word, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(w) AS word FROM words)
+          GROUP BY doc_id, word),
+        top AS (SELECT doc_id, MAX(c) AS max_c, SUM(c) AS nw FROM tf GROUP BY doc_id),
+        m AS (
+          SELECT b.doc_id,
+                 CASE WHEN b.n3_total = 0 THEN 0.0
+                      ELSE 1.0 - b.n3_distinct * 1.0 / b.n3_total END AS dup3,
+                 t.max_c * 1.0 / t.nw AS topf
+          FROM base b JOIN top t ON b.doc_id = t.doc_id)
+       SELECT doc_id,
+              FLOOR(dup3 * 10000.0 + 0.5) / 10000.0 AS dup3_frac,
+              FLOOR(topf * 10000.0 + 0.5) / 10000.0 AS top_word_frac,
+              (dup3 <= 0.5 AND topf <= 0.2) AS keep
+       FROM m""",
+)
+def ext_repetition(spark, sf_dir):
+    d = sources.table(spark, "documents", sf_dir)
+    return repetition_metrics(d)

@@ -228,3 +228,37 @@ def test_quality_gate_keeps_top_half_per_stratum(spark):
     for lang in tot:
         frac = n_by[lang] / tot[lang]
         assert 0.45 <= frac <= 0.55, (lang, frac)
+
+
+def test_contamination_report_flags_overlap_only(spark):
+    from smartpipeline_spark.functions.curation import contamination_report
+
+    corpus = spark.createDataFrame([
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 2, "text": "completely unrelated sentence with different words entirely here"},
+        {"doc_id": 3, "text": "another copy the quick brown fox jumps over again"},
+    ])
+    bench = spark.createDataFrame([
+        {"doc_id": 100, "text": "quiz answer the quick brown fox jumps over everything"},
+    ])
+    rows = {r.doc_id: (r.n_shared_shingles, r.n_bench_docs)
+            for r in contamination_report(corpus, bench, n=5).collect()}
+    assert set(rows) == {1, 3}  # doc 2 shares no 5-gram
+    assert rows[1][1] == 1 and rows[3][1] == 1
+    assert rows[1][0] >= 2  # "the quick brown fox jumps" + "quick brown fox jumps over"
+
+
+def test_repetition_metrics_gates_spam(spark):
+    from smartpipeline_spark.functions.curation import repetition_metrics
+
+    spam = " ".join(["buy now"] * 30)            # one 3-gram pattern repeated
+    clean = "a decent document with mostly distinct words and varied phrasing throughout"
+    df = spark.createDataFrame([
+        {"doc_id": 1, "text": spam},
+        {"doc_id": 2, "text": clean},
+        {"doc_id": 3, "text": ""},
+    ])
+    m = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    assert m[1].dup3_frac > 0.9 and m[1].top_word_frac >= 0.5 and not m[1].keep
+    assert m[2].dup3_frac == 0.0 and m[2].keep
+    assert m[3].dup3_frac == 0.0  # empty doc: no 3-grams, no crash
