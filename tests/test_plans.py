@@ -132,3 +132,40 @@ def test_chunk_dedup_partial_aggregates_and_single_shingle_pass(spark, queries):
     # InMemoryRelation, so counting "Scan parquet" overcounts)
     assert plan.count("InMemoryTableScan") >= 2, plan
     df.sparkSession.catalog.clearCache()
+
+
+def test_stratified_sample_broadcasts_rates_no_fact_shuffle(spark, queries):
+    """The per-stratum rate table must come back as a broadcast join;
+    the corpus side must not be exchanged for the join (the only
+    exchanges belong to the tiny counts aggregate)."""
+    plan = _plan(queries["ext_stratified_sample"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    # no sort-merge join anywhere: the corpus is never co-partitioned
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_quality_gate_broadcasts_threshold(spark, queries):
+    plan = _plan(queries["ext_quality_gate"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # no window operator: the gate is an aggregate, not a per-stratum sort
+    assert "Window" not in plan, plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark, queries):
+    plan = _plan(queries["ext_contamination"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_fuzzy_match_blocks_before_pairing(spark, queries):
+    """The self-join must be an equi-join on the block key — a
+    Levenshtein-only predicate would be a cartesian product."""
+    plan = _plan(queries["ext_fuzzy_match"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ngram_stats_topk_no_global_sort(spark, queries):
+    plan = _plan(queries["ext_ngram_stats"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
