@@ -1,9 +1,12 @@
 """End-to-end training-data curation pipeline — the north-star
 composition: raw documents -> exact dedup -> near-dup clustering
 (MinHash+LSH pairs resolved to one canonical doc per connected
-component) -> quality / language / LM-perplexity gates -> repeated-
-passage accounting -> PII redaction -> token accounting ->
-deterministic train/val/test split -> curated parquet. Everything
+component) -> quality / language / LM-perplexity / repetition gates ->
+repeated-passage accounting -> benchmark decontamination -> PII
+redaction -> token accounting -> deterministic train/val/test split ->
+curated parquet. (For multilingual runs, swap the en-only gate for
+``stratified_sample`` / ``quality_gate`` — same broadcast-filter
+shapes, no new shuffles.) Everything
 except the cluster fixpoint is one lazy DataFrame program; the
 connected-components step runs its bounded label-propagation loop and
 feeds back in as an ordinary (doc_id, keep) frame.
@@ -23,7 +26,12 @@ from pyspark.sql import functions as F
 
 from smartpipeline_spark import get_spark, sources
 from smartpipeline_spark.functions import EXT_QUERIES
-from smartpipeline_spark.functions.curation import assign_split, redact_pii
+from smartpipeline_spark.functions.curation import (
+    assign_split,
+    contamination_report,
+    redact_pii,
+    repetition_metrics,
+)
 from smartpipeline_spark.functions.dedup import connected_components
 
 
@@ -65,28 +73,40 @@ def curate(spark, sf_dir: str):
         (F.col("n_kept") / F.greatest(F.col("n_chunks"), F.lit(1))).alias("novelty"),
     )
 
-    # 5. token accounting for the data card
+    # 5. within-document repetition gate (Gopher dup-3gram + top-word)
+    rep = repetition_metrics(docs).select("doc_id", F.col("keep").alias("rep_ok"))
+
+    # 6. token accounting for the data card
     tokens = EXT_QUERIES["ext_token_count"](spark, sf_dir).select(
         "doc_id", "n_ws_tokens"
     )
 
+    # 7. benchmark decontamination: any doc sharing a 5-gram with the
+    #    held-out eval set is dropped from training data (the eval set
+    #    is MBs — its shingles broadcast; the corpus never shuffles)
+    bench = assign_split(docs).filter(F.col("split") == "test").select("doc_id", "text")
+    contaminated = contamination_report(docs, bench, n=5).select("doc_id")
+
     curated = (
         docs.join(keep_exact, "doc_id", "left_semi")
         .join(non_canonical, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
         .join(quality, "doc_id")
         .join(lang, "doc_id")
         .join(lm, "doc_id")
         .join(chunks, "doc_id")
+        .join(rep, "doc_id")
         .join(tokens, "doc_id")
         .filter(
             (F.col("quality") >= 0.7)
             & (F.col("pred_lang") == "en")
             & (F.col("avg_logprob") > -8.0)  # gibberish floor
             & (F.col("novelty") >= 0.2)      # mostly-duplicated-content floor
+            & F.col("rep_ok")                # boilerplate/spam repetition gate
         )
     )
 
-    # 6. PII scrub + 7. deterministic split, both pure projections
+    # 8. PII scrub + 9. deterministic split, both pure projections
     return assign_split(redact_pii(curated, "text")).select(
         "doc_id",
         F.col("clean").alias("text"),
