@@ -1626,3 +1626,41 @@ def q45_unpivot(spark, sf_dir):
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "q46_recursive_cte",
+    """WITH RECURSIVE d AS (
+         SELECT CAST(0 AS BIGINT) AS k, 0 AS depth
+         UNION ALL
+         SELECT c.c_custkey, d.depth + 1
+         FROM customer c JOIN d ON (c.c_custkey - 1) // 2 = d.k
+         WHERE c.c_custkey > 0)
+       SELECT depth, COUNT(*) AS n, MIN(k) AS first_k, MAX(k) AS last_k
+       FROM d GROUP BY depth""",
+)
+def q46_recursive_cte(spark, sf_dir):
+    """Recursive CTE (Spark 4 WITH RECURSIVE): per-level rollup of a
+    synthetic reporting tree over customer keys (parent(k) =
+    (k-1) div 2 — the heap layout), the BOM-explosion /
+    graph-reachability query shape. Each recursion step is an
+    equi-join of the frontier against the base table, so Catalyst
+    plans every level as an ordinary (broadcastable) hash join and
+    the iteration count is bounded by tree depth (log n), not row
+    count. For unbounded/high-diameter graphs at 100 TB, the engine's
+    scale path remains the checkpointed min-label propagation in
+    ``functions/dedup.connected_components`` (per-round
+    localCheckpoint keeps lineage flat); WITH RECURSIVE is the
+    declarative twin for bounded-depth hierarchies. DuckDB oracle is
+    the same query with ``//`` integer division."""
+    sources.register_views(spark, sf_dir)
+    return spark.sql(
+        """WITH RECURSIVE d AS (
+             SELECT CAST(0 AS BIGINT) AS k, 0 AS depth
+             UNION ALL
+             SELECT c.c_custkey, d.depth + 1
+             FROM customer c JOIN d ON (c.c_custkey - 1) DIV 2 = d.k
+             WHERE c.c_custkey > 0)
+           SELECT depth, COUNT(*) AS n, MIN(k) AS first_k, MAX(k) AS last_k
+           FROM d GROUP BY depth"""
+    )
