@@ -275,3 +275,38 @@ def ext_ngram_stats(spark, sf_dir):
         .orderBy(F.desc("df"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@ext_query(
+    "ext_data_card",
+    r"""WITH per AS (
+          SELECT source, lang,
+                 COUNT(*) AS n_docs,
+                 SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END) AS n_tokens
+          FROM documents GROUP BY source, lang),
+        tot AS (SELECT SUM(n_tokens) AS total_tokens FROM per)
+       SELECT source, lang, n_docs, n_tokens,
+              FLOOR(n_tokens * 1.0 / total_tokens * 10000.0 + 0.5) / 10000.0
+                AS token_share
+       FROM per, tot""",
+)
+def ext_data_card(spark, sf_dir):
+    """Data-card mixture report: docs + whitespace-token totals and
+    corpus token share per (source, lang) — the table every
+    pretraining mixture decision starts from. One partial-agg
+    groupBy; the corpus total stays IN-PLAN as a 1-row aggregate
+    crossJoined back (no driver-side count job) — same recipe as
+    TF-IDF's corpus count. Output is stratum-sized (dozens of rows)
+    at any corpus size."""
+    d = sources.table(spark, "documents", sf_dir)
+    per = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(_word_count_expr(F.col("text"))).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    share = F.col("n_tokens") * F.lit(1.0) / F.col("total_tokens")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source", "lang", "n_docs", "n_tokens",
+        (F.floor(share * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias("token_share"),
+    )

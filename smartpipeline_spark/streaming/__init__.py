@@ -302,3 +302,18 @@ def stateful_user_counts_tws(df: DataFrame, key: str = "user_id") -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def enrich_with_static(
+    stream: DataFrame, dim: DataFrame, key: str, broadcast: bool = True
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a batch dimension
+    table. The static side is re-read per micro-batch (Spark's
+    stream-static contract — slowly-changing dims pick up updates for
+    free) and broadcast by default, so each micro-batch pays a
+    map-side hash join with NO state store and no watermark — the
+    right shape for reference-data enrichment, versus the stateful
+    stream-stream ``interval_join`` above which buffers both sides."""
+    from pyspark.sql.functions import broadcast as bcast
+
+    return stream.join(bcast(dim) if broadcast else dim, key)

@@ -279,3 +279,19 @@ def test_transform_with_state_matches_batch_counts(spark, events_stream_dir, tmp
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, events_stream_dir, tmp_path):
+    stream = streaming.stream_events_dir(spark, events_stream_dir, max_files_per_trigger=2)
+    dim = spark.createDataFrame(
+        [{"user_id": i, "tier": "gold" if i % 3 == 0 else "basic"} for i in range(200)]
+    )
+    enriched = streaming.enrich_with_static(stream, dim, "user_id")
+    q = streaming.start_memory_sink(enriched.select("event_id", "user_id", "tier"), "enriched_t")
+    _drain(q)
+    got = {(r.event_id, r.tier) for r in spark.table("enriched_t").collect()}
+    want = {
+        (r.event_id, r.tier)
+        for r in sources.table(spark, "events", SF_SMOKE).join(dim, "user_id").collect()
+    }
+    assert got == want and got
