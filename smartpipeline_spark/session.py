@@ -34,6 +34,9 @@ _ENGINE_CONF: dict[str, str] = {
     # Micro-batch size for mapInPandas stage execution (the engine's
     # BatchStage `size` analog caps this per-stage, see wrapper).
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Python data sources (sources/pysource.py) declare pushFilters;
+    # without this flag Spark refuses to plan them.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

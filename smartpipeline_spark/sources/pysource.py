@@ -1,0 +1,109 @@
+"""Custom Python data source (Spark 4 ``pyspark.sql.datasource`` API).
+
+The reference's extension point for new inputs is subclassing
+``Source`` and pulling items on the driver
+(/root/reference/smartpipeline/stage.py — pull-based ``pop()``); the
+idiomatic Spark 4 equivalent is a registered Python data source:
+partition-parallel executor-side reads, schema declared up front,
+and (new in Spark 4.1) Python-side FILTER PUSHDOWN, so a WHERE
+clause prunes work inside the generator instead of post-filtering.
+
+``SynthDocsDataSource`` ("synthdocs") is the dbgen-style deterministic
+corpus generator built on that API: every (partition, row) pair derives
+its document from a hash, so the corpus is reproducible at any
+parallelism, any size, with NO driver-side data and no shuffle — the
+way you synthesize a 100 TB test corpus on a 1000-executor cluster
+(each executor generates its shard; nothing is ever collected).
+
+Usage::
+
+    spark.dataSource.register(SynthDocsDataSource)
+    df = (spark.read.format("synthdocs")
+          .option("numPartitions", 32)
+          .option("rowsPerPartition", 10_000)
+          .load())
+    df.filter(df.lang == "en")   # pushed into the generator
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+LANGS = ("en", "de", "fr", "es", "zh")
+_WORDS = (
+    "data spark table row batch key value scan merge sort window "
+    "agg join filter fast slow part line hash the a"
+).split()
+
+SCHEMA_DDL = "doc_id bigint, lang string, text string, n_chars bigint"
+
+
+class _Shard(InputPartition):
+    def __init__(self, idx: int, rows: int, lang: str | None):
+        self.idx = idx
+        self.rows = rows
+        self.lang = lang
+
+
+def _h(*parts: int | str) -> int:
+    raw = ":".join(str(p) for p in parts).encode()
+    return int.from_bytes(hashlib.md5(raw).digest()[:8], "big")
+
+
+def _doc(pid: int, row: int) -> tuple[int, str, str, int]:
+    doc_id = pid * 1_000_000 + row
+    lang = LANGS[_h(doc_id, "lang") % len(LANGS)]
+    n_words = 20 + _h(doc_id, "len") % 40
+    words = [_WORDS[_h(doc_id, i) % len(_WORDS)] for i in range(n_words)]
+    text = " ".join(words)
+    return doc_id, lang, text, len(text)
+
+
+class SynthDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_parts = int(options.get("numPartitions", "8"))
+        self.rows_per = int(options.get("rowsPerPartition", "1000"))
+        self.lang: str | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Accept ``lang = '<x>'`` equality; everything else is
+        returned as unsupported and Spark re-applies it on top —
+        exactly the JVM DSv2 pushdown contract, now crossing into
+        Python."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("lang",) and self.lang is None:
+                self.lang = f.value
+            else:
+                yield f
+
+    def partitions(self):
+        return [_Shard(i, self.rows_per, self.lang) for i in range(self.n_parts)]
+
+    def read(self, partition: _Shard):
+        for row in range(partition.rows):
+            doc = _doc(partition.idx, row)
+            if partition.lang is not None and doc[1] != partition.lang:
+                continue
+            yield doc
+
+
+class SynthDocsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocs"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> SynthDocsReader:
+        return SynthDocsReader(self.options)

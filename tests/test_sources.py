@@ -209,3 +209,49 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in plan and "n_regionkey" in plan
+
+
+def test_python_datasource_parallel_deterministic(spark):
+    from smartpipeline_spark.sources.pysource import SynthDocsDataSource
+
+    spark.dataSource.register(SynthDocsDataSource)
+    df = (
+        spark.read.format("synthdocs")
+        .option("numPartitions", 4)
+        .option("rowsPerPartition", 250)
+        .load()
+    )
+    assert df.count() == 1000
+    assert df.rdd.getNumPartitions() == 4
+    # deterministic: same options -> identical corpus, any run
+    again = (
+        spark.read.format("synthdocs")
+        .option("numPartitions", 4)
+        .option("rowsPerPartition", 250)
+        .load()
+    )
+    a = sorted(r.doc_id for r in df.collect())
+    assert a == sorted(r.doc_id for r in again.collect())
+    assert df.select("lang").distinct().count() == 5
+
+
+def test_python_datasource_filter_pushdown(spark):
+    from pyspark.sql import functions as F
+
+    from smartpipeline_spark.sources.pysource import SynthDocsDataSource
+
+    spark.dataSource.register(SynthDocsDataSource)
+    base = (
+        spark.read.format("synthdocs")
+        .option("numPartitions", 2)
+        .option("rowsPerPartition", 500)
+        .load()
+    )
+    pushed = base.filter(F.col("lang") == "en")
+    # values correct under pushdown: matches post-hoc filtering of the full corpus
+    want = {r.doc_id for r in base.collect() if r.lang == "en"}
+    got = {r.doc_id for r in pushed.collect()}
+    assert got == want and got
+    # residual (non-pushed) predicates still apply on top
+    both = base.filter((F.col("lang") == "en") & (F.col("n_chars") > 150))
+    assert all(r.n_chars > 150 and r.lang == "en" for r in both.collect())
