@@ -28,14 +28,18 @@ Usage::
 from __future__ import annotations
 
 import hashlib
+from dataclasses import dataclass
 from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -107,3 +111,115 @@ class SynthDocsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SynthDocsReader:
         return SynthDocsReader(self.options)
+
+
+# ---------------------------------------------------------------- stream
+
+class SynthEventsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked synthetic event stream: each micro-batch emits
+    ``rowsPerBatch`` deterministic events and advances the offset, so
+    restarts replay exactly (the checkpoint stores ``{"i": n}``).
+    The 'simple' reader variant pulls on the driver — right for
+    control-plane-sized feeds (the reference's pull ``Source``
+    contract); for executor-parallel streams implement
+    ``DataSourceStreamReader.partitions()`` instead."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rowsPerBatch", "100"))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = start["i"]
+        hi = lo + self.rows
+        return iter(self._gen(lo, hi)), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._gen(start["i"], end["i"]))
+
+    def _gen(self, lo: int, hi: int):
+        # a LIST, not a generator: Spark's prefetch cache copies the
+        # returned iterator (generators don't pickle)
+        return [
+            (i, _h(i, "u") % 50, float(_h(i, "v") % 1000) / 10.0)
+            for i in range(lo, hi)
+        ]
+
+
+class SynthEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthevents"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, value double"
+
+    def simpleStreamReader(self, schema: StructType) -> SynthEventsStreamReader:
+        return SynthEventsStreamReader(self.options)
+
+
+# ----------------------------------------------------------------- sink
+
+class JsonlShardWriter(DataSourceWriter):
+    """Partition-parallel custom sink with the DSv2 commit protocol:
+    every task writes its shard to a temp name and returns a commit
+    message; ``commit()`` publishes shards only after ALL tasks
+    succeed, ``abort()`` cleans up — the exactly-once handshake a
+    custom external sink (the reference's Elasticsearch ``Indexer``)
+    needs, without foreachPartition's at-least-once semantics."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator) -> "WriterCommitMessage":
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"._tmp-{uuid.uuid4().hex}-{pid}.jsonl")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return JsonlCommit(tmp=tmp, part=pid, rows=n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        for m in messages:
+            final = os.path.join(self.path, f"part-{m.part:05d}.jsonl")
+            os.replace(m.tmp, final)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.tmp)
+            except OSError:
+                pass
+
+
+@dataclass
+class JsonlCommit(WriterCommitMessage):
+    tmp: str
+    part: int
+    rows: int
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlsink"
+
+    def schema(self) -> str:  # writer-only source; schema comes from the df
+        return "placeholder string"
+
+    def writer(self, schema: StructType, overwrite: bool) -> JsonlShardWriter:
+        return JsonlShardWriter(self.options)

@@ -255,3 +255,52 @@ def test_python_datasource_filter_pushdown(spark):
     # residual (non-pushed) predicates still apply on top
     both = base.filter((F.col("lang") == "en") & (F.col("n_chars") > 150))
     assert all(r.n_chars > 150 and r.lang == "en" for r in both.collect())
+
+
+def test_python_stream_datasource_offsets_accumulate(spark, tmp_path):
+    from smartpipeline_spark.sources.pysource import SynthEventsDataSource
+
+    spark.dataSource.register(SynthEventsDataSource)
+    stream = (
+        spark.readStream.format("synthevents")
+        .option("rowsPerBatch", 40)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synthev_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_synthev"))
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if spark.table("synthev_out").count() >= 120:
+            break
+        time.sleep(1)
+    q.stop()
+    rows = spark.table("synthev_out").collect()
+    ids = sorted(r.event_id for r in rows)
+    # offsets advance without gaps or replays: ids are exactly 0..n-1
+    assert ids == list(range(len(ids))) and len(ids) >= 120
+
+
+def test_python_custom_sink_commit_protocol(spark, tmp_path):
+    import glob
+    import json
+
+    from smartpipeline_spark.sources.pysource import JsonlSinkDataSource
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = str(tmp_path / "jsonl_out")
+    df = spark.range(100).selectExpr("id", "id * 2 AS double_id").repartition(4)
+    df.write.format("jsonlsink").option("path", out).mode("append").save()
+    parts = sorted(glob.glob(out + "/part-*.jsonl"))
+    assert len(parts) == 4
+    rows = [json.loads(line) for p in parts for line in open(p)]
+    assert {r["id"] for r in rows} == set(range(100))
+    assert all(r["double_id"] == 2 * r["id"] for r in rows)
+    # no uncommitted temp shards left behind
+    assert not glob.glob(out + "/._tmp-*")
