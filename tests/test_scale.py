@@ -154,3 +154,40 @@ def test_salted_asof_join_matches_plain_window_form(spark):
     assert got == want and got
     # sanity: the dataset actually exercises cross-bucket repair
     assert any(m is not None for _, m in got)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A partition-columned fact joined to a filtered dim must show a
+    dynamicpruning expression in the scan's PartitionFilters: at scale
+    this is the difference between scanning 5% of a 100 TB table and
+    all of it — the dim filter's surviving keys prune fact partitions
+    at RUNTIME, before IO."""
+    from smartpipeline_spark import sources
+
+    fact_path = str(tmp_path / "orders_part")
+    dim_path = str(tmp_path / "prio_dim")
+    sources.table(spark, "orders", SF_SMOKE).write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(fact_path)
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    spark.createDataFrame(
+        [{"o_orderpriority": p, "grp": "hot" if "URGENT" in p else "cold"} for p in prios]
+    ).write.mode("overwrite").parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("grp") == "hot")
+    j = fact.join(dim, "o_orderpriority").groupBy("grp").count()
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        j.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruningexpression" in plan.lower(), plan
+
+    want = (
+        sources.table(spark, "orders", SF_SMOKE)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .count()
+    )
+    got = {r.grp: r["count"] for r in j.collect()}
+    assert got == {"hot": want}
