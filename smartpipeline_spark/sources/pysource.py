@@ -34,6 +34,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -213,6 +214,55 @@ class JsonlCommit(WriterCommitMessage):
     rows: int
 
 
+class JsonlStreamShardWriter(DataSourceStreamWriter):
+    """Streaming twin of :class:`JsonlShardWriter`: one committed file
+    per (micro-batch, partition). The commit message carries the temp
+    name; ``commit(messages, batchId)`` publishes them under the batch
+    id, so a failed batch leaves only temp litter that ``abort``
+    removes — idempotent re-runs of a batch replace the same final
+    names (exactly-once on top of Spark's offset log)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator) -> "WriterCommitMessage":
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"._tmp-{uuid.uuid4().hex}-{pid}.jsonl")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return JsonlCommit(tmp=tmp, part=pid, rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            final = os.path.join(self.path, f"batch-{batchId:05d}-part-{m.part:05d}.jsonl")
+            os.replace(m.tmp, final)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(m.tmp)
+            except OSError:
+                pass
+
+
 class JsonlSinkDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -223,3 +273,6 @@ class JsonlSinkDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> JsonlShardWriter:
         return JsonlShardWriter(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> JsonlStreamShardWriter:
+        return JsonlStreamShardWriter(self.options)

@@ -304,3 +304,40 @@ def test_python_custom_sink_commit_protocol(spark, tmp_path):
     assert all(r["double_id"] == 2 * r["id"] for r in rows)
     # no uncommitted temp shards left behind
     assert not glob.glob(out + "/._tmp-*")
+
+
+def test_python_custom_stream_sink_per_batch_files(spark, tmp_path):
+    import glob
+    import json
+
+    from smartpipeline_spark.sources.pysource import (
+        JsonlSinkDataSource,
+        SynthEventsDataSource,
+    )
+
+    spark.dataSource.register(SynthEventsDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = str(tmp_path / "jsonl_stream_out")
+    stream = spark.readStream.format("synthevents").option("rowsPerBatch", 30).load()
+    q = (
+        stream.writeStream.format("jsonlsink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_jsonl"))
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if len(glob.glob(out + "/batch-*.jsonl")) >= 3:
+            break
+        time.sleep(1)
+    q.stop()
+    files = sorted(glob.glob(out + "/batch-*.jsonl"))
+    assert len(files) >= 3
+    ids = sorted(
+        json.loads(line)["event_id"] for p in files for line in open(p)
+    )
+    # contiguous, replay-free ids across committed batches
+    assert ids == list(range(len(ids))) and len(ids) >= 90
+    assert not glob.glob(out + "/._tmp-*")
