@@ -1664,3 +1664,34 @@ def q46_recursive_cte(spark, sf_dir):
            SELECT depth, COUNT(*) AS n, MIN(k) AS first_k, MAX(k) AS last_k
            FROM d GROUP BY depth"""
     )
+
+
+@query(
+    "q47_try_arith",
+    """SELECT o_orderkey,
+              o_totalprice / NULLIF(o_orderkey % 3, 0) AS safe_div,
+              TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num,
+              TRY_CAST(o_orderstatus AS INT) AS bad_cast,
+              CASE WHEN o_orderkey = 0 THEN 9223372036854775807
+                   ELSE NULL END AS ovf_add
+       FROM orders""",
+)
+def q47_try_arith(spark, sf_dir):
+    """ANSI-safe arithmetic battery. The engine runs Spark 4's default
+    ANSI mode (errors are LOUD: 1/0 and overflow raise instead of
+    silently returning NULL/wrapping — the right posture for a 100 TB
+    job where a silent NULL poisons a day of compute), and ``try_*``
+    is the per-expression opt-out: try_divide → NULL on zero divisor,
+    try_cast → NULL on malformed input, try_add → NULL on bigint
+    overflow. All stay in whole-stage codegen — no exception
+    machinery in the happy path. DuckDB oracle spells them as
+    NULLIF-division, TRY_CAST, and a CASE overflow guard."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), k % 3).alias("safe_div"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias("prio_num"),
+        F.expr("try_cast(o_orderstatus AS INT)").alias("bad_cast"),
+        F.try_add(F.lit(9223372036854775807), k).alias("ovf_add"),
+    )
