@@ -310,3 +310,93 @@ def ext_data_card(spark, sf_dir):
         "source", "lang", "n_docs", "n_tokens",
         (F.floor(share * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias("token_share"),
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "table", "merge")
+
+
+@ext_query(
+    "ext_bm25",
+    rf"""WITH words AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+        stats AS (SELECT AVG(dl * 1.0) AS avgdl, COUNT(*) AS n FROM dl),
+        dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words
+                  WHERE w IN ('spark', 'table', 'merge') GROUP BY w),
+        scores AS (
+          SELECT tf.doc_id, tf.w,
+                 ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / avgdl)) AS s
+          FROM tf
+          JOIN dfreq ON tf.w = dfreq.w
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats),
+        pivoted AS (
+          SELECT doc_id,
+                 COALESCE(SUM(CASE WHEN w = 'spark' THEN s END), 0.0) AS s1,
+                 COALESCE(SUM(CASE WHEN w = 'table' THEN s END), 0.0) AS s2,
+                 COALESCE(SUM(CASE WHEN w = 'merge' THEN s END), 0.0) AS s3
+          FROM scores GROUP BY doc_id)
+       SELECT doc_id,
+              FLOOR((s1 + s2 + s3) * 10000.0 + 0.5) / 10000.0 AS bm25
+       FROM pivoted
+       ORDER BY (s1 + s2 + s3) DESC, doc_id LIMIT 20""",
+)
+def ext_bm25(spark, sf_dir):
+    """BM25 ranked retrieval for a fixed term query — the lexical-search
+    scorer (Robertson idf, k1/b saturation + length norm) that
+    complements the vector KNN operators. Scale shape: the corpus
+    statistics (df per query term — a handful of rows; avgdl/N — one
+    row) BROADCAST onto the tf stream, so scoring is a map-side join
+    over only the postings of the query terms (the WHERE w IN (...)
+    prunes before the tf aggregate); top-k compiles to
+    TakeOrderedAndProject. Per-term scores are summed as an explicit
+    fixed-order expression (s1+s2+s3), not a SUM over rows, so the fp
+    result is bit-identical in both engines."""
+    d = sources.table(spark, "documents", sf_dir)
+    terms = list(BM25_TERMS)
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("w")
+    )
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.avg(F.col("dl") * F.lit(1.0)).alias("avgdl"), F.count("*").alias("n")
+    )
+    qwords = words.filter(F.col("w").isin(terms))
+    tf = qwords.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = qwords.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    s = (
+        idf
+        * F.col("tf") * (k1 + F.lit(1.0))
+        / (F.col("tf") + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl")))
+    ).alias("s")
+    scores = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "w", s)
+    )
+    def _term(t):
+        return F.coalesce(F.sum(F.when(F.col("w") == t, F.col("s"))), F.lit(0.0))
+    pivoted = scores.groupBy("doc_id").agg(
+        _term(terms[0]).alias("s1"), _term(terms[1]).alias("s2"), _term(terms[2]).alias("s3")
+    )
+    total = F.col("s1") + F.col("s2") + F.col("s3")
+    # sort on the RAW total (matching the oracle's ORDER BY) so the
+    # top-20 boundary never depends on rounding, then round for output
+    return (
+        pivoted.select("doc_id", total.alias("raw"))
+        .orderBy(F.col("raw").desc(), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            (F.floor(F.col("raw") * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias("bm25"),
+        )
+    )
