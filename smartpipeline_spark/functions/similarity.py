@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from smartpipeline_spark import sources
 from smartpipeline_spark.functions import ext_query
@@ -326,3 +327,127 @@ def ext_knn_ivf(spark, sf_dir):
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _exact_topk(cands)
+
+
+RRF_K = 60
+HYBRID_POOL = 50  # depth of each ranker's candidate list
+HYBRID_TOPK = 20
+
+
+@ext_query(
+    "ext_hybrid_search",
+    f"""WITH words AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+          FROM documents WHERE doc_id <> 0),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+        stats AS (SELECT AVG(dl * 1.0) AS avgdl, COUNT(*) AS n FROM dl),
+        dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words
+                  WHERE w IN ('spark', 'table', 'merge') GROUP BY w),
+        s AS (
+          SELECT tf.doc_id,
+                 ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS sc,
+                 tf.w
+          FROM tf JOIN dfreq ON tf.w = dfreq.w
+          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+        lex0 AS (
+          SELECT doc_id,
+                 COALESCE(SUM(CASE WHEN w = 'spark' THEN sc END), 0.0)
+                 + COALESCE(SUM(CASE WHEN w = 'table' THEN sc END), 0.0)
+                 + COALESCE(SUM(CASE WHEN w = 'merge' THEN sc END), 0.0) AS bm25
+          FROM s GROUP BY doc_id),
+        lex AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY FLOOR(bm25 * 10000.0 + 0.5) / 10000.0 DESC,
+                                    doc_id) AS r_lex
+          FROM lex0),
+        qv AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id = 0),
+        vec0 AS (
+          SELECT c.vec_id,
+                 FLOOR(list_cosine_similarity(qv.emb, c.embedding::DOUBLE[]) * 10000.0 + 0.5)
+                   / 10000.0 AS cos
+          FROM embeddings c, qv WHERE c.vec_id <> 0),
+        vec AS (
+          SELECT vec_id,
+                 ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r_vec
+          FROM vec0),
+        fused AS (
+          SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id, l.r_lex, v.r_vec,
+                 COALESCE(1.0 / ({RRF_K} + l.r_lex), 0.0)
+                 + COALESCE(1.0 / ({RRF_K} + v.r_vec), 0.0) AS rrf
+          FROM (SELECT * FROM lex WHERE r_lex <= {HYBRID_POOL}) l
+          FULL OUTER JOIN (SELECT * FROM vec WHERE r_vec <= {HYBRID_POOL}) v
+            ON l.doc_id = v.vec_id)
+        SELECT doc_id, r_lex, r_vec,
+               FLOOR(rrf * 1000000.0 + 0.5) / 1000000.0 AS rrf
+        FROM fused
+        ORDER BY rrf DESC, doc_id LIMIT {HYBRID_TOPK}""",
+)
+def ext_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    ranker and the cosine vector ranker (rrf = Σ 1/(60+rank) over the
+    rankers that surfaced the doc) — the standard RAG retrieval stack
+    expressed as one plan. Scale shape: each ranker reduces to a
+    SMALL top-N candidate list via distributed partial top-k
+    (TakeOrderedAndProject), ranks are assigned on the 50-row
+    survivor frame, the fusion is a full-outer join of two 50-row frames —
+    negligible against the scans — and every corpus-sized structure
+    (postings, embeddings) is touched exactly once by its own ranker.
+    Ranks are computed over 4-decimal-rounded scores with id
+    tiebreaks (the knn recipe), so rank assignment is bit-identical
+    in both engines; the query is doc/vec 0 (text terms + its
+    embedding), excluded from both candidate pools."""
+    from smartpipeline_spark.functions.text import bm25_scores
+
+    d = sources.table(spark, "documents", sf_dir).filter(F.col("doc_id") != 0)
+    lex_scored = bm25_scores(d).select(
+        "doc_id",
+        (F.floor(F.col("raw") * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias("bm25"),
+    )
+    # top-POOL FIRST via orderBy().limit() — TakeOrderedAndProject, a
+    # distributed partial top-k — then rank the 50-row survivor frame.
+    # A global row_number over the corpus-sized score frame would drag
+    # everything into ONE partition (WindowExec warns exactly that).
+    w_lex = Window.orderBy(F.col("bm25").desc(), F.asc("doc_id"))
+    lex = (
+        lex_scored.orderBy(F.col("bm25").desc(), F.asc("doc_id"))
+        .limit(HYBRID_POOL)
+        .withColumn("r_lex", F.row_number().over(w_lex))
+        .select("doc_id", "r_lex")
+    )
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("q_emb"))
+    c = e.filter(F.col("vec_id") != 0)
+    vec_scored = c.crossJoin(F.broadcast(q)).select(
+        "vec_id", round4(cosine_expr(F.col("q_emb"), F.col("emb"))).alias("cos")
+    )
+    w_vec = Window.orderBy(F.col("cos").desc(), F.asc("vec_id"))
+    vec = (
+        vec_scored.orderBy(F.col("cos").desc(), F.asc("vec_id"))
+        .limit(HYBRID_POOL)
+        .withColumn("r_vec", F.row_number().over(w_vec))
+        .select("vec_id", "r_vec")
+    )
+
+    fused = lex.join(vec, lex.doc_id == vec.vec_id, "full_outer").select(
+        F.coalesce("doc_id", "vec_id").alias("doc_id"),
+        "r_lex",
+        "r_vec",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_vec")), F.lit(0.0))
+        ).alias("rrf_raw"),
+    )
+    return (
+        fused.orderBy(F.col("rrf_raw").desc(), F.asc("doc_id"))
+        .limit(HYBRID_TOPK)
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_vec",
+            (F.floor(F.col("rrf_raw") * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias("rrf"),
+        )
+    )

@@ -359,7 +359,24 @@ def ext_bm25(spark, sf_dir):
     fixed-order expression (s1+s2+s3), not a SUM over rows, so the fp
     result is bit-identical in both engines."""
     d = sources.table(spark, "documents", sf_dir)
-    terms = list(BM25_TERMS)
+    # sort on the RAW total (matching the oracle's ORDER BY) so the
+    # top-20 boundary never depends on rounding, then round for output
+    return (
+        bm25_scores(d, BM25_TERMS)
+        .orderBy(F.col("raw").desc(), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            (F.floor(F.col("raw") * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias("bm25"),
+        )
+    )
+
+
+def bm25_scores(d, terms=BM25_TERMS):
+    """(doc_id, raw) BM25 totals for ``terms`` over a documents frame —
+    the reusable core behind ext_bm25 and the hybrid-search fusion.
+    Only docs containing at least one query term appear."""
+    terms = list(terms)
     words = d.select(
         "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("w")
     )
@@ -383,20 +400,15 @@ def ext_bm25(spark, sf_dir):
         .crossJoin(F.broadcast(stats))
         .select("doc_id", "w", s)
     )
+
     def _term(t):
         return F.coalesce(F.sum(F.when(F.col("w") == t, F.col("s"))), F.lit(0.0))
+
     pivoted = scores.groupBy("doc_id").agg(
-        _term(terms[0]).alias("s1"), _term(terms[1]).alias("s2"), _term(terms[2]).alias("s3")
+        *[_term(t).alias(f"s{i+1}") for i, t in enumerate(terms)]
     )
-    total = F.col("s1") + F.col("s2") + F.col("s3")
-    # sort on the RAW total (matching the oracle's ORDER BY) so the
-    # top-20 boundary never depends on rounding, then round for output
-    return (
-        pivoted.select("doc_id", total.alias("raw"))
-        .orderBy(F.col("raw").desc(), F.asc("doc_id"))
-        .limit(20)
-        .select(
-            "doc_id",
-            (F.floor(F.col("raw") * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias("bm25"),
-        )
-    )
+    total = None
+    for i in range(len(terms)):
+        c = F.col(f"s{i+1}")
+        total = c if total is None else total + c
+    return pivoted.select("doc_id", total.alias("raw"))
