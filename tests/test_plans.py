@@ -169,3 +169,18 @@ def test_fuzzy_match_blocks_before_pairing(spark, queries):
 def test_ngram_stats_topk_no_global_sort(spark, queries):
     plan = _plan(queries["ext_ngram_stats"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bm25_topk_and_broadcast_stats(spark, queries):
+    plan = _plan(queries["ext_bm25"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_hybrid_search_no_global_window_sort(spark, queries):
+    """Both rankers must reduce via distributed top-k BEFORE any
+    row_number window: the Window may only ever see the POOL-sized
+    survivor frame (a corpus-wide single-partition Window is the
+    regression this guards against)."""
+    plan = _plan(queries["ext_hybrid_search"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
