@@ -1695,3 +1695,44 @@ def q47_try_arith(spark, sf_dir):
         F.expr("try_cast(o_orderstatus AS INT)").alias("bad_cast"),
         F.try_add(F.lit(9223372036854775807), k).alias("ovf_add"),
     )
+
+
+@query(
+    "q48_sql_udf",
+    f"""SELECT o_orderkey,
+               {_sql_dsum2("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 400000.0
+        GROUP BY o_orderkey""",
+)
+def q48_sql_udf(spark, sf_dir):
+    """Declarative SQL UDFs (Spark 4 CREATE FUNCTION ... RETURN):
+    a scalar function (disc_price) and a SQL table function
+    (big_orders) composed in one query. Unlike Python UDFs these are
+    MACRO-EXPANDED into the logical plan — the oracle is literally
+    the same query with the functions inlined — so they cost nothing
+    at 100 TB: predicates written inside the table function still
+    push to the parquet scan, the scalar function participates in
+    whole-stage codegen, and no serialization boundary exists.
+    The right tool for shared business logic that must not pay the
+    Python tax. D-suffixed literals keep every constant DOUBLE (the
+    q13b DECIMAL-literal lesson)."""
+    sources.register_views(spark, sf_dir)
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+           RETURNS DOUBLE RETURN p * (1.0D - d)"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION big_orders(thr DOUBLE)
+           RETURNS TABLE(o_orderkey BIGINT)
+           RETURN SELECT o_orderkey FROM orders WHERE o_totalprice > thr"""
+    )
+    return spark.sql(
+        """SELECT b.o_orderkey,
+                  CAST(FLOOR(CAST(SUM(CAST(disc_price(l_extendedprice, l_discount)
+                       AS DECIMAL(18,4))) AS DOUBLE) * 100.0D + 0.5D) / 100.0D
+                       AS DOUBLE) AS revenue
+           FROM big_orders(400000.0D) b
+           JOIN lineitem ON l_orderkey = b.o_orderkey
+           GROUP BY b.o_orderkey"""
+    )
