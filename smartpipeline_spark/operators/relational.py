@@ -1736,3 +1736,29 @@ def q48_sql_udf(spark, sf_dir):
            JOIN lineitem ON l_orderkey = b.o_orderkey
            GROUP BY b.o_orderkey"""
     )
+
+
+@query(
+    "q49_cross_join",
+    """SELECT r.r_name, n.n_name,
+              CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END AS is_home
+       FROM region r CROSS JOIN nation n""",
+)
+def q49_cross_join(spark, sf_dir):
+    """Explicit cartesian product — the one join type the battery
+    lacked. Legitimate ONLY when one side is tiny (here: region ×
+    nation, 5 × 25); Spark then plans BroadcastNestedLoopJoin, which
+    is fine, while a fact-fact cartesian is the classic job-killer
+    the other 10 join queries exist to avoid (q10's range join rides
+    an equi-key for exactly that reason). crossJoin() is the explicit
+    opt-in API — implicit cartesians from a missing join condition
+    raise under spark.sql.crossJoin.enabled=false semantics."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        F.when(F.col("n_regionkey") == F.col("r_regionkey"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_home"),
+    )
