@@ -1,0 +1,55 @@
+"""Retrieval stack for RAG over a curated corpus — the search-side
+composition of the engine's operators: BM25 lexical ranking + cosine
+vector ranking fused by reciprocal rank (RRF), with the corpus first
+passed through exact dedup and the repetition gate so boilerplate
+never reaches the index.
+
+Plan shape at 100 TB: each ranker reduces the corpus to a 50-row
+candidate list inside its own scan (postings-pruned BM25; brute cosine
+here — swap in the IVF/LSH operators from ``functions/similarity`` for
+a billion-vector corpus); the fusion join touches 100 rows. Nothing in
+the retrieval path shuffles document bodies.
+
+Run: python examples/rag_retrieval.py [sf_dir]
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from smartpipeline_spark import get_spark, sources
+from smartpipeline_spark.functions import EXT_QUERIES
+from smartpipeline_spark.functions.curation import repetition_metrics
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("rag-retrieval")
+
+    docs = sources.table(spark, "documents", sf_dir)
+    keep = (
+        EXT_QUERIES["ext_dedup_exact"](spark, sf_dir)
+        .select(F.col("keep_id").alias("doc_id"))
+        .join(
+            repetition_metrics(docs).filter("keep").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+    )
+    print(f"index-worthy docs: {keep.count()} / {docs.count()}")
+
+    fused = EXT_QUERIES["ext_hybrid_search"](spark, sf_dir)
+    hits = fused.join(keep, "doc_id", "left_semi").join(
+        docs.select("doc_id", "lang", F.substring("text", 1, 60).alias("snippet")),
+        "doc_id",
+    )
+    print("top fused hits (lexical rank, vector rank, rrf):")
+    for r in hits.orderBy(F.desc("rrf"), "doc_id").limit(10).collect():
+        print(f"  doc {r.doc_id:>6}  lex={r.r_lex} vec={r.r_vec} rrf={r.rrf:.6f} [{r.lang}] {r.snippet!r}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -277,3 +277,24 @@ def test_fuzzy_pairs_blocked_levenshtein(spark):
     assert all(d >= 1 for _, _, d in got)
     assert not any("ring" in (a, b) for a, b, _ in got)
     assert not any(("gear" in a) != ("gear" in b) for a, b, _ in got)
+
+
+def test_collation_aware_grouping_and_equality(spark):
+    """Spark 4 collations: case-/accent-insensitive semantics on the
+    COLUMN TYPE itself, JVM-side — the declarative alternative to
+    lower()/regexp normalization for dedup keys (normalization
+    rewrites the value; collation keeps it and changes comparison)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [{"s": x} for x in ["Apfel", "apfel", "ÄPFEL", "äpfel", "Banane"]]
+    )
+    groups = {
+        r["count"]
+        for r in df.groupBy(F.collate(F.col("s"), "UNICODE_CI_AI").alias("k"))
+        .count()
+        .collect()
+    }
+    assert groups == {4, 1}  # all Apfel variants fold together
+    ci = df.filter(F.collate(F.col("s"), "UNICODE_CI") == F.lit("APFEL"))
+    assert ci.count() == 2  # case folds, accents do not
