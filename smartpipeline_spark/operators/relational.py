@@ -1762,3 +1762,36 @@ def q49_cross_join(spark, sf_dir):
         .otherwise(F.lit(0))
         .alias("is_home"),
     )
+
+
+@query(
+    "q50_not_in_semantics",
+    """SELECT c.c_custkey, c.c_mktsegment
+       FROM customer c
+       WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders
+                                 WHERE o_totalprice > 450000.0)
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderstatus = 'P')""",
+)
+def q50_not_in_semantics(spark, sf_dir):
+    """NOT IN + NOT EXISTS anti-join semantics, SQL-surface. NOT IN
+    compiles to a NULL-AWARE anti join (one NULL in the subquery
+    empties the result — three-valued logic), while NOT EXISTS is a
+    plain left-anti; both engines implement the standard semantics so
+    the oracle is the same text. At scale the two are NOT
+    interchangeable plans: null-aware anti joins historically degrade
+    to broadcast-nested-loop when the subquery may contain NULLs, so
+    production code should prefer NOT EXISTS (left-anti, hash join)
+    when the key is known non-null — this query exists to pin the
+    semantic difference the optimizer must preserve."""
+    sources.register_views(spark, sf_dir)
+    return spark.sql(
+        """SELECT c.c_custkey, c.c_mktsegment
+           FROM customer c
+           WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders
+                                     WHERE o_totalprice > 450000.0D)
+             AND NOT EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_orderstatus = 'P')"""
+    )
