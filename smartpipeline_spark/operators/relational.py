@@ -1795,3 +1795,64 @@ def q50_not_in_semantics(spark, sf_dir):
                              WHERE o.o_custkey = c.c_custkey
                                AND o.o_orderstatus = 'P')"""
     )
+
+
+@query(
+    "q51_grouping_flags",
+    """SELECT n_name, c_mktsegment,
+              GROUPING(n_name) AS g_n, GROUPING(c_mktsegment) AS g_m,
+              COUNT(*) AS n
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY ROLLUP(n_name, c_mktsegment)""",
+)
+def q51_grouping_flags(spark, sf_dir):
+    """ROLLUP with GROUPING() flags: the output-disambiguation facet
+    q13 leaves implicit — a NULL in a rollup row can mean 'the
+    subtotal over this column' or 'the value really was NULL', and
+    grouping()=1 marks the former. Both engines implement the
+    standard bitflag semantics, so the flags are oracled alongside
+    the counts. Free at scale: the flag is metadata the expand node
+    already carries, no extra shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.grouping("n_name").alias("g_n"),
+            F.grouping("c_mktsegment").alias("g_m"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q52_histogram",
+    """WITH s AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+                  FROM orders)
+       SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 10.0)) AS BIGINT),
+                    CAST(9 AS BIGINT)) AS bin,
+              COUNT(*) AS n
+       FROM orders, s
+       GROUP BY bin""",
+)
+def q52_histogram(spark, sf_dir):
+    """Equal-width numeric histogram with IN-PLAN bounds: min/max come
+    from a 1-row aggregate crossJoined back (no driver round-trip, no
+    second submission), binning is a codegen'd floor expression, and
+    the count is an ordinary partial-agg groupBy on 10 keys. The
+    same two-pass shape works at any scale — contrast rdd.histogram,
+    which collects bounds to the driver. The max value is clamped
+    into the last bin (LEAST(..., 9)), matching both engines'
+    closed-upper-bound convention."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    bin_ = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / F.lit(10.0))).cast("bigint"),
+        F.lit(9).cast("bigint"),
+    )
+    return (
+        o.crossJoin(F.broadcast(s))
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )
