@@ -1856,3 +1856,87 @@ def q52_histogram(spark, sf_dir):
         .groupBy(bin_.alias("bin"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "q53_funnel",
+    """WITH f AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                 MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purch
+          FROM events GROUP BY user_id)
+       SELECT COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+              COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+              COUNT(CASE WHEN t_click > t_view AND t_purch > t_click THEN 1 END)
+                AS n_full_funnel
+       FROM f""",
+)
+def q53_funnel(spark, sf_dir):
+    """Ordered funnel analysis (view → click → purchase): one
+    conditional-MIN aggregate per user collapses each user's history
+    to three timestamps, then a global conditional count — the
+    product-analytics query every event warehouse runs. Scale shape:
+    a single groupBy(user_id) with constant-size state (3 timestamps)
+    and map-side combine; no self-joins, no window over the event
+    stream (the naive 3-way event self-join this replaces is
+    quadratic in events-per-user). NULL three-valued logic does the
+    stage gating: t_click > t_view is false when either is NULL."""
+    e = _t(spark, sf_dir, "events")
+
+    def first(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    f = e.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purch"),
+    )
+    return f.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("n_view_click"),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purch") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@query(
+    "q54_retention",
+    """WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        first_day AS (SELECT user_id, MIN(d) AS d0 FROM days GROUP BY user_id)
+       SELECT f.d0 AS cohort_day,
+              COUNT(*) AS cohort_size,
+              COUNT(r.user_id) AS retained_d1
+       FROM first_day f
+       LEFT JOIN days r ON r.user_id = f.user_id AND r.d = f.d0 + 1
+       GROUP BY f.d0""",
+)
+def q54_retention(spark, sf_dir):
+    """Day-1 cohort retention: users grouped by first-seen day, with
+    the count still active the next day. Two reductions (distinct
+    user-days, first day per user) then a LEFT join keyed on
+    (user_id, next-day) — at scale both sides of that join are
+    user-sized, not event-sized, because the event stream was
+    collapsed first; the join key includes user_id so it
+    hash-partitions evenly even when one cohort day dominates."""
+    e = _t(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first_day = days.groupBy("user_id").agg(F.min("d").alias("d0"))
+    r = days.alias("r")
+    f = first_day.alias("f")
+    joined = f.join(
+        r,
+        (F.col("r.user_id") == F.col("f.user_id"))
+        & (F.col("r.d") == F.date_add(F.col("f.d0"), 1)),
+        "left",
+    )
+    return joined.groupBy(F.col("f.d0").alias("cohort_day")).agg(
+        F.count("*").alias("cohort_size"),
+        F.count(F.col("r.user_id")).alias("retained_d1"),
+    )
