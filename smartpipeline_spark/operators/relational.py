@@ -1940,3 +1940,68 @@ def q54_retention(spark, sf_dir):
         F.count("*").alias("cohort_size"),
         F.count(F.col("r.user_id")).alias("retained_d1"),
     )
+
+
+@query(
+    "q55_transitions",
+    """WITH seq AS (
+          SELECT user_id, event_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_type
+          FROM events)
+       SELECT event_type, next_type, COUNT(*) AS n
+       FROM seq WHERE next_type IS NOT NULL
+       GROUP BY event_type, next_type""",
+)
+def q55_transitions(spark, sf_dir):
+    """Event-transition matrix (first-order Markov counts): LEAD over
+    each user's time-ordered stream, then pair counts — the
+    path-analysis primitive behind session flows and anomaly
+    detection. The window partitions by user_id (bounded per-user
+    history; the per-key sort is events-per-user, never the global
+    stream) with event_id as the ORDER tiebreak so simultaneous
+    events sequence identically in both engines. The pair count is a
+    25-key partial agg."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q56_union_by_name",
+    """SELECT o_orderkey AS k, o_totalprice AS price, NULL AS qty
+       FROM orders WHERE o_totalprice > 450000.0
+       UNION ALL BY NAME
+       SELECT l_quantity AS qty, l_orderkey AS k
+       FROM lineitem WHERE l_quantity >= 49""",
+)
+def q56_union_by_name(spark, sf_dir):
+    """Schema-evolution union: two sources with different column sets
+    and orders combine by NAME with missing columns null-filled
+    (unionByName(allowMissingColumns=True) / UNION ALL BY NAME) —
+    the everyday shape when a pipeline ingests v1 and v2 of a feed.
+    Positional UNION would silently mis-align columns; by-name is
+    the engine contract. Pure narrow op: no shuffle, each side's
+    filter still pushes to its own scan."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000.0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+            F.lit(None).cast("double").alias("qty"),
+        )
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 49)
+        .select(F.col("l_quantity").alias("qty"), F.col("l_orderkey").alias("k"))
+    )
+    return o.unionByName(li, allowMissingColumns=True)
