@@ -185,3 +185,32 @@ def salted_asof_join(
             F.coalesce("_in_match", "_prev_carry").alias(f"matched_{value_col}"),
         )
     )
+
+
+def sketch_rollup(
+    df: DataFrame, group_cols: list[str], distinct_col: str
+) -> DataFrame:
+    """Pre-aggregated distinct-count rollup via HLL sketches
+    (Datasketches, built into Spark 4): one row per group carrying a
+    MERGEABLE binary sketch of the distinct values. This is THE
+    100 TB cardinality pattern — materialize per-partition/per-day
+    sketches once, then answer any coarser-grained distinct-count
+    (per week, per region, global) by merging sketch bytes with
+    ``merge_sketches``, never rescanning the raw data. An exact
+    COUNT(DISTINCT) re-shuffles the full corpus per question;
+    sketches shuffle ~KB per group, are commutative/associative
+    (partial-agg friendly), and cost ~1% relative error."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(distinct_col).alias("sketch"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def merge_sketches(rollup: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Re-aggregate a sketch rollup to a coarser grouping (possibly
+    empty = global): union the sketches, estimate at the end."""
+    agg = [
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct"),
+        F.sum("n_rows").alias("n_rows"),
+    ]
+    return rollup.groupBy(*group_cols).agg(*agg) if group_cols else rollup.agg(*agg)

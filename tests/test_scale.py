@@ -191,3 +191,35 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     )
     got = {r.grp: r["count"] for r in j.collect()}
     assert got == {"hot": want}
+
+
+def test_sketch_rollup_merges_without_rescan(spark):
+    """Sketch rollup: per-(day,type) HLL sketches of user_id; merging
+    them to per-day, and globally, must track exact distincts within
+    HLL error (~1% at this cardinality) — and the merged global
+    estimate must EQUAL the estimate of a directly-built global
+    sketch (merge is lossless over sketch state)."""
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.operators.scale import merge_sketches, sketch_rollup
+
+    e = sources.table(spark, "events", SF_SMOKE).select(
+        F.to_date("ts").alias("d"), "event_type", "user_id"
+    )
+    rollup = sketch_rollup(e, ["d", "event_type"], "user_id").cache()
+
+    per_day = {r.d: r.approx_distinct for r in merge_sketches(rollup, ["d"]).collect()}
+    exact_day = {
+        r.d: r.cnt
+        for r in e.groupBy("d").agg(F.count_distinct("user_id").alias("cnt")).collect()
+    }
+    assert set(per_day) == set(exact_day)
+    for d, est in per_day.items():
+        assert abs(est - exact_day[d]) / exact_day[d] < 0.05, (d, est, exact_day[d])
+
+    merged_global = merge_sketches(rollup, []).collect()[0]
+    direct = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).collect()[0]
+    assert merged_global.approx_distinct == direct.est
+    assert merged_global.n_rows == e.count()
+    rollup.unpersist()
