@@ -88,6 +88,14 @@ class Pipeline:
         # process_async machinery
         self._async_pool: "_AsyncRunner | None" = None
 
+    @property
+    def name(self) -> str:
+        """Pipeline unique name (the reference's logger-name contract,
+        pipeline.py:112-116): stable per instance, distinct across
+        instances — also the disambiguator for the executor-side
+        stage cache."""
+        return f"pipeline-{self._chain_uid[:12]}"
+
     # ------------------------------------------------------------------
     # plan building
     # ------------------------------------------------------------------

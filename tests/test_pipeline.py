@@ -616,3 +616,11 @@ def test_stage_cache_and_memory_profiling(spark):
         assert it.get_timing("tag") is not None
         assert it.get_timing("tag#rss_kb") and it.get_timing("tag#rss_kb") > 1000
     out.unpersist()
+
+
+def test_pipeline_name_unique_and_stable(spark):
+    from smartpipeline_spark import Pipeline
+
+    p1, p2 = Pipeline(spark), Pipeline(spark)
+    assert p1.name != p2.name
+    assert p1.name == p1.name and p1.name.startswith("pipeline-")
