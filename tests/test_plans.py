@@ -184,3 +184,20 @@ def test_hybrid_search_no_global_window_sort(spark, queries):
     regression this guards against)."""
     plan = _plan(queries["ext_hybrid_search"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Per-join strategy hints: the escape hatch when AQE's choice is
+    wrong for a specific 100 TB join (e.g. forcing shuffle-hash to
+    avoid a sort on a huge pre-bucketed side). Hints must survive
+    into the physical plan."""
+    from smartpipeline_spark import sources
+
+    o = sources.table(spark, "orders", SF_SMOKE)
+    c = sources.table(spark, "customer", SF_SMOKE)
+    merge_plan = _plan(o.join(c.hint("merge"), o.o_custkey == c.c_custkey))
+    assert "SortMergeJoin" in merge_plan, merge_plan
+    shuffle_hash_plan = _plan(o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey))
+    assert "ShuffledHashJoin" in shuffle_hash_plan, shuffle_hash_plan
+    bcast_plan = _plan(o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey))
+    assert "BroadcastHashJoin" in bcast_plan, bcast_plan
