@@ -451,3 +451,46 @@ def ext_hybrid_search(spark, sf_dir):
             (F.floor(F.col("rrf_raw") * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias("rrf"),
         )
     )
+
+
+@ext_query("ext_dedup_semantic")  # recall-tested vs the brute baseline
+def ext_dedup_semantic(spark, sf_dir):
+    """SemDeDup-shaped semantic dedup AT SCALE: coarse-quantize every
+    embedding into its 2 nearest k-means cells (the same sample-
+    trained quantizer as ext_knn_ivf), then compare pairs only WITHIN
+    a cell — corpus² collapses to Σ cell². The 2-cell assignment
+    catches boundary pairs a 1-cell partition would split (a pair is
+    compared if ANY cell is shared; distinct() removes the doubles).
+    This is the composition the brute ext_dedup_embedding oracles:
+    brute is O(N²) and dies at 10⁸ vectors; cells keep the same
+    plan shape (equi-join on cell, JVM cosine filter) at any N.
+    Recall vs brute is pytest-measured (boundary losses only)."""
+    e = _emb(spark, sf_dir)
+    from smartpipeline_spark.functions.dedup import COSINE_DUP_THRESHOLD
+
+    cents = _ivf_centroids(e)
+    cells = _ivf_cells_udf(cents, nprobe=2)
+    binned = e.select(
+        "vec_id", "emb", F.explode(cells(F.col("emb"))).alias("cell")
+    )
+    a, b = binned.alias("a"), binned.alias("b")
+    cos = cosine_expr(F.col("a.emb"), F.col("b.emb"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            cos.alias("_cos"),
+        )
+        .filter(F.col("_cos") >= COSINE_DUP_THRESHOLD)
+        .select(
+            "v1",
+            "v2",
+            round4(F.col("_cos")).alias("cosine"),
+        )
+        .distinct()
+    )

@@ -298,3 +298,21 @@ def test_collation_aware_grouping_and_equality(spark):
     assert groups == {4, 1}  # all Apfel variants fold together
     ci = df.filter(F.collate(F.col("s"), "UNICODE_CI") == F.lit("APFEL"))
     assert ci.count() == 2  # case folds, accents do not
+
+
+def test_semantic_dedup_recall_against_brute(spark):
+    """Cell-bucketed semantic dedup vs the exact all-pairs baseline:
+    no false positives (every reported pair is a true above-threshold
+    pair) and high recall (only cell-boundary pairs may be missed)."""
+    from smartpipeline_spark.functions import EXT_QUERIES
+
+    brute = {
+        (r.v1, r.v2) for r in EXT_QUERIES["ext_dedup_embedding"](spark, SF_SMOKE).collect()
+    }
+    cells = {
+        (r.v1, r.v2) for r in EXT_QUERIES["ext_dedup_semantic"](spark, SF_SMOKE).collect()
+    }
+    assert cells <= brute  # precision 1.0 by construction
+    assert brute, "fixture must contain near-duplicate embeddings"
+    recall = len(cells) / len(brute)
+    assert recall >= 0.5, recall
