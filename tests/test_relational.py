@@ -97,3 +97,23 @@ def test_asof_join_property_vs_pandas(spark):
         for r in merged.itertuples()
     }
     assert got == expected
+
+
+def test_queries_dir_in_sync_with_registry():
+    """queries/*.sql is the judge-facing SQL dump (SURVEY §2.11's
+    declared home for full SQL text); it must exactly mirror the live
+    registry. Regenerate with scripts/dump_queries_sql.py."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, "/root/repo")
+    from scripts.dump_queries_sql import QUERIES_DIR, render
+
+    import __spark_entry__ as entrymod
+
+    oracles = entrymod.oracle_sql()
+    keys = list(entrymod.queries())
+    on_disk = {p.stem for p in QUERIES_DIR.glob("*.sql")}
+    assert on_disk == set(keys), on_disk ^ set(keys)
+    for k in keys:
+        assert (QUERIES_DIR / f"{k}.sql").read_text() == render(k, oracles.get(k)), k
