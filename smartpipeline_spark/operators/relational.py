@@ -2005,3 +2005,47 @@ def q56_union_by_name(spark, sf_dir):
         .select(F.col("l_quantity").alias("qty"), F.col("l_orderkey").alias("k"))
     )
     return o.unionByName(li, allowMissingColumns=True)
+
+
+@query(
+    "q57_grouped_map",
+    """WITH ranked AS (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey)
+                   AS rank
+          FROM orders)
+       SELECT o_orderpriority, o_orderkey, o_totalprice, rank
+       FROM ranked WHERE rank <= 3""",
+)
+def q57_grouped_map(spark, sf_dir):
+    """Grouped-map pandas surface (``applyInPandas``): each group
+    arrives as ONE pandas DataFrame — the API for per-group model
+    fitting, per-entity resampling, anything needing the whole group
+    in memory at once. Here: per-priority top-3 orders, chosen so the
+    DuckDB window oracle checks the pandas path exactly (sorting on
+    (price desc, key) is deterministic — no fp accumulation).
+    Scale contract stated plainly: unlike mapInPandas (streaming
+    Arrow batches), applyInPandas materializes each GROUP on one
+    executor — keys must be bounded-size (priorities, users), never
+    power-law blobs; for those, aggregate first or salt. The window
+    oracle is also the faster plan for THIS query — the pandas form
+    exists to pin the API's semantics, mirroring q24's UDF-vs-builtin
+    pairing."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "orders")
+
+    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(3)
+        out = out.assign(rank=range(1, len(out) + 1))
+        return out[["o_orderpriority", "o_orderkey", "o_totalprice", "rank"]]
+
+    return e.select("o_orderpriority", "o_orderkey", "o_totalprice").groupBy(
+        "o_orderpriority"
+    ).applyInPandas(
+        topk,
+        "o_orderpriority string, o_orderkey bigint, o_totalprice double, rank long",
+    )

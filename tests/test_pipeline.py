@@ -624,3 +624,31 @@ def test_pipeline_name_unique_and_stable(spark):
     p1, p2 = Pipeline(spark), Pipeline(spark)
     assert p1.name != p2.name
     assert p1.name == p1.name and p1.name.startswith("pipeline-")
+
+
+def test_map_in_arrow_matches_map_in_pandas(spark):
+    """mapInArrow — the zero-copy RecordBatch variant of mapInPandas
+    (no pandas conversion per batch; the right surface when the
+    kernel is numpy/pyarrow-native). Same transform both ways must
+    agree exactly."""
+    import pyarrow as pa
+
+    df = spark.range(1000).selectExpr("id", "CAST(id * 2 AS DOUBLE) AS v")
+
+    def arrow_fn(batches):
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            yield pa.RecordBatch.from_arrays(
+                [t.column("id").combine_chunks(),
+                 pa.compute.add(t.column("v").combine_chunks(), 1.0)],
+                names=["id", "v"],
+            )
+
+    def pandas_fn(pdfs):
+        for pdf in pdfs:
+            pdf["v"] = pdf["v"] + 1.0
+            yield pdf
+
+    a = {(r.id, r.v) for r in df.mapInArrow(arrow_fn, "id long, v double").collect()}
+    b = {(r.id, r.v) for r in df.mapInPandas(pandas_fn, "id long, v double").collect()}
+    assert a == b and len(a) == 1000
