@@ -412,3 +412,102 @@ def bm25_scores(d, terms=BM25_TERMS):
         c = F.col(f"s{i+1}")
         total = c if total is None else total + c
     return pivoted.select("doc_id", total.alias("raw"))
+
+
+def train_bpe(docs: DataFrame, n_merges: int = 30) -> list[tuple[str, str]]:
+    """Distributed BPE vocabulary training (Sennrich et al., "Neural
+    Machine Translation of Rare Words with Subword Units"): learn
+    ``n_merges`` merge rules from the corpus.
+
+    Scale analysis — the part that matters at 100 TB: BPE trains on
+    the WORD-FREQUENCY table, not the corpus. One corpus-sized
+    aggregation (word counts — the cheapest shuffle there is)
+    collapses terabytes of text to a vocabulary-sized frame
+    (millions of rows at web scale), and every merge iteration then
+    runs on that small frame: an explode→sum pair count (partial-agg
+    friendly, weighted by word freq) and a vectorized pandas merge
+    rewrite. The per-iteration driver transfer is ONE row (the
+    argmax pair — inherent to the sequential algorithm). Lineage is
+    localCheckpoint-truncated every 8 rounds (iterative-algorithm
+    contract, same as connected_components). Ties break
+    deterministically on (freq desc, left, right)."""
+    import pandas as pd
+
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.expr("transform(split(w, ''), c -> c)").alias("syms"),
+            "freq",
+        )
+    ).localCheckpoint()
+
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(syms) >= 2 THEN "
+                        "transform(sequence(0, size(syms) - 2), "
+                        "          j -> struct(syms[j] AS l, syms[j+1] AS r)) "
+                        "ELSE CAST(array() AS array<struct<l:string,r:string>>) END"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["n"] < 2:
+            break
+        a, b = pairs[0]["l"], pairs[0]["r"]
+        merges.append((a, b))
+
+        def _merge(syms):
+            def m(seq):
+                out = []
+                i = 0
+                n = len(seq)
+                while i < n:
+                    if i + 1 < n and seq[i] == a and seq[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(seq[i])
+                        i += 1
+                return out
+
+            return syms.map(m)
+
+        # this module uses `from __future__ import annotations`, which
+        # stringifies hints; pandas_udf needs REAL type objects, so set
+        # them explicitly instead of annotating the signature
+        _merge.__annotations__ = {"syms": pd.Series, "return": pd.Series}
+        merge_pair = F.pandas_udf(_merge, "array<string>")
+
+        vocab = vocab.select(merge_pair("syms").alias("syms"), "freq")
+        if (i + 1) % 8 == 0:
+            vocab = vocab.localCheckpoint()
+    return merges
+
+
+@ext_query("ext_bpe_train")  # iterative/argmax-driven: pytest-verified
+def ext_bpe_train(spark, sf_dir):
+    """Driver-facing wrapper: the learned merge table (rank, left,
+    right) over the documents corpus. No SQL oracle — the argmax-
+    dependent iteration isn't expressible as one query; equivalence
+    against a reference single-machine BPE is pytest-enforced."""
+    d = sources.table(spark, "documents", sf_dir)
+    merges = train_bpe(d, n_merges=12)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )

@@ -316,3 +316,50 @@ def test_semantic_dedup_recall_against_brute(spark):
     assert brute, "fixture must contain near-duplicate embeddings"
     recall = len(cells) / len(brute)
     assert recall >= 0.5, recall
+
+
+def test_bpe_training_matches_reference_implementation(spark):
+    """The distributed BPE trainer must learn exactly the merge
+    sequence a textbook single-machine implementation learns (same
+    (freq desc, left, right) tie-breaking)."""
+    from collections import Counter
+
+    from smartpipeline_spark.functions.text import train_bpe
+
+    texts = [
+        "low lower lowest new newer newest",
+        "low low new new new wider wide wide",
+        "the lowest the newest the widest",
+    ]
+    df = spark.createDataFrame([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    got = train_bpe(df, n_merges=12)
+
+    # reference: classic word-freq BPE with identical tie-breaks
+    wordfreq = Counter(w for t in texts for w in t.lower().split())
+    vocab = {tuple(w): f for w, f in wordfreq.items()}
+    want = []
+    for _ in range(12):
+        pairs = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        want.append((a, b))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    assert got == want, (got, want)
