@@ -511,3 +511,38 @@ def ext_bpe_train(spark, sf_dir):
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string",
     )
+
+
+def bpe_tokenize(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply learned BPE merges: (doc_id, tokens array). The merge
+    table is a closure constant (KBs — broadcast with the serialized
+    UDF), application is one vectorized pandas pass per Arrow batch;
+    rank order of merges is the greedy application order, exactly as
+    trained. Pairs with :func:`train_bpe` to complete the tokenizer
+    story: train once on the word-frequency table, apply everywhere."""
+    import pandas as pd
+
+    ranked = {pair: i for i, pair in enumerate(merges)}
+
+    def _tok(text):
+        out = []
+        for w in (text or "").lower().split():
+            syms = list(w)
+            while len(syms) >= 2:
+                best, best_rank = None, None
+                for i in range(len(syms) - 1):
+                    r = ranked.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best, best_rank = i, r
+                if best is None:
+                    break
+                syms[best : best + 2] = [syms[best] + syms[best + 1]]
+            out.extend(syms)
+        return out
+
+    def _apply(texts):
+        return texts.map(_tok)
+
+    _apply.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_apply, "array<string>")
+    return docs.select("doc_id", udf(F.col("text")).alias("tokens"))

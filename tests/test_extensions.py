@@ -363,3 +363,23 @@ def test_bpe_training_matches_reference_implementation(spark):
             new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
         vocab = new_vocab
     assert got == want, (got, want)
+
+
+def test_bpe_tokenize_applies_merges_in_rank_order(spark):
+    from smartpipeline_spark.functions.text import bpe_tokenize, train_bpe
+
+    texts = ["low low lower lowest", "new newer newest low"]
+    df = spark.createDataFrame([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    merges = train_bpe(df, n_merges=6)
+    toks = {r.doc_id: r.tokens for r in bpe_tokenize(df, merges).collect()}
+    flat = [t for ts in toks.values() for t in ts]
+    # every token is either a learned merge product or a single char
+    products = set()
+    for a, b in merges:
+        products.add(a + b)
+    assert all(len(t) == 1 or any(p in t for p in products) or t in products for t in flat)
+    # 'low' appears often enough that it must have fused into one token
+    assert "low" in flat
+    # untokenized text reconstructs exactly
+    for i, t in enumerate(texts):
+        assert "".join(toks[i]) == t.replace(" ", "")
