@@ -494,3 +494,61 @@ def fuzzy_pairs(
 def ext_fuzzy_match(spark, sf_dir):
     p = sources.table(spark, "part", sf_dir)
     return fuzzy_pairs(p, "p_name")
+
+
+# --------------------------------------------------------- winnowing
+
+WINNOW_K = 8  # k-gram length (characters)
+WINNOW_W = 5  # window of consecutive k-gram hashes
+
+
+@ext_query(
+    "ext_winnow",
+    f"""WITH hashes AS (
+          SELECT doc_id,
+                 [ ('0x' || substring(md5(substring(lower(trim(text)), i, {WINNOW_K})), 1, 8))::BIGINT
+                   for i in generate_series(1, greatest(length(lower(trim(text))) - {WINNOW_K - 1}, 0)) ] AS h
+          FROM documents),
+        wins AS (
+          SELECT doc_id,
+                 [ list_min(h[j+1:j+{WINNOW_W}])
+                   for j in generate_series(0, len(h) - {WINNOW_W}) ] AS fps
+          FROM hashes
+          WHERE len(h) >= {WINNOW_W})
+       SELECT DISTINCT doc_id, unnest(fps) AS fp
+       FROM wins""",
+)
+def ext_winnow(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    MOSS algorithm): hash every character k-gram, keep the MINIMUM
+    hash of each window of w consecutive k-grams. Guarantees: any
+    shared substring of length >= w+k-1 yields at least one shared
+    fingerprint (detection), and fingerprint density is ~2/(w+1)
+    (compression) — the local, position-robust alternative to
+    whole-document md5 (ext_fingerprint breaks on a 1-char edit;
+    winnowing survives it). Entirely ROW-LOCAL column algebra (two
+    nested transform()s per row, no explode until the final distinct),
+    so it fuses into the scan; the distinct shuffles (doc_id, 8-byte
+    fp) pairs only. Downstream, equal fps joined across docs give
+    plagiarism/overlap candidates exactly like the shingle inverted
+    index in jaccard_pairs."""
+    d = sources.table(spark, "documents", sf_dir)
+    k, w = WINNOW_K, WINNOW_W
+    # both the normalized string and the hash array are bound ONCE per
+    # row to lambda variables (the shingle_array_expr lesson: inlining
+    # lower(trim(text)) into the per-kgram lambda re-normalizes the
+    # string once per k-gram — O(len²) per document)
+    fps = F.expr(
+        f"""transform(array(lower(trim(text))), s ->
+              transform(array(transform(
+                  sequence(1, greatest(length(s) - {k - 1}, 0)),
+                  i -> cast(conv(substring(md5(substring(s, i, {k})), 1, 8), 16, 10) AS bigint))),
+                h -> CASE WHEN size(h) >= {w}
+                     THEN transform(sequence(0, size(h) - {w}),
+                                    j -> array_min(slice(h, j + 1, {w})))
+                     ELSE CAST(array() AS array<bigint>) END)[0])[0]"""
+    )
+    return (
+        d.select("doc_id", F.explode(fps).alias("fp")).distinct()
+    )

@@ -383,3 +383,36 @@ def test_bpe_tokenize_applies_merges_in_rank_order(spark):
     # untokenized text reconstructs exactly
     for i, t in enumerate(texts):
         assert "".join(toks[i]) == t.replace(" ", "")
+
+
+def test_winnowing_robust_to_single_char_edit(spark):
+    """The property winnowing exists for: a 1-char edit leaves most
+    fingerprints shared (whole-doc md5 shares none), and any shared
+    substring of length >= w+k-1 guarantees >= 1 shared fingerprint."""
+    from smartpipeline_spark.functions import EXT_QUERIES
+    from smartpipeline_spark.functions.dedup import WINNOW_K, WINNOW_W
+
+    base = "the quick brown fox jumps over the lazy dog and keeps on running far away"
+    edited = base.replace("lazy", "hazy")
+    df = spark.createDataFrame(
+        [{"doc_id": 1, "text": base}, {"doc_id": 2, "text": edited},
+         {"doc_id": 3, "text": "completely different content with nothing in common here at all"}]
+    )
+    df.createOrReplaceTempView("_winnow_docs")
+    # drive the operator through its library expression on this frame
+    import smartpipeline_spark.functions.dedup as dd
+    from smartpipeline_spark import sources as _s
+    orig = _s.table
+    try:
+        _s.table = lambda spark, name, sf: df
+        fps = {1: set(), 2: set(), 3: set()}
+        for r in EXT_QUERIES["ext_winnow"](spark, "unused").collect():
+            fps[r.doc_id].add(r.fp)
+    finally:
+        _s.table = orig
+    shared = fps[1] & fps[2]
+    assert len(shared) >= 1  # guarantee: long shared substrings surface
+    # most fingerprints survive the 1-char edit
+    assert len(shared) / len(fps[1]) > 0.5
+    # unrelated docs share (almost) nothing
+    assert len(fps[1] & fps[3]) <= 1
