@@ -552,3 +552,64 @@ def ext_winnow(spark, sf_dir):
     return (
         d.select("doc_id", F.explode(fps).alias("fp")).distinct()
     )
+
+
+@ext_query(
+    "ext_winnow_pairs",
+    f"""WITH hashes AS (
+          SELECT doc_id,
+                 [ ('0x' || substring(md5(substring(lower(trim(text)), i, {WINNOW_K})), 1, 8))::BIGINT
+                   for i in generate_series(1, greatest(length(lower(trim(text))) - {WINNOW_K - 1}, 0)) ] AS h
+          FROM documents),
+        wins AS (
+          SELECT doc_id,
+                 [ list_min(h[j+1:j+{WINNOW_W}])
+                   for j in generate_series(0, len(h) - {WINNOW_W}) ] AS fps
+          FROM hashes WHERE len(h) >= {WINNOW_W}),
+        fp AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+          FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+       SELECT d1, d2, shared,
+              FLOOR(shared * 1.0 / least(sa.n, sb.n) * 10000.0 + 0.5) / 10000.0
+                AS overlap
+       FROM common
+       JOIN sizes sa ON sa.doc_id = d1
+       JOIN sizes sb ON sb.doc_id = d2
+       WHERE shared * 1.0 / least(sa.n, sb.n) >= 0.5""",
+)
+def ext_winnow_pairs(spark, sf_dir):
+    """MOSS-style overlap report over the winnowing index: documents
+    sharing >= 50% of the smaller side's fingerprints. Same
+    inverted-index self-join shape as jaccard_pairs but on the
+    winnowed (already ~2/(w+1)-compressed) fingerprint set, so the
+    join input is a fraction of the shingle index for the same
+    corpus — the production plagiarism/near-dup candidate generator
+    when edits are local. The fp frame feeds three consumers
+    (sizes + both join sides): persisted once."""
+    from pyspark import StorageLevel
+
+    fp = ext_winnow(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = fp.alias("a"), fp.alias("b")
+    common = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    ratio = F.col("shared") * F.lit(1.0) / F.least(F.col("sa.n"), F.col("sb.n"))
+    return (
+        common.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .filter(ratio >= 0.5)
+        .select(
+            "d1",
+            "d2",
+            "shared",
+            (F.floor(ratio * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias("overlap"),
+        )
+    )
+
