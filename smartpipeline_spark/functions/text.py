@@ -546,3 +546,77 @@ def bpe_tokenize(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     _apply.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     udf = F.pandas_udf(_apply, "array<string>")
     return docs.select("doc_id", udf(F.col("text")).alias("tokens"))
+
+
+@ext_query(
+    "ext_pmi",
+    r"""WITH words AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        uni AS (
+          SELECT word, COUNT(*) AS c1 FROM (
+            SELECT doc_id, unnest(w) AS word FROM words)
+          GROUP BY word),
+        n_uni AS (SELECT SUM(c1) AS n1 FROM uni),
+        bg AS (
+          SELECT w[i] AS l, w[i+1] AS r
+          FROM words, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i) t),
+        bgc AS (SELECT l, r, COUNT(*) AS c2 FROM bg GROUP BY l, r),
+        n_bg AS (SELECT SUM(c2) AS n2 FROM bgc)
+       SELECT l, r, c2,
+              FLOOR(ln((c2 * 1.0 / n2) / ((ca.c1 * 1.0 / n1) * (cb.c1 * 1.0 / n1)))
+                    * 10000.0 + 0.5) / 10000.0 AS pmi
+       FROM bgc
+       JOIN uni ca ON ca.word = bgc.l
+       JOIN uni cb ON cb.word = bgc.r
+       CROSS JOIN n_uni CROSS JOIN n_bg
+       WHERE c2 >= 5""",
+)
+def ext_pmi(spark, sf_dir):
+    """Pointwise mutual information over adjacent word pairs — the
+    collocation-extraction statistic (Church & Hanks): PMI =
+    ln(p(l,r) / (p(l)p(r))), reported for pairs seen >= 5 times.
+    Scale shape: two word-count aggregations (unigram + bigram — the
+    cheap shuffles), corpus totals stay IN-PLAN as 1-row aggregates,
+    and the unigram table joins back onto bigram counts — AQE
+    broadcasts it while it's small and demotes to hash join at
+    web-scale vocabulary. All probability arithmetic is a fixed
+    expression tree, so doubles agree bit-for-bit with the oracle."""
+    d = sources.table(spark, "documents", sf_dir)
+    words = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("w")
+    )
+    uni = (
+        words.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c1"))
+    )
+    n_uni = uni.agg(F.sum("c1").alias("n1"))
+    bg_expr = F.expr(
+        """CASE WHEN size(w) >= 2 THEN
+             transform(sequence(0, size(w) - 2), i -> struct(w[i] AS l, w[i+1] AS r))
+           ELSE CAST(array() AS array<struct<l:string,r:string>>) END"""
+    )
+    bgc = (
+        words.select(F.explode(bg_expr).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.count("*").alias("c2"))
+    )
+    n_bg = bgc.agg(F.sum("c2").alias("n2"))
+    ca, cb = uni.alias("ca"), uni.alias("cb")
+    pmi = F.log(
+        (F.col("c2") * F.lit(1.0) / F.col("n2"))
+        / ((F.col("ca.c1") * F.lit(1.0) / F.col("n1")) * (F.col("cb.c1") * F.lit(1.0) / F.col("n1")))
+    )
+    return (
+        bgc.filter(F.col("c2") >= 5)
+        .join(ca, F.col("l") == F.col("ca.word"))
+        .join(cb, F.col("r") == F.col("cb.word"))
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bg))
+        .select(
+            "l", "r", "c2",
+            (F.floor(pmi * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias("pmi"),
+        )
+    )
