@@ -295,3 +295,47 @@ def test_stream_static_enrichment_matches_batch_join(spark, events_stream_dir, t
         for r in sources.table(spark, "events", SF_SMOKE).join(dim, "user_id").collect()
     }
     assert got == want and got
+
+
+def test_checkpoint_restart_is_exactly_once(spark, events_stream_dir, tmp_path):
+    """Kill a stream mid-way, restart from the SAME checkpoint: the
+    combined output must contain every event exactly once — Spark's
+    offset log + sink commit protocol recovering without dupes or
+    holes. This is the operational contract a 100 TB ingest restarts
+    rely on."""
+    out_dir = str(tmp_path / "recov_out")
+    ckpt = str(tmp_path / "recov_ckpt")
+
+    def start(available_now: bool):
+        stream = streaming.stream_events_dir(spark, events_stream_dir, max_files_per_trigger=1)
+        writer = (
+            stream.select("event_id")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+        )
+        writer = writer.trigger(
+            availableNow=True
+        ) if available_now else writer.trigger(processingTime="200 milliseconds")
+        return writer.start()
+
+    import time
+
+    q = start(available_now=False)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if q.lastProgress and q.lastProgress["batchId"] >= 1:
+            break
+        time.sleep(0.3)
+    q.stop()  # "crash" after ~2 of 4 file-batches
+    q.awaitTermination(30)
+
+    # restart from the same checkpoint; availableNow drains the rest
+    # and terminates by itself
+    q2 = start(available_now=True)
+    _drain(q2)
+
+    ids = [r.event_id for r in spark.read.parquet(out_dir).collect()]
+    want = {r.event_id for r in sources.table(spark, "events", SF_SMOKE).collect()}
+    assert len(ids) == len(set(ids)), "restart produced duplicates"
+    assert set(ids) == want, "restart lost events"
