@@ -214,3 +214,35 @@ def merge_sketches(rollup: DataFrame, group_cols: list[str]) -> DataFrame:
         F.sum("n_rows").alias("n_rows"),
     ]
     return rollup.groupBy(*group_cols).agg(*agg) if group_cols else rollup.agg(*agg)
+
+
+def skew_report(df: DataFrame, key: str, top_n: int = 10) -> dict:
+    """Pre-flight skew diagnostic for a prospective join/agg key: one
+    aggregation over the keys producing (a) count quantiles, (b) the
+    top-N heaviest keys and their share, (c) the skew ratio
+    (max/median) that decides between a plain shuffle, AQE skew
+    splitting, or explicit salting (`salted_join`). ONE job, two
+    rows of driver transfer — run it on 100 TB before wiring the
+    join, not after it stalls. Returns a plain dict (it's a
+    diagnostic, not a dataset)."""
+    counts = df.groupBy(key).agg(F.count("*").alias("n"))
+    stats = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.expr("percentile(n, array(0.5, 0.9, 0.99))").alias("quantiles"),
+    ).collect()[0]
+    top = (
+        counts.orderBy(F.desc("n"), key).limit(top_n).collect()
+    )
+    median = stats["quantiles"][0] or 1.0
+    return {
+        "n_keys": stats["n_keys"],
+        "n_rows": stats["n_rows"],
+        "p50": stats["quantiles"][0],
+        "p90": stats["quantiles"][1],
+        "p99": stats["quantiles"][2],
+        "max": stats["max_n"],
+        "skew_ratio": stats["max_n"] / median,
+        "top_keys": [(r[key], r["n"]) for r in top],
+    }

@@ -223,3 +223,16 @@ def test_sketch_rollup_merges_without_rescan(spark):
     assert merged_global.approx_distinct == direct.est
     assert merged_global.n_rows == e.count()
     rollup.unpersist()
+
+
+def test_skew_report_flags_hot_key(spark):
+    from smartpipeline_spark.operators.scale import skew_report
+
+    rows = [{"k": "hot", "v": i} for i in range(900)] + [
+        {"k": f"cold{i % 50}", "v": i} for i in range(100)
+    ]
+    rep = skew_report(spark.createDataFrame(rows), "k")
+    assert rep["n_rows"] == 1000 and rep["n_keys"] == 51
+    assert rep["top_keys"][0] == ("hot", 900)
+    assert rep["skew_ratio"] > 100  # 900 / median(2) — salting territory
+    assert rep["p50"] <= 4
