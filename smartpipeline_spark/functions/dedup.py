@@ -532,7 +532,12 @@ def ext_winnow(spark, sf_dir):
     so it fuses into the scan; the distinct shuffles (doc_id, 8-byte
     fp) pairs only. Downstream, equal fps joined across docs give
     plagiarism/overlap candidates exactly like the shingle inverted
-    index in jaccard_pairs."""
+    index in jaccard_pairs.
+
+    The k-gram hash is md5-derived ONLY for cross-engine oracle
+    parity; at production scale swap the hash lambda for
+    ``xxhash64(substring(s, i, k))`` — same plan, ~5-10x cheaper per
+    k-gram, and the winnowing guarantees don't care which hash."""
     d = sources.table(spark, "documents", sf_dir)
     k, w = WINNOW_K, WINNOW_W
     # both the normalized string and the hash array are bound ONCE per
