@@ -416,3 +416,30 @@ def test_winnowing_robust_to_single_char_edit(spark):
     assert len(shared) / len(fps[1]) > 0.5
     # unrelated docs share (almost) nothing
     assert len(fps[1] & fps[3]) <= 1
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    from smartpipeline_spark.functions.dedup import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]  # 3 is the authority
+    df = spark.createDataFrame([{"src": a, "dst": b} for a, b in edges])
+    got = {r.id: r.rank for r in pagerank(df, iters=20).collect()}
+
+    # reference power iteration, identical damping/dangling handling
+    nodes = {1, 2, 3, 4}
+    out = {}
+    for a, b in edges:
+        out.setdefault(a, []).append(b)
+    ranks = {n: 1.0 for n in nodes}
+    for _ in range(20):
+        inflow = {n: 0.0 for n in nodes}
+        for a, targets in out.items():
+            for b in targets:
+                inflow[b] += ranks[a] / len(targets)
+        dmass = sum(r for n, r in ranks.items() if n not in out)
+        ranks = {
+            n: 0.15 + 0.85 * (inflow[n] + dmass / len(nodes)) for n in nodes
+        }
+    for n in nodes:
+        assert abs(got[n] - ranks[n]) < 1e-9, (n, got[n], ranks[n])
+    assert got[3] == max(got.values())  # the authority wins
