@@ -347,3 +347,26 @@ def test_python_custom_stream_sink_per_batch_files(spark, tmp_path):
     # gap-free.
     batch_ids = sorted({int(p.split("batch-")[1][:5]) for p in files})
     assert batch_ids == list(range(len(batch_ids)))
+
+
+def test_python_custom_sink_publishes_nothing_on_failure(spark, tmp_path):
+    """DSv2 commit contract, failure leg: when any task raises
+    mid-write, commit() never runs — no part-*.jsonl may appear
+    (temp shards from already-finished tasks are abort()-cleaned;
+    the failing task's own temp is the known DSv2 leak and is
+    tolerated, but never PUBLISHED)."""
+    import glob
+
+    import pytest as _pytest
+
+    from smartpipeline_spark.sources.pysource import JsonlSinkDataSource
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = str(tmp_path / "jsonl_fail_out")
+    # bytes are not json-serializable -> json.dumps raises in write()
+    df = spark.range(10).selectExpr(
+        "id", "unhex(lpad(hex(id), 2, '0')) AS blob"
+    ).repartition(2)
+    with _pytest.raises(Exception):
+        df.write.format("jsonlsink").option("path", out).mode("append").save()
+    assert not glob.glob(out + "/part-*.jsonl"), "failed job published shards"
