@@ -593,3 +593,95 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def ext_repetition(spark, sf_dir):
     d = sources.table(spark, "documents", sf_dir)
     return repetition_metrics(d)
+
+
+# ------------------------------------------------- sequence packing
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_span: int = 1024,
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents are
+    concatenated in ``id_col`` order into one token stream that is cut
+    into fixed-``budget`` training sequences, so every batch is exactly
+    full (no padding waste). Returns one row per document with its
+    global token offset, the sequence it starts in, and whether it
+    straddles a sequence boundary (the fraction of straddlers is the
+    attention-contamination metric packing trades against).
+
+    The global running total is the scale problem: a plain
+    ``Window.orderBy(id)`` cumsum sorts the whole corpus in ONE
+    partition. Instead a two-level exact decomposition: documents are
+    bucketed by ``id DIV bucket_span``, per-bucket token sums collapse
+    to one row per bucket (map-side partial agg), a cumsum over that
+    tiny table yields each bucket's base offset (broadcast back), and
+    a ``partitionBy(bucket)`` window — parallel across buckets —
+    finishes the within-bucket offsets. Integer arithmetic, so the
+    decomposition is bit-exact vs the naive window. At 10^11 docs
+    raise ``bucket_span`` so the bucket table stays ~10^6 rows."""
+    from pyspark.sql.window import Window
+
+    from smartpipeline_spark.functions.text import _word_count_expr
+
+    toks = df.select(
+        F.col(id_col),
+        _word_count_expr(F.col(text_col)).alias("tokens"),
+        F.expr(f"{id_col} DIV {bucket_span}").alias("bucket"),
+    )
+    per_bucket = toks.groupBy("bucket").agg(F.sum("tokens").alias("bsum"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    base = per_bucket.select(
+        "bucket", F.coalesce(F.sum("bsum").over(wb), F.lit(0)).alias("base")
+    )
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = toks.join(F.broadcast(base), "bucket").select(
+        id_col,
+        "tokens",
+        (F.col("base") + F.coalesce(F.sum("tokens").over(win), F.lit(0))).alias(
+            "start_off"
+        ),
+    )
+    return placed.select(
+        id_col,
+        "tokens",
+        "start_off",
+        F.expr(f"start_off DIV {budget}").alias("seq_id"),
+        (
+            F.expr(f"(start_off + greatest(tokens, 1) - 1) DIV {budget}")
+            > F.expr(f"start_off DIV {budget}")
+        ).alias("straddles"),
+    )
+
+
+@ext_query(
+    "ext_pack_sequences",
+    """WITH t AS (
+         SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS tokens
+         FROM documents),
+       c AS (
+         SELECT doc_id, tokens,
+                CAST(COALESCE(SUM(tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS start_off
+         FROM t)
+       SELECT doc_id, tokens, start_off,
+              start_off // 512 AS seq_id,
+              ((start_off + greatest(tokens, 1) - 1) // 512)
+                > (start_off // 512) AS straddles
+       FROM c""",
+)
+def ext_pack_sequences(spark, sf_dir):
+    """Oracle is the naive single-window cumsum — DuckDB can afford it
+    at sf0.01; the Spark side must reproduce it bit-exactly from the
+    bucketed decomposition."""
+    d = sources.table(spark, "documents", sf_dir)
+    return pack_sequences(d)

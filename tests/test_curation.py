@@ -297,3 +297,47 @@ def test_stratified_sample_subset_property_random_strata(spark):
         smallest = weights.index(min(weights))
         small_ids = {r["doc_id"] for r in rows if r["lang"] == f"s{smallest}"}
         assert small_ids <= kept_ids, trial
+
+
+def test_pack_sequences_matches_naive_cumsum_and_invariants(spark):
+    from pyspark.sql.window import Window
+
+    from smartpipeline_spark.functions.curation import pack_sequences
+
+    # adversarial id layout: sparse ids crossing bucket boundaries,
+    # empty docs, a doc longer than the whole budget
+    rows = [
+        (i, " ".join(["w"] * n))
+        for i, n in [
+            (0, 3), (7, 0), (1023, 5), (1024, 700), (1025, 1),
+            (5000, 12), (99999, 250), (100000, 250), (123456, 9),
+        ]
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, budget=512, bucket_span=1024)
+    got = {r.doc_id: r.asDict() for r in out.collect()}
+
+    # naive single-window reference
+    toks = {i: (len(t.split()) if t.strip() else 0) for i, t in rows}
+    start, ref = 0, {}
+    for i in sorted(toks):
+        n = toks[i]
+        seq = start // 512
+        ref[i] = (n, start, seq, (start + max(n, 1) - 1) // 512 > seq)
+        start += n
+    for i, (n, s, q, st) in ref.items():
+        r = got[i]
+        assert (r["tokens"], r["start_off"], r["seq_id"], r["straddles"]) == (
+            n, s, q, st,
+        ), i
+
+    # invariants: offsets tile the stream exactly; stream length conserved
+    assert sum(toks.values()) == max(s + n for i, (n, s, _, _) in ref.items())
+    # the 700-token doc must straddle (longer than one 512 sequence)
+    assert got[1024]["straddles"] is True
+    # decomposition insensitive to bucket_span
+    alt = {
+        r.doc_id: r.asDict()
+        for r in pack_sequences(df, budget=512, bucket_span=17).collect()
+    }
+    assert alt == got
