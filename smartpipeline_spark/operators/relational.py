@@ -2049,3 +2049,60 @@ def q57_grouped_map(spark, sf_dir):
         topk,
         "o_orderpriority string, o_orderkey bigint, o_totalprice double, rank long",
     )
+
+
+@query(
+    "q58_merge_upsert",
+    f"""WITH tgt AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+                     WHERE c_custkey <= 1200),
+            src AS (SELECT o_custkey,
+                           {_sql_dsum2("o_totalprice")} AS new_bal
+                    FROM orders GROUP BY o_custkey)
+       SELECT COALESCE(t.c_custkey, s.o_custkey) AS custkey,
+              CASE WHEN t.c_custkey IS NULL THEN 'new-customer'
+                   ELSE t.c_name END AS name,
+              CASE WHEN s.o_custkey IS NULL THEN t.c_acctbal
+                   ELSE s.new_bal END AS acctbal,
+              CASE WHEN t.c_custkey IS NULL THEN 'insert'
+                   WHEN s.o_custkey IS NULL THEN 'keep'
+                   ELSE 'update' END AS merge_action
+       FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.o_custkey""",
+)
+def q58_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics (ANSI three-branch upsert) as a pure
+    engine operation: a customer dimension (truncated so the insert
+    branch is real) merged with per-customer order totals — MATCHED →
+    update balance, NOT MATCHED → insert a new row, NOT MATCHED BY
+    SOURCE → keep, with the taken branch exposed as ``merge_action``.
+    This is the incremental-ingestion primitive every warehouse load
+    runs; table formats (Delta/Iceberg) add file-level pruning on
+    top, but the row semantics are exactly this copy-on-write full
+    outer join. Scale shape: both sides reduce before the join (the
+    source collapses to one row per key via an exact decimal sum —
+    order-independent, see ``dsum2``), and a full outer of two large
+    keyed sides is sort-merge territory — no broadcast, one shuffle
+    each, AQE free to split skewed keys."""
+    t = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 1200)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    s = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(dsum2(F.col("o_totalprice")).alias("new_bal"))
+    )
+    j = t.join(s, t.c_custkey == s.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.when(F.col("c_custkey").isNull(), F.lit("new-customer"))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.when(F.col("o_custkey").isNull(), F.col("c_acctbal"))
+        .otherwise(F.col("new_bal"))
+        .alias("acctbal"),
+        F.when(F.col("c_custkey").isNull(), F.lit("insert"))
+        .when(F.col("o_custkey").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+        .alias("merge_action"),
+    )
