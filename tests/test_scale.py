@@ -259,3 +259,36 @@ def test_compact_reduces_files_and_preserves_data(spark, tmp_path):
     import glob
 
     assert not glob.glob(out + "._compacting") and not glob.glob(out + "._old")
+
+
+def test_write_sorted_files_have_disjoint_key_ranges(spark, tmp_path):
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.operators.scale import write_sorted
+
+    out = str(tmp_path / "sorted_orders")
+    orders = sources.table(spark, "orders", SF_SMOKE)
+    write_sorted(orders, out, "o_orderkey", num_files=6)
+
+    ranges = []
+    for f in sorted(_glob.glob(out + "/*.parquet")):
+        md = _pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "o_orderkey"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4  # range partitioner may merge tiny bins
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "file key ranges overlap — data skipping broken"
+    # round trip intact
+    assert spark.read.parquet(out).count() == orders.count()
