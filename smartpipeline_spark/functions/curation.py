@@ -595,6 +595,91 @@ def ext_repetition(spark, sf_dir):
     return repetition_metrics(d)
 
 
+# ----------------------------------------- URL canonicalization / domains
+
+def canonicalize_url(col):
+    """Web-curation URL normalization: lowercase, strip scheme,
+    ``www.`` prefix, query string, and fragment, and any trailing
+    slash — the key under which crawl snapshots of the same page
+    dedup. Pure regexp column algebra (codegen'd, no UDF)."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "^https?://", "")
+    c = F.regexp_replace(c, "^www\\.", "")
+    c = F.regexp_replace(c, "[?#].*$", "")
+    return F.regexp_replace(c, "/$", "")
+
+
+def url_domain(col):
+    """Registered host of an already-canonicalized URL (everything
+    before the first slash)."""
+    return F.regexp_extract(col, "^([^/]+)", 1)
+
+
+def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-domain corpus rollup — pages, bytes, and a stable example
+    URL — the table RefinedWeb/C4-style pipelines rank to allowlist
+    or drop whole domains before any per-document scoring runs.
+    Scale shape: canonicalization is map-side regexp, the rollup is a
+    partial-agg groupBy on the (short) domain string; nothing about a
+    document body ever shuffles — only its length."""
+    canon = df.withColumn("canon", canonicalize_url(F.col(url_col)))
+    return (
+        canon.withColumn("domain", url_domain(F.col("canon")))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.count_distinct("canon").alias("n_unique_pages"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("canon").alias("example_url"),
+        )
+    )
+
+
+@ext_query(
+    "ext_url_stats",
+    """WITH u AS (
+         SELECT doc_id, n_chars,
+                'https://WWW.Site' || CAST(doc_id % 37 AS VARCHAR)
+                  || '.example.COM/p/' || CAST(doc_id % 100 AS VARCHAR)
+                  || '/?utm=x' || CAST(doc_id AS VARCHAR) || '#frag' AS url
+         FROM documents),
+       c AS (
+         SELECT doc_id, n_chars,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  lower(url), '^https?://', ''), '^www\\.', ''),
+                  '[?#].*$', ''), '/$', '') AS canon
+         FROM u)
+       SELECT regexp_extract(canon, '^([^/]+)', 1) AS domain,
+              COUNT(*) AS n_pages,
+              COUNT(DISTINCT canon) AS n_unique_pages,
+              SUM(n_chars) AS total_chars,
+              MIN(canon) AS example_url
+       FROM c GROUP BY 1""",
+)
+def ext_url_stats(spark, sf_dir):
+    """The synthetic corpus has no URL column, so deterministic messy
+    URLs (mixed case, www, tracking query, fragment, trailing slash)
+    are synthesized from ``doc_id`` — the canonicalization and the
+    domain rollup are the real operator. ``doc_id % 100`` makes
+    distinct raw URLs collide post-canonicalization, so
+    ``n_unique_pages < n_pages`` is exercised, not vacuous."""
+    d = sources.table(spark, "documents", sf_dir)
+    u = d.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("https://WWW.Site"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example.COM/p/"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit("/?utm=x"),
+            F.col("doc_id").cast("string"),
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+    return domain_stats(u)
+
+
 # ------------------------------------------------- sequence packing
 
 def pack_sequences(

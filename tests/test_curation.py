@@ -341,3 +341,21 @@ def test_pack_sequences_matches_naive_cumsum_and_invariants(spark):
         for r in pack_sequences(df, budget=512, bucket_span=17).collect()
     }
     assert alt == got
+
+
+def test_canonicalize_url_collapses_crawl_variants(spark):
+    from smartpipeline_spark.functions.curation import canonicalize_url, url_domain
+
+    variants = [
+        "https://www.Example.com/A/b?utm_source=x",
+        "http://example.com/A/b#section",
+        "HTTPS://EXAMPLE.COM/a/B/",
+        "example.com/a/b",
+    ]
+    df = spark.createDataFrame([(v,) for v in variants], "url string")
+    out = df.select(
+        canonicalize_url(F.col("url")).alias("c"),
+    ).collect()
+    assert {r.c for r in out} == {"example.com/a/b"}
+    dom = df.select(url_domain(canonicalize_url(F.col("url"))).alias("d")).collect()
+    assert {r.d for r in dom} == {"example.com"}
