@@ -265,17 +265,8 @@ def compact(
     temp at the same bucket so the final rename is a metadata op."""
     import math
     import os
-    import shutil
 
-    def _files(p):
-        return [
-            os.path.join(dp, f)
-            for dp, _, fs in os.walk(p)
-            for f in fs
-            if not f.startswith(("_", "."))
-        ]
-
-    before = _files(path)
+    before = _data_files(path)
     total_bytes = sum(os.path.getsize(f) for f in before)
     n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     tmp = path.rstrip("/") + "._compacting"
@@ -284,11 +275,62 @@ def compact(
         .coalesce(n_out)
         .write.mode("overwrite").format(fmt).save(tmp)
     )
-    final_tmp = path.rstrip("/") + "._old"
-    shutil.move(path, final_tmp)
+    _atomic_swap(tmp, path)
+    return {"files_before": len(before), "files_after": len(_data_files(path)), "bytes": total_bytes}
+
+
+def _data_files(p: str) -> list[str]:
+    import os
+
+    return [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(p)
+        for f in fs
+        if not f.startswith(("_", "."))
+    ]
+
+
+def _atomic_swap(tmp: str, path: str) -> None:
+    """Replace ``path`` with ``tmp`` via renames so concurrent readers
+    see either the old table or the new one, never a mix."""
+    import shutil
+
+    old = path.rstrip("/") + "._old"
+    shutil.move(path, old)
     shutil.move(tmp, path)
-    shutil.rmtree(final_tmp)
-    return {"files_before": len(before), "files_after": len(_files(path)), "bytes": total_bytes}
+    shutil.rmtree(old)
+
+
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    keys,
+    fmt: str = "parquet",
+) -> dict:
+    """Right-to-erasure / retraction delete: rewrite the table without
+    the rows whose ``key`` is in ``keys`` (a list or a 1-column
+    DataFrame), with the same atomic swap as :func:`compact`. The
+    delete itself is a LEFT ANTI join against the key set — broadcast
+    when small (the GDPR case: thousands of subjects vs billions of
+    rows), shuffle-keyed when not. This is the copy-on-write
+    worst case: table formats narrow the rewrite to files whose
+    footer range can contain a doomed key (pair with
+    :func:`write_sorted` so those footers are tight); on a raw
+    directory the whole table rewrites, which is the honest floor."""
+    df = spark.read.format(fmt).load(path)
+    if isinstance(keys, DataFrame):
+        kdf = keys.toDF(key)
+    else:
+        kdf = spark.createDataFrame([(k,) for k in keys], [key]).select(
+            F.col(key).cast(df.schema[key].dataType)
+        )
+    tmp = path.rstrip("/") + "._deleting"
+    kept = df.join(F.broadcast(kdf), key, "left_anti")
+    kept.write.mode("overwrite").format(fmt).save(tmp)
+    _atomic_swap(tmp, path)
+    after = spark.read.format(fmt).load(path)
+    return {"rows_after": after.count(), "files": len(_data_files(path))}
 
 
 def write_sorted(

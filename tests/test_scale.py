@@ -292,3 +292,22 @@ def test_write_sorted_files_have_disjoint_key_ranges(spark, tmp_path):
         assert hi1 < lo2, "file key ranges overlap — data skipping broken"
     # round trip intact
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_delete_keys_removes_exactly_the_doomed_rows(spark, tmp_path):
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.operators.scale import delete_keys
+
+    out = str(tmp_path / "erasable")
+    orders = sources.table(spark, "orders", SF_SMOKE)
+    orders.write.mode("overwrite").parquet(out)
+    n = orders.count()
+    doomed = [r.o_orderkey for r in orders.select("o_orderkey").limit(7).collect()]
+
+    rep = delete_keys(spark, out, "o_orderkey", doomed)
+    back = spark.read.parquet(out)
+    assert rep["rows_after"] == back.count() == n - 7
+    assert back.filter(F.col("o_orderkey").isin(doomed)).count() == 0
+    import glob
+
+    assert not glob.glob(out + "._deleting") and not glob.glob(out + "._old")
