@@ -129,6 +129,20 @@ def main():
     n = back.count()
     toks = back.agg(F.sum("n_ws_tokens")).collect()[0][0]
     print(f"curated {n} docs, {toks} whitespace tokens -> {out}")
+
+    # 10. pack the curated corpus into fixed-budget training sequences
+    #     (concat-and-chunk; the straddle fraction is the packing tax)
+    from smartpipeline_spark.functions.curation import pack_sequences
+
+    packed = pack_sequences(back, budget=512)
+    stats = packed.agg(
+        (F.max(F.col("start_off") + F.col("tokens")) / 512).alias("n_seqs"),
+        F.avg(F.col("straddles").cast("double")).alias("straddle_frac"),
+    ).collect()[0]
+    print(
+        f"packed into ~{stats.n_seqs:.0f} sequences of 512 tokens, "
+        f"{stats.straddle_frac:.1%} of docs straddle a boundary"
+    )
     spark.stop()
 
 
