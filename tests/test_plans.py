@@ -201,3 +201,33 @@ def test_join_strategy_hints_are_honored(spark):
     assert "ShuffledHashJoin" in shuffle_hash_plan, shuffle_hash_plan
     bcast_plan = _plan(o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey))
     assert "BroadcastHashJoin" in bcast_plan, bcast_plan
+
+
+def test_merge_upsert_prereduces_and_sort_merges(spark, queries):
+    plan = _plan(queries["q58_merge_upsert"](spark, SF_SMOKE))
+    # full outer must be sort-merge (broadcast cannot implement it for
+    # large-large), and the source side must aggregate BELOW the join
+    assert re.search(r"SortMergeJoin.*FullOuter", plan), plan
+    assert "HashAggregate" in plan, plan
+    join_pos = plan.index("SortMergeJoin")
+    assert plan.index("HashAggregate") > join_pos  # formatted plan lists
+    # children after the join header; presence of partial agg is checked
+    # by the keys line
+    assert re.search(r"Keys \[1\]: \[o_custkey", plan), plan
+
+
+def test_pack_sequences_has_no_corpus_wide_window(spark, queries):
+    plan = _plan(queries["ext_pack_sequences"](spark, SF_SMOKE))
+    # every Window over per-document rows must be partitioned by bucket —
+    # a Window whose partition spec is empty sorts the corpus in ONE
+    # partition. The only unpartitioned window allowed is the cumsum over
+    # the bucket table (input = one row per bucket, after HashAggregate).
+    windows = re.findall(r"Arguments: \[[^\]]*windowspecdefinition\(([^)]*)\)", plan)
+    assert windows, plan
+    partitioned = [w for w in windows if w.strip().startswith("bucket")]
+    unpartitioned = [w for w in windows if not w.strip().startswith("bucket")]
+    assert partitioned, plan  # the per-doc window rides bucket partitions
+    # at most the tiny bucket-level cumsum may be unpartitioned
+    assert len(unpartitioned) <= 1, plan
+    # and the corpus join side receives the bucket bases via broadcast
+    assert "BroadcastExchange" in plan, plan
