@@ -333,6 +333,52 @@ def delete_keys(
     return {"rows_after": after.count(), "files": len(_data_files(path))}
 
 
+def with_global_index(
+    df: DataFrame,
+    order_col: str,
+    index_name: str = "row_idx",
+    num_buckets: int = 1 << 12,
+) -> DataFrame:
+    """Dense 0-based global row number in ``order_col`` order without
+    ever sorting the dataset in one partition — the DataFrame answer
+    to RDD ``zipWithIndex`` (which breaks whole-stage codegen and
+    drags rows through Java serialization). Same exact two-level
+    decomposition as sequence packing, generalized to any orderable
+    key: rows hash into ``ntile``-free range buckets via
+    ``width_bucket`` over an in-plan min/max, per-bucket counts cumsum
+    into base offsets (tiny table, broadcast back), and a
+    ``partitionBy(bucket)`` row_number — parallel across buckets —
+    finishes the index. Requires ``order_col`` values unique (ties
+    would make the global order, and therefore the index,
+    nondeterministic — the same caveat zipWithIndex hides)."""
+    from pyspark.sql.window import Window
+
+    # hi is max+1: width_bucket's upper bound is exclusive AND rejects
+    # lo == hi (a 1-row or constant-key frame would NULL out and the
+    # bucket join would silently drop every row)
+    bounds = df.agg(
+        F.min(order_col).alias("lo"),
+        (F.max(order_col) + F.lit(1)).alias("hi"),
+    )
+    bucketed = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_gb",
+        F.width_bucket(F.col(order_col), F.col("lo"), F.col("hi"), F.lit(num_buckets)),
+    ).drop("lo", "hi")
+    per = bucketed.groupBy("_gb").agg(F.count("*").alias("_n"))
+    wb = Window.orderBy("_gb").rowsBetween(Window.unboundedPreceding, -1)
+    base = per.select(
+        "_gb", F.coalesce(F.sum("_n").over(wb), F.lit(0)).alias("_base")
+    )
+    win = Window.partitionBy("_gb").orderBy(order_col)
+    return (
+        bucketed.join(F.broadcast(base), "_gb")
+        .withColumn(
+            index_name, F.col("_base") + F.row_number().over(win) - F.lit(1)
+        )
+        .drop("_gb", "_base")
+    )
+
+
 def write_sorted(
     df: DataFrame,
     path: str,

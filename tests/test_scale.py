@@ -311,3 +311,31 @@ def test_delete_keys_removes_exactly_the_doomed_rows(spark, tmp_path):
     import glob
 
     assert not glob.glob(out + "._deleting") and not glob.glob(out + "._old")
+
+
+def test_with_global_index_matches_single_partition_order(spark):
+    from smartpipeline_spark.operators.scale import with_global_index
+
+    import random
+
+    rnd = random.Random(7)
+    vals = rnd.sample(range(-(10**9), 10**9), 5000)
+    df = spark.createDataFrame([(v,) for v in vals], "k long").repartition(16)
+    out = with_global_index(df, "k")
+    got = {r.k: r.row_idx for r in out.collect()}
+    expect = {v: i for i, v in enumerate(sorted(vals))}
+    assert got == expect
+    # skewed distribution (many buckets empty, one dense band)
+    skewed = [0] + [10**9 + i for i in range(999)]
+    sdf = spark.createDataFrame([(v,) for v in skewed], "k long").repartition(8)
+    sgot = {r.k: r.row_idx for r in with_global_index(sdf, "k").collect()}
+    assert sgot == {v: i for i, v in enumerate(sorted(skewed))}
+
+
+def test_with_global_index_degenerate_single_row(spark):
+    from smartpipeline_spark.operators.scale import with_global_index
+
+    rows = with_global_index(
+        spark.createDataFrame([(42,)], "k long"), "k"
+    ).collect()
+    assert [(r.k, r.row_idx) for r in rows] == [(42, 0)]
