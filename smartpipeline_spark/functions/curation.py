@@ -595,6 +595,73 @@ def ext_repetition(spark, sf_dir):
     return repetition_metrics(d)
 
 
+# ------------------------------------------------- mixture sampling
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Dataset mixing to TARGET proportions (the DoReMi/Dolma recipe):
+    given per-stratum mixture weights, downsample each stratum so the
+    output distribution matches the weights exactly while retaining
+    the maximum possible data — the binding stratum (smallest
+    ``n_s / w_s``) is kept whole and every other stratum thins to
+    match. Generalizes :func:`stratified_sample` (equal weights ==
+    balance to the smallest stratum). Same rerun-stable md5-bucket
+    keep-decision, same scale shape: per-stratum counts and the
+    1-row binding minimum stay in-plan, the rate table broadcasts,
+    and the corpus itself is never shuffled — strata missing from
+    ``weights`` are dropped (weight 0)."""
+    spark = df.sparkSession
+    w = F.broadcast(
+        spark.createDataFrame(
+            [(k, float(v)) for k, v in weights.items()], [stratum_col, "w"]
+        )
+    )
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n")).join(w, stratum_col)
+    binding = counts.agg(F.min(F.col("n") / F.col("w")).alias("scale"))
+    rates = counts.crossJoin(F.broadcast(binding)).select(
+        stratum_col,
+        F.floor(F.lit(10000.0) * F.col("scale") * F.col("w") / F.col("n"))
+        .cast("bigint")
+        .alias("keep_lt"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10000
+    )
+    return df.join(F.broadcast(rates), stratum_col).filter(bucket < F.col("keep_lt"))
+
+
+@ext_query(
+    "ext_mixture_sample",
+    """WITH w AS (SELECT * FROM (VALUES ('src0', 3.0), ('src1', 1.0),
+                                        ('src2', 1.0), ('src3', 2.0))
+                  AS t(source, w)),
+         counts AS (SELECT d.source, COUNT(*) AS n, ANY_VALUE(w.w) AS w
+                    FROM documents d JOIN w ON d.source = w.source
+                    GROUP BY d.source),
+         binding AS (SELECT MIN(n / w) AS scale FROM counts),
+         rates AS (SELECT source,
+                          CAST(FLOOR(10000.0 * scale * w / n) AS BIGINT) AS keep_lt
+                   FROM counts, binding)
+       SELECT d.doc_id, d.source
+       FROM documents d JOIN rates r ON d.source = r.source
+       WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 10000 < r.keep_lt""",
+)
+def ext_mixture_sample(spark, sf_dir):
+    """Four strata at weights 3:1:1:2 over equal-sized sources — src0
+    keeps ~everything, the others thin to 1/3 and 2/3 of it; sources
+    outside the weight map drop entirely."""
+    d = sources.table(spark, "documents", sf_dir)
+    return mixture_sample(
+        d, {"src0": 3.0, "src1": 1.0, "src2": 1.0, "src3": 2.0}
+    ).select("doc_id", "source")
+
+
 # ----------------------------------------- URL canonicalization / domains
 
 def canonicalize_url(col):

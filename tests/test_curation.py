@@ -359,3 +359,30 @@ def test_canonicalize_url_collapses_crawl_variants(spark):
     assert {r.c for r in out} == {"example.com/a/b"}
     dom = df.select(url_domain(canonicalize_url(F.col("url"))).alias("d")).collect()
     assert {r.d for r in dom} == {"example.com"}
+
+
+def test_mixture_sample_hits_target_proportions(spark):
+    from smartpipeline_spark.functions.curation import (
+        mixture_sample,
+        stratified_sample,
+    )
+
+    rows = [
+        {"doc_id": i, "source": f"s{i % 4}"} for i in range(8000)
+    ]
+    df = spark.createDataFrame(rows)
+    out = mixture_sample(df, {"s0": 4.0, "s1": 2.0, "s2": 1.0}, "source")
+    counts = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert "s3" not in counts  # unweighted stratum dropped
+    # binding stratum (largest weight) kept whole; others to ratio
+    assert counts["s0"] == 2000
+    assert abs(counts["s1"] - 1000) < 80 and abs(counts["s2"] - 500) < 60
+    # rerun-stable
+    again = {r.source: r["count"] for r in
+             mixture_sample(df, {"s0": 4.0, "s1": 2.0, "s2": 1.0}, "source")
+             .groupBy("source").count().collect()}
+    assert counts == again
+    # equal weights degenerate to stratified balancing (same keep set)
+    eq = mixture_sample(df, {f"s{i}": 1.0 for i in range(4)}, "source")
+    strat = stratified_sample(df, "source")
+    assert {r.doc_id for r in eq.collect()} == {r.doc_id for r in strat.collect()}
