@@ -117,3 +117,18 @@ def test_queries_dir_in_sync_with_registry():
     assert on_disk == set(keys), on_disk ^ set(keys)
     for k in keys:
         assert (QUERIES_DIR / f"{k}.sql").read_text() == render(k, oracles.get(k)), k
+
+
+def test_driver_window_pinned_first_and_fully_oracled():
+    """The driver's correctness harness checks only the first 50
+    registry entries; that prefix is the hand-picked _WINDOW and every
+    member must have a DuckDB oracle — a registration-order slip here
+    silently un-checks flagship operators (round-1 lesson)."""
+    import __spark_entry__ as entrymod
+
+    q = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    assert len(entrymod._WINDOW) == 50
+    assert tuple(q[:50]) == entrymod._WINDOW
+    missing = [k for k in entrymod._WINDOW if k not in oracles]
+    assert not missing, missing
