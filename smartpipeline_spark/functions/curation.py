@@ -595,6 +595,55 @@ def ext_repetition(spark, sf_dir):
     return repetition_metrics(d)
 
 
+# ------------------------------------------------- dataset export
+
+def export_dataset(
+    df: DataFrame,
+    path: str,
+    split_col: str = "split",
+    fmt: str = "parquet",
+) -> dict:
+    """Materialize a curated corpus as a split-partitioned dataset plus
+    a ``manifest.json`` a trainer can trust without rescanning: per-split
+    row counts and an ORDER-INSENSITIVE content fingerprint (sum of
+    per-row ``xxhash64`` over all columns, accumulated in DECIMAL(38,0)
+    — ANSI mode forbids wrapping int64 sums, and unlike bit_xor a sum
+    doesn't let duplicate rows cancel pairwise), computed from the
+    files as written (read-back, not the in-memory frame), so the
+    manifest attests to what is actually on disk. Partitioning by split
+    makes the trainer's ``split=train`` read a directory prune, not a
+    filter. One extra read-back scan is the integrity cost; at 100 TB
+    run it as the same job's final stage reading the files it just
+    wrote (still one pass over the output, zero over the input)."""
+    import json
+    import os
+
+    df.write.mode("overwrite").partitionBy(split_col).format(fmt).save(path)
+    back = df.sparkSession.read.format(fmt).load(path)
+    data_cols = [c for c in back.columns if c != split_col]
+    fp = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in data_cols])
+    stats = (
+        back.groupBy(split_col)
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(fp.cast("decimal(38,0)")).alias("fingerprint"),
+        )
+        .collect()
+    )
+    manifest = {
+        "format": fmt,
+        "split_col": split_col,
+        "columns": [c for c in back.columns],
+        "splits": {
+            r[split_col]: {"rows": r["rows"], "fingerprint": int(r["fingerprint"])}
+            for r in stats
+        },
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
 # ------------------------------------------------- mixture sampling
 
 def mixture_sample(

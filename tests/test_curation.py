@@ -386,3 +386,37 @@ def test_mixture_sample_hits_target_proportions(spark):
     eq = mixture_sample(df, {f"s{i}": 1.0 for i in range(4)}, "source")
     strat = stratified_sample(df, "source")
     assert {r.doc_id for r in eq.collect()} == {r.doc_id for r in strat.collect()}
+
+
+def test_export_dataset_manifest_attests_to_disk_content(spark, tmp_path):
+    import json
+
+    from smartpipeline_spark.functions.curation import assign_split, export_dataset
+
+    df = assign_split(
+        spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(300)], "doc_id long, text string"
+        )
+    ).select("doc_id", "text", "split")
+    out = str(tmp_path / "dataset")
+    man = export_dataset(df, out)
+
+    disk = json.load(open(out + "/manifest.json"))
+    assert disk == man
+    assert sum(s["rows"] for s in man["splits"].values()) == 300
+    assert set(man["splits"]) <= {"train", "val", "test"}
+    # fingerprint is order-insensitive: re-export shuffled rows -> same
+    man2 = export_dataset(df.repartition(7), str(tmp_path / "d2"))
+    assert {k: v["fingerprint"] for k, v in man2["splits"].items()} == {
+        k: v["fingerprint"] for k, v in man["splits"].items()
+    }
+    # ...but content-sensitive: a changed row flips its split's print
+    tweaked = df.withColumn(
+        "text", F.when(F.col("doc_id") == 5, F.lit("EDITED")).otherwise(F.col("text"))
+    )
+    man3 = export_dataset(tweaked, str(tmp_path / "d3"))
+    assert man3["splits"] != man["splits"]
+    # split partition dirs exist (directory-prune layout)
+    import glob
+
+    assert glob.glob(out + "/split=*")
