@@ -143,6 +143,15 @@ def main():
         f"packed into ~{stats.n_seqs:.0f} sequences of 512 tokens, "
         f"{stats.straddle_frac:.1%} of docs straddle a boundary"
     )
+
+    # 11. materialize split-partitioned with a disk-attested manifest
+    from smartpipeline_spark.functions.curation import export_dataset
+
+    manifest = export_dataset(back, "/root/repo/.tmp/curated_dataset")
+    print(
+        "exported:",
+        {k: v["rows"] for k, v in sorted(manifest["splits"].items())},
+    )
     spark.stop()
 
 

@@ -32,6 +32,7 @@ they push into the parquet scan.
 
 from __future__ import annotations
 
+import glob
 import os
 from typing import Callable
 
@@ -129,8 +130,21 @@ def q02_sink_roundtrip(spark, sf_dir):
     pruning — the single most important layout lever at 100 TB).
 
     Paths are per-process so concurrent runs don't collide on the sink
-    directory."""
-    base = f"/root/repo/.tmp/q02_sink_{os.getpid()}"
+    directory; sink dirs left behind by DEAD processes are reaped here
+    so repeated harness runs don't accumulate litter."""
+    import shutil
+
+    tmp_root = "/root/repo/.tmp"
+    for stale in glob.glob(f"{tmp_root}/q02_sink_*"):
+        try:
+            pid = int(stale.rsplit("_", 1)[-1])
+            if pid != os.getpid():
+                os.kill(pid, 0)  # raises if the owner is gone
+        except ProcessLookupError:
+            shutil.rmtree(stale, ignore_errors=True)
+        except (ValueError, PermissionError):
+            pass
+    base = f"{tmp_root}/q02_sink_{os.getpid()}"
     os.makedirs(base, exist_ok=True)
     o = _t(spark, sf_dir, "orders")
 
