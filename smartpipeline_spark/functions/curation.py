@@ -595,6 +595,31 @@ def ext_repetition(spark, sf_dir):
     return repetition_metrics(d)
 
 
+# ------------------------------------------------- epoch shuffle
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    num_shards: int = 64,
+) -> DataFrame:
+    """Rerun-stable global shuffle for training epochs: order becomes
+    ``xxhash64(key, seed)`` — a fixed pseudorandom permutation per
+    seed, so epoch N is reproducible on any rerun and epoch N+1 (next
+    seed) is a fresh permutation. Layout, not a sort-at-read:
+    ``repartitionByRange`` over the hash splits the permutation into
+    ``num_shards`` contiguous shards and each shard sorts internally —
+    write the result and readers consuming shards in file order see
+    the full shuffled sequence without any global sort at train time.
+    One range shuffle, the same price as any epoch-shuffle pass."""
+    h = F.xxhash64(F.col(key_col).cast("string"), F.lit(seed))
+    return (
+        df.withColumn("_shuffle_ord", h)
+        .repartitionByRange(num_shards, F.col("_shuffle_ord"))
+        .sortWithinPartitions("_shuffle_ord")
+    )
+
+
 # ------------------------------------------------- dataset export
 
 def export_dataset(
