@@ -311,9 +311,10 @@ def delete_keys(
     """Right-to-erasure / retraction delete: rewrite the table without
     the rows whose ``key`` is in ``keys`` (a list or a 1-column
     DataFrame), with the same atomic swap as :func:`compact`. The
-    delete itself is a LEFT ANTI join against the key set — broadcast
-    when small (the GDPR case: thousands of subjects vs billions of
-    rows), shuffle-keyed when not. This is the copy-on-write
+    delete itself is a LEFT ANTI join against the key set — AQE picks
+    broadcast when the set measures small (the GDPR case: thousands
+    of subjects vs billions of rows) and a shuffle join when a caller
+    passes a huge retraction table. This is the copy-on-write
     worst case: table formats narrow the rewrite to files whose
     footer range can contain a doomed key (pair with
     :func:`write_sorted` so those footers are tight); on a raw
@@ -326,7 +327,7 @@ def delete_keys(
             F.col(key).cast(df.schema[key].dataType)
         )
     tmp = path.rstrip("/") + "._deleting"
-    kept = df.join(F.broadcast(kdf), key, "left_anti")
+    kept = df.join(kdf, key, "left_anti")
     kept.write.mode("overwrite").format(fmt).save(tmp)
     _atomic_swap(tmp, path)
     after = spark.read.format(fmt).load(path)
@@ -350,7 +351,9 @@ def with_global_index(
     ``partitionBy(bucket)`` row_number — parallel across buckets —
     finishes the index. Requires ``order_col`` values unique (ties
     would make the global order, and therefore the index,
-    nondeterministic — the same caveat zipWithIndex hides)."""
+    nondeterministic — the same caveat zipWithIndex hides) and
+    non-null (a null key has no position in a total order; such rows
+    would silently fall out of the bucket join — filter them first)."""
     from pyspark.sql.window import Window
 
     # hi is max+1: width_bucket's upper bound is exclusive AND rejects
