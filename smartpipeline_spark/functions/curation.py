@@ -33,6 +33,18 @@ URL_RE = "https?://[^ ]+"
 PHONE_RE = "\\+1-555-[0-9]{4}"
 
 
+def _keep_bucket(key_col: str, mod: int):
+    """THE rerun-stability primitive, shared by split / balance /
+    mixing: first 8 hex chars of md5(key) as an integer mod ``mod``.
+    One definition — diverging copies would silently break the
+    contract that the three operators agree on which rows a key keeps
+    across reruns and appends."""
+    return (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % mod
+    )
+
+
 # ---------------------------------------------------------------- split
 
 def assign_split(
@@ -46,10 +58,7 @@ def assign_split(
     state, and adding rows later never reassigns existing keys (the
     property random splits lack). At 100 TB this is a free projection
     fused into whatever scan feeds it."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % 100
-    )
+    bucket = _keep_bucket(key_col, 100)
     train_lt, val_width = fractions
     split = (
         F.when(bucket < train_lt, F.lit("train"))
@@ -375,10 +384,7 @@ def stratified_sample(
         .cast("bigint")
         .alias("keep_lt"),
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % 10000
-    )
+    bucket = _keep_bucket(key_col, 10000)
     return (
         df.join(F.broadcast(thresholds), stratum_col)
         .filter(bucket < F.col("keep_lt"))
@@ -611,12 +617,17 @@ def deterministic_shuffle(
     ``num_shards`` contiguous shards and each shard sorts internally —
     write the result and readers consuming shards in file order see
     the full shuffled sequence without any global sort at train time.
-    One range shuffle, the same price as any epoch-shuffle pass."""
+    One range shuffle, the same price as any epoch-shuffle pass.
+    Requires ``key_col`` unique — rows sharing a key share a hash, and
+    their relative order would then be partition-internal, breaking
+    reproducibility. Output carries the input schema only (the hash
+    order is an implementation detail, recomputable from key+seed)."""
     h = F.xxhash64(F.col(key_col).cast("string"), F.lit(seed))
     return (
         df.withColumn("_shuffle_ord", h)
         .repartitionByRange(num_shards, F.col("_shuffle_ord"))
         .sortWithinPartitions("_shuffle_ord")
+        .drop("_shuffle_ord")
     )
 
 
@@ -664,7 +675,10 @@ def export_dataset(
             for r in stats
         },
     }
-    with open(os.path.join(path, "manifest.json"), "w") as fh:
+    # underscore prefix: Spark treats non-underscore files as data, so
+    # "manifest.json" in the root would break every later read of the
+    # dataset with "not a Parquet file"
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     return manifest
 
@@ -702,10 +716,7 @@ def mixture_sample(
         .cast("bigint")
         .alias("keep_lt"),
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % 10000
-    )
+    bucket = _keep_bucket(key_col, 10000)
     return df.join(F.broadcast(rates), stratum_col).filter(bucket < F.col("keep_lt"))
 
 

@@ -258,23 +258,41 @@ def compact(
     every streaming sink (each micro-batch commits >= 1 file per
     partition; a day of 10-second triggers is ~10^5 files whose open
     cost dominates scans long before data size does). Rewrites
-    ``path`` to ceil(bytes / target_file_mb) files via coalesce
-    (narrow — no shuffle; file assembly only) and an atomic
-    temp-dir swap, so readers never observe a half-compacted table.
-    Returns before/after file counts. On object stores, point the
-    temp at the same bucket so the final rename is a metadata op."""
+    ``path`` to ~ceil(bytes / target_file_mb) files — a narrow
+    coalesce for flat tables; for PARTITIONED tables (``key=value``
+    subdirs, the usual streaming-sink layout) the partition columns
+    are re-applied on write and rows are first clustered by them so
+    directory pruning survives compaction and each partition lands in
+    ~one file instead of one per task. Finishes with the crash-safe
+    directory swap of :func:`_atomic_swap`. Returns before/after file
+    counts. On object stores, point the temp at the same bucket so
+    the final rename is a metadata op."""
     import math
     import os
+    import re
 
     before = _data_files(path)
     total_bytes = sum(os.path.getsize(f) for f in before)
     n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    # partition columns, in hierarchy order, from one data file's
+    # directory chain (all files share the layout)
+    part_cols = []
+    if before:
+        for comp in os.path.relpath(before[0], path).split(os.sep)[:-1]:
+            m = re.match(r"([^=]+)=", comp)
+            if m:
+                part_cols.append(m.group(1))
     tmp = path.rstrip("/") + "._compacting"
-    (
-        spark.read.format(fmt).load(path)
-        .coalesce(n_out)
-        .write.mode("overwrite").format(fmt).save(tmp)
-    )
+    df = spark.read.format(fmt).load(path)
+    if part_cols:
+        writer = (
+            df.repartition(n_out, *[F.col(c) for c in part_cols])
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+        )
+    else:
+        writer = df.coalesce(n_out).write.mode("overwrite")
+    writer.format(fmt).save(tmp)
     _atomic_swap(tmp, path)
     return {"files_before": len(before), "files_after": len(_data_files(path)), "bytes": total_bytes}
 
@@ -291,13 +309,28 @@ def _data_files(p: str) -> list[str]:
 
 
 def _atomic_swap(tmp: str, path: str) -> None:
-    """Replace ``path`` with ``tmp`` via renames so concurrent readers
-    see either the old table or the new one, never a mix."""
+    """Replace ``path`` with ``tmp`` via two renames. POSIX cannot swap
+    two DIRECTORIES in one rename, so this is crash-SAFE rather than
+    strictly atomic: a concurrent reader can hit a brief not-found
+    window between the renames (retry), but at every instant the data
+    exists in full at ``path``, ``path._old``, or both — a failed
+    second rename rolls the original back, and a stale ``._old`` from
+    a previous crash is cleared first (otherwise move() would nest the
+    live table INSIDE it). True single-rename atomicity needs an
+    indirection the plain-directory layout doesn't have: a symlink
+    flip or a table format's metadata pointer."""
+    import os
     import shutil
 
     old = path.rstrip("/") + "._old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
     shutil.move(path, old)
-    shutil.move(tmp, path)
+    try:
+        shutil.move(tmp, path)
+    except BaseException:
+        shutil.move(old, path)  # roll back; the original is intact
+        raise
     shutil.rmtree(old)
 
 
@@ -323,9 +356,15 @@ def delete_keys(
     if isinstance(keys, DataFrame):
         kdf = keys.toDF(key)
     else:
-        kdf = spark.createDataFrame([(k,) for k in keys], [key]).select(
-            F.col(key).cast(df.schema[key].dataType)
-        )
+        if not keys:  # empty retraction batch: leave the table untouched
+            return {
+                "rows_after": df.count(),
+                "files": len(_data_files(path)),
+            }
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType([StructField(key, df.schema[key].dataType)])
+        kdf = spark.createDataFrame([(k,) for k in keys], schema)
     tmp = path.rstrip("/") + "._deleting"
     kept = df.join(kdf, key, "left_anti")
     kept.write.mode("overwrite").format(fmt).save(tmp)
@@ -344,24 +383,30 @@ def with_global_index(
     ever sorting the dataset in one partition — the DataFrame answer
     to RDD ``zipWithIndex`` (which breaks whole-stage codegen and
     drags rows through Java serialization). Same exact two-level
-    decomposition as sequence packing, generalized to any orderable
-    key: rows hash into ``ntile``-free range buckets via
+    decomposition as sequence packing: rows hash into ``ntile``-free
+    range buckets via
     ``width_bucket`` over an in-plan min/max, per-bucket counts cumsum
     into base offsets (tiny table, broadcast back), and a
     ``partitionBy(bucket)`` row_number — parallel across buckets —
-    finishes the index. Requires ``order_col`` values unique (ties
-    would make the global order, and therefore the index,
+    finishes the index. Requires a NUMERIC ``order_col``
+    (``width_bucket`` rejects strings/timestamps — index a numeric
+    surrogate like ``unix_micros(ts)`` instead) with values unique
+    (ties would make the global order, and therefore the index,
     nondeterministic — the same caveat zipWithIndex hides) and
     non-null (a null key has no position in a total order; such rows
     would silently fall out of the bucket join — filter them first)."""
     from pyspark.sql.window import Window
 
-    # hi is max+1: width_bucket's upper bound is exclusive AND rejects
-    # lo == hi (a 1-row or constant-key frame would NULL out and the
-    # bucket join would silently drop every row)
+    # bounds are widened to double and hi to max+1: width_bucket's
+    # upper bound is exclusive AND rejects lo == hi (a 1-row or
+    # constant-key frame would NULL out and the bucket join would
+    # silently drop every row), and long-max keys must not overflow
+    # the +1 under ANSI mode. Rounding at double precision only moves
+    # bucket boundaries — out-of-range keys land in buckets 0 / n+1,
+    # which join like any other bucket, so no row is ever lost.
     bounds = df.agg(
-        F.min(order_col).alias("lo"),
-        (F.max(order_col) + F.lit(1)).alias("hi"),
+        F.min(order_col).cast("double").alias("lo"),
+        (F.max(order_col).cast("double") + F.lit(1.0)).alias("hi"),
     )
     bucketed = df.crossJoin(F.broadcast(bounds)).withColumn(
         "_gb",

@@ -401,8 +401,10 @@ def test_export_dataset_manifest_attests_to_disk_content(spark, tmp_path):
     out = str(tmp_path / "dataset")
     man = export_dataset(df, out)
 
-    disk = json.load(open(out + "/manifest.json"))
+    disk = json.load(open(out + "/_manifest.json"))
     assert disk == man
+    # the manifest must NOT break later reads of the dataset root
+    assert spark.read.parquet(out).count() == 300
     assert sum(s["rows"] for s in man["splits"].values()) == 300
     assert set(man["splits"]) <= {"train", "val", "test"}
     # fingerprint is order-insensitive: re-export shuffled rows -> same
@@ -433,11 +435,14 @@ def test_deterministic_shuffle_is_seeded_permutation(spark):
     assert a != c                      # new seed, new permutation
     assert sorted(a) == sorted(c) == list(range(2000))  # lossless
     assert a != list(range(2000))      # actually shuffled
+    # output schema is the input schema (no internal columns leak)
+    out = deterministic_shuffle(df, seed=1, num_shards=8)
+    assert out.columns == ["doc_id"]
     # shard-order read == global hash order (layout contract)
     ordered = [
         r.doc_id
-        for r in deterministic_shuffle(df, seed=1, num_shards=8)
-        .orderBy("_shuffle_ord")
-        .collect()
+        for r in out.withColumn(
+            "h", F.xxhash64(F.col("doc_id").cast("string"), F.lit(1))
+        ).orderBy("h").collect()
     ]
     assert a == ordered

@@ -339,3 +339,52 @@ def test_with_global_index_degenerate_single_row(spark):
         spark.createDataFrame([(42,)], "k long"), "k"
     ).collect()
     assert [(r.k, r.row_idx) for r in rows] == [(42, 0)]
+
+
+def test_compact_preserves_partitioned_layout(spark, tmp_path):
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.operators.scale import compact
+
+    out = str(tmp_path / "part_events")
+    orders = sources.table(spark, "orders", SF_SMOKE)
+    (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .repartition(10)
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(out)
+    )
+    import glob
+
+    files_per_dir = len(glob.glob(out + "/o_year=*/*.parquet"))
+    assert files_per_dir > 10  # many files per partition before
+
+    rep = compact(spark, out, target_file_mb=128)
+    assert rep["files_after"] < rep["files_before"]
+    # key=value dirs survive -> directory pruning still works
+    year_dirs = glob.glob(out + "/o_year=*")
+    assert year_dirs, "partition layout flattened by compaction"
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    assert "o_year" in back.columns
+    # each partition collapses to ~one file
+    for d in year_dirs:
+        assert len(glob.glob(d + "/*.parquet")) <= 2
+
+
+def test_delete_keys_empty_batch_is_noop(spark, tmp_path):
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.operators.scale import delete_keys
+
+    out = str(tmp_path / "noop_del")
+    orders = sources.table(spark, "orders", SF_SMOKE)
+    orders.write.mode("overwrite").parquet(out)
+    import os
+
+    mtimes = {f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)}
+    rep = delete_keys(spark, out, "o_orderkey", [])
+    assert rep["rows_after"] == orders.count()
+    # table untouched, not rewritten
+    assert mtimes == {
+        f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)
+    }
