@@ -329,6 +329,56 @@ def ext_knn_ivf(spark, sf_dir):
     return _exact_topk(cands)
 
 
+def build_ivf_index(e: DataFrame, path: str) -> None:
+    """Materialize the IVF index the inline query recomputes: corpus
+    vectors written PARTITIONED BY their nearest-centroid cell, plus
+    the trained centroids as ``_centroids.json`` in the index root.
+    This is the write-once form of the 100 TB contract: train on a
+    constant-size sample, assign the corpus in one linear pass, pay
+    the layout once — every later query batch reads only its probed
+    cell directories (verified in tests via the scan's partition
+    filters), not the corpus."""
+    import json
+    import os
+
+    cents = _ivf_centroids(e)
+    corpus_cell = _ivf_cells_udf(cents, 1)
+    keyed = e.select(
+        "vec_id", "emb", F.element_at(corpus_cell(F.col("emb")), 1).alias("cell")
+    )
+    keyed.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as fh:
+        json.dump(cents.tolist(), fh)
+
+
+def query_ivf_index(
+    spark, path: str, queries: DataFrame, nprobe: int | None = None
+) -> DataFrame:
+    """ANN top-k against a saved :func:`build_ivf_index` layout.
+    ``queries`` carries (query_id, q_emb). The probed cell ids become
+    an IN-filter on the index's PARTITION column, so the parquet scan
+    opens only nprobe directories per query batch — the remaining
+    ~(k - nprobe)/k of the corpus is pruned before any IO. Candidates
+    get the same exact cosine re-score as every other ANN path."""
+    import json
+    import os
+
+    cents = np.array(json.load(open(os.path.join(path, "_centroids.json"))))
+    probe = _ivf_cells_udf(cents, nprobe or _IVF_NPROBE)
+    q = queries.select(
+        "query_id", "q_emb", F.explode(probe(F.col("q_emb"))).alias("cell")
+    )
+    probed = [r.cell for r in q.select("cell").distinct().collect()]
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    cands = (
+        idx.join(F.broadcast(q), ["cell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_emb", F.col("vec_id").alias("neighbor_id"), "emb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return _exact_topk(cands)
+
+
 RRF_K = 60
 HYBRID_POOL = 50  # depth of each ranker's candidate list
 HYBRID_TOPK = 20

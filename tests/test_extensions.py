@@ -443,3 +443,39 @@ def test_pagerank_matches_reference_power_iteration(spark):
     for n in nodes:
         assert abs(got[n] - ranks[n]) < 1e-9, (n, got[n], ranks[n])
     assert got[3] == max(got.values())  # the authority wins
+
+
+def test_ivf_saved_index_matches_inline_and_prunes_partitions(spark, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    from smartpipeline_spark.functions import EXT_QUERIES
+    from smartpipeline_spark.functions.similarity import (
+        _emb,
+        build_ivf_index,
+        query_ivf_index,
+        N_QUERIES,
+    )
+
+    idx_path = str(tmp_path / "ivf_index")
+    e = _emb(spark, SF_SMOKE)
+    build_ivf_index(e, idx_path)
+
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    from_disk = query_ivf_index(spark, idx_path, queries)
+
+    # identical results to the inline single-job path (same centroids:
+    # deterministic seeded training)
+    inline = EXT_QUERIES["ext_knn_ivf"](spark, SF_SMOKE)
+    assert sorted(map(tuple, from_disk.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
+    # the probe scan must prune cell directories, not read the corpus
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        from_disk.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
