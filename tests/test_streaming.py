@@ -339,3 +339,43 @@ def test_checkpoint_restart_is_exactly_once(spark, events_stream_dir, tmp_path):
     want = {r.event_id for r in sources.table(spark, "events", SF_SMOKE).collect()}
     assert len(ids) == len(set(ids)), "restart produced duplicates"
     assert set(ids) == want, "restart lost events"
+
+
+def test_streaming_curation_matches_batch(spark, tmp_path):
+    """The curation surface is stateless column algebra, so the SAME
+    library calls must run unchanged over a readStream and produce
+    byte-identical per-doc results to the batch pass — streaming
+    ingest-time curation, no second code path to maintain."""
+    from smartpipeline_spark.functions.curation import assign_split, redact_pii
+    from smartpipeline_spark.functions.text import _word_count_expr
+
+    docs = sources.table(spark, "documents", SF_SMOKE)
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    def curate(df):
+        return assign_split(redact_pii(df, "text")).select(
+            "doc_id",
+            "split",
+            "n_email",
+            _word_count_expr(F.col("clean")).alias("n_tokens"),
+        )
+
+    batch = {tuple(r) for r in curate(docs).collect()}
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        curate(stream)
+        .writeStream.format("memory")
+        .queryName("curated_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM curated_stream").collect()}
+    assert got == batch
