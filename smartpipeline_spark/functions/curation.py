@@ -601,6 +601,70 @@ def ext_repetition(spark, sf_dir):
     return repetition_metrics(d)
 
 
+# ------------------------------------------------- document chunking
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_words: int = 50,
+    stride: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking for RAG ingestion: each document yields
+    overlapping ``chunk_words``-word windows every ``stride`` words
+    (overlap = chunk_words - stride), the unit retrieval actually
+    indexes — embeddings degrade past a few hundred tokens and answers
+    live mid-document. Pure map-side algebra: split once, explode a
+    chunk-count ``sequence``, ``slice`` per chunk — no shuffle, no
+    Python; downstream embed/index stages see ~n/stride rows per doc.
+    Differs from :func:`dedup_chunks` (disjoint windows, hash-only,
+    for dedup accounting): these windows overlap and carry text."""
+    n = F.size(F.col("words"))
+    n_chunks = F.when(n <= chunk_words, F.lit(1)).otherwise(
+        F.floor((n - chunk_words + stride - 1) / stride) + 1
+    ).cast("bigint")
+    start = F.col("chunk_id") * stride + 1
+    length = F.least(F.lit(chunk_words), n - start + 1)
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("words"),
+        )
+        .select(
+            id_col,
+            "words",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            length.cast("int").alias("n_chunk_words"),
+            F.array_join(F.slice(F.col("words"), start, length), " ").alias("chunk"),
+        )
+    )
+
+
+@ext_query(
+    "ext_chunk_docs",
+    """WITH w AS (
+         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+         FROM documents WHERE length(trim(text)) > 0),
+       c AS (
+         SELECT doc_id, words,
+                unnest(range(0, CASE WHEN len(words) <= 50 THEN 1
+                                     ELSE (len(words) - 50 + 39) // 40 + 1 END)) AS chunk_id
+         FROM w)
+       SELECT doc_id, chunk_id,
+              CAST(least(50, len(words) - (chunk_id * 40 + 1) + 1) AS INT) AS n_chunk_words,
+              array_to_string(words[chunk_id * 40 + 1 : chunk_id * 40 + least(50, len(words) - (chunk_id * 40 + 1) + 1)], ' ') AS chunk
+       FROM c""",
+)
+def ext_chunk_docs(spark, sf_dir):
+    d = sources.table(spark, "documents", sf_dir)
+    return chunk_documents(d)
+
+
 # ------------------------------------------------- epoch shuffle
 
 def deterministic_shuffle(

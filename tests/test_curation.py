@@ -446,3 +446,25 @@ def test_deterministic_shuffle_is_seeded_permutation(spark):
         ).orderBy("h").collect()
     ]
     assert a == ordered
+
+
+def test_chunk_documents_windows_tile_with_overlap(spark):
+    from smartpipeline_spark.functions.curation import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(130))  # 130 words
+    df = spark.createDataFrame(
+        [(1, text), (2, "short doc"), (3, "   ")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_words=50, stride=40).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc  # blank doc yields nothing
+    assert [r.n_chunk_words for r in sorted(by_doc[2], key=lambda r: r.chunk_id)] == [2]
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    # ceil((130-50)/40)+1 = 3 chunks; starts 0,40,80; last truncated
+    assert [r.n_chunk_words for r in c1] == [50, 50, 50]
+    assert c1[0].chunk.split()[:2] == ["w0", "w1"]
+    assert c1[1].chunk.split()[0] == "w40"       # 10-word overlap
+    assert c1[0].chunk.split()[-1] == "w49"
+    assert c1[2].chunk.split()[-1] == "w129"     # full coverage
