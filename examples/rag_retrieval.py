@@ -40,6 +40,14 @@ def main():
     )
     print(f"index-worthy docs: {keep.count()} / {docs.count()}")
 
+    # the retrieval index unit is the overlapping chunk, not the doc:
+    # embeddings degrade past a few hundred tokens and answers live
+    # mid-document (map-side explode — no shuffle)
+    from smartpipeline_spark.functions.curation import chunk_documents
+
+    chunks = chunk_documents(docs.join(keep, "doc_id", "left_semi"))
+    print(f"index units after chunking: {chunks.count()}")
+
     fused = EXT_QUERIES["ext_hybrid_search"](spark, sf_dir)
     hits = fused.join(keep, "doc_id", "left_semi").join(
         docs.select("doc_id", "lang", F.substring("text", 1, 60).alias("snippet")),
