@@ -2120,3 +2120,44 @@ def q58_merge_upsert(spark, sf_dir):
         .otherwise(F.lit("update"))
         .alias("merge_action"),
     )
+
+
+@query(
+    "q59_ohlc_downsample",
+    f"""SELECT user_id,
+               strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
+                        '%Y-%m-%d %H:%M:%S') AS hour_start,
+               COUNT(*) AS n_events,
+               {_sql_r2('arg_min(value, ts)')} AS open_v,
+               {_sql_r2('arg_max(value, ts)')} AS close_v,
+               {_sql_r2('MIN(value)')} AS low_v,
+               {_sql_r2('MAX(value)')} AS high_v
+        FROM events
+        GROUP BY user_id, hour_start""",
+)
+def q59_ohlc_downsample(spark, sf_dir):
+    """Time-series downsampling to OHLC bars: per (user, hour) the
+    first/last/min/max of ``value`` — the lossy-rollup shape every
+    metrics store runs to keep raw streams queryable. One partial-agg
+    groupBy: min_by/max_by/min/max all fold map-side, so the exchange
+    carries one row per (user, hour) — the downsampled cardinality,
+    not the raw stream. Deterministic because (user_id, ts) is unique
+    in this corpus (verified); with tie-prone data, order min_by on a
+    (ts, event_id) struct instead. Epoch-aligned hours match DuckDB's
+    time_bucket; values round via the shared r2 helper."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id",
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            r2(F.min_by("value", "ts")).alias("open_v"),
+            r2(F.max_by("value", "ts")).alias("close_v"),
+            r2(F.min("value")).alias("low_v"),
+            r2(F.max("value")).alias("high_v"),
+        )
+    )
