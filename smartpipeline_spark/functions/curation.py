@@ -619,6 +619,14 @@ def chunk_documents(
     Python; downstream embed/index stages see ~n/stride rows per doc.
     Differs from :func:`dedup_chunks` (disjoint windows, hash-only,
     for dedup accounting): these windows overlap and carry text."""
+    if not 0 < stride <= chunk_words:
+        # stride > chunk_words would skip words between windows AND
+        # make the tail chunk's slice length negative (runtime error);
+        # gapped sampling is a different operator
+        raise ValueError(
+            f"stride must be in (0, chunk_words]; got stride={stride}, "
+            f"chunk_words={chunk_words}"
+        )
     n = F.size(F.col("words"))
     n_chunks = F.when(n <= chunk_words, F.lit(1)).otherwise(
         F.floor((n - chunk_words + stride - 1) / stride) + 1

@@ -309,9 +309,8 @@ def ext_knn_ivf(spark, sf_dir):
     candidates cost recall nothing."""
     e = _emb(spark, sf_dir)
     cents = _ivf_centroids(e)
-    corpus_cell = _ivf_cells_udf(cents, 1)
+    keyed = _ivf_keyed(e, cents)
     probe_cells = _ivf_cells_udf(cents, _IVF_NPROBE)
-    keyed = e.select("vec_id", "emb", F.element_at(corpus_cell(F.col("emb")), 1).alias("cell"))
     q = (
         e.filter(F.col("vec_id") < N_QUERIES)
         .select(
@@ -320,13 +319,30 @@ def ext_knn_ivf(spark, sf_dir):
             F.explode(probe_cells(F.col("emb"))).alias("cell"),
         )
     )
-    cands = (
+    return _exact_topk(_ivf_candidates(keyed, q))
+
+
+def _ivf_keyed(e: DataFrame, cents: np.ndarray) -> DataFrame:
+    """Corpus vectors tagged with their single nearest cell — the
+    index content, shared by the inline path and the saved layout."""
+    corpus_cell = _ivf_cells_udf(cents, 1)
+    return e.select(
+        "vec_id", "emb", F.element_at(corpus_cell(F.col("emb")), 1).alias("cell")
+    )
+
+
+def _ivf_candidates(keyed: DataFrame, q: DataFrame) -> DataFrame:
+    """Shared candidate algebra of every IVF path (inline and saved
+    index): cell-equi join, self-match filter, per-(query, neighbor)
+    dedup across probed cells. One definition — the saved-index path
+    is equality-tested against the inline path, and divergent copies
+    here would break that silently."""
+    return (
         keyed.join(F.broadcast(q), ["cell"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "q_emb", F.col("vec_id").alias("neighbor_id"), "emb")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    return _exact_topk(cands)
 
 
 def build_ivf_index(e: DataFrame, path: str) -> None:
@@ -342,11 +358,7 @@ def build_ivf_index(e: DataFrame, path: str) -> None:
     import os
 
     cents = _ivf_centroids(e)
-    corpus_cell = _ivf_cells_udf(cents, 1)
-    keyed = e.select(
-        "vec_id", "emb", F.element_at(corpus_cell(F.col("emb")), 1).alias("cell")
-    )
-    keyed.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _ivf_keyed(e, cents).write.mode("overwrite").partitionBy("cell").parquet(path)
     with open(os.path.join(path, "_centroids.json"), "w") as fh:
         json.dump(cents.tolist(), fh)
 
@@ -363,20 +375,19 @@ def query_ivf_index(
     import json
     import os
 
-    cents = np.array(json.load(open(os.path.join(path, "_centroids.json"))))
-    probe = _ivf_cells_udf(cents, nprobe or _IVF_NPROBE)
+    with open(os.path.join(path, "_centroids.json")) as fh:
+        cents = np.array(json.load(fh))
+    probe = _ivf_cells_udf(cents, nprobe if nprobe is not None else _IVF_NPROBE)
+    # persisted: the frame is consumed twice (distinct-cells collect for
+    # the partition filter, then the candidate join) — without this the
+    # upstream query pipeline AND the Arrow cell-assignment UDF run as
+    # two full jobs
     q = queries.select(
         "query_id", "q_emb", F.explode(probe(F.col("q_emb"))).alias("cell")
-    )
+    ).persist()
     probed = [r.cell for r in q.select("cell").distinct().collect()]
     idx = spark.read.parquet(path).filter(F.col("cell").isin(probed))
-    cands = (
-        idx.join(F.broadcast(q), ["cell"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "q_emb", F.col("vec_id").alias("neighbor_id"), "emb")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    return _exact_topk(cands)
+    return _exact_topk(_ivf_candidates(idx, q))
 
 
 RRF_K = 60

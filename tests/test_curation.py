@@ -468,3 +468,13 @@ def test_chunk_documents_windows_tile_with_overlap(spark):
     assert c1[1].chunk.split()[0] == "w40"       # 10-word overlap
     assert c1[0].chunk.split()[-1] == "w49"
     assert c1[2].chunk.split()[-1] == "w129"     # full coverage
+
+
+def test_chunk_documents_rejects_gapped_stride(spark):
+    import pytest
+
+    from smartpipeline_spark.functions.curation import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, chunk_words=10, stride=40)

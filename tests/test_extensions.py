@@ -478,4 +478,9 @@ def test_ivf_saved_index_matches_inline_and_prunes_partitions(spark, tmp_path):
     with redirect_stdout(buf):
         from_disk.explain("formatted")
     plan = buf.getvalue()
-    assert "PartitionFilters" in plan and "cell" in plan, plan
+    # the filter must be INSIDE the PartitionFilters list — an empty
+    # "PartitionFilters: []" line prints for every partitioned scan, so
+    # substring presence alone cannot detect a lost pushdown
+    import re as _re
+
+    assert _re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan

@@ -376,6 +376,9 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        assert q.awaitTermination(120), "stream did not finish in 120s"
+    finally:
+        q.stop()
     got = {tuple(r) for r in spark.sql("SELECT * FROM curated_stream").collect()}
     assert got == batch
