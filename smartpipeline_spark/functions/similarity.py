@@ -47,16 +47,28 @@ _PLANES = [
 ]
 
 
+_EMB_WIDTH: dict[str, int] = {}  # sf_dir -> repartition width (corpus is static)
+
+
 def _emb(spark, sf_dir) -> DataFrame:
     """Embeddings with double vectors, repartitioned: the test corpus
     is one parquet file (one partition — serial); the hyperplane/dot
     math is CPU-bound, so spread it first. Width adapts to corpus
     size (~500 vectors per task floor) — over-splitting a small corpus
     costs more in per-task/python-worker overhead than it buys
-    (measured: 5k vectors run faster on 8 tasks than 32)."""
+    (measured: 5k vectors run faster on 8 tasks than 32).
+
+    The sizing ``count()`` is metadata-only but still schedules a job
+    per call; at 100 TB with hundreds of query batches that is pure
+    driver traffic, so the width is computed ONCE per corpus path and
+    cached (the corpus is a static snapshot — an appended corpus
+    arrives under a new path/partition, not by mutating this one)."""
     raw = sources.table(spark, "embeddings", sf_dir)
-    rows = raw.count()  # parquet metadata only — no data scan
-    width = max(1, min(spark.sparkContext.defaultParallelism, rows // 500))
+    width = _EMB_WIDTH.get(sf_dir)
+    if width is None:
+        rows = raw.count()  # parquet metadata only — no data scan
+        width = max(1, min(spark.sparkContext.defaultParallelism, rows // 500))
+        _EMB_WIDTH[sf_dir] = width
     return raw.repartition(width).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )

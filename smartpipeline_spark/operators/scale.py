@@ -41,7 +41,20 @@ def salted_join(
     result equals a plain join on ``key`` but the hot key's rows
     spread over N tasks. The small side's replication cost is N x
     its size — keep it for genuinely small/medium dimension sides.
+
+    Only fact-side-preserving join types are accepted: because the
+    small side is REPLICATED once per salt value, ``right``/``full``
+    would emit every unmatched small-side row ``salt_buckets`` times
+    instead of once — not equal to the plain join. Flip the sides
+    (or dedupe the dim side yourself) for those shapes.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not equivalent under salt replication "
+            f"(unmatched small-side rows would appear {salt_buckets}x); "
+            f"use one of {sorted(allowed)}"
+        )
     small_key = small_key or key
     salted_fact = skewed.withColumn(
         "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
@@ -232,6 +245,11 @@ def skew_report(df: DataFrame, key: str, top_n: int = 10) -> dict:
         F.max("n").alias("max_n"),
         F.expr("percentile(n, array(0.5, 0.9, 0.99))").alias("quantiles"),
     ).collect()[0]
+    if not stats["n_keys"]:  # empty input: a zeroed report, not a TypeError
+        return {
+            "n_keys": 0, "n_rows": 0, "p50": None, "p90": None, "p99": None,
+            "max": None, "skew_ratio": 0.0, "top_keys": [],
+        }
     top = (
         counts.orderBy(F.desc("n"), key).limit(top_n).collect()
     )
@@ -401,12 +419,20 @@ def with_global_index(
     # upper bound is exclusive AND rejects lo == hi (a 1-row or
     # constant-key frame would NULL out and the bucket join would
     # silently drop every row), and long-max keys must not overflow
-    # the +1 under ANSI mode. Rounding at double precision only moves
-    # bucket boundaries — out-of-range keys land in buckets 0 / n+1,
-    # which join like any other bucket, so no row is ever lost.
+    # the +1 under ANSI mode. Above 2^53 the +1.0 is absorbed by
+    # double rounding, so a constant large-magnitude key would still
+    # yield lo == hi — the fallback bumps hi by a magnitude-scaled
+    # step (>= 4 ulps of lo) that double addition cannot absorb.
+    # Rounding at double precision only moves bucket boundaries —
+    # out-of-range keys land in buckets 0 / n+1, which join like any
+    # other bucket, so no row is ever lost.
+    hi_plus1 = F.max(order_col).cast("double") + F.lit(1.0)
+    lo_d = F.min(order_col).cast("double")
     bounds = df.agg(
-        F.min(order_col).cast("double").alias("lo"),
-        (F.max(order_col).cast("double") + F.lit(1.0)).alias("hi"),
+        lo_d.alias("lo"),
+        F.when(hi_plus1 > lo_d, hi_plus1)
+        .otherwise(lo_d + F.greatest(F.abs(lo_d) * F.lit(2.0 ** -50), F.lit(1.0)))
+        .alias("hi"),
     )
     bucketed = df.crossJoin(F.broadcast(bounds)).withColumn(
         "_gb",

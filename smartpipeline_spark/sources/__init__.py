@@ -45,7 +45,17 @@ def parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Load one test table; normalizes events.ts nanos -> timestamp_ntz."""
+    """Load one test table; normalizes events.ts nanos -> timestamp_ntz.
+
+    SESSION-WIDE SIDE EFFECT (events only): sets
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` on the caller's
+    session and leaves it set. The conf cannot be save/restored around
+    the read because the returned DataFrame is LAZY — the scan
+    re-resolves the conf at execution time, so restoring it before the
+    caller's action would re-raise the nanos error. Consequence for
+    callers: any LATER read of an unrelated TIMESTAMP(NANOS) parquet in
+    the same session comes back as ``bigint`` (nanos since epoch)
+    instead of erroring; convert explicitly as done below."""
     if name == "events":
         # events.parquet is TIMESTAMP(NANOS), which Spark refuses to read
         # unless nanosAsLong is on. Runtime-settable, so set it here too —

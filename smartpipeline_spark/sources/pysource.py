@@ -200,7 +200,14 @@ class JsonlShardWriter(DataSourceWriter):
     def abort(self, messages) -> None:
         import os
 
+        # PySpark passes None for each FAILED task's slot — only the
+        # tasks that succeeded before the job aborted have real commit
+        # messages (the streaming twin below guards identically; a
+        # missing guard here abandoned cleanup of the successful tasks'
+        # temp shards on a mixed success/failure abort)
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.remove(m.tmp)
             except OSError:
