@@ -34,6 +34,20 @@ _A = [_rng.randrange(1, 1 << 30) for _ in range(_N_HASHES)]
 _B = [_rng.randrange(0, 1 << 30) for _ in range(_N_HASHES)]
 
 JACCARD_THRESHOLD = 0.2
+# Doc-frequency cap for the inverted-index self-joins (jaccard_pairs,
+# overlap_pairs): a shingle/fingerprint present in more than this many
+# documents is dropped BEFORE the self-join. One boilerplate shingle
+# ("terms of service apply") shared by 1M docs otherwise re-creates the
+# 10^12-pair cross product the index exists to avoid; dropping it is the
+# standard stopword-shingle treatment (Broder). The cap bounds the
+# quadratic term at cap^2 per hot key. Mirrored in the DuckDB oracles so
+# capped output stays exactly checkable at every SF.
+MAX_SHINGLE_DF = 1000
+# Block-size cap for blocked fuzzy matching: blocks larger than this are
+# sub-blocked by the candidate string's first character, bounding the
+# within-block cross product (documented recall loss: pairs whose first
+# characters differ inside a degenerate block are not compared).
+FUZZY_MAX_BLOCK = 500
 # the synthetic embeddings are random (max pairwise cosine ~0.51), so a
 # production-style 0.9 threshold would make the oracle check vacuous;
 # 0.35 keeps the operator's output non-empty and genuinely verified
@@ -98,18 +112,42 @@ def ext_dedup_exact(spark, sf_dir):
     )
 
 
-def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+def drop_hot_keys(df: DataFrame, key: str, max_df: int | None) -> DataFrame:
+    """Drop rows whose ``key`` value appears in more than ``max_df``
+    rows — the skew guard in front of every inverted-index self-join.
+    The hot set is tiny BY CONSTRUCTION (only keys above the cap), so
+    it broadcasts; the corpus-side anti-join is map-side, no shuffle
+    beyond the partial-agg'd count. ``max_df=None`` disables."""
+    if max_df is None:
+        return df
+    hot = df.groupBy(key).agg(F.count("*").alias("_df")).filter(
+        F.col("_df") > max_df
+    ).select(key)
+    return df.join(F.broadcast(hot), key, "left_anti")
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
     """Exact n-gram Jaccard similarity join via shingle inverted index:
     explode shingles → self-join on shingle → per-pair common counts →
     |A∪B| = |A|+|B|-common. The self-join shuffles on the shingle hash,
-    so hot shingles are the skew risk — at scale, drop top-frequency
-    shingles (stopword shingles) first; AQE skew-join splits the rest.
+    so hot shingles are the skew risk: shingles in more than ``max_df``
+    documents (stopword/boilerplate shingles) are dropped from the
+    shingle universe first (:func:`drop_hot_keys` — sizes and common
+    counts both use the capped universe, so Jaccard stays a true
+    set similarity over the kept shingles); AQE skew-join splits
+    whatever skew remains below the cap.
     """
     from pyspark import StorageLevel
 
+    raw_sh = word_shingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
     # sh feeds three consumers (sizes + both join sides): persist so
-    # the regex-shingle explode runs once, not three times
-    sh = word_shingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    # the regex-shingle explode and the hot-key anti-join run once
+    sh = drop_hot_keys(raw_sh, "sh", max_df).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -138,10 +176,12 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = JACCARD_THRESH
     f"""WITH words AS (
           SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
           FROM documents),
-        sh AS (
+        sh0 AS (
           SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
           FROM words, LATERAL (
             SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t),
+        hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+        sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         common AS (
           SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
@@ -448,6 +488,7 @@ def fuzzy_pairs(
     block_re: str = "([a-z]+)$",
     min_dist: int = 1,
     max_dist: int = 3,
+    max_block: int | None = FUZZY_MAX_BLOCK,
 ) -> DataFrame:
     """Blocked fuzzy string matching (entity resolution): candidate
     pairs within a block whose Levenshtein distance falls in
@@ -458,15 +499,35 @@ def fuzzy_pairs(
        distinct strings before any pairing (one small shuffle).
     2. Block on a cheap key (default: trailing word) so the self-join
        is quadratic only within a block, never across the vocabulary.
-       Block-size skew is the risk to watch — a degenerate block
-       ("inc", "ltd") re-creates the cross product, so production
-       runs should cap or sub-block hot keys.
+       Block-size skew is the guarded risk — a degenerate block
+       ("inc", "ltd") re-creates the cross product, so blocks larger
+       than ``max_block`` are sub-blocked by the string's first
+       character (documented recall loss: pairs whose first chars
+       differ inside a degenerate block are not compared; the hot
+       set broadcasts, so the rewrite is map-side).
     3. ``F.levenshtein`` runs JVM-side inside codegen — no Python.
 
     min_dist=1 excludes identical strings (those are exact-dedup's
     job, ext_dedup_exact)."""
     vocab = df.select(F.col(col).alias("name")).distinct()
     b = vocab.withColumn("blk", F.regexp_extract("name", block_re, 1))
+    if max_block is not None:
+        hot = (
+            b.groupBy("blk").agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > max_block)
+            .select("blk", F.lit(True).alias("_hot"))
+        )
+        b = (
+            b.join(F.broadcast(hot), "blk", "left")
+            .withColumn(
+                "blk",
+                F.when(
+                    F.col("_hot"),
+                    F.concat(F.col("blk"), F.lit("|"), F.substring("name", 1, 1)),
+                ).otherwise(F.col("blk")),
+            )
+            .drop("_hot")
+        )
     a, c = b.alias("a"), b.alias("c")
     dist = F.levenshtein(F.col("a.name"), F.col("c.name"))
     return (
@@ -482,10 +543,17 @@ def fuzzy_pairs(
 
 @ext_query(
     "ext_fuzzy_match",
-    """WITH p AS (SELECT DISTINCT p_name FROM part),
+    f"""WITH p AS (SELECT DISTINCT p_name FROM part),
+         b0 AS (SELECT p_name,
+                       regexp_extract(p_name, '([a-z]+)$', 1) AS blk
+                FROM p),
+         hot AS (SELECT blk FROM b0 GROUP BY blk
+                 HAVING COUNT(*) > {FUZZY_MAX_BLOCK}),
          b AS (SELECT p_name,
-                      regexp_extract(p_name, '([a-z]+)$', 1) AS blk
-               FROM p)
+                      CASE WHEN blk IN (SELECT blk FROM hot)
+                           THEN blk || '|' || substring(p_name, 1, 1)
+                           ELSE blk END AS blk
+               FROM b0)
        SELECT a.p_name AS n1, c.p_name AS n2,
               levenshtein(a.p_name, c.p_name) AS dist
        FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
@@ -559,6 +627,46 @@ def ext_winnow(spark, sf_dir):
     )
 
 
+def overlap_pairs(
+    fp: DataFrame,
+    min_overlap: float = 0.5,
+    max_df: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """MOSS-style overlap report over a (doc_id, fp) fingerprint
+    index: document pairs sharing >= ``min_overlap`` of the smaller
+    side's fingerprints. Same inverted-index self-join shape as
+    :func:`jaccard_pairs`, and the same skew guard: fingerprints in
+    more than ``max_df`` documents (boilerplate — license headers,
+    shared templates) are dropped from the index BEFORE the
+    self-join (:func:`drop_hot_keys`); sizes and shared counts both
+    use the capped universe, so the ratio stays a true overlap over
+    the kept fingerprints. The fp frame feeds three consumers
+    (sizes + both join sides): persisted once."""
+    from pyspark import StorageLevel
+
+    fp = drop_hot_keys(fp, "fp", max_df).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = fp.alias("a"), fp.alias("b")
+    common = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    ratio = F.col("shared") * F.lit(1.0) / F.least(F.col("sa.n"), F.col("sb.n"))
+    return (
+        common.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .filter(ratio >= min_overlap)
+        .select(
+            "d1",
+            "d2",
+            "shared",
+            (F.floor(ratio * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias("overlap"),
+        )
+    )
+
+
 @ext_query(
     "ext_winnow_pairs",
     f"""WITH hashes AS (
@@ -571,7 +679,9 @@ def ext_winnow(spark, sf_dir):
                  [ list_min(h[j+1:j+{WINNOW_W}])
                    for j in generate_series(0, len(h) - {WINNOW_W}) ] AS fps
           FROM hashes WHERE len(h) >= {WINNOW_W}),
-        fp AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins),
+        fp0 AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins),
+        hot AS (SELECT fp FROM fp0 GROUP BY fp HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+        fp AS (SELECT * FROM fp0 WHERE fp NOT IN (SELECT fp FROM hot)),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id),
         common AS (
           SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
@@ -586,37 +696,12 @@ def ext_winnow(spark, sf_dir):
        WHERE shared * 1.0 / least(sa.n, sb.n) >= 0.5""",
 )
 def ext_winnow_pairs(spark, sf_dir):
-    """MOSS-style overlap report over the winnowing index: documents
-    sharing >= 50% of the smaller side's fingerprints. Same
-    inverted-index self-join shape as jaccard_pairs but on the
-    winnowed (already ~2/(w+1)-compressed) fingerprint set, so the
-    join input is a fraction of the shingle index for the same
-    corpus — the production plagiarism/near-dup candidate generator
-    when edits are local. The fp frame feeds three consumers
-    (sizes + both join sides): persisted once."""
-    from pyspark import StorageLevel
-
-    fp = ext_winnow(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = fp.alias("a"), fp.alias("b")
-    common = (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("shared"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    ratio = F.col("shared") * F.lit(1.0) / F.least(F.col("sa.n"), F.col("sb.n"))
-    return (
-        common.join(sa, F.col("d1") == F.col("sa.doc_id"))
-        .join(sb, F.col("d2") == F.col("sb.doc_id"))
-        .filter(ratio >= 0.5)
-        .select(
-            "d1",
-            "d2",
-            "shared",
-            (F.floor(ratio * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias("overlap"),
-        )
-    )
+    """Winnowed fingerprints (:func:`ext_winnow`) fed to
+    :func:`overlap_pairs` — the production plagiarism/near-dup
+    candidate generator when edits are local (the winnowed index is
+    already ~2/(w+1)-compressed vs the shingle index for the same
+    corpus)."""
+    return overlap_pairs(ext_winnow(spark, sf_dir))
 
 
 

@@ -63,12 +63,23 @@ def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataF
         # still be able to read the table.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos since epoch (legacy nanosAsLong) -> microsecond TimestampType.
-        # Integer `div` (not `/`): the nano values are ~1.7e18, beyond
-        # double's 2^53 exact range, so float division would corrupt
-        # microsecond precision. Truncation matches DuckDB's ns->us cast.
-        df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts div 1000 AS LONG))"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos since epoch (legacy nanosAsLong) -> microsecond
+            # TimestampType. Integer `div` (not `/`): the nano values are
+            # ~1.7e18, beyond double's 2^53 exact range, so float division
+            # would corrupt microsecond precision. Truncation matches
+            # DuckDB's ns->us cast.
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts div 1000 AS LONG))")
+            )
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet reads as
+            # TIMESTAMP_NTZ; the engine standardizes on TimestampType
+            # (session tz pinned to UTC in session.py, so the cast is a
+            # pure type change — the stored micros are untouched).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -1,0 +1,93 @@
+"""Skew-guard tests: the hot-key caps in front of every quadratic
+self-join (shingle inverted index, winnow fingerprint index, fuzzy
+blocking). Each test builds a synthetic corpus with a deliberately
+degenerate key and checks BOTH directions:
+
+* with the cap engaged, the quadratic term is bounded (the hot key's
+  pairs vanish / the degenerate block is sub-blocked);
+* with the cap above the corpus maximum, output is identical to the
+  uncapped run — the guard never changes results on a healthy corpus.
+"""
+
+from smartpipeline_spark.functions.dedup import (
+    drop_hot_keys,
+    fuzzy_pairs,
+    jaccard_pairs,
+    overlap_pairs,
+)
+
+
+def test_drop_hot_keys_bounds_doc_frequency(spark):
+    rows = [(f"d{i}", "hot") for i in range(20)] + [
+        (f"d{i}", f"k{i}") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "sh"])
+    capped = drop_hot_keys(df, "sh", 5)
+    assert capped.filter("sh = 'hot'").count() == 0
+    assert capped.count() == 20
+    # cap above the corpus max df: a no-op
+    assert drop_hot_keys(df, "sh", 100).count() == 40
+    # None disables the guard entirely (identical plan)
+    assert drop_hot_keys(df, "sh", None) is df
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    # 12 docs share an 8-word boilerplate prefix (6 shingles with df=12)
+    # plus a unique 2-word tail (boundary shingles with df=1).
+    boiler = "terms of service apply to all content here"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} tail{i}") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    uncapped = jaccard_pairs(docs, max_df=None)
+    # every pair shares the 6 boilerplate shingles: 6/(8+8-6) = 0.6 >= 0.2
+    assert uncapped.count() == 12 * 11 // 2
+    # cap below the boilerplate df: the hot shingles leave the universe
+    # and no pair shares anything
+    assert jaccard_pairs(docs, max_df=5).count() == 0
+    # cap above the corpus max df: bit-identical to uncapped
+    high = jaccard_pairs(docs, max_df=1000)
+    assert sorted(map(tuple, high.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
+
+
+def test_overlap_pairs_hot_fingerprint_cap(spark):
+    # fp 0 is boilerplate (all 10 docs); docs 1 and 2 genuinely overlap
+    # via fps 1..3; every doc also has one unique fp.
+    rows = []
+    for d in range(10):
+        rows.append((d, 0))
+        rows.append((d, 100 + d))
+    for fp in (1, 2, 3):
+        rows.append((1, fp))
+        rows.append((2, fp))
+    fp = spark.createDataFrame(rows, ["doc_id", "fp"])
+    # uncapped: the boilerplate fp alone makes EVERY pair hit the 0.5
+    # overlap bar (shared=1, min size=2) — 45 junk pairs
+    assert overlap_pairs(fp, max_df=None).count() == 45
+    capped = {(r.d1, r.d2) for r in overlap_pairs(fp, max_df=5).collect()}
+    assert capped == {(1, 2)}
+    high = {(r.d1, r.d2) for r in overlap_pairs(fp, max_df=1000).collect()}
+    assert high == {(r.d1, r.d2) for r in overlap_pairs(fp, max_df=None).collect()}
+
+
+def test_fuzzy_subblock_bounds_degenerate_block(spark):
+    # one degenerate block "inc" with 20 members, first chars a/b
+    names = [f"{c}{i:02d} inc" for c in "ab" for i in range(10)]
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    full = {(r.n1, r.n2) for r in fuzzy_pairs(df, "name", max_block=None).collect()}
+    sub = {(r.n1, r.n2) for r in fuzzy_pairs(df, "name", max_block=10).collect()}
+    # within-first-char pairs survive sub-blocking
+    assert ("a00 inc", "a01 inc") in sub
+    assert ("b00 inc", "b01 inc") in sub
+    # cross-first-char pairs are the documented recall loss
+    assert ("a00 inc", "b00 inc") in full
+    assert not any(p1[0] != p2[0] for p1, p2 in sub)
+    assert sub < full
+    # 45 within-a + 45 within-b
+    assert len(sub) == 90
+    # cap above the block size: identical to uncapped
+    assert {
+        (r.n1, r.n2) for r in fuzzy_pairs(df, "name", max_block=100).collect()
+    } == full
