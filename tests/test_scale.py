@@ -341,6 +341,47 @@ def test_with_global_index_degenerate_single_row(spark):
     assert [(r.k, r.row_idx) for r in rows] == [(42, 0)]
 
 
+def test_with_global_index_constant_key_above_double_precision(spark):
+    # a constant key above 2^53: max+1.0 is absorbed by double rounding,
+    # so without the magnitude-scaled hi bump width_bucket would see
+    # lo == hi, return NULL, and silently drop every row
+    from smartpipeline_spark.operators.scale import with_global_index
+
+    big = 2**60
+    out = with_global_index(
+        spark.createDataFrame([(big,)] * 5, "k long"), "k"
+    ).collect()
+    assert sorted(r.row_idx for r in out) == [0, 1, 2, 3, 4]
+    assert all(r.k == big for r in out)
+
+
+def test_skew_report_empty_input(spark):
+    from smartpipeline_spark.operators.scale import skew_report
+
+    rep = skew_report(
+        spark.createDataFrame([], "k string, v long").filter("1=0"), "k"
+    )
+    assert rep["n_keys"] == 0 and rep["n_rows"] == 0
+    assert rep["top_keys"] == []
+
+
+def test_salted_join_rejects_small_side_preserving_how(spark):
+    import pytest as _pytest
+
+    from smartpipeline_spark.operators.scale import salted_join
+
+    fact = spark.createDataFrame([(1, "a")], "k long, v string")
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "k long, w string")
+    for how in ("right", "full", "outer", "right_outer"):
+        with _pytest.raises(ValueError, match="salted_join"):
+            salted_join(fact, dim, "k", how=how)
+    # the allowed shapes still work and equal the plain join
+    got = sorted(
+        (r.k, r.v, r.w) for r in salted_join(fact, dim, "k", how="left").collect()
+    )
+    assert got == [(1, "a", "x")]
+
+
 def test_compact_preserves_partitioned_layout(spark, tmp_path):
     from smartpipeline_spark import sources
     from smartpipeline_spark.operators.scale import compact

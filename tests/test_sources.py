@@ -370,3 +370,25 @@ def test_python_custom_sink_publishes_nothing_on_failure(spark, tmp_path):
     with _pytest.raises(Exception):
         df.write.format("jsonlsink").option("path", out).mode("append").save()
     assert not glob.glob(out + "/part-*.jsonl"), "failed job published shards"
+
+
+def test_jsonl_sink_abort_mixed_success_failure(tmp_path):
+    """Mixed abort leg: PySpark passes None in the messages list for
+    each FAILED task and a real commit message for tasks that finished
+    before the job aborted. abort() must skip the Nones AND still
+    clean up the successful tasks' temp shards (batch and streaming
+    writers share the contract)."""
+    from smartpipeline_spark.sources.pysource import (
+        JsonlCommit,
+        JsonlShardWriter,
+        JsonlStreamShardWriter,
+    )
+
+    for writer, extra in (
+        (JsonlShardWriter({"path": str(tmp_path)}), ()),
+        (JsonlStreamShardWriter({"path": str(tmp_path)}), (7,)),
+    ):
+        tmp = tmp_path / "._tmp-deadbeef-0.jsonl"
+        tmp.write_text("{}\n")
+        writer.abort([JsonlCommit(tmp=str(tmp), part=0, rows=1), None], *extra)
+        assert not tmp.exists(), f"{type(writer).__name__} leaked the temp shard"
