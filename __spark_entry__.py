@@ -25,30 +25,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness harness checks a bounded prefix (50) of the
 # queries() dict. This pinned prefix is the chosen membership: one
-# representative per operator category plus the flagship training-data
-# operators (decontamination, stratified + mixture sampling, sequence
-# packing, BM25, funnel, MERGE upsert),
-# every entry DuckDB-oracled and driver-green. Everything else
-# (near-duplicate relational variants, later-added oracled queries, rows-only
-# approx/LSH entries, authoring-demo variants) registers after it and is
-# verified by scripts/check_oracles.py + pytest on every dev run instead.
+# representative per operator category plus the flagship operators —
+# maximum-complexity members of each family (TPC-H Q5, recursive CTE,
+# gap-fill, HAVING-IN, hybrid search, dedup cluster resolution, chunk
+# dedup, Gopher repetition, decontamination, sampling, packing, BM25,
+# funnel, MERGE upsert), every entry DuckDB-oracled and driver-green.
+# Low-information near-neighbors of pinned members (plain projection,
+# ORDER BY LIMIT, UNION, COUNT DISTINCT, cube vs rollup, token-count /
+# md5-fingerprint scalars) were rotated OUT in round 3 in favor of the
+# flagships; they remain registered after the window and are verified
+# by scripts/check_oracles.py + pytest on every dev run instead.
 _WINDOW = (
-    "q02_sink_roundtrip", "q03_filter_project", "q04_join_inner",
+    "q02_sink_roundtrip", "q04_join_inner",
     "q05_join_left_agg", "q06_join_broadcast", "q07_join_semi",
     "q08_join_anti", "q09_join_3way", "q10_join_range",
-    "q11_agg_pricing_summary", "q12_count_distinct", "q13_rollup",
-    "q14_cube", "q13b_grouping_sets", "q28_percentiles",
-    "q58_merge_upsert",
+    "q38_tpch_q5", "q44_having_in",
+    "q11_agg_pricing_summary", "q13_rollup",
+    "q13b_grouping_sets", "q28_percentiles",
+    "q58_merge_upsert", "q46_recursive_cte",
     "q15_window_topk", "q16_window_running", "q17_window_lag",
-    "q18_orderby_limit", "q19_union", "q20_intersect_except",
-    "q21_scalar_strings", "q21c_scalar_json",
+    "q20_intersect_except", "q41_gapfill",
+    "q21_scalar_strings",
     "ext_pack_sequences", "ext_mixture_sample", "q22_tumbling_window",
     "q53_funnel", "q23_session_window",
     "q24b_udf_chain_throughput", "q32_pivot", "q30_correlated_exists",
     "q31_scalar_subquery", "q24_udf_stage", "q36_asof_join",
     "ext_dedup_exact", "ext_dedup_ngram_jaccard", "ext_dedup_embedding",
-    "ext_knn_bruteforce", "ext_embedding_centroids", "ext_token_count",
-    "ext_fingerprint", "ext_quality_score", "ext_tfidf", "ext_lang_id",
+    "ext_dedup_clusters", "ext_chunk_dedup",
+    "ext_knn_bruteforce", "ext_embedding_centroids", "ext_hybrid_search",
+    "ext_quality_score", "ext_repetition", "ext_tfidf", "ext_lang_id",
     "ext_multimodal_meta", "ext_multimodal_decode", "ext_contamination",
     "ext_stratified_sample", "ext_bm25",
 )

@@ -3,10 +3,12 @@
 WITH words AS (
           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
           FROM documents),
-        sh AS (
+        sh0 AS (
           SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
           FROM words, LATERAL (
             SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t),
+        hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 1000),
+        sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         common AS (
           SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c

@@ -10,7 +10,9 @@ WITH hashes AS (
                  [ list_min(h[j+1:j+5])
                    for j in generate_series(0, len(h) - 5) ] AS fps
           FROM hashes WHERE len(h) >= 5),
-        fp AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins),
+        fp0 AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins),
+        hot AS (SELECT fp FROM fp0 GROUP BY fp HAVING COUNT(*) > 1000),
+        fp AS (SELECT * FROM fp0 WHERE fp NOT IN (SELECT fp FROM hot)),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id),
         common AS (
           SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
