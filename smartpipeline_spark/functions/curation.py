@@ -994,3 +994,120 @@ def ext_pack_sequences(spark, sf_dir):
     bucketed decomposition."""
     d = sources.table(spark, "documents", sf_dir)
     return pack_sequences(d)
+
+
+def emit_packed(
+    df: DataFrame,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_span: int = 1024,
+) -> DataFrame:
+    """Materialize the packed training sequences that
+    :func:`pack_sequences` only PLACES: one row per ``seq_id`` with
+    the exactly-``budget``-long token array a trainer consumes (the
+    last sequence may be shorter). Documents straddling a boundary are
+    split across sequences.
+
+    Scale shape: placement reuses the two-level exact cumsum (no
+    corpus-wide window); each document then explodes into its
+    (seq_id, offset, token-slice) spans ROW-LOCALLY — a document
+    overlaps ceil(tokens/budget)+1 sequences at most, so the explode
+    is O(tokens) total, not O(tokens x sequences). The final
+    ``groupBy(seq_id)`` reassembles groups bounded by ``budget``
+    tokens (array_sort over at most ``budget`` spans), so no group
+    can blow a task regardless of corpus size. Shuffle payload is
+    the token stream itself — unavoidable for this op, and it moves
+    exactly once."""
+    from pyspark.sql.window import Window
+
+    words = F.expr(
+        f"CASE WHEN length(trim({text_col})) = 0 THEN CAST(array() AS array<string>) "
+        f"ELSE split(trim({text_col}), '\\\\s+') END"
+    )
+    toks = df.select(
+        F.col(id_col),
+        words.alias("w"),
+        F.expr(f"{id_col} DIV {bucket_span}").alias("bucket"),
+    ).withColumn("tokens", F.size("w"))
+    per_bucket = toks.groupBy("bucket").agg(F.sum("tokens").alias("bsum"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    base = per_bucket.select(
+        "bucket", F.coalesce(F.sum("bsum").over(wb), F.lit(0)).alias("base")
+    )
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        toks.join(F.broadcast(base), "bucket")
+        .select(
+            "w",
+            "tokens",
+            (F.col("base") + F.coalesce(F.sum("tokens").over(win), F.lit(0))).alias(
+                "start_off"
+            ),
+        )
+        .filter(F.col("tokens") > 0)
+    )
+    span = F.expr(
+        f"""explode(transform(
+              sequence(start_off DIV {budget},
+                       (start_off + tokens - 1) DIV {budget}),
+              s -> named_struct(
+                'seq_id', s,
+                'off', greatest(s * {budget}, start_off) - s * {budget},
+                'chunk', slice(w,
+                  CAST(greatest(s * {budget}, start_off) - start_off + 1 AS INT),
+                  CAST(least((s + 1) * {budget}, start_off + tokens)
+                       - greatest(s * {budget}, start_off) AS INT)))))"""
+    )
+    spans = placed.select(span.alias("sp")).select(
+        F.col("sp.seq_id").alias("seq_id"),
+        F.col("sp.off").alias("off"),
+        F.col("sp.chunk").alias("chunk"),
+    )
+    reassembled = F.expr(
+        "flatten(transform(array_sort(collect_list(struct(off, chunk))), x -> x.chunk))"
+    )
+    return spans.groupBy("seq_id").agg(
+        reassembled.alias("tokens")
+    ).withColumn("n_tokens", F.size("tokens"))
+
+
+@ext_query(
+    "ext_pack_emit",
+    """WITH t AS (
+         SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                     ELSE string_split_regex(trim(text), '\\s+') END AS w
+         FROM documents),
+       c AS (
+         SELECT doc_id, w, len(w) AS tokens,
+                CAST(COALESCE(SUM(len(w)) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS start_off
+         FROM t),
+       spans AS (
+         SELECT s.s AS seq_id,
+                greatest(s.s * 512, start_off) - s.s * 512 AS off,
+                w[CAST(greatest(s.s * 512, start_off) - start_off + 1 AS BIGINT)
+                  : CAST(least((s.s + 1) * 512, start_off + tokens) - start_off AS BIGINT)]
+                  AS chunk
+         FROM c, LATERAL (
+           SELECT unnest(generate_series(start_off // 512,
+                                         (start_off + tokens - 1) // 512)) AS s) s
+         WHERE tokens > 0)
+       SELECT seq_id,
+              flatten(list(chunk ORDER BY off)) AS tokens,
+              len(flatten(list(chunk ORDER BY off))) AS n_tokens
+       FROM spans GROUP BY seq_id""",
+)
+def ext_pack_emit(spark, sf_dir):
+    """Oracle is the naive single-window placement plus the same
+    span-slice reassembly — DuckDB affords the global window at
+    sf0.01; Spark must emit bit-identical sequences from the
+    bucketed decomposition."""
+    d = sources.table(spark, "documents", sf_dir)
+    return emit_packed(d)

@@ -343,6 +343,46 @@ def test_pack_sequences_matches_naive_cumsum_and_invariants(spark):
     assert alt == got
 
 
+def test_emit_packed_reconstructs_the_token_stream(spark):
+    """The trainer contract: concatenating the emitted sequences in
+    seq_id order reproduces the corpus token stream in doc_id order
+    exactly, and every sequence is exactly `budget` long except the
+    last."""
+    from smartpipeline_spark.functions.curation import emit_packed
+
+    # distinct tokens per doc so reconstruction errors can't cancel;
+    # same adversarial layout as the placement test (sparse ids across
+    # bucket boundaries, empty docs, a doc longer than the budget)
+    layout = [
+        (0, 3), (7, 0), (1023, 5), (1024, 700), (1025, 1),
+        (5000, 12), (99999, 250), (100000, 250), (123456, 9),
+    ]
+    rows = [
+        (i, " ".join(f"d{i}t{j}" for j in range(n))) for i, n in layout
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    budget = 512
+    out = sorted(
+        (r.seq_id, r.tokens, r.n_tokens)
+        for r in emit_packed(df, budget=budget).collect()
+    )
+    stream = [t for _, text in sorted(rows) for t in text.split()]
+    n_seqs = -(-len(stream) // budget)
+    assert [s for s, _, _ in out] == list(range(n_seqs))
+    # every sequence full except the last
+    for s, toks, n in out[:-1]:
+        assert n == len(toks) == budget, s
+    assert out[-1][2] == len(out[-1][1]) == len(stream) - (n_seqs - 1) * budget
+    # exact stream reconstruction
+    assert [t for _, toks, _ in out for t in toks] == stream
+    # decomposition insensitive to bucket_span
+    alt = sorted(
+        (r.seq_id, r.tokens, r.n_tokens)
+        for r in emit_packed(df, budget=budget, bucket_span=17).collect()
+    )
+    assert alt == out
+
+
 def test_canonicalize_url_collapses_crawl_variants(spark):
     from smartpipeline_spark.functions.curation import canonicalize_url, url_domain
 
