@@ -375,6 +375,76 @@ def build_ivf_index(e: DataFrame, path: str) -> None:
         json.dump(cents.tolist(), fh)
 
 
+def _ivf_assign_udf(cents: np.ndarray):
+    """Top-1 cell assignment WITH the achieved cosine — one Arrow
+    matmul per batch, shared by index maintenance (the cell routes the
+    row; the sim feeds the drift report)."""
+
+    @F.pandas_udf("struct<cell:int, sim:double>")
+    def assign(emb: pd.Series) -> pd.DataFrame:
+        m = np.stack(emb.to_numpy())
+        m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
+        sims = m @ cents.T
+        cell = sims.argmax(axis=1).astype("int32")
+        return pd.DataFrame(
+            {"cell": cell, "sim": sims[np.arange(len(cell)), cell]}
+        )
+
+    return assign
+
+
+def append_to_ivf_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    concentration_factor: float = 4.0,
+) -> dict:
+    """Incremental IVF maintenance: real corpora APPEND, and a rebuild
+    per append is the anti-pattern a 100 TB index exists to avoid. New
+    vectors are assigned with the SAVED centroids (existing cell
+    contents stay untouched and valid — readers see a consistent
+    quantizer throughout) and appended into their cell partitions; the
+    corpus moves once, the centroids move never.
+
+    The cost of never retraining is quantizer drift, so the append
+    returns a drift report: ``max_cell_frac`` is the hottest cell's
+    share of this batch (a batch from the trained distribution spreads
+    ~uniformly; a novel cluster the quantizer never saw piles into one
+    cell, degrading both balance and recall), and ``mean_sim`` is the
+    batch's mean cosine to its assigned centroid (falling fit).
+    ``retrain_recommended`` fires when the hottest cell exceeds
+    ``concentration_factor`` x the uniform share — the signal to
+    retrain + re-layout, which is a new index build, not a mutation."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as fh:
+        cents = np.array(json.load(fh))
+    assign = _ivf_assign_udf(cents)
+    assigned = (
+        new_vectors.select("vec_id", "emb", assign(F.col("emb")).alias("a"))
+        .select("vec_id", "emb", F.col("a.cell").alias("cell"), F.col("a.sim").alias("sim"))
+        .persist()
+    )
+    stats = assigned.groupBy("cell").agg(
+        F.count("*").alias("n"), F.sum("sim").alias("s")
+    ).collect()
+    n = sum(r["n"] for r in stats)
+    assigned.select("vec_id", "emb", "cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(path)
+    assigned.unpersist()
+    max_frac = (max(r["n"] for r in stats) / n) if n else 0.0
+    uniform = 1.0 / len(cents)
+    return {
+        "appended": n,
+        "cells_touched": len(stats),
+        "mean_sim": (sum(r["s"] for r in stats) / n) if n else None,
+        "max_cell_frac": max_frac,
+        "retrain_recommended": max_frac > concentration_factor * uniform,
+    }
+
+
 def query_ivf_index(
     spark, path: str, queries: DataFrame, nprobe: int | None = None
 ) -> DataFrame:

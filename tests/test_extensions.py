@@ -484,3 +484,46 @@ def test_ivf_saved_index_matches_inline_and_prunes_partitions(spark, tmp_path):
     import re as _re
 
     assert _re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan
+
+
+def test_ivf_append_equals_rebuild_and_flags_drift(spark, tmp_path):
+    from smartpipeline_spark.functions.similarity import (
+        _emb,
+        append_to_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+        N_QUERIES,
+    )
+
+    e = _emb(spark, SF_SMOKE)
+    # the held-out append slice avoids vec_id % 7 == 0 so the
+    # deterministic training stride sees the SAME sample for the base
+    # and full corpora -> identical centroids -> build+append must be
+    # bit-equal to a from-scratch rebuild, not merely recall-equal
+    hold = e.filter((F.col("vec_id") % 7 != 0) & (F.col("vec_id") % 11 == 3))
+    base = e.join(hold.select("vec_id"), "vec_id", "left_anti")
+    incr, full = str(tmp_path / "ivf_incr"), str(tmp_path / "ivf_full")
+    build_ivf_index(base, incr)
+    rep = append_to_ivf_index(spark, incr, hold)
+    build_ivf_index(e, full)
+
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    got = sorted(map(tuple, query_ivf_index(spark, incr, queries).collect()))
+    want = sorted(map(tuple, query_ivf_index(spark, full, queries).collect()))
+    assert got == want
+    assert rep["appended"] == hold.count()
+    # an in-distribution batch spreads over cells: no retrain signal
+    assert rep["retrain_recommended"] is False
+    assert rep["cells_touched"] > 1
+
+    # adversarial drift: a novel tight cluster (200 copies of one
+    # vector) piles into a single cell and must trip the signal
+    one = e.limit(1).collect()[0]["emb"]
+    novel = spark.createDataFrame(
+        [(10_000_000 + i, one) for i in range(200)], "vec_id long, emb array<double>"
+    )
+    rep2 = append_to_ivf_index(spark, incr, novel)
+    assert rep2["max_cell_frac"] == 1.0
+    assert rep2["retrain_recommended"] is True
