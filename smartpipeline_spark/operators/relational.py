@@ -2161,3 +2161,65 @@ def q59_ohlc_downsample(spark, sf_dir):
             r2(F.max("value")).alias("high_v"),
         )
     )
+
+
+@query(
+    "q60_scd2",
+    f"""WITH init AS (
+          SELECT c_custkey AS custkey,
+                 {_sql_r2('c_acctbal')} AS bal,
+                 DATE '1991-12-31' AS valid_from
+          FROM customer),
+        chg AS (
+          SELECT o_custkey AS custkey,
+                 {_sql_dsum2('o_totalprice')} AS bal,
+                 CAST(o_orderdate AS DATE) AS valid_from
+          FROM orders GROUP BY o_custkey, CAST(o_orderdate AS DATE)),
+        hist AS (SELECT * FROM init UNION ALL SELECT * FROM chg)
+       SELECT custkey, bal, valid_from,
+              LEAD(valid_from) OVER (PARTITION BY custkey
+                                     ORDER BY valid_from) AS valid_to,
+              LEAD(valid_from) OVER (PARTITION BY custkey
+                                     ORDER BY valid_from) IS NULL AS is_current
+       FROM hist""",
+)
+def q60_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type 2 history build — the
+    warehouse-load twin of q58's MERGE: the dimension's initial state
+    (account balance, effective-dated before the order stream starts)
+    unioned with the per-(key, day) change stream, then effective
+    ranges derived per key: ``valid_from`` = the change date,
+    ``valid_to`` = the NEXT change's date (NULL while current),
+    ``is_current`` on the open-ended row. Scale shape: the change
+    stream pre-reduces to one row per (key, day) with a map-side
+    partial agg BEFORE any wide operator, and the only window is
+    ``partitionBy(custkey)`` — per-key history groups, parallel
+    across keys, never a corpus-wide sort (plan-tested). Ties are
+    impossible by construction: the initial row predates the order
+    epoch and changes are unique per (key, day)."""
+    from pyspark.sql.window import Window
+
+    init = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        r2(F.col("c_acctbal")).alias("bal"),
+        F.lit("1991-12-31").cast("date").alias("valid_from"),
+    )
+    chg = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.to_date("o_orderdate").alias("valid_from"),
+        )
+        .agg(dsum2(F.col("o_totalprice")).alias("bal"))
+        .select("custkey", "bal", "valid_from")
+    )
+    hist = init.unionByName(chg)
+    w = Window.partitionBy("custkey").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w)
+    return hist.select(
+        "custkey",
+        "bal",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

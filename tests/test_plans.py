@@ -231,3 +231,15 @@ def test_pack_sequences_has_no_corpus_wide_window(spark, queries):
     assert len(unpartitioned) <= 1, plan
     # and the corpus join side receives the bucket bases via broadcast
     assert "BroadcastExchange" in plan, plan
+
+
+def test_scd2_window_is_per_key_and_changes_prereduce(spark, queries):
+    plan = _plan(queries["q60_scd2"](spark, SF_SMOKE))
+    # the effective-range window must partition by the dimension key —
+    # an empty partition spec would sort the whole history in ONE task
+    windows = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert windows, plan
+    assert all(w.strip().startswith("custkey") for w in windows), plan
+    # the change stream collapses to one row per (key, day) BEFORE the
+    # union/window: a partial aggregate must appear under the exchange
+    assert "partial_sum" in plan or "HashAggregate" in plan, plan
