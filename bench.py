@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -71,13 +72,20 @@ def main() -> None:
                 "documents", "embeddings"):
         sources.table(spark, tbl, sf_dir).count()
     spark.range(64).mapInPandas(lambda it: it, schema="id long").count()
+    # median of N reps per query: single-shot timings on a shared box
+    # moved ±40% run-to-run (round-2 finding); the median of 3 is
+    # stable enough to make round-over-round diffs meaningful
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry[name]
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.monotonic() - t0)
+        timings[name] = round(statistics.median(samples), 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
