@@ -24,6 +24,7 @@ import threading
 import uuid
 from typing import Any, Callable, Iterator, Optional, Union
 
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -42,6 +43,18 @@ from smartpipeline_spark.wrapper import (
 )
 
 SourceLike = Union[DataFrame, Source, Callable[[SparkSession], DataFrame]]
+
+
+class _LogListParam(AccumulatorParam):
+    """AccumulatorParam for the log-shipping channel: a list of
+    (logger_name, level, message) tuples merged by concatenation."""
+
+    def zero(self, value):
+        return []
+
+    def addInPlace(self, a, b):
+        a.extend(b)
+        return a
 
 
 class _PlanStep:
@@ -69,9 +82,16 @@ class Pipeline:
         # (queues/threads are Spark's problem now):
         max_init_workers: int | None = None,
         max_queues_size: int | None = None,
+        ship_logs: bool = True,
     ):
         self._spark = spark
         self._error_manager = error_manager or ErrorManager()
+        # cross-process log shipping (reference LogsReceiver twin):
+        # stage log records captured in the Python workers travel back
+        # on a list-accumulator and re-emit through the driver-process
+        # loggers when run()/write() drains them
+        self._ship_logs = ship_logs
+        self._log_acc = None
         self._source: SourceLike | None = None
         self._source_schema = None
         self._steps: list[_PlanStep] = []
@@ -289,8 +309,17 @@ class Pipeline:
             )
             if want > df.rdd.getNumPartitions():
                 df = df.repartition(want)
+        if self._ship_logs and self._log_acc is None:
+            self._log_acc = df.sparkSession.sparkContext.accumulator(
+                [], _LogListParam()
+            )
         fn = compile_chain(
-            seg, payload_cols, out_cols, self._error_manager, chain_uid=self._chain_uid
+            seg,
+            payload_cols,
+            out_cols,
+            self._error_manager,
+            chain_uid=self._chain_uid,
+            log_acc=self._log_acc,
         )
         return df.mapInPandas(fn, schema=ddl)
 
@@ -341,6 +370,27 @@ class Pipeline:
             if not completed:  # break / close() / thrown exception
                 sc.cancelJobGroup(group)
             sc.setLocalProperty("spark.jobGroup.id", None)
+            self._drain_shipped_logs()
+
+    def _drain_shipped_logs(self) -> None:
+        """Re-emit stage log records shipped from the Python workers
+        through the driver-process loggers (the reference's
+        ``LogsReceiver`` contract: stage logs appear in the driver
+        logger). Accumulator delivery is at-task-completion, so records
+        arrive batched after each action rather than live — and a
+        retried task may deliver its records twice (Spark accumulator
+        semantics for non-result-stage updates); log shipping is a
+        diagnostic channel, not an exactly-once ledger."""
+        import logging as _logging
+
+        if self._log_acc is None:
+            return
+        records = self._log_acc.value
+        if not records:
+            return
+        self._log_acc.value = []
+        for name, level, msg in records:
+            _logging.getLogger(name).log(level, "[stage] %s", msg)
 
     def start_stream(
         self,
@@ -401,6 +451,7 @@ class Pipeline:
             self.last_metrics = dict(obs.get)
             with self._count_lock:
                 self._count += int(self.last_metrics.get("n_items") or 0)
+        self._drain_shipped_logs()
         return self
 
     def write_errors(self, path: str, fmt: str = "parquet", mode: str = "overwrite"):

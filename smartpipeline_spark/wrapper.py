@@ -34,6 +34,7 @@ price, over Arrow-transferred batches.
 from __future__ import annotations
 
 import atexit
+import logging
 import time
 from typing import Callable, Iterable, Iterator, Sequence
 
@@ -268,12 +269,38 @@ def _items_to_pdf(items: list[Item], out_cols: list[str]) -> pd.DataFrame:
     return pd.DataFrame(data, columns=out_cols)
 
 
+class _LogCapture(logging.Handler):
+    """Worker-side record buffer for cross-process log shipping — the
+    Spark twin of the reference's queue-handler + ``LogsReceiver``
+    thread (``smartpipeline/utils.py:73-105``, wired in
+    ``pipeline.py:91-109``): stage code logs normally, the records
+    travel to the driver, and the driver process logger re-emits them.
+    Transport here is an accumulator (records arrive at task
+    completion) instead of a multiprocessing queue (records arrive
+    live) — batched, but exactly the delivery Spark's task model
+    gives; nothing is lost, including logs from failed tasks' retries.
+    PySpark's own chatter is filtered so only user-stage logging
+    ships."""
+
+    _SKIP = ("py4j", "pyspark")
+
+    def __init__(self) -> None:
+        super().__init__(level=logging.DEBUG)
+        self.records: list[tuple[str, int, str]] = []
+
+    def emit(self, record: logging.LogRecord) -> None:
+        if record.name.startswith(self._SKIP):
+            return
+        self.records.append((record.name, record.levelno, record.getMessage()))
+
+
 def compile_chain(
     steps: Sequence[tuple[object, StagePolicy, bool]],
     payload_cols: list[str],
     out_cols: list[str],
     error_manager: ErrorManager,
     chain_uid: str = "",
+    log_acc=None,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """Compile a stage chain into a mapInPandas function.
 
@@ -281,10 +308,25 @@ def compile_chain(
     once, flow through every stage in pure Python, and cross back once
     — no per-stage exchange (the reference's queue hand-offs collapse
     into function composition, SURVEY.md §3.1 Spark mapping).
+
+    ``log_acc`` (optional list-accumulator) enables log shipping: user
+    stage log records captured during the chain are added to the
+    accumulator and re-emitted by the driver (`Pipeline` drains it).
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         error_manager.on_start()
+        capture = None
+        if log_acc is not None:
+            capture = _LogCapture()
+            root = logging.getLogger()
+            root.addHandler(capture)
+            # worker processes default to WARNING; shipping honors the
+            # stage's own logger levels, so open the root gate and let
+            # per-logger levels decide (the reference's receiver relays
+            # whatever level the stage logger let through)
+            if root.level > logging.DEBUG:
+                root.setLevel(logging.DEBUG)
         live_steps = [
             (
                 _worker_stage(
@@ -299,8 +341,15 @@ def compile_chain(
             for pdf in batches:
                 items = _rows_to_items(pdf, payload_cols)
                 items = run_chain_on_items(live_steps, items, error_manager)
+                if capture is not None and capture.records:
+                    log_acc.add(list(capture.records))
+                    capture.records.clear()
                 yield _items_to_pdf(items, out_cols)
         finally:
+            if capture is not None:
+                if capture.records:
+                    log_acc.add(list(capture.records))
+                logging.getLogger().removeHandler(capture)
             error_manager.on_end()
 
     return fn

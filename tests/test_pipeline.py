@@ -652,3 +652,52 @@ def test_map_in_arrow_matches_map_in_pandas(spark):
     a = {(r.id, r.v) for r in df.mapInArrow(arrow_fn, "id long, v double").collect()}
     b = {(r.id, r.v) for r in df.mapInPandas(pandas_fn, "id long, v double").collect()}
     assert a == b and len(a) == 1000
+
+
+class LoggingStage(Stage):
+    """Stage that logs through ordinary Python logging — the records
+    must surface in the DRIVER process logger (reference LogsReceiver
+    contract, smartpipeline/utils.py:73-105)."""
+
+    def process(self, item):
+        import logging
+
+        logging.getLogger("my.test.stage").warning(
+            "processed item %s", item.data["count"]
+        )
+        return item
+
+
+def test_stage_logs_ship_to_driver_logger(spark, items_df, caplog):
+    import logging
+
+    p = (
+        Pipeline(spark)
+        .set_source(items_df.limit(5))
+        .append("logger", LoggingStage())
+        .build()
+    )
+    with caplog.at_level(logging.WARNING, logger="my.test.stage"):
+        items = list(p.run())
+    assert len(items) == 5
+    shipped = [r for r in caplog.records if r.name == "my.test.stage"]
+    assert len(shipped) == 5, caplog.records
+    assert all("processed item" in r.getMessage() for r in shipped)
+    # drain is idempotent: a second drain must not re-emit
+    n = len(caplog.records)
+    p._drain_shipped_logs()
+    assert len(caplog.records) == n
+
+
+def test_log_shipping_disabled_opt_out(spark, items_df, caplog):
+    import logging
+
+    p = (
+        Pipeline(spark, ship_logs=False)
+        .set_source(items_df.limit(3))
+        .append("logger", LoggingStage())
+        .build()
+    )
+    with caplog.at_level(logging.WARNING, logger="my.test.stage"):
+        list(p.run())
+    assert not [r for r in caplog.records if r.name == "my.test.stage"]
