@@ -294,6 +294,71 @@ def test_write_sorted_files_have_disjoint_key_ranges(spark, tmp_path):
     assert spark.read.parquet(out).count() == orders.count()
 
 
+def _footer_ranges(path: str, col: str) -> list[tuple]:
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    ranges = []
+    for f in sorted(_glob.glob(path + "/*.parquet")):
+        md = _pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            c = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == col
+            )
+            mins.append(c.statistics.min)
+            maxs.append(c.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    return ranges
+
+
+def test_write_zordered_skips_files_on_every_dimension(spark, tmp_path):
+    """The z-order claim, checked on real footers: after clustering on
+    (o_custkey, o_totalprice), a point predicate on EITHER column must
+    rule out files at the footer level. A plain single-key sort gives
+    perfect pruning on its key and NONE on the other — z-order trades
+    a little of the first for a lot of the second."""
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.operators.scale import write_sorted, write_zordered
+
+    orders = sources.table(spark, "orders", SF_SMOKE)
+    zpath, spath = str(tmp_path / "z_orders"), str(tmp_path / "s_orders")
+    write_zordered(orders, zpath, ["o_custkey", "o_totalprice"], num_files=8)
+    write_sorted(orders, spath, "o_custkey", num_files=8)
+
+    # round trip intact
+    assert spark.read.parquet(zpath).count() == orders.count()
+
+    probes = {
+        "o_custkey": [r.o_custkey for r in orders.select("o_custkey").limit(10).collect()],
+        "o_totalprice": [
+            r.o_totalprice for r in orders.select("o_totalprice").limit(10).collect()
+        ],
+    }
+
+    def eligible_frac(path, col):
+        ranges = _footer_ranges(path, col)
+        fracs = [
+            sum(1 for lo, hi in ranges if lo <= v <= hi) / len(ranges)
+            for v in probes[col]
+        ]
+        return sum(fracs) / len(fracs)
+
+    z_cust = eligible_frac(zpath, "o_custkey")
+    z_price = eligible_frac(zpath, "o_totalprice")
+    s_price = eligible_frac(spath, "o_totalprice")
+    # both dimensions prune under z-order...
+    assert z_cust < 0.8, z_cust
+    assert z_price < 0.8, z_price
+    # ...while the single-key sort cannot prune the second column at
+    # all (every file spans ~the full price range)
+    assert s_price > 0.9, s_price
+    assert z_price < s_price
+
+
 def test_delete_keys_removes_exactly_the_doomed_rows(spark, tmp_path):
     from smartpipeline_spark import sources
     from smartpipeline_spark.operators.scale import delete_keys
