@@ -472,6 +472,147 @@ def query_ivf_index(
     return _exact_topk(_ivf_candidates(idx, q))
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound ANN scale path
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subquantizers (dim 64 -> 8 subvectors of 8)
+_PQ_K = 256  # codes per subquantizer (1 byte each)
+_PQ_ITERS = 5
+_PQ_RERANK = 100  # ADC candidates re-scored exactly per query
+
+
+def _pq_codebooks(e: DataFrame) -> np.ndarray:
+    """Per-subspace k-means codebooks, (m, k, d/m) — trained on the
+    SAME bounded deterministic driver sample as the IVF coarse
+    quantizer (constant cost in corpus size; the corpus is only ever
+    encoded, never iterated). L2 k-means per subspace (the standard PQ
+    objective, Jégou et al. "Product Quantization for Nearest Neighbor
+    Search"); scoring later uses inner products against these
+    centroids, the FAISS METRIC_INNER_PRODUCT arrangement."""
+    sample = (
+        e.filter(F.col("vec_id") % 7 == 0)
+        .orderBy("vec_id")
+        .limit(_IVF_SAMPLE_CAP)
+        .select("emb")
+        .collect()
+    )
+    m = np.array([r["emb"] for r in sample], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-12
+    d = m.shape[1]
+    ds = d // _PQ_M
+    books = np.empty((_PQ_M, _PQ_K, ds))
+    for j in range(_PQ_M):
+        sub = m[:, j * ds : (j + 1) * ds]
+        cents = sub[:: max(1, len(sub) // _PQ_K)][:_PQ_K].copy()
+        if len(cents) < _PQ_K:  # tiny corpus: pad by repetition
+            cents = np.resize(cents, (_PQ_K, ds))
+        for _ in range(_PQ_ITERS):
+            # L2 assignment via the expanded form; sub-norms constant
+            # per iteration so argmin(-2 s.c + |c|^2) suffices
+            d2 = -2.0 * (sub @ cents.T) + (cents**2).sum(axis=1)
+            assign = d2.argmin(axis=1)
+            for c in range(_PQ_K):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def _pq_encode_udf(books: np.ndarray):
+    """Corpus encoder: (m) uint8-range codes per vector — one Arrow
+    batch matmul per subspace. The encoded corpus is m bytes/vector
+    (64x smaller than float64 at dim 64, packable to binary on disk)
+    — the representation that lets a 100 TB corpus's index live in
+    cluster memory."""
+    m_, ds = books.shape[0], books.shape[2]
+    flat = books  # closure-broadcast, ~0.5 MB
+
+    @F.pandas_udf("array<int>")
+    def enc(emb: pd.Series) -> pd.Series:
+        x = np.stack(emb.to_numpy())
+        x = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
+        codes = np.empty((len(x), m_), dtype="int64")
+        for j in range(m_):
+            sub = x[:, j * ds : (j + 1) * ds]
+            d2 = -2.0 * (sub @ flat[j].T) + (flat[j] ** 2).sum(axis=1)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+@ext_query("ext_knn_pq")  # recall-tested in pytest against brute force
+def ext_knn_pq(spark, sf_dir):
+    """PQ ANN with asymmetric distance computation (ADC) + exact
+    re-rank: queries build per-subspace inner-product tables against
+    the codebooks (Q x m x k doubles, closure-broadcast); scoring a
+    corpus vector is m table gathers over its codes — no float vector
+    is touched until the top ``_PQ_RERANK`` ADC candidates per query
+    are re-scored exactly. 100 TB shape: the scan side reads only
+    (vec_id, codes) — m bytes of payload per row; the per-batch
+    top-R cut bounds the shuffle to batches x Q x R rows; the exact
+    re-score joins the (tiny) candidate set back to the full vectors.
+    Approximation error costs candidate quality only, never false
+    positives (the re-rank is exact — same contract as LSH/IVF)."""
+    e = _emb(spark, sf_dir)
+    books = _pq_codebooks(e)
+    enc = _pq_encode_udf(books)
+    codes_df = e.select("vec_id", enc(F.col("emb")).alias("codes"))
+
+    qrows = sorted(
+        e.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "emb").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = np.array([r["vec_id"] for r in qrows])
+    qm = np.stack([np.array(r["emb"], dtype=np.float64) for r in qrows])
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True) + 1e-12
+    m_, ds = books.shape[0], books.shape[2]
+    # ADC tables: T[q, j, c] = <query_j, codebook_{j,c}>
+    tables = np.stack(
+        [qm[:, j * ds : (j + 1) * ds] @ books[j].T for j in range(m_)], axis=1
+    )
+    rerank = _PQ_RERANK
+
+    def score(batches):
+        for pdf in batches:
+            codes = np.stack(pdf["codes"].to_numpy())  # (B, m)
+            vids = pdf["vec_id"].to_numpy()
+            acc = np.zeros((tables.shape[0], len(codes)))
+            for j in range(m_):
+                acc += tables[:, j, codes[:, j]]
+            top = min(rerank, len(codes))
+            idx = np.argpartition(-acc, top - 1, axis=1)[:, :top]
+            out = {
+                "query_id": np.repeat(qids, top),
+                "neighbor_id": vids[idx].ravel(),
+                "pq_score": np.take_along_axis(acc, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    cand = codes_df.mapInPandas(
+        score, "query_id long, neighbor_id long, pq_score double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col("neighbor_id")
+    )
+    top_cand = (
+        cand.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    full = (
+        top_cand.join(e, top_cand.neighbor_id == e.vec_id)
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "q_emb", "neighbor_id", "emb")
+    )
+    return _exact_topk(full)
+
+
 RRF_K = 60
 HYBRID_POOL = 50  # depth of each ranker's candidate list
 HYBRID_TOPK = 20

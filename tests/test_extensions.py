@@ -82,6 +82,34 @@ def test_ivf_ann_recall_against_bruteforce(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_pq_ann_recall_against_bruteforce(spark):
+    """PQ (8x256 codebooks) with ADC + exact re-rank of the top 100
+    candidates: measured recall ~0.89-0.91 on the i.i.d. gaussian
+    corpus (the locality-free worst case), asserted with margin. The
+    re-rank contract also means no false positives can outrank a
+    re-scored true neighbor — the emitted scores are exact."""
+    from smartpipeline_spark.functions import EXT_QUERIES
+
+    exact = EXT_QUERIES["ext_knn_bruteforce"](spark, SF_SMOKE).collect()
+    approx = EXT_QUERIES["ext_knn_pq"](spark, SF_SMOKE).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.75, recall
+    # exact-score contract: every emitted (pair, score) that brute
+    # force also emits carries the identical rounded score
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["score"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["score"] - exact_scores[key]) < 1e-9, key
+    per_query = {}
+    for r in approx:
+        per_query.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_query.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 def test_exact_dedup_keeps_one_per_group(spark):
     from smartpipeline_spark.functions import EXT_QUERIES
 
