@@ -49,6 +49,15 @@ BENCH_QUERIES = [
     "ext_knn_lsh",
     "ext_quality_score",
     "ext_tfidf",
+    # round-3 additions: the flagship/new operators (bench_compare
+    # treats them as added keys; the original 28 stay comparable)
+    "q38_tpch_q5",
+    "q46_recursive_cte",
+    "q60_scd2",
+    "ext_hybrid_search",
+    "ext_knn_pq",
+    "ext_pack_emit",
+    "ext_stream_tumbling",
 ]
 
 
