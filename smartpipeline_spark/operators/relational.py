@@ -2223,3 +2223,85 @@ def q60_scd2(spark, sf_dir):
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "q61_snapshot_diff",
+    f"""WITH old AS (SELECT c_custkey AS custkey, c_name AS name,
+                            {_sql_r2('c_acctbal')} AS acctbal
+                     FROM customer),
+        tgt AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+                WHERE c_custkey <= 1200),
+        src AS (SELECT o_custkey, {_sql_dsum2('o_totalprice')} AS new_bal
+                FROM orders GROUP BY o_custkey),
+        new AS (
+          SELECT COALESCE(t.c_custkey, s.o_custkey) AS custkey,
+                 CASE WHEN t.c_custkey IS NULL THEN 'new-customer'
+                      ELSE t.c_name END AS name,
+                 {_sql_r2("CASE WHEN s.o_custkey IS NULL THEN t.c_acctbal ELSE s.new_bal END")} AS acctbal
+          FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.o_custkey)
+       SELECT COALESCE(o.custkey, n.custkey) AS custkey,
+              CASE WHEN o.custkey IS NULL THEN 'insert'
+                   WHEN n.custkey IS NULL THEN 'delete'
+                   ELSE 'update' END AS change_type,
+              CASE WHEN o.custkey IS NULL OR n.custkey IS NULL THEN []::VARCHAR[]
+                   ELSE list_filter(
+                     [CASE WHEN o.name IS DISTINCT FROM n.name THEN 'name' END,
+                      CASE WHEN o.acctbal IS DISTINCT FROM n.acctbal THEN 'acctbal' END],
+                     x -> x IS NOT NULL) END AS changed_cols,
+              o.acctbal AS old_acctbal, n.acctbal AS new_acctbal
+       FROM old o FULL OUTER JOIN new n ON o.custkey = n.custkey
+       WHERE o.custkey IS NULL OR n.custkey IS NULL
+          OR o.name IS DISTINCT FROM n.name
+          OR o.acctbal IS DISTINCT FROM n.acctbal""",
+)
+def q61_snapshot_diff(spark, sf_dir):
+    """CDC snapshot diff — the change-extraction twin of q58/q60:
+    given two keyed snapshots (here: the full customer dimension vs
+    the post-merge state q58 produces), emit one row per changed key
+    with ``change_type`` (insert/update/delete), the array of changed
+    columns, and old/new values — what a downstream incremental
+    consumer (or a table format's CDC feed) ingests. Unchanged keys
+    are filtered out, so the output is delta-sized, not
+    snapshot-sized. Scale shape: both snapshots pre-reduce to one row
+    per key, the diff is ONE full-outer sort-merge join on the key,
+    and the changed-column detection is row-local null-safe
+    comparison — no second pass, no window. Rounded (2-dec) balance
+    comparison on both sides so the diff is stable under the
+    engines' double-summation drift (the q58 lesson)."""
+    old = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        r2(F.col("c_acctbal")).alias("acctbal"),
+    )
+    new = q58_merge_upsert(spark, sf_dir).select(
+        "custkey", "name", r2(F.col("acctbal")).alias("acctbal")
+    )
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, F.col("o.custkey") == F.col("n.custkey"), "full_outer")
+    name_diff = ~F.col("o.name").eqNullSafe(F.col("n.name"))
+    bal_diff = ~F.col("o.acctbal").eqNullSafe(F.col("n.acctbal"))
+    is_ins = F.col("o.custkey").isNull()
+    is_del = F.col("n.custkey").isNull()
+    changed = F.filter(
+        F.array(
+            F.when(name_diff, F.lit("name")),
+            F.when(bal_diff, F.lit("acctbal")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        j.filter(is_ins | is_del | name_diff | bal_diff)
+        .select(
+            F.coalesce(F.col("o.custkey"), F.col("n.custkey")).alias("custkey"),
+            F.when(is_ins, F.lit("insert"))
+            .when(is_del, F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+            F.when(is_ins | is_del, F.array().cast("array<string>"))
+            .otherwise(changed)
+            .alias("changed_cols"),
+            F.col("o.acctbal").alias("old_acctbal"),
+            F.col("n.acctbal").alias("new_acctbal"),
+        )
+    )
