@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) for the operators whose
+correctness is an algebraic invariant over ADVERSARIAL inputs rather
+than a fixed oracle: random document layouts and pathological numeric
+distributions, bounded example counts so the suite stays fast."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    layout=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(0, 40)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.sampled_from([7, 32, 512]),
+)
+def test_emit_packed_reconstruction_property(spark, layout, budget):
+    """For ANY doc-id layout and budget: concatenating the emitted
+    sequences in seq_id order == the corpus token stream in doc_id
+    order, and every sequence except the last is exactly full."""
+    from smartpipeline_spark.functions.curation import emit_packed
+
+    rows = [
+        (i, " ".join(f"d{i}t{j}" for j in range(n))) for i, n in layout
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r.seq_id, list(r.tokens)) for r in emit_packed(df, budget=budget).collect()
+    )
+    stream = [t for _, text in sorted(rows) for t in text.split()]
+    got = [t for _, toks in out for t in toks]
+    assert got == stream
+    if stream:
+        assert [s for s, _ in out] == list(range(len(out)))
+        for _, toks in out[:-1]:
+            assert len(toks) == budget
+        assert 0 < len(out[-1][1]) <= budget
+    else:
+        assert out == []
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.integers(-(2**62), 2**62), min_size=1, max_size=200, unique=True
+    )
+)
+def test_with_global_index_dense_rank_property(spark, vals):
+    """For ANY set of long keys — including magnitudes beyond double's
+    exact range and constant-like tight clusters — the index is the
+    dense 0..n-1 rank of the sorted order and no row is lost."""
+    from smartpipeline_spark.operators.scale import with_global_index
+
+    df = spark.createDataFrame([(v,) for v in vals], "k long").repartition(4)
+    got = {r.k: r.row_idx for r in with_global_index(df, "k").collect()}
+    assert got == {v: i for i, v in enumerate(sorted(vals))}
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab é"), min_size=0, max_size=30
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_exact_dedup_partition_property(spark, texts):
+    """Exact dedup partitions the corpus: every doc lands in exactly
+    one group, group sizes sum to the corpus, and two docs share a
+    group iff their normalized text is equal."""
+    import re
+
+    from smartpipeline_spark.functions.dedup import ext_dedup_exact
+    from smartpipeline_spark.functions import EXT_QUERIES  # noqa: F401
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("documents")
+    # drive the library shape directly (no sf_dir table read)
+    from pyspark.sql import functions as F
+    from smartpipeline_spark.functions.dedup import _norm_text
+
+    out = (
+        df.select("doc_id", F.md5(_norm_text()).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .collect()
+    )
+    assert sum(r.n_copies for r in out) == len(rows)
+    norm = {i: re.sub(r"\s+", " ", t.lower().strip()) for i, t in rows}
+    assert len(out) == len(set(norm.values()))
+    keepers = {r.keep_id for r in out}
+    assert keepers == {
+        min(i for i in norm if norm[i] == v) for v in set(norm.values())
+    }
