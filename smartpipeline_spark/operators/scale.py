@@ -479,50 +479,50 @@ def write_sorted(
     )
 
 
-def write_zordered(
-    df: DataFrame,
-    path: str,
-    cols: list[str],
-    num_files: int = 8,
-    bits: int = 8,
-) -> None:
-    """Z-order (Morton curve) clustered parquet layout — the
-    MULTI-dimension answer where :func:`write_sorted` only prunes on
-    one key: with a plain sort on A, every file spans B's full range
-    and a ``B = x`` predicate reads the whole table. Interleaving the
-    bit-planes of each column's rank gives a locality-preserving
-    1-D order in which files hold tight footer min/max ranges on
-    EVERY participating column, so predicates on any of them skip
-    files before data IO — the mechanism behind Delta's OPTIMIZE
-    ZORDER, built here from plain column algebra:
+def zorder_ranks(
+    df: DataFrame, cols: list[str], bits: int = 8, rank_mode: str = "width"
+) -> DataFrame:
+    """Per-column bucket ranks (``_r0..``, each in ``[0, 2^bits)``) —
+    the rank stage of :func:`write_zordered`, exposed so the rank
+    distribution itself is testable.
 
-    1. each column ranks into ``2^bits`` buckets via ``width_bucket``
-       over its in-plan min/max (one tiny agg broadcast back; same
-       degenerate-bounds guard as :func:`with_global_index`; NULLs
-       rank 0 so they cluster together at the curve origin);
-    2. ranks interleave bit-by-bit into the Morton value — a pure
-       row-local codegen expression, no UDF;
-    3. ``repartitionByRange + sortWithinPartitions`` on the z-value,
-       exactly the write_sorted tail.
+    ``rank_mode="width"``: ``width_bucket`` over in-plan min/max (one
+    tiny agg broadcast back; degenerate-bounds guard as in
+    :func:`with_global_index`). Right for roughly uniform spreads.
 
-    One range shuffle at write time. Skipping effectiveness per
-    column decays as columns are added (each gets ``bits`` of the
-    curve but file boundaries cut ``bits/k`` high bits per column) —
-    2-4 columns is the productive range, same guidance as every
-    z-order implementation. Equal-width ranks assume roughly
-    uniform-ish value spread; heavily skewed columns want a
-    percentile-based rank first (documented, not implemented)."""
-    k = len(cols)
-    if k < 2:
-        raise ValueError("write_zordered wants >=2 columns; use write_sorted for 1")
+    ``rank_mode="quantile"``: buckets bounded by ``approxQuantile``
+    cut points (driver-side, ``2^bits - 1`` doubles — constant size
+    regardless of corpus), rank = count of cut points <= value via a
+    row-local filter over the broadcast literal array. Right for
+    skewed distributions, where equal-width ranks collapse most rows
+    into a few buckets and the curve degenerates toward a single-key
+    sort. NULLs rank 0 in both modes (they cluster at the curve
+    origin)."""
+    n_buckets = 1 << bits
+    ranks = []
+    if rank_mode == "quantile":
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        for i, c in enumerate(cols):
+            cuts = df.selectExpr(f"CAST({c} AS DOUBLE) AS _q").approxQuantile(
+                "_q", probs, 0.001
+            )
+            arr = ", ".join(repr(v) for v in cuts)
+            ranks.append(
+                F.coalesce(
+                    F.expr(
+                        f"size(filter(array({arr}), b -> b <= CAST(`{c}` AS DOUBLE)))"
+                    ),
+                    F.lit(0),
+                ).cast("bigint").alias(f"_r{i}")
+            )
+        return df.select("*", *ranks)
+    if rank_mode != "width":
+        raise ValueError(f"rank_mode must be 'width' or 'quantile', got {rank_mode!r}")
     aggs = []
     for c in cols:
         aggs += [F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
                  F.max(F.col(c).cast("double")).alias(f"_hi_{c}")]
-    bounds = df.agg(*aggs)
-    with_b = df.crossJoin(F.broadcast(bounds))
-    n_buckets = 1 << bits
-    ranks = []
+    with_b = df.crossJoin(F.broadcast(df.agg(*aggs)))
     for i, c in enumerate(cols):
         lo, hi = F.col(f"_lo_{c}"), F.col(f"_hi_{c}")
         # exclusive upper bound; the magnitude-scaled step (>= 4 ulps)
@@ -538,7 +538,47 @@ def write_zordered(
                 F.least(F.greatest(r, F.lit(0)), F.lit(n_buckets - 1)), F.lit(0)
             ).cast("bigint").alias(f"_r{i}")
         )
-    with_r = with_b.select("*", *ranks)
+    return with_b.select("*", *ranks).drop(
+        *[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols]
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int = 8,
+    bits: int = 8,
+    rank_mode: str = "width",
+) -> None:
+    """Z-order (Morton curve) clustered parquet layout — the
+    MULTI-dimension answer where :func:`write_sorted` only prunes on
+    one key: with a plain sort on A, every file spans B's full range
+    and a ``B = x`` predicate reads the whole table. Interleaving the
+    bit-planes of each column's rank gives a locality-preserving
+    1-D order in which files hold tight footer min/max ranges on
+    EVERY participating column, so predicates on any of them skip
+    files before data IO — the mechanism behind Delta's OPTIMIZE
+    ZORDER, built here from plain column algebra:
+
+    1. each column ranks into ``2^bits`` buckets
+       (:func:`zorder_ranks`; ``rank_mode="quantile"`` for skewed
+       columns — equal-POPULATION buckets from approxQuantile cut
+       points — ``"width"`` for uniform spreads);
+    2. ranks interleave bit-by-bit into the Morton value — a pure
+       row-local codegen expression, no UDF;
+    3. ``repartitionByRange + sortWithinPartitions`` on the z-value,
+       exactly the write_sorted tail.
+
+    One range shuffle at write time. Skipping effectiveness per
+    column decays as columns are added (each gets ``bits`` of the
+    curve but file boundaries cut ``bits/k`` high bits per column) —
+    2-4 columns is the productive range, same guidance as every
+    z-order implementation."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError("write_zordered wants >=2 columns; use write_sorted for 1")
+    with_r = zorder_ranks(df, cols, bits, rank_mode)
     terms = " + ".join(
         f"shiftleft(shiftright(_r{i}, j) & 1L, j * {k} + {i})" for i in range(k)
     )

@@ -359,6 +359,40 @@ def test_write_zordered_skips_files_on_every_dimension(spark, tmp_path):
     assert z_price < s_price
 
 
+def test_zorder_quantile_ranks_survive_skew(spark):
+    """Equal-width ranks collapse a skewed column into a few buckets
+    (degenerating the curve toward a single-key sort); quantile ranks
+    keep buckets equally populated by construction. Asserted on the
+    rank distribution itself."""
+    from smartpipeline_spark.operators.scale import zorder_ranks
+
+    # polynomial skew: 94% of the mass in the lowest 6% of the range
+    rows = [(i, i**4) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    bits = 6  # 64 buckets
+
+    def bucket_counts(mode):
+        out = (
+            zorder_ranks(df, ["id", "v"], bits=bits, rank_mode=mode)
+            .groupBy("_r1")
+            .count()
+            .collect()
+        )
+        return {r["_r1"]: r["count"] for r in out}
+
+    width = bucket_counts("width")
+    quant = bucket_counts("quantile")
+    n, k = len(rows), 1 << bits
+    # width mode: the hottest bucket swallows a huge share
+    assert max(width.values()) > n * 0.2
+    # quantile mode: every occupied bucket near the uniform share,
+    # and (nearly) all buckets occupied
+    assert len(quant) >= k - 2
+    assert max(quant.values()) < n / k * 2, sorted(quant.values())[-3:]
+    # both modes conserve rows
+    assert sum(width.values()) == sum(quant.values()) == n
+
+
 def test_delete_keys_removes_exactly_the_doomed_rows(spark, tmp_path):
     from smartpipeline_spark import sources
     from smartpipeline_spark.operators.scale import delete_keys
