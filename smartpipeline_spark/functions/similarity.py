@@ -613,6 +613,93 @@ def ext_knn_pq(spark, sf_dir):
     return _exact_topk(full)
 
 
+@ext_query("ext_knn_ivfpq")  # recall-tested in pytest against brute force
+def ext_knn_ivfpq(spark, sf_dir):
+    """IVF+PQ (IVFADC — the FAISS production architecture): coarse
+    cells bound WHICH rows are scored, PQ codes bound the BYTES each
+    scoring touches. The corpus carries (cell, codes) — m bytes of
+    scoring payload per row behind a partition-prunable cell key; a
+    query ADC-scores only its nprobe probed cells (~nprobe/k of the
+    corpus) via table gathers, and only the surviving top-R
+    candidates per query are re-scored exactly against full vectors.
+    At 100 TB: cells partition the index on disk (see
+    build_ivf_index), codes keep the scanned fraction in memory, and
+    neither the scan nor the shuffle ever carries a float vector —
+    candidate quality is the only thing approximation can cost."""
+    e = _emb(spark, sf_dir)
+    cents = _ivf_centroids(e)
+    books = _pq_codebooks(e)
+    enc = _pq_encode_udf(books)
+    keyed = _ivf_keyed(e, cents).select(
+        "vec_id", "cell", enc(F.col("emb")).alias("codes")
+    )
+
+    qrows = sorted(
+        e.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "emb").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = np.array([r["vec_id"] for r in qrows])
+    qm = np.stack([np.array(r["emb"], dtype=np.float64) for r in qrows])
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True) + 1e-12
+    m_, ds = books.shape[0], books.shape[2]
+    tables = np.stack(
+        [qm[:, j * ds : (j + 1) * ds] @ books[j].T for j in range(m_)], axis=1
+    )
+    # per-query probed cells (driver-side: Q x nprobe ints)
+    qn = qm / (np.linalg.norm(qm, axis=1, keepdims=True) + 1e-12)
+    sims = qn @ cents.T
+    probe = np.argsort(-sims, axis=1)[:, :_IVF_NPROBE]
+    probed_sets = {int(q): set(map(int, row)) for q, row in zip(qids, probe)}
+    all_probed = sorted({c for s in probed_sets.values() for c in s})
+    rerank = _PQ_RERANK
+
+    def score(batches):
+        for pdf in batches:
+            codes = np.stack(pdf["codes"].to_numpy())
+            vids = pdf["vec_id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            acc = np.zeros((len(qids), len(codes)))
+            for j in range(m_):
+                acc += tables[:, j, codes[:, j]]
+            # mask rows outside each query's probed cells
+            for qi, q in enumerate(qids):
+                mask = np.array([c not in probed_sets[int(q)] for c in cells])
+                acc[qi, mask] = -np.inf
+            top = min(rerank, len(codes))
+            idx = np.argpartition(-acc, top - 1, axis=1)[:, :top]
+            scores = np.take_along_axis(acc, idx, axis=1)
+            keep = np.isfinite(scores)
+            out = {
+                "query_id": np.repeat(qids, top)[keep.ravel()],
+                "neighbor_id": vids[idx].ravel()[keep.ravel()],
+                "pq_score": scores.ravel()[keep.ravel()],
+            }
+            yield pd.DataFrame(out)
+
+    cand = (
+        keyed.filter(F.col("cell").isin(all_probed))
+        .mapInPandas(score, "query_id long, neighbor_id long, pq_score double")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col("neighbor_id")
+    )
+    top_cand = (
+        cand.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    full = (
+        top_cand.join(e, top_cand.neighbor_id == e.vec_id)
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "q_emb", "neighbor_id", "emb")
+    )
+    return _exact_topk(full)
+
+
 RRF_K = 60
 HYBRID_POOL = 50  # depth of each ranker's candidate list
 HYBRID_TOPK = 20

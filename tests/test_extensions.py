@@ -110,6 +110,26 @@ def test_pq_ann_recall_against_bruteforce(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_ivfpq_ann_recall_tracks_ivf_ceiling(spark):
+    """IVF+PQ composes both approximations; since the exact re-rank
+    recovers PQ's quantization error, recall should sit at (not far
+    below) plain IVF's nprobe ceiling — measured ~0.70-0.74 vs IVF's
+    ~0.73-0.76 on the gaussian corpus."""
+    from smartpipeline_spark.functions import EXT_QUERIES
+
+    exact = EXT_QUERIES["ext_knn_bruteforce"](spark, SF_SMOKE).collect()
+    ivfpq = EXT_QUERIES["ext_knn_ivfpq"](spark, SF_SMOKE).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    ivfpq_pairs = {(r["query_id"], r["neighbor_id"]) for r in ivfpq}
+    recall = len(exact_pairs & ivfpq_pairs) / len(exact_pairs)
+    assert recall >= 0.55, recall
+    per_query = {}
+    for r in ivfpq:
+        per_query.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_query.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 def test_exact_dedup_keeps_one_per_group(spark):
     from smartpipeline_spark.functions import EXT_QUERIES
 
