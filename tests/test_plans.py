@@ -233,6 +233,33 @@ def test_pack_sequences_has_no_corpus_wide_window(spark, queries):
     assert "BroadcastExchange" in plan, plan
 
 
+def test_snapshot_diff_is_one_join_no_window(spark, queries):
+    plan = _plan(queries["q61_snapshot_diff"](spark, SF_SMOKE))
+    # change detection must be row-local on top of the diff join:
+    # no window, no second aggregation pass above the (reused) q58
+    # source reduction
+    assert "Window" not in plan, plan
+    assert re.search(r"SortMergeJoin.*FullOuter", plan), plan
+
+
+def test_ivfpq_scans_only_probed_cells(spark, queries):
+    plan = _plan(queries["ext_knn_ivfpq"](spark, SF_SMOKE))
+    # the probed-cell IN-filter must sit below the ADC scoring stage
+    # so unprobed cells' rows never reach the scoring Python worker.
+    # Catalyst renders the literal set as INSET and pushes the filter
+    # beneath the cell projection (condition on the assignment UDF) —
+    # on the smoke corpus 10 queries x nprobe=8 happen to probe all 16
+    # cells, so membership is full here; the SHAPE (filter before
+    # score) is what this test pins.
+    cond = re.search(r"Condition : .*INSET[^\n]*", plan)
+    assert cond, plan
+    score_pos = plan.index("score(")
+    assert plan.index("INSET") < score_pos, plan
+    # exact re-rank joins the tiny candidate set back: broadcast, not
+    # a corpus shuffle
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_scd2_window_is_per_key_and_changes_prereduce(spark, queries):
     plan = _plan(queries["q60_scd2"](spark, SF_SMOKE))
     # the effective-range window must partition by the dimension key —
