@@ -3,10 +3,10 @@
 ``entry(spark)`` runs the flagship query (TPC-H Q1 shape, built
 through the engine's Pipeline surface) on sf0.001. ``queries()`` /
 ``oracle_sql()`` expose the full declared inventory from SURVEY.md §2
-(relational Q1–Q59 plus the training-data extension operators —
-dedup/similarity/text/curation/multimodal), each oracle-checked
-against DuckDB at sf0.01 unless inherently non-SQL-expressible
-(full SQL text mirrored in queries/*.sql).
+(relational Q1–Q61 plus the training-data extension operators —
+dedup/similarity/text/curation/multimodal/streaming), each
+oracle-checked against DuckDB at sf0.01 unless inherently
+non-SQL-expressible (full SQL text mirrored in queries/*.sql).
 """
 
 from __future__ import annotations
