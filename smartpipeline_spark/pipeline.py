@@ -474,6 +474,25 @@ class Pipeline:
         errs.write.format(fmt).mode(mode).save(path)
         return self
 
+    def error_summary(self) -> DataFrame:
+        """Aggregate view of the error channel: one row per
+        (stage, kind, exc_class) with counts — the triage query every
+        dead-letter consumer writes first, here as a partial-agg'd
+        groupBy over the exploded ``_errors`` column (the explode is
+        map-side; only the tiny (stage, kind, class) triples
+        shuffle). Use :meth:`write_errors` for the full row-level
+        dead-letter feed."""
+        df = self.dataframe()
+        return (
+            df.select(F.explode(F.col(ERRORS_COL)).alias("_err"))
+            .groupBy(
+                F.col("_err.stage").alias("stage"),
+                F.col("_err.kind").alias("kind"),
+                F.col("_err.exc_class").alias("exc_class"),
+            )
+            .agg(F.count("*").alias("n_errors"))
+        )
+
     @property
     def count(self) -> int:
         """Items processed across runs, including failed ones."""

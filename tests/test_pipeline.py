@@ -701,3 +701,20 @@ def test_log_shipping_disabled_opt_out(spark, items_df, caplog):
     with caplog.at_level(logging.WARNING, logger="my.test.stage"):
         list(p.run())
     assert not [r for r in caplog.records if r.name == "my.test.stage"]
+
+
+def test_error_summary_aggregates_the_error_channel(spark, items_df):
+    p = (
+        Pipeline(spark)
+        .set_source(items_df)
+        .append("soft", SoftFailEven())
+        .append("crit", CriticalOnFive())
+        .build()
+    )
+    rows = {(r.stage, r.kind, r.exc_class): r.n_errors for r in p.error_summary().collect()}
+    # 100 items: 50 even -> SoftError at "soft"; criticals at "crit"
+    # for count % 5 == 0 AND odd (evens skip later stages? no — soft
+    # errors only skip the failing stage), so count%5==0 -> 20 items
+    assert rows[("soft", "soft", "SoftError")] == 50
+    assert rows[("crit", "critical", "ValueError")] == 20
+    assert sum(rows.values()) == 70
