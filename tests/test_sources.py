@@ -392,3 +392,15 @@ def test_jsonl_sink_abort_mixed_success_failure(tmp_path):
         tmp.write_text("{}\n")
         writer.abort([JsonlCommit(tmp=str(tmp), part=0, rows=1), None], *extra)
         assert not tmp.exists(), f"{type(writer).__name__} leaked the temp shard"
+
+
+def test_examples_compile():
+    """Every example must at least be importable-valid Python — a
+    syntax/rot guard cheaper than executing them all."""
+    import glob
+    import py_compile
+
+    files = glob.glob("/root/repo/examples/*.py")
+    assert files
+    for f in files:
+        py_compile.compile(f, doraise=True)
