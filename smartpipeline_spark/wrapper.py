@@ -317,6 +317,7 @@ def compile_chain(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         error_manager.on_start()
         capture = None
+        prev_root_level = None
         if log_acc is not None:
             capture = _LogCapture()
             root = logging.getLogger()
@@ -324,8 +325,11 @@ def compile_chain(
             # worker processes default to WARNING; shipping honors the
             # stage's own logger levels, so open the root gate and let
             # per-logger levels decide (the reference's receiver relays
-            # whatever level the stage logger let through)
+            # whatever level the stage logger let through). Restored in
+            # the finally — workers are reused across jobs and the
+            # widened gate must not outlive the chain.
             if root.level > logging.DEBUG:
+                prev_root_level = root.level
                 root.setLevel(logging.DEBUG)
         live_steps = [
             (
@@ -349,7 +353,10 @@ def compile_chain(
             if capture is not None:
                 if capture.records:
                     log_acc.add(list(capture.records))
-                logging.getLogger().removeHandler(capture)
+                root = logging.getLogger()
+                root.removeHandler(capture)
+                if prev_root_level is not None:
+                    root.setLevel(prev_root_level)
             error_manager.on_end()
 
     return fn
