@@ -11,6 +11,7 @@ Spark-first translation:
   sink, not a driver-side file handle)
 
 Run: python examples/jsonl_dump.py <ids.txt> <dim.parquet> <out_dir>
+(no args: self-demo over the sf0.001 customer table in a temp dir)
 """
 
 import sys
@@ -33,5 +34,23 @@ def main(ids_path: str, dim_path: str, out_dir: str) -> None:
     print(f"wrote {spark.read.json(out_dir).count()} records to {out_dir}")
 
 
+def _self_demo() -> None:
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark = get_spark("jsonl-dump-example")
+        ids_path = f"{d}/ids.txt"
+        with open(ids_path, "w") as fh:
+            fh.write("".join(f"{i}\n" for i in range(1, 51)))
+        dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        dim.withColumn(
+            "c_custkey", F.col("c_custkey").cast("string")
+        ).write.mode("overwrite").parquet(f"{d}/dim.parquet")
+        main(ids_path, f"{d}/dim.parquet", f"{d}/out")
+
+
 if __name__ == "__main__":
-    main(*sys.argv[1:4])
+    if len(sys.argv) >= 4:
+        main(*sys.argv[1:4])
+    else:
+        _self_demo()
