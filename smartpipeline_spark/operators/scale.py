@@ -326,6 +326,60 @@ def _data_files(p: str) -> list[str]:
     ]
 
 
+def reap_temp_litter(path: str, older_than_s: float = 86400.0) -> dict:
+    """Remove orphaned temp files from a sink directory — the
+    maintenance twin of :func:`compact` for the DSv2 leak the custom
+    sinks document: a task that dies MID-WRITE never returns a commit
+    message, so ``abort()`` has nothing to clean and its
+    ``._tmp-*``/``.…tmp`` shard survives on disk. Harmless for
+    correctness (readers skip dot/underscore files) but it accumulates
+    on object stores forever and costs listing time + storage.
+
+    Age-gated (default 24h) so a CONCURRENT writer's in-flight temp
+    files are never reaped — the same contract as Delta VACUUM's
+    retention window: only run with a horizon longer than any writer's
+    possible task lifetime. Reaped: dot-prefixed temp shards
+    (``._tmp-*``) and anything under a dead job's ``_temporary``
+    tree. NOT reaped: committed data files (never dot/underscore
+    prefixed) and ``_SUCCESS`` markers (they attest a COMPLETED
+    job). Returns counts + bytes reclaimed."""
+    import os
+    import time
+
+    now = time.time()
+    reaped_files = 0
+    reclaimed = 0
+    for dp, dns, fs in os.walk(path, topdown=False):
+        in_temporary = "_temporary" in dp.split(os.sep)
+        for f in fs:
+            is_tmp_shard = f.startswith(".") and "tmp" in f.lower()
+            if not (in_temporary or is_tmp_shard):
+                continue
+            full = os.path.join(dp, f)
+            try:
+                st = os.stat(full)
+                if now - st.st_mtime > older_than_s:
+                    reclaimed += st.st_size
+                    os.remove(full)
+                    reaped_files += 1
+            except OSError:
+                pass
+        # prune now-empty _temporary dirs (bottom-up walk). No age
+        # gate here: removing a child updates the parent's mtime, and
+        # an EMPTY staging dir is pure litter either way — committers
+        # mkdirs() their task-attempt dirs on demand, so a live
+        # writer loses nothing if its just-created empty dir vanishes
+        for d in dns:
+            full = os.path.join(dp, d)
+            if "_temporary" in d or in_temporary:
+                try:
+                    if not os.listdir(full):
+                        os.rmdir(full)
+                except OSError:
+                    pass
+    return {"reaped_files": reaped_files, "reclaimed_bytes": reclaimed}
+
+
 def _atomic_swap(tmp: str, path: str) -> None:
     """Replace ``path`` with ``tmp`` via two renames. POSIX cannot swap
     two DIRECTORIES in one rename, so this is crash-SAFE rather than

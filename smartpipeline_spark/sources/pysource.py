@@ -168,7 +168,13 @@ class JsonlShardWriter(DataSourceWriter):
     message; ``commit()`` publishes shards only after ALL tasks
     succeed, ``abort()`` cleans up — the exactly-once handshake a
     custom external sink (the reference's Elasticsearch ``Indexer``)
-    needs, without foreachPartition's at-least-once semantics."""
+    needs, without foreachPartition's at-least-once semantics.
+
+    A task dying MID-WRITE never returns a commit message, so its
+    temp shard is invisible to ``abort()`` and survives on disk
+    (harmless — readers skip dot-files). The standing maintenance
+    job for that litter is
+    :func:`smartpipeline_spark.operators.scale.reap_temp_litter`."""
 
     def __init__(self, options):
         self.path = options["path"]

@@ -359,6 +359,47 @@ def test_write_zordered_skips_files_on_every_dimension(spark, tmp_path):
     assert z_price < s_price
 
 
+def test_reap_temp_litter_age_gated_and_data_safe(spark, tmp_path):
+    """The DSv2 leak closer: old temp shards and dead _temporary trees
+    go; fresh temps (a concurrent writer), committed data files, and
+    _SUCCESS markers stay."""
+    import os
+    import time
+
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.operators.scale import reap_temp_litter
+
+    out = str(tmp_path / "sink")
+    orders = sources.table(spark, "orders", SF_SMOKE)
+    orders.coalesce(1).write.mode("overwrite").parquet(out)
+    n = orders.count()
+
+    old = time.time() - 100_000
+    # dead-task litter (old): dot-temp shard + _temporary tree
+    litter = os.path.join(out, "._tmp-deadbeef-3.jsonl")
+    open(litter, "w").write("x" * 100)
+    os.utime(litter, (old, old))
+    tdir = os.path.join(out, "_temporary", "0")
+    os.makedirs(tdir)
+    tfile = os.path.join(tdir, "part-0")
+    open(tfile, "w").write("y" * 50)
+    for p in (tfile, tdir, os.path.join(out, "_temporary")):
+        os.utime(p, (old, old))
+    # in-flight litter (fresh): must survive
+    fresh = os.path.join(out, "._tmp-cafebabe-1.jsonl")
+    open(fresh, "w").write("z")
+
+    rep = reap_temp_litter(out, older_than_s=86400)
+    assert rep["reaped_files"] == 2
+    assert rep["reclaimed_bytes"] == 150
+    assert not os.path.exists(litter)
+    assert not os.path.exists(os.path.join(out, "_temporary"))
+    assert os.path.exists(fresh)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    # committed data intact
+    assert spark.read.parquet(out).count() == n
+
+
 def test_zorder_quantile_ranks_survive_skew(spark):
     """Equal-width ranks collapse a skewed column into a few buckets
     (degenerating the curve toward a single-key sort); quantile ranks
