@@ -229,6 +229,73 @@ def merge_sketches(rollup: DataFrame, group_cols: list[str]) -> DataFrame:
     return rollup.groupBy(*group_cols).agg(*agg) if group_cols else rollup.agg(*agg)
 
 
+def cms_rollup(
+    df: DataFrame,
+    key: str,
+    group_cols: list[str],
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min frequency sketch rollup — the FREQUENCY sibling of
+    :func:`sketch_rollup`'s HLL distinct counts: one (group, d,
+    bucket, cnt) row per occupied cell, a mergeable approximation of
+    "how often does each key occur" in ``depth * width`` longs per
+    group regardless of key cardinality (Cormode-Muthukrishnan).
+    Build once per partition/day; answer point-frequency and
+    heavy-hitter questions at any coarser grain by SUMMING cells
+    (:func:`cms_merge`) — never rescanning the corpus. One-sided
+    error: estimates only ever OVERcount, by <= e/width * N with
+    probability 1 - (1/2)^depth. Entirely partial-agg'd column
+    algebra (xxhash64 bucketing, no UDF)."""
+    rows = df.select(
+        *group_cols,
+        *[
+            F.pmod(F.xxhash64(F.col(key), F.lit(d)), F.lit(width)).alias(f"_b{d}")
+            for d in range(depth)
+        ],
+    )
+    cells = None
+    for d in range(depth):
+        c = rows.select(*group_cols, F.lit(d).alias("d"), F.col(f"_b{d}").alias("bucket"))
+        cells = c if cells is None else cells.unionByName(c)
+    return cells.groupBy(*group_cols, "d", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def cms_merge(rollup: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Re-aggregate a CMS rollup to a coarser grouping (possibly
+    empty = global): cells merge by plain SUM — the property that
+    makes the sketch a layout, not a query."""
+    if group_cols:
+        return rollup.groupBy(*group_cols, "d", "bucket").agg(
+            F.sum("cnt").alias("cnt")
+        )
+    return rollup.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` against a (global) CMS
+    sketch: recompute each key's ``depth`` buckets, join the matching
+    cells (broadcast — the key list is the small side), take the MIN
+    over rows. Missing cells read as 0. Returns (key, est)."""
+    probes = keys.select(F.col(key)).distinct()
+    probe_cells = None
+    for d in range(depth):
+        c = probes.select(
+            key,
+            F.lit(d).alias("d"),
+            F.pmod(F.xxhash64(F.col(key), F.lit(d)), F.lit(width)).alias("bucket"),
+        )
+        probe_cells = c if probe_cells is None else probe_cells.unionByName(c)
+    joined = probe_cells.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    return joined.groupBy(key).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+    )
+
+
 def skew_report(df: DataFrame, key: str, top_n: int = 10) -> dict:
     """Pre-flight skew diagnostic for a prospective join/agg key: one
     aggregation over the keys producing (a) count quantiles, (b) the

@@ -359,6 +359,50 @@ def test_write_zordered_skips_files_on_every_dimension(spark, tmp_path):
     assert z_price < s_price
 
 
+def test_cms_rollup_one_sided_error_and_exact_merge(spark):
+    """Count-min contract: estimates never undercount, overcount is
+    bounded, and merging per-group sketches by summing cells is
+    EXACTLY the sketch of the union (deterministic hashing)."""
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.operators.scale import (
+        cms_estimate,
+        cms_merge,
+        cms_rollup,
+    )
+
+    orders = sources.table(spark, "orders", SF_SMOKE)
+    truth = {
+        r.o_custkey: r.n
+        for r in orders.groupBy("o_custkey").agg(F.count("*").alias("n")).collect()
+    }
+    n_rows = sum(truth.values())
+    width, depth = 1024, 4
+
+    per_status = cms_rollup(orders, "o_custkey", ["o_orderstatus"], width, depth)
+    merged = cms_merge(per_status, [])
+    direct = cms_merge(cms_rollup(orders, "o_custkey", [], width, depth), [])
+
+    keys = orders.select("o_custkey").distinct()
+    est_merged = {
+        r.o_custkey: r.est
+        for r in cms_estimate(merged, keys, "o_custkey", width, depth).collect()
+    }
+    est_direct = {
+        r.o_custkey: r.est
+        for r in cms_estimate(direct, keys, "o_custkey", width, depth).collect()
+    }
+    # merge-of-parts == sketch-of-whole, cell for cell
+    assert est_merged == est_direct
+    # one-sided error, bounded by the CMS guarantee with margin
+    bound = 3.0 * n_rows / width
+    for k, t in truth.items():
+        assert est_merged[k] >= t, k
+        assert est_merged[k] <= t + bound, (k, t, est_merged[k])
+    # most estimates exact at this load factor
+    exact = sum(1 for k, t in truth.items() if est_merged[k] == t)
+    assert exact / len(truth) > 0.5
+
+
 def test_reap_temp_litter_age_gated_and_data_safe(spark, tmp_path):
     """The DSv2 leak closer: old temp shards and dead _temporary trees
     go; fresh temps (a concurrent writer), committed data files, and
