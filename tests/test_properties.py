@@ -104,3 +104,68 @@ def test_exact_dedup_partition_property(spark, texts):
     assert keepers == {
         min(i for i in norm if norm[i] == v) for v in set(norm.values())
     }
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=12).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.1, 0.3, 0.6]),
+)
+def test_jaccard_pairs_matches_python_reference(spark, docs, threshold):
+    """The inverted-index join must agree with a direct O(n^2) Python
+    computation of word-trigram Jaccard on ANY corpus (repeated words,
+    empty docs, tiny vocab maximizing shingle collisions)."""
+    from smartpipeline_spark.functions.dedup import jaccard_pairs
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.d1, r.d2): r.jaccard
+        for r in jaccard_pairs(df, threshold=threshold, max_df=None).collect()
+    }
+
+    def shingles(t):
+        ws = t.split()
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    want = {}
+    for i, ti in rows:
+        for j, tj in rows:
+            if i >= j:
+                continue
+            a, b = shingles(ti), shingles(tj)
+            if not a or not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if jac >= threshold:
+                import math
+
+                want[(i, j)] = math.floor(jac * 10000.0 + 0.5) / 10000.0
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    fact_keys=st.lists(st.integers(0, 5), min_size=0, max_size=60),
+    dim_keys=st.lists(st.integers(0, 5), min_size=0, max_size=6, unique=True),
+    how=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+)
+def test_salted_join_equals_plain_join(spark, fact_keys, dim_keys, how):
+    """For every allowed join type, salting must be invisible in the
+    result — including hot keys (the whole point), empty sides, and
+    unmatched rows on either side."""
+    from smartpipeline_spark.operators.scale import salted_join
+
+    fact = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(fact_keys)], "k long, fid long"
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in dim_keys], "k long, w string")
+    got = sorted(tuple(r) for r in salted_join(fact, dim, "k", how=how).collect())
+    want = sorted(tuple(r) for r in fact.join(dim, "k", how).collect())
+    assert got == want
