@@ -482,6 +482,9 @@ def connected_components(
 
 # ----------------------------------------------------- blocked fuzzy match
 
+FUZZY_SUBBLOCK_LEVELS = 3  # prefix chars appended while a block stays hot
+
+
 def fuzzy_pairs(
     df: DataFrame,
     col: str,
@@ -489,6 +492,7 @@ def fuzzy_pairs(
     min_dist: int = 1,
     max_dist: int = 3,
     max_block: int | None = FUZZY_MAX_BLOCK,
+    levels: int = FUZZY_SUBBLOCK_LEVELS,
 ) -> DataFrame:
     """Blocked fuzzy string matching (entity resolution): candidate
     pairs within a block whose Levenshtein distance falls in
@@ -500,11 +504,17 @@ def fuzzy_pairs(
     2. Block on a cheap key (default: trailing word) so the self-join
        is quadratic only within a block, never across the vocabulary.
        Block-size skew is the guarded risk — a degenerate block
-       ("inc", "ltd") re-creates the cross product, so blocks larger
-       than ``max_block`` are sub-blocked by the string's first
-       character (documented recall loss: pairs whose first chars
-       differ inside a degenerate block are not compared; the hot
-       set broadcasts, so the rewrite is map-side).
+       ("inc", "ltd") re-creates the cross product, so hot blocks are
+       sub-blocked ITERATIVELY: each of ``levels`` rounds re-measures
+       block sizes and appends the string's next prefix character to
+       blocks still above ``max_block`` (round ``i`` appends char
+       ``i``). A block that survives all rounds hot has every member
+       sharing a ``levels``-char prefix AND a block key — after the
+       default 3 rounds that is >max_block near-identical strings,
+       and its cross product is intentional fuzzy-match work, not
+       skew. Recall loss (documented): pairs whose appended prefix
+       chars differ inside a hot block are not compared. Each round's
+       hot set broadcasts, so every rewrite is map-side.
     3. ``F.levenshtein`` runs JVM-side inside codegen — no Python.
 
     min_dist=1 excludes identical strings (those are exact-dedup's
@@ -512,22 +522,27 @@ def fuzzy_pairs(
     vocab = df.select(F.col(col).alias("name")).distinct()
     b = vocab.withColumn("blk", F.regexp_extract("name", block_re, 1))
     if max_block is not None:
-        hot = (
-            b.groupBy("blk").agg(F.count("*").alias("_bn"))
-            .filter(F.col("_bn") > max_block)
-            .select("blk", F.lit(True).alias("_hot"))
-        )
-        b = (
-            b.join(F.broadcast(hot), "blk", "left")
-            .withColumn(
-                "blk",
-                F.when(
-                    F.col("_hot"),
-                    F.concat(F.col("blk"), F.lit("|"), F.substring("name", 1, 1)),
-                ).otherwise(F.col("blk")),
+        for lvl in range(1, levels + 1):
+            hot = (
+                b.groupBy("blk").agg(F.count("*").alias("_bn"))
+                .filter(F.col("_bn") > max_block)
+                .select("blk", F.lit(True).alias("_hot"))
             )
-            .drop("_hot")
-        )
+            b = (
+                b.join(F.broadcast(hot), "blk", "left")
+                .withColumn(
+                    "blk",
+                    F.when(
+                        F.col("_hot"),
+                        F.concat(
+                            F.col("blk"),
+                            F.lit("|"),
+                            F.substring("name", lvl, 1),
+                        ),
+                    ).otherwise(F.col("blk")),
+                )
+                .drop("_hot")
+            )
     a, c = b.alias("a"), b.alias("c")
     dist = F.levenshtein(F.col("a.name"), F.col("c.name"))
     return (
@@ -541,24 +556,39 @@ def fuzzy_pairs(
     )
 
 
-@ext_query(
-    "ext_fuzzy_match",
-    f"""WITH p AS (SELECT DISTINCT p_name FROM part),
-         b0 AS (SELECT p_name,
-                       regexp_extract(p_name, '([a-z]+)$', 1) AS blk
-                FROM p),
-         hot AS (SELECT blk FROM b0 GROUP BY blk
-                 HAVING COUNT(*) > {FUZZY_MAX_BLOCK}),
-         b AS (SELECT p_name,
-                      CASE WHEN blk IN (SELECT blk FROM hot)
-                           THEN blk || '|' || substring(p_name, 1, 1)
-                           ELSE blk END AS blk
-               FROM b0)
+def _fuzzy_oracle_sql(levels: int = FUZZY_SUBBLOCK_LEVELS) -> str:
+    """DuckDB mirror of fuzzy_pairs' iterative sub-blocking: one
+    hot-detect + prefix-append CTE pair per level, same semantics as
+    the broadcast-join rewrite rounds."""
+    ctes = [
+        "p AS (SELECT DISTINCT p_name FROM part)",
+        "b0 AS (SELECT p_name,"
+        " regexp_extract(p_name, '([a-z]+)$', 1) AS blk FROM p)",
+    ]
+    prev = "b0"
+    for lvl in range(1, levels + 1):
+        ctes.append(
+            f"hot{lvl} AS (SELECT blk FROM {prev} GROUP BY blk"
+            f" HAVING COUNT(*) > {FUZZY_MAX_BLOCK})"
+        )
+        ctes.append(
+            f"b{lvl} AS (SELECT p_name,"
+            f" CASE WHEN blk IN (SELECT blk FROM hot{lvl})"
+            f" THEN blk || '|' || substring(p_name, {lvl}, 1)"
+            f" ELSE blk END AS blk FROM {prev})"
+        )
+        prev = f"b{lvl}"
+    return (
+        "WITH " + ",\n         ".join(ctes) + f"""
        SELECT a.p_name AS n1, c.p_name AS n2,
               levenshtein(a.p_name, c.p_name) AS dist
-       FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
-       WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 3""",
-)
+       FROM {prev} a JOIN {prev} c
+         ON a.blk = c.blk AND a.p_name < c.p_name
+       WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 3"""
+    )
+
+
+@ext_query("ext_fuzzy_match", _fuzzy_oracle_sql())
 def ext_fuzzy_match(spark, sf_dir):
     p = sources.table(spark, "part", sf_dir)
     return fuzzy_pairs(p, "p_name")

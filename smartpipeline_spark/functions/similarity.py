@@ -577,6 +577,8 @@ def ext_knn_pq(spark, sf_dir):
 
     def score(batches):
         for pdf in batches:
+            if not len(pdf):  # empty Arrow batch: np.stack would raise
+                continue
             codes = np.stack(pdf["codes"].to_numpy())  # (B, m)
             vids = pdf["vec_id"].to_numpy()
             acc = np.zeros((tables.shape[0], len(codes)))
@@ -655,6 +657,8 @@ def ext_knn_ivfpq(spark, sf_dir):
 
     def score(batches):
         for pdf in batches:
+            if not len(pdf):  # cell filter makes empty batches routine
+                continue
             codes = np.stack(pdf["codes"].to_numpy())
             vids = pdf["vec_id"].to_numpy()
             cells = pdf["cell"].to_numpy()

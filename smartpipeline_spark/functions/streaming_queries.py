@@ -51,10 +51,22 @@ def ext_stream_tumbling(spark, sf_dir) -> DataFrame:
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
+    # lexists, not exists: exists() is False for a BROKEN symlink (old
+    # testdata path), which would make the symlink call raise
+    # FileExistsError — recreate stale links instead
+    if os.path.lexists(link):
+        if os.path.realpath(link) != os.path.realpath(path):
+            os.unlink(link)
+            os.symlink(path, link)
+    else:
         os.symlink(path, link)
     # the file-stream source needs an explicit schema: take the batch
-    # reader's (metadata-only) and mirror its ts normalization
+    # reader's via sources.table (which sets nanosAsLong before the
+    # probe — a fresh session on the legacy TIMESTAMP(NANOS) layout
+    # would otherwise refuse the metadata read itself)
+    from smartpipeline_spark import sources
+
+    sources.table(spark, "events", sf_dir)  # conf side effect on purpose
     batch_schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(batch_schema).parquet(stage)
     ts_type = dict(stream.dtypes).get("ts")

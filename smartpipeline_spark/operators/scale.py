@@ -416,6 +416,21 @@ def reap_temp_litter(path: str, older_than_s: float = 86400.0) -> dict:
     now = time.time()
     reaped_files = 0
     reclaimed = 0
+    # snapshot staging-dir mtimes BEFORE any deletion: reaping a child
+    # updates the parent's mtime, so gating on live mtimes would keep
+    # a dead tree alive forever; gating on the pre-reap snapshot both
+    # removes trees we just emptied of aged litter and spares a live
+    # committer's freshly mkdir'd (still-empty) task-attempt dir
+    dir_mtime: dict[str, float] = {}
+    for dp, dns, _ in os.walk(path):
+        in_tmp = "_temporary" in dp.split(os.sep)
+        for d in dns:
+            if d == "_temporary" or in_tmp:
+                full = os.path.join(dp, d)
+                try:
+                    dir_mtime[full] = os.stat(full).st_mtime
+                except OSError:
+                    pass
     for dp, dns, fs in os.walk(path, topdown=False):
         in_temporary = "_temporary" in dp.split(os.sep)
         for f in fs:
@@ -431,16 +446,23 @@ def reap_temp_litter(path: str, older_than_s: float = 86400.0) -> dict:
                     reaped_files += 1
             except OSError:
                 pass
-        # prune now-empty _temporary dirs (bottom-up walk). No age
-        # gate here: removing a child updates the parent's mtime, and
-        # an EMPTY staging dir is pure litter either way — committers
-        # mkdirs() their task-attempt dirs on demand, so a live
-        # writer loses nothing if its just-created empty dir vanishes
+        # prune now-empty _temporary dirs (bottom-up walk). Exact
+        # component match only — a user directory whose NAME merely
+        # contains the substring (``pre_temporary_x``) is not staging
+        # litter. Age-gated like the files: a live committer mkdirs()
+        # its task-attempt dir moments before the first file lands, so
+        # reaping a FRESH empty dir races that window (task fails and
+        # retries); a day-old empty staging dir has no live writer.
         for d in dns:
             full = os.path.join(dp, d)
-            if "_temporary" in d or in_temporary:
+            if d == "_temporary" or in_temporary:
+                mt = dir_mtime.get(full)
                 try:
-                    if not os.listdir(full):
+                    if (
+                        mt is not None
+                        and now - mt > older_than_s
+                        and not os.listdir(full)
+                    ):
                         os.rmdir(full)
                 except OSError:
                     pass

@@ -82,15 +82,25 @@ class Pipeline:
         # (queues/threads are Spark's problem now):
         max_init_workers: int | None = None,
         max_queues_size: int | None = None,
-        ship_logs: bool = True,
+        ship_logs: bool | int = True,
     ):
         self._spark = spark
         self._error_manager = error_manager or ErrorManager()
         # cross-process log shipping (reference LogsReceiver twin):
         # stage log records captured in the Python workers travel back
         # on a list-accumulator and re-emit through the driver-process
-        # loggers when run()/write() drains them
-        self._ship_logs = ship_logs
+        # loggers when run()/write() drains them. ``ship_logs`` is the
+        # capture gate: True ships INFO and above (third-party DEBUG
+        # chatter stays worker-side), a logging level (e.g.
+        # ``logging.DEBUG``) ships from that level, False disables.
+        # Each task additionally hard-caps shipped records
+        # (_LogCapture.MAX_RECORDS) and reports any overflow.
+        import logging as _logging
+
+        self._ship_logs = ship_logs is not False
+        self._ship_level = (
+            _logging.INFO if ship_logs is True else int(ship_logs or 0)
+        )
         self._log_acc = None
         self._source: SourceLike | None = None
         self._source_schema = None
@@ -320,6 +330,7 @@ class Pipeline:
             self._error_manager,
             chain_uid=self._chain_uid,
             log_acc=self._log_acc,
+            log_level=self._ship_level,
         )
         return df.mapInPandas(fn, schema=ddl)
 

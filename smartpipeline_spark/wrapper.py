@@ -280,18 +280,47 @@ class _LogCapture(logging.Handler):
     live) — batched, but exactly the delivery Spark's task model
     gives; nothing is lost, including logs from failed tasks' retries.
     PySpark's own chatter is filtered so only user-stage logging
-    ships."""
+    ships.
+
+    Two bounds keep a chatty dependency inside a stage from turning
+    the accumulator into an unbounded payload: the capture LEVEL
+    (default INFO — third-party DEBUG chatter never enters the buffer;
+    pass ``ship_logs=logging.DEBUG`` to opt into full capture) and a
+    hard per-task record cap (``MAX_RECORDS``) — past it records are
+    counted, dropped, and summarized by one truncation marker."""
 
     _SKIP = ("py4j", "pyspark")
+    MAX_RECORDS = 10_000  # per task; one marker record reports overflow
 
-    def __init__(self) -> None:
-        super().__init__(level=logging.DEBUG)
+    def __init__(self, level: int = logging.INFO) -> None:
+        super().__init__(level=level)
         self.records: list[tuple[str, int, str]] = []
+        self._total = 0
+        self._dropped = 0
 
     def emit(self, record: logging.LogRecord) -> None:
         if record.name.startswith(self._SKIP):
             return
+        if self._total >= self.MAX_RECORDS:
+            self._dropped += 1
+            return
+        self._total += 1
         self.records.append((record.name, record.levelno, record.getMessage()))
+
+    def drain(self) -> list[tuple[str, int, str]]:
+        out = list(self.records)
+        self.records.clear()
+        if self._dropped:
+            out.append(
+                (
+                    "smartpipeline_spark.logship",
+                    logging.WARNING,
+                    f"log shipping truncated: {self._dropped} records over"
+                    f" the {self.MAX_RECORDS}/task cap were dropped",
+                )
+            )
+            self._dropped = 0
+        return out
 
 
 def compile_chain(
@@ -301,6 +330,7 @@ def compile_chain(
     error_manager: ErrorManager,
     chain_uid: str = "",
     log_acc=None,
+    log_level: int = logging.INFO,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """Compile a stage chain into a mapInPandas function.
 
@@ -319,18 +349,19 @@ def compile_chain(
         capture = None
         prev_root_level = None
         if log_acc is not None:
-            capture = _LogCapture()
+            capture = _LogCapture(level=log_level)
             root = logging.getLogger()
             root.addHandler(capture)
             # worker processes default to WARNING; shipping honors the
-            # stage's own logger levels, so open the root gate and let
-            # per-logger levels decide (the reference's receiver relays
-            # whatever level the stage logger let through). Restored in
-            # the finally — workers are reused across jobs and the
-            # widened gate must not outlive the chain.
-            if root.level > logging.DEBUG:
+            # stage's own logger levels, so open the root gate down to
+            # the CAPTURE level (INFO by default — not DEBUG, so
+            # third-party DEBUG chatter stays out of the buffer) and
+            # let per-logger levels decide the rest. Restored in the
+            # finally — workers are reused across jobs and the widened
+            # gate must not outlive the chain.
+            if root.level > log_level:
                 prev_root_level = root.level
-                root.setLevel(logging.DEBUG)
+                root.setLevel(log_level)
         live_steps = [
             (
                 _worker_stage(
@@ -346,13 +377,13 @@ def compile_chain(
                 items = _rows_to_items(pdf, payload_cols)
                 items = run_chain_on_items(live_steps, items, error_manager)
                 if capture is not None and capture.records:
-                    log_acc.add(list(capture.records))
-                    capture.records.clear()
+                    log_acc.add(capture.drain())
                 yield _items_to_pdf(items, out_cols)
         finally:
             if capture is not None:
-                if capture.records:
-                    log_acc.add(list(capture.records))
+                tail = capture.drain()
+                if tail:
+                    log_acc.add(tail)
                 root = logging.getLogger()
                 root.removeHandler(capture)
                 if prev_root_level is not None:

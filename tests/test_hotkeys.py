@@ -91,3 +91,24 @@ def test_fuzzy_subblock_bounds_degenerate_block(spark):
     assert {
         (r.n1, r.n2) for r in fuzzy_pairs(df, "name", max_block=100).collect()
     } == full
+
+
+def test_fuzzy_subblock_recurses_past_shared_first_char(spark):
+    # degenerate block "inc" whose 20 members ALL share first char 'a':
+    # level 1 (first char) cannot split it, level 2 (second char x/y)
+    # must — the round-3 single-level gap
+    names = [f"a{c}{i:02d} inc" for c in "xy" for i in range(10)]
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    sub = {(r.n1, r.n2) for r in fuzzy_pairs(df, "name", max_block=10).collect()}
+    # within-second-char pairs survive
+    assert ("ax00 inc", "ax01 inc") in sub
+    assert ("ay00 inc", "ay01 inc") in sub
+    # cross-second-char pairs are the recall loss of the second round
+    assert not any(p1[1] != p2[1] for p1, p2 in sub)
+    assert len(sub) == 90  # 45 within-x + 45 within-y
+    # single level (levels=1) leaves the block whole: quadratic again
+    one = {
+        (r.n1, r.n2)
+        for r in fuzzy_pairs(df, "name", max_block=10, levels=1).collect()
+    }
+    assert len(one) > len(sub)

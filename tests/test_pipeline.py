@@ -703,6 +703,71 @@ def test_log_shipping_disabled_opt_out(spark, items_df, caplog):
     assert not [r for r in caplog.records if r.name == "my.test.stage"]
 
 
+class DebugChattyStage(Stage):
+    """Stage whose dependency logs DEBUG chatter — must stay
+    worker-side under the default INFO shipping gate."""
+
+    def process(self, item):
+        import logging
+
+        logging.getLogger("chatty.dep").debug("noise %s", item.data["count"])
+        return item
+
+
+def test_log_shipping_gates_debug_by_default(spark, items_df, caplog):
+    import logging
+
+    p = (
+        Pipeline(spark)
+        .set_source(items_df.limit(3))
+        .append("chatty", DebugChattyStage())
+        .build()
+    )
+    with caplog.at_level(logging.DEBUG, logger="chatty.dep"):
+        list(p.run())
+    assert not [r for r in caplog.records if r.name == "chatty.dep"]
+
+
+def test_log_shipping_debug_opt_in(spark, items_df, caplog):
+    import logging
+
+    p = (
+        Pipeline(spark, ship_logs=logging.DEBUG)
+        .set_source(items_df.limit(3))
+        .append("chatty", DebugChattyStage())
+        .build()
+    )
+    with caplog.at_level(logging.DEBUG, logger="chatty.dep"):
+        list(p.run())
+    shipped = [r for r in caplog.records if r.name == "chatty.dep"]
+    assert len(shipped) == 3, caplog.records
+
+
+def test_log_capture_per_task_cap():
+    import logging
+
+    from smartpipeline_spark.wrapper import _LogCapture
+
+    cap = _LogCapture()
+    cap.MAX_RECORDS = 5  # instance shadow of the class cap
+    for i in range(8):
+        cap.emit(
+            logging.LogRecord(
+                "user.stage", logging.INFO, __file__, 1, "m%d", (i,), None
+            )
+        )
+    out = cap.drain()
+    assert len(out) == 6  # 5 kept + 1 truncation marker
+    assert "3 records over" in out[-1][2]
+    # post-drain the counter stays exhausted (per-task, not per-batch):
+    # a further record is dropped and reported, never re-admitted
+    cap.emit(
+        logging.LogRecord("user.stage", logging.INFO, __file__, 1, "x", (), None)
+    )
+    tail = cap.drain()
+    assert len(tail) == 1 and "1 records over" in tail[0][2]
+
+
 def test_error_summary_aggregates_the_error_channel(spark, items_df):
     p = (
         Pipeline(spark)

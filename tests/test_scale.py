@@ -432,16 +432,38 @@ def test_reap_temp_litter_age_gated_and_data_safe(spark, tmp_path):
     # in-flight litter (fresh): must survive
     fresh = os.path.join(out, "._tmp-cafebabe-1.jsonl")
     open(fresh, "w").write("z")
+    # user dir whose NAME merely contains the substring: not staging
+    # litter even when old and empty — exact component match only
+    userdir = os.path.join(out, "pre_temporary_x")
+    os.makedirs(userdir)
+    os.utime(userdir, (old, old))
+    # live committer race: freshly mkdir'd still-empty attempt dir
+    # (mkdir happened moments ago, first file not yet created)
+    livedir = os.path.join(out, "_temporary", "1", "attempt_0")
+    os.makedirs(livedir)
 
     rep = reap_temp_litter(out, older_than_s=86400)
     assert rep["reaped_files"] == 2
     assert rep["reclaimed_bytes"] == 150
     assert not os.path.exists(litter)
-    assert not os.path.exists(os.path.join(out, "_temporary"))
+    assert not os.path.exists(os.path.join(out, "_temporary", "0"))
     assert os.path.exists(fresh)
+    assert os.path.exists(userdir)
+    assert os.path.exists(livedir)
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
     # committed data intact
     assert spark.read.parquet(out).count() == n
+    # second reap a day later (simulated by aging the now-dead attempt
+    # dir) removes the remainder of the tree
+    for p in (
+        livedir,
+        os.path.join(out, "_temporary", "1"),
+        os.path.join(out, "_temporary"),
+    ):
+        os.utime(p, (old, old))
+    reap_temp_litter(out, older_than_s=86400)
+    assert not os.path.exists(os.path.join(out, "_temporary"))
+    assert os.path.exists(userdir)
 
 
 def test_zorder_quantile_ranks_survive_skew(spark):
