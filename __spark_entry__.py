@@ -33,28 +33,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # Low-information near-neighbors of pinned members (plain projection,
 # ORDER BY LIMIT, UNION, COUNT DISTINCT, cube vs rollup, token-count /
 # md5-fingerprint scalars) were rotated OUT in round 3 in favor of the
-# flagships; they remain registered after the window and are verified
-# by scripts/check_oracles.py + pytest on every dev run instead.
+# flagships; round 4 continued the rotation, swapping ten more
+# near-neighbors (semi/anti join beside the kept inner/broadcast/
+# 3-way/range reps, rollup beside grouping-sets, scalar-strings,
+# pivot, scalar-subquery beside correlated-exists, lang-id/tfidf/
+# multimodal-meta beside the kept text & multimodal reps) for the
+# round-3 flagships that had been born outside the window: the REAL
+# streaming query, SCD2, CDC snapshot diff, OHLC downsample, packed-
+# sequence emission, winnowing (fingerprints + overlap pairs), fuzzy
+# match, the composed quality gate, and URL stats. Rotated-out keys
+# remain registered after the window and are verified by
+# scripts/check_oracles.py + pytest on every dev run instead.
 _WINDOW = (
     "q02_sink_roundtrip", "q04_join_inner",
-    "q05_join_left_agg", "q06_join_broadcast", "q07_join_semi",
-    "q08_join_anti", "q09_join_3way", "q10_join_range",
+    "q06_join_broadcast",
+    "q09_join_3way", "q10_join_range",
     "q38_tpch_q5", "q44_having_in",
-    "q11_agg_pricing_summary", "q13_rollup",
+    "q11_agg_pricing_summary",
     "q13b_grouping_sets", "q28_percentiles",
     "q58_merge_upsert", "q46_recursive_cte",
     "q15_window_topk", "q16_window_running", "q17_window_lag",
     "q20_intersect_except", "q41_gapfill",
-    "q21_scalar_strings",
-    "ext_pack_sequences", "ext_mixture_sample", "q22_tumbling_window",
+    "q60_scd2", "q61_snapshot_diff", "q59_ohlc_downsample",
+    "ext_pack_sequences", "ext_pack_emit", "ext_mixture_sample",
+    "q22_tumbling_window", "ext_stream_tumbling",
     "q53_funnel", "q23_session_window",
-    "q24b_udf_chain_throughput", "q32_pivot", "q30_correlated_exists",
-    "q31_scalar_subquery", "q24_udf_stage", "q36_asof_join",
+    "q24b_udf_chain_throughput", "q30_correlated_exists",
+    "q24_udf_stage", "q36_asof_join",
     "ext_dedup_exact", "ext_dedup_ngram_jaccard", "ext_dedup_embedding",
     "ext_dedup_clusters", "ext_chunk_dedup",
+    "ext_winnow", "ext_winnow_pairs", "ext_fuzzy_match",
     "ext_knn_bruteforce", "ext_embedding_centroids", "ext_hybrid_search",
-    "ext_quality_score", "ext_repetition", "ext_tfidf", "ext_lang_id",
-    "ext_multimodal_meta", "ext_multimodal_decode", "ext_contamination",
+    "ext_quality_score", "ext_quality_gate", "ext_repetition",
+    "ext_url_stats",
+    "ext_multimodal_decode", "ext_contamination",
     "ext_stratified_sample", "ext_bm25",
 )
 

@@ -382,6 +382,87 @@ def ext_dedup_simhash(spark, sf_dir):
     return cand.select("d1", "d2", hamming.alias("hamming")).filter(F.col("hamming") <= 3)
 
 
+HAMMING_MAX_BUCKET = 1000  # band-bucket population cap (pigeonhole joins)
+
+
+def hamming_band_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    class_col: str | None = None,
+    bands: int = 4,
+    bits: int = 64,
+    max_hamming: int = 3,
+    max_bucket: int | None = HAMMING_MAX_BUCKET,
+) -> DataFrame:
+    """Generic pigeonhole Hamming join: split each ``bits``-bit hash
+    into ``bands`` equal chunks; any pair within ``max_hamming`` ≤
+    ``bands - 1`` bit flips must agree on at least one chunk, so equal
+    (chunk_id, chunk_val) buckets are a recall-complete candidate set
+    and the exact ``bit_count(xor)`` verify runs only on candidates.
+    The same machinery behind ext_dedup_simhash, generalized for any
+    64-bit perceptual / structural fingerprint.
+
+    ``class_col`` partitions the pairing space (e.g. image vs audio
+    hashes never compare). ``max_bucket`` is the hot-bucket cap in
+    front of the quadratic bucket join — a degenerate fingerprint
+    (all-black images hash identically) otherwise recreates the cross
+    product; buckets above the cap are dropped via a broadcast
+    anti-join (same contract as :func:`drop_hot_keys`), bounding the
+    join at ``max_bucket²`` rows per bucket. All bit math is JVM-side.
+
+    Returns (d1, d2, hamming) with d1 < d2."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    keys = ([class_col] if class_col else [])
+    chunks = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        *[F.col(c) for c in keys],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk_id"),
+                        F.shiftrightunsigned(F.col(hash_col), j * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk_val"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("ch"),
+    ).select("_id", "_h", *keys, "ch.chunk_id", "ch.chunk_val")
+    bucket_keys = [*keys, "chunk_id", "chunk_val"]
+    if max_bucket is not None:
+        hot = (
+            chunks.groupBy(*bucket_keys)
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > max_bucket)
+            .select(*bucket_keys)
+        )
+        chunks = chunks.join(F.broadcast(hot), bucket_keys, "left_anti")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    on = F.col("a.chunk_id") == F.col("b.chunk_id")
+    on = on & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+    for c in keys:
+        on = on & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand = (
+        a.join(b, on & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("d1"),
+            F.col("b._id").alias("d2"),
+            F.col("a._h").alias("_h1"),
+            F.col("b._h").alias("_h2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2")))
+    return cand.select("d1", "d2", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
 @ext_query(
     "ext_dedup_embedding",
     f"""SELECT a.vec_id AS v1, b.vec_id AS v2,

@@ -411,6 +411,181 @@ def ext_multimodal_frames(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# perceptual fingerprints: image aHash + audio energy-envelope hash — the
+# bridge between the multimodal column stack and the dedup stack
+# ---------------------------------------------------------------------------
+
+
+def _to_signed64(bits: int) -> int:
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def ahash64(payload: bytes) -> Optional[int]:
+    """64-bit average hash (aHash, the classic perceptual image hash):
+    decode pixels (PNG/BMP, stdlib decoders above), grayscale, average-
+    pool onto an 8×8 grid, threshold each cell against the grid mean.
+    Scale/container invariant by construction — a nearest-neighbor
+    resize or a lossless re-encode pools to (nearly) the same grid, so
+    copies land within a few Hamming bits while distinct images
+    scatter. Returns a SIGNED 64-bit int (Spark LongType); None for
+    non-image payloads."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, bpp, rows = _png_pixels(payload)
+    elif payload[:2] == b"BM":
+        w, h, bpp, rows = _bmp_pixels(payload)
+    else:
+        return None
+    grid = []
+    for gy in range(8):
+        y0, y1 = gy * h // 8, max(gy * h // 8 + 1, (gy + 1) * h // 8)
+        for gx in range(8):
+            x0, x1 = gx * w // 8, max(gx * w // 8 + 1, (gx + 1) * w // 8)
+            tot = cnt = 0
+            for y in range(y0, min(y1, h)):
+                row = rows[y]
+                for x in range(x0, min(x1, w)):
+                    p = row[x * bpp : x * bpp + 3]
+                    tot += p[0] + p[1] + p[2]
+                    cnt += 3
+            grid.append(tot / cnt if cnt else 0.0)
+    mean = sum(grid) / 64.0
+    bits = 0
+    for i, v in enumerate(grid):
+        if v > mean:
+            bits |= 1 << i
+    return _to_signed64(bits)
+
+
+def wav_fp64(payload: bytes) -> Optional[int]:
+    """64-bit audio fingerprint: the PCM data chunk is split into 65
+    equal windows; bit ``i`` is the sign of the energy DIFFERENCE
+    between consecutive windows (the energy-envelope analogue of
+    dHash, the sign-of-spectral-delta idea behind classic audio
+    fingerprinting). Amplitude-invariant: uniform gain scales every
+    window energy by the same factor and flips no sign. None for
+    non-WAV payloads."""
+    meta = decode_media(payload)
+    if meta["kind"] != "wav":
+        return None
+    o, data = 12, b""
+    while o + 8 <= len(payload):
+        tag = payload[o : o + 4]
+        size = struct.unpack("<I", payload[o + 4 : o + 8])[0]
+        if tag == b"data":
+            data = payload[o + 8 : o + 8 + size]
+            break
+        o += 8 + size + (size & 1)
+    n = len(data) // 2
+    if n < 65:
+        return None
+    samples = struct.unpack("<%dh" % n, data[: n * 2])
+    energies = []
+    for j in range(65):
+        s0, s1 = j * n // 65, max(j * n // 65 + 1, (j + 1) * n // 65)
+        win = samples[s0:s1]
+        energies.append(sum(s * s for s in win) / len(win))
+    bits = 0
+    for i in range(64):
+        if energies[i + 1] > energies[i]:
+            bits |= 1 << i
+    return _to_signed64(bits)
+
+
+def reencode_image(payload: bytes) -> bytes:
+    """Lossless container swap (PNG pixels → BMP container and vice
+    versa) — the planted 're-encoded copy' a perceptual dedup must
+    catch. RGB only (BMP has no alpha)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, bpp, rows = _png_pixels(payload)
+        if bpp != 3:
+            raise NotImplementedError("BMP container is RGB-only")
+        return _bmp_from_pixels(w, h, rows)
+    if payload[:2] == b"BM":
+        w, h, bpp, rows = _bmp_pixels(payload)
+        return _png_from_pixels(w, h, bpp, rows)
+    raise NotImplementedError("re-encode implemented for PNG/BMP")
+
+
+def media_phash(media: DataFrame) -> DataFrame:
+    """(doc_id, payload) → (doc_id, media_class, phash): one Arrow
+    crossing computes the class-appropriate perceptual hash (aHash for
+    images, energy-envelope hash for WAV). Rows whose payload neither
+    hash understands are dropped (no fingerprint, nothing to pair)."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, classes, hashes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                h = ahash64(p)
+                cls = "image"
+                if h is None:
+                    h = wav_fp64(p)
+                    cls = "audio"
+                if h is None:
+                    continue
+                ids.append(doc_id)
+                classes.append(cls)
+                hashes.append(h)
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_class": classes, "phash": hashes}
+            )
+
+    return media.mapInPandas(
+        hash_batches, schema="doc_id bigint, media_class string, phash bigint"
+    )
+
+
+@ext_query("ext_multimodal_phash")  # planted-copy recall/precision pytest
+def ext_multimodal_phash(spark, sf_dir):
+    """Perceptual multimodal near-dup: the synthetic media corpus plus
+    PLANTED near-duplicate variants — each image re-appears 2× upscaled
+    (doc_id + 1e6, real nearest-neighbor resize) and container-swapped
+    (doc_id + 2e6, PNG↔BMP, same pixels) — is perceptually hashed and
+    Hamming-paired. The pairing is the pigeonhole band join from the
+    dedup stack (:func:`hamming_band_pairs`): 4×16-bit chunks give
+    recall-complete candidates at Hamming ≤ 3, a hot-bucket cap bounds
+    degenerate fingerprints (solid-color images), the exact
+    ``bit_count(xor)`` verify runs candidates-only, and image hashes
+    never compare against audio hashes (class-partitioned buckets).
+    Every planted variant must pair with its original — that is the
+    pytest contract (tests/test_extensions.py) — making this the
+    operator a multimodal training pipeline runs before anything else:
+    resized / re-encoded copies of the same asset collapse to one.
+    100 TB: hashes are 8 bytes/asset computed in one mapInPandas pass
+    over the binary column; only (id, class, hash) shuffles, never
+    pixels; the band join is bucketed + capped like every other
+    self-join in the engine. Declared rows-only (a perceptual hash has
+    no SQL oracle); determinism pinned by the synthetic corpus."""
+    from smartpipeline_spark.functions.dedup import hamming_band_pairs
+
+    base = synth_media(spark, sf_dir)
+
+    def plant_variants(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                meta = decode_media(p)
+                if meta["kind"] in ("png", "bmp"):
+                    ids.append(doc_id + 1_000_000)
+                    payloads.append(
+                        resize_image(p, meta["width"] * 2, meta["height"] * 2)
+                    )
+                    ids.append(doc_id + 2_000_000)
+                    payloads.append(reencode_image(p))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    variants = base.mapInPandas(
+        plant_variants, schema="doc_id bigint, payload binary"
+    )
+    hashed = media_phash(base.unionByName(variants))
+    return hamming_band_pairs(
+        hashed, id_col="doc_id", hash_col="phash", class_col="media_class"
+    )
+
+
 @ext_query(
     "ext_multimodal_decode",
     """SELECT doc_id,

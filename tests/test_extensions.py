@@ -575,3 +575,147 @@ def test_ivf_append_equals_rebuild_and_flags_drift(spark, tmp_path):
     rep2 = append_to_ivf_index(spark, incr, novel)
     assert rep2["max_cell_frac"] == 1.0
     assert rep2["retrain_recommended"] is True
+
+
+# --------------------------------------------------- perceptual multimodal dedup
+
+
+def _pattern_png(w, h, fn):
+    from smartpipeline_spark.functions.multimodal import _png_from_pixels
+
+    rows = [
+        bytearray(
+            v for x in range(w) for v in (fn(x, y), fn(x, y), fn(x, y))
+        )
+        for y in range(h)
+    ]
+    return _png_from_pixels(w, h, 3, rows)
+
+
+def _custom_wav(envelope):
+    """16-bit mono WAV whose per-window energy follows ``envelope``
+    (list of amplitudes, 100 samples per step)."""
+    import struct
+
+    samples = []
+    for amp in envelope:
+        samples.extend(int(amp) * (1 if i % 2 else -1) for i in range(100))
+    data = struct.pack("<%dh" % len(samples), *samples)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_phash_planted_image_copies_found_distinct_not(spark):
+    """The multimodal↔dedup bridge contract: resized and re-encoded
+    copies of an image pair with their original; structurally distinct
+    patterns do not."""
+    from smartpipeline_spark.functions.dedup import hamming_band_pairs
+    from smartpipeline_spark.functions.multimodal import (
+        media_phash,
+        reencode_image,
+        resize_image,
+    )
+
+    patterns = {
+        0: lambda x, y: 255 if ((x // 2) + (y // 2)) % 2 else 0,  # checker
+        1: lambda x, y: 255 if y % 4 < 2 else 0,  # h-stripes
+        2: lambda x, y: 255 if x % 4 < 2 else 0,  # v-stripes
+        3: lambda x, y: x * 255 // 16,  # gradient
+    }
+    rows = []
+    for i, fn in patterns.items():
+        p = _pattern_png(16, 16, fn)
+        rows.append((i, p))
+        rows.append((i + 100, resize_image(p, 32, 32)))
+        rows.append((i + 200, reencode_image(p)))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {
+        (r.d1, r.d2): r.hamming
+        for r in hamming_band_pairs(
+            media_phash(df), class_col="media_class"
+        ).collect()
+    }
+    for i in patterns:
+        assert (i, i + 100) in pairs, f"resized copy of {i} missed"
+        assert (i, i + 200) in pairs, f"re-encoded copy of {i} missed"
+        assert pairs[(i, i + 200)] == 0  # identical pixels, identical hash
+    # no pair ever crosses pattern families
+    for (d1, d2) in pairs:
+        assert d1 % 100 == d2 % 100, (d1, d2)
+
+
+def test_phash_audio_fingerprint_amplitude_invariant(spark):
+    """WAV energy-envelope hash: a gain-scaled copy fingerprints
+    identically (every window energy scales by the same factor, no
+    sign flips); a different envelope does not pair."""
+    from smartpipeline_spark.functions.dedup import hamming_band_pairs
+    from smartpipeline_spark.functions.multimodal import media_phash, wav_fp64
+
+    rising = [100 + 80 * j for j in range(80)]
+    falling = list(reversed(rising))
+    scaled = [a // 2 for a in rising]
+    assert wav_fp64(_custom_wav(rising)) == wav_fp64(_custom_wav(scaled))
+    df = spark.createDataFrame(
+        [
+            (1, _custom_wav(rising)),
+            (2, _custom_wav(scaled)),
+            (3, _custom_wav(falling)),
+        ],
+        "doc_id long, payload binary",
+    )
+    pairs = {
+        (r.d1, r.d2)
+        for r in hamming_band_pairs(
+            media_phash(df), class_col="media_class"
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_phash_hot_bucket_cap_bounds_degenerate_hashes(spark):
+    """Solid-color images all hash to 0 — one degenerate bucket. The
+    cap drops it (bounding the quadratic term); above the population
+    it is a no-op (healthy-corpus transparency, same contract as
+    drop_hot_keys)."""
+    from smartpipeline_spark.functions.dedup import hamming_band_pairs
+    from smartpipeline_spark.functions.multimodal import media_phash
+
+    solid = _pattern_png(16, 16, lambda x, y: 128)
+    df = spark.createDataFrame(
+        [(i, solid) for i in range(12)], "doc_id long, payload binary"
+    )
+    hashed = media_phash(df)
+    assert hamming_band_pairs(hashed, class_col="media_class", max_bucket=5).count() == 0
+    assert (
+        hamming_band_pairs(hashed, class_col="media_class", max_bucket=100).count()
+        == 12 * 11 // 2
+    )
+
+
+def test_phash_query_planted_recall(spark):
+    """The registered ext_multimodal_phash corpus plants a resized and
+    a re-encoded copy per image: re-encodes must all be found (hash-
+    identical), resizes near-all (pooling boundary rounding can cost a
+    few bits on tiny fixtures)."""
+    from smartpipeline_spark.functions.multimodal import (
+        ext_multimodal_phash,
+        synth_media,
+    )
+
+    sf = SF_SMOKE
+    pairs = {
+        (r.d1, r.d2) for r in ext_multimodal_phash(spark, sf).collect()
+    }
+    img_ids = [
+        r.doc_id
+        for r in synth_media(spark, sf).select("doc_id").collect()
+        if r.doc_id % 3 < 2
+    ]
+    enc = sum((i, i + 2_000_000) in pairs for i in img_ids)
+    res = sum((i, i + 1_000_000) in pairs for i in img_ids)
+    assert enc == len(img_ids)
+    assert res / len(img_ids) >= 0.95
