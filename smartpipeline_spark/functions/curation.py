@@ -22,6 +22,9 @@ expressions themselves are the real operator.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -484,9 +487,112 @@ def contamination_report(
     )
 
 
-@ext_query(
-    "ext_contamination",
-    r"""WITH split AS (
+def _bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
+    """Textbook Bloom sizing: m = -n·ln(p)/ln²2 bits, k = (m/n)·ln 2
+    hashes — the false-positive bound the caller asked for."""
+    import math
+
+    m = max(64, int(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round(m / n_items * math.log(2)))
+    return m, k
+
+
+def _bloom_positions(m: int, k: int):
+    """k Bloom bit positions per shingle via double hashing
+    pos_i = pmod(h1 + i·h2, m) — computed JVM-SIDE for both the build
+    and the probe, so no Python hash function ever has to agree with a
+    JVM one (the classic cross-runtime Bloom bug)."""
+    # mod-first double hashing: (h1 + i·h2) mod m ≡ (h1 mod m +
+    # i·(h2 mod m)) mod m, and the reduced form never overflows a
+    # signed long (k·m ≪ 2⁶³) — the raw form would trip ANSI mode
+    h1 = F.pmod(F.xxhash64(F.col("sh")), F.lit(m))
+    h2 = F.pmod(F.xxhash64(F.lit("bloom-h2"), F.col("sh")), F.lit(m))
+    return F.array(
+        *[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
+    )
+
+
+def contamination_report_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Bloom-filter variant of :func:`contamination_report` for when
+    the 'benchmark' side exceeds a broadcast budget (decontaminating
+    against another corpus SLICE, not a MB-scale benchmark suite):
+
+    1. Build an m-bit Bloom filter over benchmark shingles WITHOUT
+       collecting them: each shingle's k bit positions (JVM-side
+       double hashing) fold into 64-bit words via a partial-agg'd
+       ``groupBy(word) ... bit_or`` — the driver collects m/64 words
+       (1.2 MB of bitmap per ~10⁶ shingles at fpp=1%), never the
+       shingles.
+    2. Probe corpus shingles through the broadcast bitmap with a
+       vectorized pandas UDF (pure bit-indexing — positions were
+       already computed JVM-side), passing ~(true hits + fpp·rest).
+    3. EXACT-verify the survivors with an ordinary join against the
+       benchmark shingles — both join sides are now small, and false
+       positives die here.
+
+    Result is therefore EXACTLY equal to the broadcast path (pytest-
+    pinned); ``fpp`` trades filter memory against wasted join traffic,
+    never correctness. Returns the same (doc_id, n_shared_shingles,
+    n_bench_docs) schema."""
+    from smartpipeline_spark.functions.dedup import word_shingles
+
+    corpus_sh = word_shingles(corpus, n)
+    bench_sh = word_shingles(benchmark, n).select(
+        F.col("doc_id").alias("bench_id"), "sh"
+    )
+    # sizing count: distinct benchmark shingles (the small side; one
+    # bounded aggregate job, same order as the filter build itself)
+    n_items = bench_sh.select("sh").distinct().count()
+    if n_items == 0:
+        return corpus_sh.limit(0).groupBy("doc_id").agg(
+            F.count_distinct("sh").alias("n_shared_shingles"),
+            F.count_distinct("doc_id").alias("n_bench_docs"),
+        )
+    m, k = _bloom_params(n_items, fpp)
+    words = (
+        bench_sh.select(F.explode(_bloom_positions(m, k)).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            # shiftleft's bit-count arg must be a Column here, which the
+            # python helper doesn't accept — SQL form does
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "b"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    bitmap = np.zeros(m // 64 + 1, dtype=np.uint64)
+    for r in words:
+        bitmap[r.w] = np.uint64(r.bits % (1 << 64))
+
+    @F.pandas_udf("boolean")
+    def might_contain(pos: pd.Series) -> pd.Series:
+        if not len(pos):
+            return pd.Series([], dtype=bool)
+        idx = np.stack(pos.to_numpy()).astype(np.uint64)  # (B, k)
+        w = idx >> np.uint64(6)
+        bit = idx & np.uint64(63)
+        hit = (bitmap[w] >> bit) & np.uint64(1) == 1
+        return pd.Series(hit.all(axis=1))
+
+    survivors = corpus_sh.withColumn("_pos", _bloom_positions(m, k)).filter(
+        might_contain(F.col("_pos"))
+    )
+    hits = survivors.join(bench_sh, "sh")  # exact verify: FPs die here
+    return hits.groupBy("doc_id").agg(
+        F.count_distinct("sh").alias("n_shared_shingles"),
+        F.count_distinct("bench_id").alias("n_bench_docs"),
+    )
+
+
+_CONTAMINATION_ORACLE = r"""WITH split AS (
           SELECT doc_id, text,
                  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
           FROM documents),
@@ -505,8 +611,22 @@ def contamination_report(
        SELECT doc_id,
               COUNT(DISTINCT s) AS n_shared_shingles,
               COUNT(DISTINCT bench_id) AS n_bench_docs
-       FROM hits GROUP BY doc_id""",
-)
+       FROM hits GROUP BY doc_id"""
+
+
+@ext_query("ext_contamination_bloom", _CONTAMINATION_ORACLE)
+def ext_contamination_bloom(spark, sf_dir):
+    """The Bloom path against the SAME oracle as ext_contamination —
+    the filter changes the data flow (bitmap probe + exact verify
+    instead of a broadcast semi-join), never the answer."""
+    d = sources.table(spark, "documents", sf_dir)
+    s = assign_split(d)
+    train = s.filter(F.col("split") != "test").select("doc_id", "text")
+    test = s.filter(F.col("split") == "test").select("doc_id", "text")
+    return contamination_report_bloom(train, test, n=5)
+
+
+@ext_query("ext_contamination", _CONTAMINATION_ORACLE)
 def ext_contamination(spark, sf_dir):
     """Self-contained driver query: the md5-bucket 'test' split plays
     the benchmark, train plays the corpus — the same deterministic

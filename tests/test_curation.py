@@ -518,3 +518,43 @@ def test_chunk_documents_rejects_gapped_stride(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="stride"):
         chunk_documents(df, chunk_words=10, stride=40)
+
+
+def test_contamination_bloom_equals_broadcast_path(spark):
+    """The Bloom variant must return EXACTLY the broadcast result —
+    fpp trades probe traffic, never answers. Checked at two fpp
+    settings (a loose filter only sends more rows into the exact
+    verify)."""
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.functions.curation import (
+        assign_split,
+        contamination_report,
+        contamination_report_bloom,
+    )
+    from tests.conftest import SF_SMOKE
+
+    d = sources.table(spark, "documents", SF_SMOKE)
+    s = assign_split(d)
+    train = s.filter("split != 'test'").select("doc_id", "text")
+    test = s.filter("split = 'test'").select("doc_id", "text")
+    exact = {
+        (r.doc_id, r.n_shared_shingles, r.n_bench_docs)
+        for r in contamination_report(train, test, n=5).collect()
+    }
+    assert exact  # fixture actually contains contamination
+    for fpp in (0.01, 0.5):
+        bloom = {
+            (r.doc_id, r.n_shared_shingles, r.n_bench_docs)
+            for r in contamination_report_bloom(train, test, n=5, fpp=fpp).collect()
+        }
+        assert bloom == exact, fpp
+
+
+def test_contamination_bloom_empty_benchmark(spark):
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.functions.curation import contamination_report_bloom
+    from tests.conftest import SF_SMOKE
+
+    d = sources.table(spark, "documents", SF_SMOKE).select("doc_id", "text")
+    empty = d.limit(0)
+    assert contamination_report_bloom(d.limit(50), empty).count() == 0
