@@ -873,3 +873,212 @@ def pagerank(
         if (i + 1) % 4 == 0:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+# ------------------------------------------------ incremental corpus dedup
+
+def _fp_col():
+    return F.md5(_norm_text()).alias("fp")
+
+
+def build_dedup_index(spark, docs: DataFrame, path: str, n: int = 3) -> dict:
+    """Persist the dedup INDEX for a corpus — the production ingestion
+    shape: a 100 TB corpus is deduped once, then every arriving batch
+    is deduped AGAINST the index instead of re-scanning the corpus
+    (the dedup twin of similarity.build_ivf_index).
+
+    Index layout (parquet, both tables tiny relative to the corpus —
+    ~50 bytes + 16 longs per fp-distinct doc):
+
+    * ``<path>/fingerprints`` — (fp, keep_id): every distinct exact
+      fingerprint ever ingested and the first doc that carried it.
+    * ``<path>/signatures`` — (doc_id, h0..h15): MinHash signatures of
+      every fp-distinct doc ever ingested — INCLUDING docs later
+      judged near-duplicates. Keeping non-survivors makes the removal
+      rule order-independent ("remove a doc iff it has a candidate
+      near-dup with a smaller doc_id among everything ingested so
+      far"), which is what makes (build; append) ≡ build-on-concat
+      hold exactly; dropping them would let a dup-of-a-dropped-dup
+      slip through.
+
+    Returns {"n_docs", "n_fps"}."""
+    from pyspark.sql import Window as _W
+
+    fps = docs.select("doc_id", _fp_col())
+    keepers = fps.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    keepers.write.mode("overwrite").parquet(path.rstrip("/") + "/fingerprints")
+    # signatures for the keeper (min doc_id) of each fp group
+    kept_docs = (
+        docs.select("doc_id", "text", _fp_col())
+        .withColumn("_keep", F.min("doc_id").over(_W.partitionBy("fp")))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .select("doc_id", "text")
+    )
+    sigs = minhash_signatures(kept_docs, n)
+    sigs.write.mode("overwrite").parquet(path.rstrip("/") + "/signatures")
+    return {
+        "n_docs": docs.count(),
+        "n_fps": spark.read.parquet(path.rstrip("/") + "/fingerprints").count(),
+    }
+
+
+def _sig_agreement_r():
+    """Fraction of equal MinHash components between a plain-named and
+    an ``_r``-suffixed signature side — the unbiased estimator of
+    Jaccard similarity (E[agreement] = J) that lets the index verify
+    near-dups from 16 longs without storing shingle sets. The rename
+    (not an alias pair) is what keeps the BATCH self-join resolvable:
+    two aliases over one lineage mis-resolve the inequality to a
+    single side."""
+    eq = [
+        F.when(F.col(f"h{i}") == F.col(f"h{i}_r"), 1).otherwise(0)
+        for i in range(_N_HASHES)
+    ]
+    return sum(eq[1:], eq[0]) / F.lit(float(_N_HASHES))
+
+
+def _band_keys(sigs: DataFrame) -> DataFrame:
+    rows_per_band = _N_HASHES // _N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.hash(
+                    *[F.col(f"h{j * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for j in range(_N_BANDS)
+        ]
+    )
+    return sigs.select(
+        "doc_id", *[f"h{i}" for i in range(_N_HASHES)], F.explode(bands).alias("band")
+    ).select("doc_id", *[f"h{i}" for i in range(_N_HASHES)], "band.band_id", "band.band_hash")
+
+
+def dedup_against(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    n: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    near: bool = True,
+    append: bool = True,
+) -> DataFrame:
+    """Dedup an arriving batch AGAINST a persisted index (see
+    :func:`build_dedup_index`), appending the batch's new fingerprints
+    and signatures so the next batch sees this one. Returns the
+    surviving batch rows (doc_id, text).
+
+    Removal rules, in order:
+
+    1. **Exact**: drop rows whose fingerprint is already in the index,
+       and within the batch keep only the smallest doc_id per fp.
+    2. **Near** (``near=True``): MinHash-band the fp-surviving batch
+       docs; a batch doc is dropped iff some band collides with an
+       index signature, or with a smaller-id batch doc, AND the
+       signature-agreement Jaccard estimate clears ``threshold``.
+       Verification is against the 16-component signatures (the index
+       stores no shingle sets); the estimator's resolution is 1/16,
+       so thresholds between grid points behave like the next point.
+
+    Scale: the batch (GBs) joins the index (fp + 16 longs per doc) on
+    fp and on band keys — both uniformly-hashed shuffle keys; the
+    corpus text itself is never read. ``append=True`` writes the
+    batch's fp-new fingerprints/signatures back (parquet append —
+    run batches serially or externally lock, same contract as
+    append_to_ivf_index)."""
+    root = index_path.rstrip("/")
+    # exclude the batch's own doc_ids from every index read: the
+    # returned survivors frame is LAZY, so with append=True it
+    # re-reads the index AFTER the append lands and would otherwise
+    # match each batch doc against its own just-appended entry
+    # (dropping everything). The exclusion also makes the call
+    # re-entrant — re-running the same batch yields the same
+    # survivors. Requires globally unique doc_ids across ingestions,
+    # which is already the ordering contract.
+    batch_ids = batch.select("doc_id").distinct()
+    idx_fps = spark.read.parquet(root + "/fingerprints").join(
+        batch_ids.withColumnRenamed("doc_id", "keep_id"), "keep_id", "left_anti"
+    )
+    batch_fp = batch.select("doc_id", "text", _fp_col())
+    from pyspark.sql import Window as _W
+
+    batch_fp = batch_fp.withColumn(
+        "_keep", F.min("doc_id").over(_W.partitionBy("fp"))
+    )
+    fp_new = batch_fp.filter(F.col("doc_id") == F.col("_keep")).join(
+        idx_fps.select("fp"), "fp", "left_anti"
+    ).select("doc_id", "text", "fp")
+    fp_new = fp_new.persist()
+    survivors = fp_new
+    new_sigs = minhash_signatures(fp_new.select("doc_id", "text"), n)
+    if near:
+        new_sigs = new_sigs.persist()
+        idx_sigs = spark.read.parquet(root + "/signatures").join(
+            batch_ids, "doc_id", "left_anti"
+        )
+        newb = _band_keys(new_sigs)
+        newb_r = newb.select(*[F.col(c).alias(f"{c}_r") for c in newb.columns])
+        idxb = _band_keys(idx_sigs)
+        on_band = (F.col("band_id") == F.col("band_id_r")) & (
+            F.col("band_hash") == F.col("band_hash_r")
+        )
+        vs_index = (
+            idxb.join(newb_r, on_band)
+            .filter(_sig_agreement_r() >= F.lit(threshold))
+            .select(F.col("doc_id_r").alias("doc_id"))
+            .distinct()
+        )
+        vs_batch = (
+            newb.join(newb_r, on_band & (F.col("doc_id") < F.col("doc_id_r")))
+            .filter(_sig_agreement_r() >= F.lit(threshold))
+            .select(F.col("doc_id_r").alias("doc_id"))
+            .distinct()
+        )
+        dropped = vs_index.unionByName(vs_batch).distinct()
+        survivors = fp_new.join(dropped, "doc_id", "left_anti")
+    if append:
+        # index invariant: ALL fp-new docs enter the index (survivors
+        # and near-dropped alike — see build_dedup_index docstring)
+        fp_new.groupBy("fp").agg(F.min("doc_id").alias("keep_id")).write.mode(
+            "append"
+        ).parquet(root + "/fingerprints")
+        new_sigs.write.mode("append").parquet(root + "/signatures")
+    return survivors.select("doc_id", "text")
+
+
+@ext_query(
+    "ext_dedup_incremental",
+    r"""WITH f AS (
+          SELECT doc_id, text,
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+          FROM documents),
+        corpus AS (SELECT * FROM f WHERE bucket < 90),
+        batch AS (SELECT * FROM f WHERE bucket >= 90)
+       SELECT b.doc_id, b.fp FROM batch b
+       WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+         AND NOT EXISTS (SELECT 1 FROM batch b2
+                         WHERE b2.fp = b.fp AND b2.doc_id < b.doc_id)""",
+)
+def ext_dedup_incremental(spark, sf_dir):
+    """Driver-checkable incremental EXACT dedup: the md5-bucket train
+    split plays the standing corpus (indexed), the test split plays
+    the arriving batch; survivors are batch docs whose fingerprint is
+    new to both the index and the earlier part of the batch. The
+    near-dup stage is exercised with planted duplicates in pytest
+    (signature-estimate verification has no SQL mirror)."""
+    import os
+
+    from smartpipeline_spark.functions.curation import assign_split
+
+    d = sources.table(spark, "documents", sf_dir)
+    s = assign_split(d)
+    corpus = s.filter(F.col("split") != "test").select("doc_id", "text")
+    batch = s.filter(F.col("split") == "test").select("doc_id", "text")
+    root = os.path.join(
+        "/tmp", "spark_graft_dedup_index", sf_dir.strip("/").replace("/", "_")
+    )
+    build_dedup_index(spark, corpus, root)
+    out = dedup_against(spark, root, batch, near=False, append=False)
+    return out.select("doc_id", _fp_col())

@@ -719,3 +719,81 @@ def test_phash_query_planted_recall(spark):
     res = sum((i, i + 1_000_000) in pairs for i in img_ids)
     assert enc == len(img_ids)
     assert res / len(img_ids) >= 0.95
+
+
+# --------------------------------------------------- incremental corpus dedup
+
+
+def test_dedup_index_append_equals_rebuild(spark, tmp_path):
+    """(build corpus; append batch) must leave the index in exactly
+    the state build-on-concat produces — the ingestion contract
+    (mirrors append_to_ivf_index's append-vs-rebuild pin)."""
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.functions.dedup import (
+        build_dedup_index,
+        dedup_against,
+    )
+    from tests.conftest import SF_SMOKE
+
+    d = sources.table(spark, "documents", SF_SMOKE).select("doc_id", "text")
+    corpus = d.filter("doc_id < 300")
+    batch = d.filter("doc_id >= 300")
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_dedup_index(spark, corpus, inc)
+    dedup_against(spark, inc, batch, append=True)
+    build_dedup_index(spark, d, full)
+
+    def state(root):
+        fps = {
+            (r.fp, r.keep_id)
+            for r in spark.read.parquet(root + "/fingerprints").collect()
+        }
+        sigs = {
+            tuple(r) for r in spark.read.parquet(root + "/signatures").collect()
+        }
+        return fps, sigs
+
+    assert state(inc) == state(full)
+
+
+def test_dedup_against_planted_duplicates(spark, tmp_path):
+    """Exact copies die at the fingerprint stage, near copies at the
+    signature stage (vs index AND within batch), distinct docs
+    survive."""
+    from smartpipeline_spark.functions.dedup import (
+        build_dedup_index,
+        dedup_against,
+    )
+
+    words = [f"w{i}" for i in range(50)]
+    base = " ".join(words)
+    near = " ".join(["CHANGED" if i == 25 else w for i, w in enumerate(words)])
+    other = " ".join(f"z{i}" for i in range(50))
+    third = " ".join(f"q{i}" for i in range(50))
+    third_near = " ".join(
+        ["ALTERED" if i == 10 else f"q{i}" for i in range(50)]
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, near),        # near-copy of corpus doc 1 -> dropped
+            (11, third),       # novel -> survives
+            (12, third_near),  # near-copy of batch doc 11 -> dropped
+            (13, other),       # exact copy of corpus doc 2 -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "idx")
+    build_dedup_index(spark, corpus, root)
+    out = {r.doc_id for r in dedup_against(spark, root, batch).collect()}
+    assert out == {11}
+    # exact-only mode keeps the near copies
+    root2 = str(tmp_path / "idx2")
+    build_dedup_index(spark, corpus, root2)
+    out2 = {
+        r.doc_id
+        for r in dedup_against(spark, root2, batch, near=False).collect()
+    }
+    assert out2 == {10, 11, 12}
