@@ -61,6 +61,49 @@ BENCH_QUERIES = [
 ]
 
 
+def stage_multipart(spark, sf_dir: str, parts: int = 16) -> str:
+    """Re-lay the single-file, single-row-group fixture tables as
+    ``parts``-file parquet directories (one-time, cached under /tmp).
+
+    WHY: a row group is Spark's split atom, so the shipped fixtures
+    start every scan at parallelism 1 — q38's five broadcast probes
+    stream through one task and Python chains pay a widening shuffle
+    that a production layout (always many part files) never pays. The
+    staged copy holds the SAME rows (byte-identical results; events.ts
+    normalizes on write exactly as it would at query time) so bench
+    timings measure operator cost on a realistic layout instead of the
+    fixture's file shape. Tiny dimension tables stay single-part
+    (multi-part region/nation would just be empty-file litter).
+
+    MEASURED RESULT (round 4, idle, median-of-3): the multipart layout
+    is +35% WALL-CLOCK at sf0.1 (25.5s -> 34.3s on the shared key
+    set) — at 10 MB/table, per-task scheduling + footer overhead of
+    16-way scans exceeds any parallelism gain, and the Python-chain
+    "widening shuffle" cost it was meant to remove turns out to be
+    noise (q24b 1.98 -> 1.96s). The single-file floor documented in
+    SCALING.md is therefore NOT the binding constraint at fixture
+    scale; task overhead is. Multipart staging stays available as the
+    opt-in (SPARK_GRAFT_BENCH_MULTIPART=1) because at production
+    scale (GB+ per part) the trade inverts; the DEFAULT measurement
+    uses the shipped layout so round-over-round diffs stay
+    comparable."""
+    from smartpipeline_spark import sources
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    stage = os.path.join("/tmp", "spark_graft_bench_multipart", tag)
+    os.makedirs(stage, exist_ok=True)
+    for tbl in sources.TABLE_NAMES:
+        src = os.path.join(sf_dir, f"{tbl}.parquet")
+        dst = os.path.join(stage, f"{tbl}.parquet")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            continue
+        n = parts if os.path.getsize(src) > 256 * 1024 else 1
+        sources.table(spark, tbl, sf_dir).repartition(n).write.mode(
+            "overwrite"
+        ).parquet(dst)
+    return stage
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -69,6 +112,8 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark("bench")
+    if os.environ.get("SPARK_GRAFT_BENCH_MULTIPART", "0") == "1":
+        sf_dir = stage_multipart(spark, sf_dir)
     registry = entrymod.queries()
     # warm up the JVM / codegen / parquet footer cache / Python workers
     # so the first timed query touching each resource doesn't absorb

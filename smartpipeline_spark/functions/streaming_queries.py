@@ -43,23 +43,27 @@ def ext_stream_tumbling(spark, sf_dir) -> DataFrame:
     completion with availableNow and returned from the memory sink —
     oracle-identical to batch q22."""
     path = os.path.join(sf_dir, "events.parquet")
-    # the file-stream source requires a DIRECTORY; the test tables are
-    # single parquet files, so stage a symlink dir (the production
-    # layout — a directory of part files — streams directly)
-    stage = os.path.join(
-        "/tmp", "spark_graft_stream", sf_dir.strip("/").replace("/", "_")
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    # lexists, not exists: exists() is False for a BROKEN symlink (old
-    # testdata path), which would make the symlink call raise
-    # FileExistsError — recreate stale links instead
-    if os.path.lexists(link):
-        if os.path.realpath(link) != os.path.realpath(path):
-            os.unlink(link)
-            os.symlink(path, link)
+    # the file-stream source requires a DIRECTORY. The production
+    # layout — a directory of part files (e.g. bench.py's multipart
+    # staging) — streams directly; the shipped fixtures are single
+    # parquet FILES, which get a symlink-dir staged around them.
+    if os.path.isdir(path):
+        stage = path
     else:
-        os.symlink(path, link)
+        stage = os.path.join(
+            "/tmp", "spark_graft_stream", sf_dir.strip("/").replace("/", "_")
+        )
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "events.parquet")
+        # lexists, not exists: exists() is False for a BROKEN symlink
+        # (old testdata path), which would make the symlink call raise
+        # FileExistsError — recreate stale links instead
+        if os.path.lexists(link):
+            if os.path.realpath(link) != os.path.realpath(path):
+                os.unlink(link)
+                os.symlink(path, link)
+        else:
+            os.symlink(path, link)
     # the file-stream source needs an explicit schema: take the batch
     # reader's via sources.table (which sets nanosAsLong before the
     # probe — a fresh session on the legacy TIMESTAMP(NANOS) layout

@@ -412,11 +412,15 @@ class Pipeline:
         processing_time: str | None = None,
         output_mode: str = "append",
         fmt: str = "parquet",
+        partition_by: tuple[str, ...] = (),
     ):
         """Execute the pipeline over an unbounded source: the SAME
         compiled plan (stage wrapper included) runs per micro-batch.
         ``sink`` is a path (file sink), a callable (foreachBatch), or
-        None with ``queryName`` (memory sink, tests). Returns the
+        None with ``queryName`` (memory sink, tests).
+        ``partition_by`` partitions a file sink's layout (hive-style
+        directories — the exactly-once sink commit log covers
+        partitioned writes the same as flat ones). Returns the
         StreamingQuery — stop() for graceful shutdown, or use
         ``available_now`` to drain-and-terminate."""
         df = self.dataframe()
@@ -426,6 +430,8 @@ class Pipeline:
             writer = df.writeStream.foreachBatch(sink)
         elif isinstance(sink, str):
             writer = df.writeStream.format(fmt).option("path", sink)
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
         elif queryName:
             writer = df.writeStream.format("memory").queryName(queryName)
         else:
