@@ -1,0 +1,58 @@
+"""Dead-man's switch for the attestation surface.
+
+The driver hash-checks only the first 50 registry keys (_WINDOW);
+everything else relies on the dev sweep (scripts/check_oracles.py,
+which iterates the FULL registry) plus, for rows-only keys, a named
+pytest. These tests make silent de-attestation impossible: every key
+must carry an oracle or a manifest entry naming a test that still
+exists, and the registry the sweep iterates must be the complete
+union of both query registries.
+"""
+
+import re
+from pathlib import Path
+
+import __spark_entry__ as entrymod
+
+TESTS_DIR = Path(__file__).parent
+
+
+def _all_test_function_names() -> set[str]:
+    names = set()
+    for p in TESTS_DIR.glob("test_*.py"):
+        names |= set(re.findall(r"^def (test_\w+)\(", p.read_text(), re.M))
+    return names
+
+
+def test_every_key_is_oracled_or_manifested():
+    keys = set(entrymod.queries())
+    oracled = set(entrymod.oracle_sql())
+    manifested = set(entrymod.ROWS_ONLY_ATTESTATIONS)
+    unattested = keys - oracled - manifested
+    assert not unattested, f"keys with no oracle and no attestation: {sorted(unattested)}"
+    # a manifest entry for an oracled key would hide an oracle
+    # regression behind a weaker check; keep the two sets disjoint
+    both = oracled & manifested
+    assert not both, f"keys both oracled and manifested: {sorted(both)}"
+    # and no stale manifest entries for unregistered keys
+    stale = manifested - keys
+    assert not stale, f"manifest names unregistered keys: {sorted(stale)}"
+
+
+def test_manifest_tests_exist():
+    have = _all_test_function_names()
+    for key, tests in entrymod.ROWS_ONLY_ATTESTATIONS.items():
+        missing = [t for t in tests if t not in have]
+        assert not missing, f"{key}: attestation tests not found: {missing}"
+
+
+def test_registry_is_the_full_union_no_key_dropped():
+    """queries() must expose EVERY registered key — the sweep iterates
+    queries(), so a key dropped by the window-ordering logic would
+    fall out of all checking at once."""
+    from smartpipeline_spark.functions import EXT_QUERIES
+    from smartpipeline_spark.operators import QUERIES
+
+    assert set(entrymod.queries()) == set(QUERIES) | set(EXT_QUERIES)
+    # and the window is a strict prefix of it (driver contract)
+    assert tuple(entrymod.queries())[: len(entrymod._WINDOW)] == entrymod._WINDOW

@@ -132,3 +132,24 @@ def test_driver_window_pinned_first_and_fully_oracled():
     assert tuple(q[:50]) == entrymod._WINDOW
     missing = [k for k in entrymod._WINDOW if k not in oracles]
     assert not missing, missing
+
+
+def test_approx_distinct_within_rsd_bound(spark):
+    """q12b's HyperLogLog++ estimate must sit within ~5 relative
+    standard deviations of the exact distinct count at the declared
+    rsd=0.01 — the accuracy contract that justifies shipping the
+    one-pass, shuffle-free plan as the scale path."""
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.operators import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    approx = QUERIES["q12b_approx_distinct"](spark, SF_SMOKE).collect()[0][
+        "n_cust_approx"
+    ]
+    exact = (
+        sources.table(spark, "orders", SF_SMOKE)
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert abs(approx - exact) / exact <= 0.05
