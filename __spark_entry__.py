@@ -41,11 +41,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-3 flagships that had been born outside the window: the REAL
 # streaming query, SCD2, CDC snapshot diff, OHLC downsample, packed-
 # sequence emission, winnowing (fingerprints + overlap pairs), fuzzy
-# match, the composed quality gate, and URL stats. Rotated-out keys
-# remain registered after the window and are verified by
-# scripts/check_oracles.py + pytest on every dev run instead.
+# match, the composed quality gate, and URL stats. Late round 4 swapped
+# two more near-neighbors (plain inner join beside the kept broadcast/
+# 3-way/range/TPC-H-Q5/MERGE/SCD2 reps; quality-score beside the
+# composed quality gate that contains it) for the two operators born
+# this round: incremental corpus dedup (the production ingestion shape)
+# and Bloom-filter decontamination (whose exact-verification step makes
+# its output equal the broadcast path, so it is fully oracled).
+# Rotated-out keys remain registered after the window and are verified
+# by scripts/check_oracles.py + pytest on every dev run instead.
 _WINDOW = (
-    "q02_sink_roundtrip", "q04_join_inner",
+    "q02_sink_roundtrip", "ext_dedup_incremental",
     "q06_join_broadcast",
     "q09_join_3way", "q10_join_range",
     "q38_tpch_q5", "q44_having_in",
@@ -64,7 +70,7 @@ _WINDOW = (
     "ext_dedup_clusters", "ext_chunk_dedup",
     "ext_winnow", "ext_winnow_pairs", "ext_fuzzy_match",
     "ext_knn_bruteforce", "ext_embedding_centroids", "ext_hybrid_search",
-    "ext_quality_score", "ext_quality_gate", "ext_repetition",
+    "ext_contamination_bloom", "ext_quality_gate", "ext_repetition",
     "ext_url_stats",
     "ext_multimodal_decode", "ext_contamination",
     "ext_stratified_sample", "ext_bm25",
