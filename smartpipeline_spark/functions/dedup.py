@@ -1082,3 +1082,245 @@ def ext_dedup_incremental(spark, sf_dir):
     build_dedup_index(spark, corpus, root)
     out = dedup_against(spark, root, batch, near=False, append=False)
     return out.select("doc_id", _fp_col())
+
+
+# ------------------------------------------------ exact substring dedup
+# Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better": beyond whole-document and near-duplicate removal, training
+# corpora contain VERBATIM REPEATED SPANS (license boilerplate, quoted
+# passages, templated headers) inside otherwise-distinct documents.
+# The paper finds them with a corpus-wide suffix array; the Spark-first
+# equivalent is a positional k-gram inverted index — every length-k
+# word window that occurs >=2 times in the corpus marks its positions,
+# and overlapping/adjacent marked windows merge into MAXIMAL duplicated
+# spans (any duplicated span of length >= k is covered by its length-k
+# sub-windows, so k-gram marking finds exactly the spans a suffix
+# array would, down to the k-word resolution floor).
+#
+# Scale shape (the reason this form is used at 100 TB):
+# * the shuffle key is md5(gram) — 32 bytes regardless of k, exact
+#   (no false positives for the oracle to disagree with);
+# * duplicate detection is ONE partial-agg'd groupBy + a 1:N join
+#   back; there is no self-join anywhere, so no hot-key cap is needed
+#   — a gram occurring a million times costs a million LINEAR rows,
+#   never a 10^12 cross product;
+# * span merging is a per-document window function (gaps-and-islands)
+#   — state bounded by document length, never corpus size.
+
+SUBSTR_K = 8  # span resolution floor, in words (paper uses 50 BPE
+# tokens at web scale; the fixture docs average ~54 words)
+
+
+def positional_kgrams(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """(doc_id, pos, g): md5 of every word k-gram of ``text`` with its
+    1-based start position. Row-local (one split per row bound to a
+    lambda variable, same trick as shingle_array_expr); docs shorter
+    than ``k`` words emit nothing."""
+    return docs.select(
+        "doc_id",
+        F.posexplode_outer(
+            F.expr(
+                f"""transform(array(split(lower(trim(text)), '\\\\s+')),
+                      ws -> CASE WHEN size(ws) >= {k}
+                            THEN transform(sequence(0, size(ws) - {k}),
+                                 i -> md5(concat_ws(' ', slice(ws, i + 1, {k}))))
+                            ELSE CAST(array() AS array<string>) END)[0]"""
+            )
+        ).alias("idx", "g"),
+    ).filter(F.col("g").isNotNull()).select(
+        "doc_id", (F.col("idx") + 1).alias("pos"), "g"
+    )
+
+
+def _merge_spans(occ: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands merge of fixed-length-k windows starting at
+    (doc_id, pos) into maximal spans [span_start, span_end] (1-based,
+    inclusive word indexes). Windows merge when the next start is
+    within k of the previous (overlap or exact adjacency)."""
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy("pos")
+    return (
+        occ.withColumn(
+            "_new",
+            F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+                F.lit(1)
+            ),
+        )
+        .withColumn("_island", F.sum("_new").over(w))
+        .groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_words"),
+        )
+    )
+
+
+def duplicate_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """All maximal word spans of length >= k that occur verbatim more
+    than once in the corpus (cross-document or repeated within one
+    document): (doc_id, span_start, span_end, n_words)."""
+    grams = positional_kgrams(docs, k)
+    dup = grams.groupBy("g").agg(F.count("*").alias("_cnt")).filter(
+        F.col("_cnt") >= 2
+    )
+    occ = grams.join(dup, "g").select("doc_id", "pos")
+    return _merge_spans(occ, k)
+
+
+def strip_duplicate_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """ExactSubstr REMOVAL: keep the globally FIRST occurrence of each
+    duplicated k-gram (ordered by doc_id, then position) and cut every
+    later occurrence's span out of its document, rebuilding the text
+    from the surviving words. Returns (doc_id, text_clean, n_kept,
+    n_removed); documents without duplicated spans pass through with
+    n_removed = 0.
+
+    Matches the paper's semantics: one copy of every repeated passage
+    survives. Seam effects are inherited too — words flanking a cut
+    become adjacent and may form new k-grams, so a second pass can in
+    principle find residual duplicates (the planted-fixture pytest
+    pins the clean-corpus guarantee where seams are controlled)."""
+    from pyspark.sql import Window as _W
+
+    grams = positional_kgrams(docs, k)
+    later = grams.withColumn(
+        "_rn", F.row_number().over(_W.partitionBy("g").orderBy("doc_id", "pos"))
+    ).filter(F.col("_rn") > 1)  # rn>1 implies the gram occurs >= 2 times
+    rm = _merge_spans(later.select("doc_id", "pos"), k)
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.expr("split(lower(trim(text)), '\\\\s+')")).alias(
+            "idx", "word"
+        ),
+    ).select("doc_id", (F.col("idx") + 1).alias("pos"), "word")
+    kept = words.join(
+        rm,
+        (words.doc_id == rm.doc_id)
+        & (words.pos >= rm.span_start)
+        & (words.pos <= rm.span_end),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s.word,
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count("*").alias("n_kept"),
+    )
+    sizes = docs.select(
+        "doc_id",
+        F.expr("size(split(lower(trim(text)), '\\\\s+'))").alias("_n_orig"),
+    )
+    return (
+        sizes.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("_n_orig") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
+_SUBSTR_GRAMS_SQL = r"""words AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        grams AS (
+          SELECT doc_id, i AS pos,
+                 md5(list_aggregate(w[i:i+{km1}], 'string_agg', ' ')) AS g
+          FROM words, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(w) - {km1}, 0))) AS i) t)"""
+
+
+def _substr_spans_oracle(k: int = SUBSTR_K) -> str:
+    return (
+        "WITH "
+        + _SUBSTR_GRAMS_SQL.format(km1=k - 1)
+        + f""",
+        dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+        occ AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+        flagged AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                      <= {k} THEN 0 ELSE 1 END AS new_island
+          FROM occ),
+        islands AS (
+          SELECT doc_id, pos,
+                 SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM flagged)
+       SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {k - 1} AS span_end,
+              MAX(pos) + {k - 1} - MIN(pos) + 1 AS n_words
+       FROM islands GROUP BY doc_id, island"""
+    )
+
+
+def _substr_strip_oracle(k: int = SUBSTR_K) -> str:
+    return (
+        "WITH "
+        + _SUBSTR_GRAMS_SQL.format(km1=k - 1)
+        + f""",
+        later AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+            FROM grams) WHERE rn > 1),
+        flagged AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                      <= {k} THEN 0 ELSE 1 END AS new_island
+          FROM later),
+        islands AS (
+          SELECT doc_id, pos,
+                 SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM flagged),
+        rm AS (
+          SELECT doc_id, MIN(pos) AS s, MAX(pos) + {k - 1} AS e
+          FROM islands GROUP BY doc_id, island),
+        wordpos AS (
+          SELECT doc_id, i AS pos, w[i] AS word, len(w) AS n_orig
+          FROM words, LATERAL (
+            SELECT unnest(generate_series(1, len(w))) AS i) t),
+        kept AS (
+          SELECT wp.* FROM wordpos wp
+          WHERE NOT EXISTS (SELECT 1 FROM rm
+                            WHERE rm.doc_id = wp.doc_id
+                              AND wp.pos BETWEEN rm.s AND rm.e)),
+        rebuilt AS (
+          SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text_clean,
+                 COUNT(*) AS n_kept
+          FROM kept GROUP BY doc_id),
+        sizes AS (SELECT doc_id, len(w) AS n_orig FROM words)
+       SELECT s.doc_id,
+              COALESCE(r.text_clean, '') AS text_clean,
+              COALESCE(r.n_kept, 0) AS n_kept,
+              s.n_orig - COALESCE(r.n_kept, 0) AS n_removed
+       FROM sizes s LEFT JOIN rebuilt r USING (doc_id)"""
+    )
+
+
+@ext_query("ext_substring_dedup", _substr_spans_oracle())
+def ext_substring_dedup(spark, sf_dir):
+    """Report every maximal duplicated span (>= SUBSTR_K words) in the
+    documents corpus — the detection half of ExactSubstr dedup."""
+    d = sources.table(spark, "documents", sf_dir)
+    return duplicate_spans(d.select("doc_id", "text"))
+
+
+@ext_query("ext_substring_strip", _substr_strip_oracle())
+def ext_substring_strip(spark, sf_dir):
+    """Remove all-but-first occurrences of duplicated spans and
+    rebuild the documents — the removal half of ExactSubstr dedup."""
+    d = sources.table(spark, "documents", sf_dir)
+    return strip_duplicate_spans(d.select("doc_id", "text"))

@@ -797,3 +797,65 @@ def test_dedup_against_planted_duplicates(spark, tmp_path):
         for r in dedup_against(spark, root2, batch, near=False).collect()
     }
     assert out2 == {10, 11, 12}
+
+
+# ------------------------------------------------ exact substring dedup
+
+
+def _substr_fixture(spark):
+    """Three docs: 0 and 1 share a verbatim 10-word passage (>= k=8,
+    at different offsets), 2 is fully distinct. Filler words are all
+    unique so cut seams cannot form new duplicated k-grams."""
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    texts = [
+        "u1 u2 u3 " + passage + " u4 u5",
+        "v1 " + passage + " v2 v3 v4 v5 v6",
+        "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12",
+    ]
+    return spark.createDataFrame(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+
+
+def test_substring_spans_find_planted_passage_and_merge_maximally(spark):
+    from smartpipeline_spark.functions.dedup import duplicate_spans
+
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_words"])
+        for r in duplicate_spans(_substr_fixture(spark), k=8).collect()
+    }
+    # exactly one MAXIMAL span per sharing doc (three overlapping
+    # 8-gram windows merged into the full 10-word passage), 1-based
+    assert spans == {0: (4, 13, 10), 1: (2, 11, 10)}
+
+
+def test_substring_strip_keeps_first_occurrence_only(spark):
+    from smartpipeline_spark.functions.dedup import (
+        duplicate_spans,
+        strip_duplicate_spans,
+    )
+
+    docs = _substr_fixture(spark)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in strip_duplicate_spans(docs, k=8).collect()
+    }
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    # doc 0 (first occurrence by doc_id order) keeps the passage
+    assert out[0]["text_clean"] == "u1 u2 u3 " + passage + " u4 u5"
+    assert out[0]["n_removed"] == 0
+    # doc 1 loses exactly the 10 passage words, flanks survive
+    assert out[1]["text_clean"] == "v1 v2 v3 v4 v5 v6"
+    assert out[1]["n_removed"] == 10
+    # untouched doc passes through verbatim
+    assert out[2]["n_removed"] == 0 and out[2]["text_clean"].startswith("w1 ")
+    # the cleaned corpus (controlled seams) contains no duplicated
+    # k-gram — the ExactSubstr guarantee this fixture can pin
+    cleaned = spark.createDataFrame(
+        [
+            {"doc_id": i, "text": d["text_clean"]}
+            for i, d in out.items()
+            if d["text_clean"]
+        ]
+    )
+    assert duplicate_spans(cleaned, k=8).count() == 0
