@@ -454,6 +454,168 @@ def ext_quality_gate(spark, sf_dir):
     return quality_gate(d).select("doc_id", "lang", "n_chars", "gate")
 
 
+# ------------------------------------------- DSIR data selection
+# Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling": pick raw-corpus documents whose hashed-n-gram feature
+# distribution looks like a TARGET corpus. Fit two smoothed bag-of-
+# hashed-ngrams models p (target) and q (raw); a document's importance
+# log-weight is sum over its grams of ln p(bucket) - ln q(bucket);
+# resample with seeded Gumbel noise (importance resampling, not
+# deterministic top-k).
+#
+# Scale shape: the fitted models are BUCKET HISTOGRAMS — m rows each
+# (m=1024 here), so fitting is two partial-agg'd groupBys whose output
+# is bounded by m regardless of corpus size, collected like the IVF
+# codebooks (a documented, bounded driver transfer). Scoring is then
+# 100% map-side: the log-ratio table rides along as a plan literal and
+# each document folds its own gram array row-locally (F.aggregate) —
+# the corpus is never exploded, never shuffled to score. Selection
+# reuses the quality-gate pattern: a constant-size percentile
+# aggregate broadcast back as a filter, never a global sort.
+
+DSIR_BUCKETS = 1024
+
+
+def _gram_bucket(col, m: int = DSIR_BUCKETS):
+    """md5-bucket of a gram string — same first-8-hex-chars recipe as
+    _keep_bucket so the DuckDB oracle reproduces it exactly."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % m
+
+
+def _unigram_bigram_expr():
+    """Row-local array of word unigrams + bigrams of ``text`` (the
+    DSIR hashed feature set; split bound once per row)."""
+    return F.expr(
+        """transform(array(split(lower(trim(text)), '\\\\s+')),
+             ws -> concat(ws, CASE WHEN size(ws) >= 2
+                   THEN transform(sequence(0, size(ws) - 2),
+                        i -> concat(ws[i], ' ', ws[i + 1]))
+                   ELSE CAST(array() AS array<string>) END))[0]"""
+    )
+
+
+def dsir_logratio(raw: DataFrame, target: DataFrame, m: int = DSIR_BUCKETS) -> dict:
+    """Fit the importance model: {bucket: ln p̂ - ln q̂} with add-one
+    smoothing, for every bucket seen in ``raw``. Two aggregates of at
+    most ``m`` rows each are collected — bounded by construction, the
+    same contract as the ANN codebook training collects."""
+    import math
+
+    def counts(df):
+        g = df.select(F.explode(_unigram_bigram_expr()).alias("g"))
+        rows = (
+            g.select(_gram_bucket(F.col("g"), m).alias("b"))
+            .groupBy("b")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        return {r.b: r.c for r in rows}
+
+    qc, pc = counts(raw), counts(target)
+    qn, pn = sum(qc.values()), sum(pc.values())
+    return {
+        b: math.log((pc.get(b, 0) + 1.0) / (pn + m))
+        - math.log((qc[b] + 1.0) / (qn + m))
+        for b in qc
+    }
+
+
+def dsir_scores(raw: DataFrame, lr: dict, m: int = DSIR_BUCKETS) -> DataFrame:
+    """(doc_id, score): per-document importance log-weight plus a
+    doc_id-seeded Gumbel draw (rerun-stable resampling noise), rounded
+    to 4 decimals. Entirely map-side: the ``lr`` table is a plan
+    literal and the gram fold is row-local."""
+    lr_map = F.create_map(
+        *[F.lit(x) for b, v in sorted(lr.items()) for x in (b, v)]
+    )
+    # default for buckets absent from the fit = the c=0-both-sides value
+    qn_pn_default = 0.0
+    grams = _unigram_bigram_expr()
+    logw = F.aggregate(
+        grams,
+        F.lit(0.0),
+        lambda acc, g: acc
+        + F.coalesce(lr_map[_gram_bucket(g, m)], F.lit(qn_pn_default)),
+    )
+    u = (_keep_bucket("doc_id", 1_000_000) + F.lit(0.5)) / F.lit(1_000_000.0)
+    gumbel = -F.log(-F.log(u))
+    score = F.floor((logw + gumbel) * 10000.0 + F.lit(0.5)) / 10000.0
+    return raw.select("doc_id", score.alias("score"))
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    frac: float = 0.25,
+    m: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """End-to-end DSIR: fit on (raw, target), score raw, keep the top
+    ``frac`` by Gumbel-perturbed importance weight via a broadcast
+    percentile gate (no global sort): (doc_id, score, gate)."""
+    scored = dsir_scores(raw, dsir_logratio(raw, target, m), m)
+    th = scored.agg(F.percentile("score", 1.0 - frac).alias("gate"))
+    return scored.crossJoin(F.broadcast(th)).filter(
+        F.col("score") >= F.col("gate")
+    )
+
+
+_DSIR_ORACLE = r"""WITH split AS (
+          SELECT doc_id, text,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+          FROM documents),
+        rw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+               FROM split WHERE bucket < 90),
+        tw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+               FROM split WHERE bucket >= 90),
+        rg AS (SELECT doc_id,
+                      ('0x' || substring(md5(g), 1, 8))::BIGINT % 1024 AS b
+               FROM (SELECT doc_id,
+                            unnest(list_concat(w,
+                              CASE WHEN len(w) >= 2
+                              THEN list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1])
+                              ELSE CAST([] AS VARCHAR[]) END)) AS g
+                     FROM rw)),
+        tg AS (SELECT ('0x' || substring(md5(g), 1, 8))::BIGINT % 1024 AS b
+               FROM (SELECT unnest(list_concat(w,
+                              CASE WHEN len(w) >= 2
+                              THEN list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1])
+                              ELSE CAST([] AS VARCHAR[]) END)) AS g
+                     FROM tw)),
+        qc AS (SELECT b, COUNT(*) AS c FROM rg GROUP BY b),
+        pc AS (SELECT b, COUNT(*) AS c FROM tg GROUP BY b),
+        tot AS (SELECT (SELECT COUNT(*) FROM rg) AS qn,
+                       (SELECT COUNT(*) FROM tg) AS pn),
+        lr AS (SELECT qc.b,
+                      ln((COALESCE(pc.c, 0) + 1.0) / (pn + 1024))
+                      - ln((qc.c + 1.0) / (qn + 1024)) AS lr
+               FROM qc LEFT JOIN pc USING (b), tot),
+        scored AS (
+          SELECT rg.doc_id,
+                 FLOOR((SUM(lr.lr)
+                        - ln(-ln((('0x' || substring(md5(CAST(rg.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                                  % 1000000 + 0.5) / 1000000.0)))
+                       * 10000.0 + 0.5) / 10000.0 AS score
+          FROM rg JOIN lr USING (b)
+          GROUP BY rg.doc_id),
+        gate AS (SELECT quantile_cont(score, 0.75) AS gate FROM scored)
+       SELECT doc_id, score, gate FROM scored, gate WHERE score >= gate"""
+
+
+@ext_query("ext_dsir_select", _DSIR_ORACLE)
+def ext_dsir_select(spark, sf_dir):
+    """Driver-checkable DSIR: the md5-bucket test split plays the
+    target distribution, train plays the raw pool; keep the top 25%
+    by Gumbel-perturbed hashed-bigram importance weight. The oracle
+    recomputes the whole chain (fit included) independently in SQL."""
+    d = sources.table(spark, "documents", sf_dir)
+    s = assign_split(d)
+    raw = s.filter(F.col("split") != "test").select("doc_id", "text")
+    target = s.filter(F.col("split") == "test").select("doc_id", "text")
+    return dsir_select(raw, target, frac=0.25)
+
+
 # ----------------------------------------------- benchmark decontamination
 
 def contamination_report(

@@ -558,3 +558,48 @@ def test_contamination_bloom_empty_benchmark(spark):
     d = sources.table(spark, "documents", SF_SMOKE).select("doc_id", "text")
     empty = d.limit(0)
     assert contamination_report_bloom(d.limit(50), empty).count() == 0
+
+
+# ---------------------------------------------------- DSIR selection
+
+
+def test_dsir_selects_target_like_documents(spark):
+    """Importance resampling must prefer raw documents whose hashed
+    n-gram profile matches the target distribution: with a physics
+    target, physics-flavored raw docs should dominate the selection
+    over the cooking majority."""
+    from smartpipeline_spark.functions.curation import dsir_select
+
+    phys = "quantum wave function collapse entangled photon spin measurement"
+    cook = "simmer the onion garlic butter sauce until golden then season"
+    raw = spark.createDataFrame(
+        [{"doc_id": i, "text": (phys if i < 5 else cook) + f" doc{i}"}
+         for i in range(25)]
+    )
+    target = spark.createDataFrame(
+        [{"doc_id": 100 + i,
+          "text": "photon spin entangled measurement quantum collapse"}
+         for i in range(4)]
+    )
+    picked = {r["doc_id"] for r in dsir_select(raw, target, frac=0.2).collect()}
+    phys_ids = set(range(5))
+    # at least 4 of the ~5 selected must be physics docs
+    assert len(picked & phys_ids) >= 4, picked
+
+
+def test_dsir_scores_are_rerun_stable(spark):
+    """Scoring twice (fresh fit included) must give identical rows —
+    the seeded-Gumbel / md5-bucket determinism contract."""
+    from smartpipeline_spark.functions.curation import (
+        dsir_logratio,
+        dsir_scores,
+    )
+
+    raw = spark.createDataFrame(
+        [{"doc_id": i, "text": f"alpha beta gamma delta doc{i}"}
+         for i in range(10)]
+    )
+    target = raw.limit(3)
+    a = sorted(map(tuple, dsir_scores(raw, dsir_logratio(raw, target)).collect()))
+    b = sorted(map(tuple, dsir_scores(raw, dsir_logratio(raw, target)).collect()))
+    assert a == b and len(a) == 10
