@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     "ext_knn_pq",
     "ext_pack_emit",
     "ext_stream_tumbling",
+    # round-4 additions: incremental ingestion dedup, Bloom
+    # decontamination, ExactSubstr spans, DSIR selection
+    "ext_dedup_incremental",
+    "ext_contamination_bloom",
+    "ext_substring_dedup",
+    "ext_dsir_select",
 ]
 
 

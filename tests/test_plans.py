@@ -270,3 +270,37 @@ def test_scd2_window_is_per_key_and_changes_prereduce(spark, queries):
     # the change stream collapses to one row per (key, day) BEFORE the
     # union/window: a partial aggregate must appear under the exchange
     assert "partial_sum" in plan or "HashAggregate" in plan, plan
+
+
+def test_substring_dedup_no_self_join_and_windows_per_doc(spark, queries):
+    """ExactSubstr's scale claim: duplicated-gram marking is an
+    aggregate + 1:N join back (broadcast at fixture scale), never a
+    self-join cross product, and span merging windows on doc_id."""
+    plan = _plan(queries["ext_substring_dedup"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # partial aggregation before the gram-count exchange
+    assert "partial_count" in plan, plan
+
+
+def test_dsir_scoring_is_map_side(spark):
+    """DSIR's scale claim: scoring never explodes or shuffles the
+    corpus — the log-ratio map is a plan literal and the gram fold is
+    row-local, so the scored frame's plan has NO Generate (explode)
+    and NO Exchange at all."""
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.functions.curation import (
+        assign_split,
+        dsir_logratio,
+        dsir_scores,
+    )
+    from pyspark.sql import functions as F
+
+    d = sources.table(spark, "documents", SF_SMOKE)
+    s = assign_split(d)
+    raw = s.filter(F.col("split") != "test").select("doc_id", "text")
+    target = s.filter(F.col("split") == "test").select("doc_id", "text")
+    plan = _plan(dsir_scores(raw, dsir_logratio(raw, target)))
+    assert "Generate" not in plan, plan
+    assert "Exchange" not in plan, plan
