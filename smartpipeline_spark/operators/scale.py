@@ -382,6 +382,55 @@ def compact(
     return {"files_before": len(before), "files_after": len(_data_files(path)), "bytes": total_bytes}
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+) -> dict:
+    """Idempotent partition-level backfill (dynamic partition
+    overwrite): write ``df`` into the partitioned table at ``path``,
+    replacing ONLY the partitions ``df`` actually contains and leaving
+    every other partition's files physically untouched. This is THE
+    re-run-safe ingestion primitive at 100 TB: re-processing one day
+    (or one source shard) replaces exactly that day — never appends
+    duplicates, never rewrites the other 10^3 partitions the way
+    ``mode("overwrite")`` alone would (static overwrite truncates the
+    WHOLE table root).
+
+    Rows are first clustered by the partition columns so each written
+    partition lands in ~one file per holding task instead of one per
+    (task × partition) — the small-files prevention that keeps
+    :func:`compact` a rare event rather than a nightly necessity.
+    The session's ``partitionOverwriteMode`` is saved and restored, so
+    the dynamic mode never leaks into unrelated writes. Returns the
+    number of partitions replaced (computed from the write's own
+    distinct partition values — bounded by partition count, which is
+    operationally small by definition)."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            df.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .format(fmt)
+            .save(path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    n = df.select(*partition_cols).distinct().count()
+    return {"partitions_replaced": n}
+
+
 def _data_files(p: str) -> list[str]:
     import os
 

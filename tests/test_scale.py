@@ -635,3 +635,48 @@ def test_delete_keys_empty_batch_is_noop(spark, tmp_path):
     assert mtimes == {
         f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)
     }
+
+
+def test_overwrite_partitions_replaces_only_touched(spark, tmp_path):
+    """Dynamic partition overwrite: the backfill replaces exactly the
+    partitions present in the incoming frame — other partitions keep
+    their rows AND their physical files — and the session conf is
+    restored afterwards."""
+    import os
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], i * 10) for i in range(30)],
+        "id long, lang string, v long",
+    )
+    base.write.partitionBy("lang").parquet(path)
+
+    def files(part):
+        d = os.path.join(path, f"lang={part}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if not f.startswith(("_", "."))
+        )
+
+    b_before, c_before = files("b"), files("c")
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "STATIC"
+    )
+    backfill = spark.createDataFrame(
+        [(100, "a", -1), (101, "a", -2)], "id long, lang string, v long"
+    )
+    stats = scale.overwrite_partitions(backfill, path, ["lang"])
+    assert stats == {"partitions_replaced": 1}
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        == prev_mode
+    )
+    out = spark.read.parquet(path)
+    # lang=a fully replaced (2 new rows, none of the original 10)
+    a_rows = {(r.id, r.v) for r in out.filter("lang = 'a'").collect()}
+    assert a_rows == {(100, -1), (101, -2)}
+    # untouched partitions: same rows AND same physical files
+    assert out.filter("lang = 'b'").count() == 10
+    assert files("b") == b_before and files("c") == c_before
