@@ -2305,3 +2305,69 @@ def q61_snapshot_diff(spark, sf_dir):
             F.col("n.acctbal").alias("new_acctbal"),
         )
     )
+
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""SELECT '{c}' AS col_name,
+                  COUNT(*) AS n_rows,
+                  COUNT(*) - COUNT({c}) AS n_nulls,
+                  COUNT(DISTINCT {c}) AS n_distinct,
+                  CAST(MIN({c}) AS VARCHAR) AS min_val,
+                  CAST(MAX({c}) AS VARCHAR) AS max_val
+           FROM orders"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("q62_table_profile", _profile_oracle())
+def q62_table_profile(spark, sf_dir):
+    """ANALYZE-style one-pass table profile: per column, row count,
+    null count, exact distinct count, and min/max (stringified for a
+    uniform report schema, cast AFTER the typed min/max so numeric and
+    date ordering are native, never lexicographic).
+
+    Scale shape: ONE aggregation job over the table — every statistic
+    is a partial-agg'd aggregate folded map-side, and the result is a
+    single row pivoted row-locally into the per-column report (the
+    explode runs on 1 row). The k exact COUNT(DISTINCT)s make Catalyst
+    plan an Expand (each input row replicated k times before the
+    partial agg) — the price of exactness the oracle can check; at
+    100 TB flip them to approx_count_distinct, which profiles all
+    columns in one expansion-free pass with HLL sketch states (the
+    same trade q12b pins, rsd ~1%)."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("_n")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.count_distinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__mn"),
+            F.max(c).cast("string").alias(f"{c}__mx"),
+        ]
+    row = o.agg(*aggs)
+    report = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"{c}__nn")).alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_val"),
+                F.col(f"{c}__mx").alias("max_val"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return row.select(F.explode(report).alias("s")).select("s.*")
