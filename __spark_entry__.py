@@ -49,7 +49,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # and Bloom-filter decontamination (whose exact-verification step makes
 # its output equal the broadcast path, so it is fully oracled).
 # Rotated-out keys remain registered after the window and are verified
-# by scripts/check_oracles.py + pytest on every dev run instead.
+# by scripts/check_oracles.py + pytest on every dev run instead. The
+# final round-4 swap admits the ExactSubstr span detector and DSIR
+# selection (this round's last two flagships) for q16 (windows keep
+# the q15 top-k + q17 lag reps) and batch q22 (whose exact oracle
+# already runs in-window as the REAL streaming query
+# ext_stream_tumbling).
 _WINDOW = (
     "q02_sink_roundtrip", "ext_dedup_incremental",
     "q06_join_broadcast",
@@ -58,11 +63,11 @@ _WINDOW = (
     "q11_agg_pricing_summary",
     "q13b_grouping_sets", "q28_percentiles",
     "q58_merge_upsert", "q46_recursive_cte",
-    "q15_window_topk", "q16_window_running", "q17_window_lag",
+    "q15_window_topk", "ext_substring_dedup", "q17_window_lag",
     "q20_intersect_except", "q41_gapfill",
     "q60_scd2", "q61_snapshot_diff", "q59_ohlc_downsample",
     "ext_pack_sequences", "ext_pack_emit", "ext_mixture_sample",
-    "q22_tumbling_window", "ext_stream_tumbling",
+    "ext_dsir_select", "ext_stream_tumbling",
     "q53_funnel", "q23_session_window",
     "q24b_udf_chain_throughput", "q30_correlated_exists",
     "q24_udf_stage", "q36_asof_join",
