@@ -1,8 +1,9 @@
 """End-to-end training-data curation pipeline — the north-star
 composition: raw documents -> exact dedup -> near-dup clustering
 (MinHash+LSH pairs resolved to one canonical doc per connected
-component) -> quality / language / LM-perplexity / repetition gates ->
-repeated-passage accounting -> benchmark decontamination -> PII
+component) -> ExactSubstr repeated-span removal -> quality / language /
+LM-perplexity / repetition gates -> repeated-passage accounting ->
+benchmark decontamination -> DSIR importance selection -> PII
 redaction -> token accounting -> deterministic train/val/test split ->
 curated parquet. (For multilingual runs, swap the en-only gate for
 ``stratified_sample`` / ``quality_gate`` — same broadcast-filter
@@ -56,6 +57,21 @@ def curate(spark, sf_dir: str):
         F.col("id").alias("doc_id")
     )
 
+    # 2b. ExactSubstr (Lee et al.): even among surviving distinct docs,
+    #     verbatim repeated passages (boilerplate, quoted blocks) get
+    #     cut — all-but-first occurrence removed, text rebuilt. The
+    #     per-doc removal fraction also feeds the novelty gate below.
+    from smartpipeline_spark.functions.dedup import strip_duplicate_spans
+
+    stripped = strip_duplicate_spans(docs).select(
+        "doc_id",
+        F.col("text_clean"),
+        (
+            F.col("n_kept")
+            / F.greatest(F.col("n_kept") + F.col("n_removed"), F.lit(1))
+        ).alias("span_novelty"),
+    )
+
     # 3. quality + language + LM gates (column algebra, fuse into scan;
     #    the bigram LM trains on the corpus itself in two aggregations)
     quality = EXT_QUERIES["ext_quality_score"](spark, sf_dir).select(
@@ -87,10 +103,23 @@ def curate(spark, sf_dir: str):
     bench = assign_split(docs).filter(F.col("split") == "test").select("doc_id", "text")
     contaminated = contamination_report(docs, bench, n=5).select("doc_id")
 
+    # 7b. DSIR importance selection: prefer raw docs whose hashed
+    #     n-gram profile matches the held-out target distribution —
+    #     fit is two m-row aggregates, scoring is map-side
+    from smartpipeline_spark.functions.curation import dsir_select
+
+    selected = dsir_select(
+        docs.join(bench.select("doc_id"), "doc_id", "left_anti"),
+        bench,
+        frac=0.8,
+    ).select("doc_id")
+
     curated = (
         docs.join(keep_exact, "doc_id", "left_semi")
         .join(non_canonical, "doc_id", "left_anti")
         .join(contaminated, "doc_id", "left_anti")
+        .join(selected, "doc_id", "left_semi")
+        .join(stripped, "doc_id")
         .join(quality, "doc_id")
         .join(lang, "doc_id")
         .join(lm, "doc_id")
@@ -102,11 +131,14 @@ def curate(spark, sf_dir: str):
             & (F.col("pred_lang") == "en")
             & (F.col("avg_logprob") > -8.0)  # gibberish floor
             & (F.col("novelty") >= 0.2)      # mostly-duplicated-content floor
+            & (F.col("span_novelty") >= 0.2)  # ExactSubstr removal floor
             & F.col("rep_ok")                # boilerplate/spam repetition gate
         )
     )
 
-    # 8. PII scrub + 9. deterministic split, both pure projections
+    # 8. PII scrub (on the span-stripped text) + 9. deterministic
+    #    split, both pure projections
+    curated = curated.drop("text").withColumnRenamed("text_clean", "text")
     return assign_split(redact_pii(curated, "text")).select(
         "doc_id",
         F.col("clean").alias("text"),
