@@ -525,9 +525,12 @@ def dsir_scores(raw: DataFrame, lr: dict, m: int = DSIR_BUCKETS) -> DataFrame:
     doc_id-seeded Gumbel draw (rerun-stable resampling noise), rounded
     to 4 decimals. Entirely map-side: the ``lr`` table is a plan
     literal and the gram fold is row-local."""
-    lr_map = F.create_map(
-        *[F.lit(x) for b, v in sorted(lr.items()) for x in (b, v)]
-    )
+    if lr:
+        lr_map = F.create_map(
+            *[F.lit(x) for b, v in sorted(lr.items()) for x in (b, v)]
+        )
+    else:  # empty raw corpus: no buckets fitted, every lookup misses
+        lr_map = F.create_map(F.lit(-1).cast("bigint"), F.lit(0.0))
     # default for buckets absent from the fit = the c=0-both-sides value
     qn_pn_default = 0.0
     grams = _unigram_bigram_expr()

@@ -1186,7 +1186,15 @@ def strip_duplicate_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     survives. Seam effects are inherited too — words flanking a cut
     become adjacent and may form new k-grams, so a second pass can in
     principle find residual duplicates (the planted-fixture pytest
-    pins the clean-corpus guarantee where seams are controlled)."""
+    pins the clean-corpus guarantee where seams are controlled).
+
+    NOTE: matching AND rebuilding both operate on the normalized
+    stream (lowercased, whitespace-collapsed) — duplicated-span
+    detection is case-insensitive and ``text_clean`` is normalized
+    text. To preserve original casing, split the raw ``text`` on the
+    same word boundaries and cut the same [span_start, span_end]
+    ranges — the positions line up because \\s+ tokenization is
+    case-insensitive."""
     from pyspark.sql import Window as _W
 
     grams = positional_kgrams(docs, k)

@@ -603,3 +603,18 @@ def test_dsir_scores_are_rerun_stable(spark):
     a = sorted(map(tuple, dsir_scores(raw, dsir_logratio(raw, target)).collect()))
     b = sorted(map(tuple, dsir_scores(raw, dsir_logratio(raw, target)).collect()))
     assert a == b and len(a) == 10
+
+
+def test_dsir_empty_raw_is_safe(spark):
+    """Degenerate input guard: an empty raw pool fits an empty model
+    and scores to an empty frame instead of raising on map literals."""
+    from smartpipeline_spark.functions.curation import (
+        dsir_logratio,
+        dsir_scores,
+    )
+
+    raw = spark.createDataFrame([], "doc_id long, text string")
+    target = spark.createDataFrame([{"doc_id": 1, "text": "a b c"}])
+    lr = dsir_logratio(raw, target)
+    assert lr == {}
+    assert dsir_scores(raw, lr).count() == 0
