@@ -555,7 +555,10 @@ def dsir_select(
     """End-to-end DSIR: fit on (raw, target), score raw, keep the top
     ``frac`` by Gumbel-perturbed importance weight via a broadcast
     percentile gate (no global sort): (doc_id, score, gate)."""
-    scored = dsir_scores(raw, dsir_logratio(raw, target, m), m)
+    # scored is consumed twice (percentile gate + final filter); it is
+    # two narrow columns per doc, so persisting it trades ~16 bytes a
+    # row against a full re-scan-and-rescore of the corpus
+    scored = dsir_scores(raw, dsir_logratio(raw, target, m), m).persist()
     th = scored.agg(F.percentile("score", 1.0 - frac).alias("gate"))
     return scored.crossJoin(F.broadcast(th)).filter(
         F.col("score") >= F.col("gate")
@@ -707,8 +710,14 @@ def contamination_report_bloom(
     from smartpipeline_spark.functions.dedup import word_shingles
 
     corpus_sh = word_shingles(corpus, n)
-    bench_sh = word_shingles(benchmark, n).select(
-        F.col("doc_id").alias("bench_id"), "sh"
+    # the benchmark shingle frame is consumed THREE times (sizing
+    # count, bitmap build, exact-verify join) — persist it so the
+    # benchmark side is shingled once instead of re-scanned per use
+    # (it is the small side by precondition, so the cache is bounded)
+    bench_sh = (
+        word_shingles(benchmark, n)
+        .select(F.col("doc_id").alias("bench_id"), "sh")
+        .persist()
     )
     # sizing count: distinct benchmark shingles (the small side; one
     # bounded aggregate job, same order as the filter build itself)
