@@ -169,3 +169,58 @@ def test_salted_join_equals_plain_join(spark, fact_keys, dim_keys, how):
     got = sorted(tuple(r) for r in salted_join(fact, dim, "k", how=how).collect())
     want = sorted(tuple(r) for r in fact.join(dim, "k", how).collect())
     assert got == want
+
+
+def _brute_duplicate_spans(texts: dict[int, str], k: int) -> set[tuple]:
+    """O(n²) reference for ExactSubstr span detection: enumerate every
+    word k-gram with its position, mark grams occurring >= 2 times
+    corpus-wide, merge marked windows per doc when starts are within
+    k of the previous (fixed-length interval islands)."""
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d, t in texts.items():
+        w = t.lower().strip().split()
+        for i in range(len(w) - k + 1):
+            occ.setdefault(" ".join(w[i : i + k]), []).append((d, i + 1))
+    marked: dict[int, list[int]] = {}
+    for g, places in occ.items():
+        if len(places) >= 2:
+            for d, p in places:
+                marked.setdefault(d, []).append(p)
+    spans = set()
+    for d, ps in marked.items():
+        ps = sorted(set(ps))
+        start = prev = ps[0]
+        for p in ps[1:]:
+            if p - prev <= k:
+                prev = p
+            else:
+                spans.add((d, start, prev + k - 1))
+                start = prev = p
+        spans.add((d, start, prev + k - 1))
+    return spans
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+def test_substring_spans_match_brute_force_property(spark, docs, k):
+    """For ANY corpus over a tiny vocabulary (maximally collision- and
+    overlap-prone) the distributed span detector equals the O(n²)
+    reference exactly — positions, merging, and all."""
+    from smartpipeline_spark.functions.dedup import duplicate_spans
+
+    texts = {i: t for i, t in enumerate(docs)}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(df, k=k).collect()
+    }
+    assert got == _brute_duplicate_spans(texts, k)
