@@ -54,12 +54,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # selection (this round's last two flagships) for q16 (windows keep
 # the q15 top-k + q17 lag reps) and batch q22 (whose exact oracle
 # already runs in-window as the REAL streaming query
-# ext_stream_tumbling).
+# ext_stream_tumbling). With the TPC-H composite suite (q63-q74,
+# operators/tpch.py) registered, the window admits its two hardest
+# members for the isolated shapes they strictly subsume: TPC-H Q8
+# (8-table market share) replaces q09_join_3way, and TPC-H Q18
+# (HAVING semi-join + top-k) replaces q44_having_in (the Q18-shape
+# it was modeled on).
 _WINDOW = (
     "q02_sink_roundtrip", "ext_dedup_incremental",
     "q06_join_broadcast",
-    "q09_join_3way", "q10_join_range",
-    "q38_tpch_q5", "q44_having_in",
+    "q67_tpch_q8", "q10_join_range",
+    "q38_tpch_q5", "q73_tpch_q18",
     "q11_agg_pricing_summary",
     "q13b_grouping_sets", "q28_percentiles",
     "q58_merge_upsert", "q46_recursive_cte",

@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "ext_contamination_bloom",
     "ext_substring_dedup",
     "ext_dsir_select",
+    # TPC-H composite flagships: the 8-table market-share join and the
+    # large-volume HAVING semi-join (operators/tpch.py)
+    "q67_tpch_q8",
+    "q73_tpch_q18",
 ]
 
 

@@ -680,3 +680,65 @@ def test_overwrite_partitions_replaces_only_touched(spark, tmp_path):
     # untouched partitions: same rows AND same physical files
     assert out.filter("lang = 'b'").count() == 10
     assert files("b") == b_before and files("c") == c_before
+
+
+def test_quantile_rollup_merge_of_parts_matches_whole(spark):
+    """Quantile sketch contract: (a) merging fine-grained rollups to a
+    coarser grain estimates quantiles within the documented rank-error
+    bound of the exact answer, (b) merge-of-parts tracks
+    sketch-of-whole within the same bound, (c) exact row counts
+    survive the merge."""
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.operators.scale import quantile_merge, quantile_rollup
+
+    li = sources.table(spark, "lineitem", SF_SMOKE)
+    b = 128
+    probs = [0.5, 0.9, 0.99]
+    # fine grain: (returnflag, linestatus); coarse: global
+    rollup = quantile_rollup(li, ["l_returnflag", "l_linestatus"], "l_extendedprice", b)
+    merged = {
+        r.prob: (r.est, r.n_rows) for r in quantile_merge(rollup, [], probs).collect()
+    }
+    direct = {
+        r.prob: (r.est, r.n_rows)
+        for r in quantile_merge(quantile_rollup(li, [], "l_extendedprice", b), [], probs).collect()
+    }
+    vals = sorted(v[0] for v in li.select("l_extendedprice").collect())
+    n = len(vals)
+    assert merged[0.5][1] == n and direct[0.5][1] == n  # counts exact
+
+    def rank(x):  # fraction of values <= x
+        import bisect
+
+        return bisect.bisect_right(vals, x) / n
+
+    bound = 1.0 / (b - 1) + 0.01  # grid + GK error, with slack
+    for p in probs:
+        for est, _ in (merged[p], direct[p]):
+            assert abs(rank(est) - p) <= bound, (p, est, rank(est))
+
+
+def test_quantile_merge_at_intermediate_grain(spark):
+    """Merging per-(flag,status) rollups to per-flag must agree with
+    rolling up per-flag directly, within the error bound."""
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.operators.scale import quantile_merge, quantile_rollup
+
+    li = sources.table(spark, "lineitem", SF_SMOKE)
+    fine = quantile_rollup(li, ["l_returnflag", "l_linestatus"], "l_quantity", 64)
+    via_merge = {
+        (r.l_returnflag, r.prob): r.est
+        for r in quantile_merge(fine, ["l_returnflag"], [0.5, 0.95]).collect()
+    }
+    direct = {
+        (r.l_returnflag, r.prob): r.est
+        for r in quantile_merge(
+            quantile_rollup(li, ["l_returnflag"], "l_quantity", 64),
+            ["l_returnflag"],
+            [0.5, 0.95],
+        ).collect()
+    }
+    # l_quantity is integer-valued 1..50: estimates within 2 units
+    assert set(via_merge) == set(direct)
+    for k in direct:
+        assert abs(via_merge[k] - direct[k]) <= 2.0, (k, via_merge[k], direct[k])
