@@ -243,6 +243,80 @@ def ext_lang_id(spark, sf_dir):
 
 
 @ext_query(
+    "ext_heavy_hitters",
+    """WITH words AS (
+         SELECT string_split_regex(lower(trim(text)), '\\s+') AS ws
+         FROM documents),
+       tri AS (
+         SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+         FROM words, LATERAL (
+           SELECT unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i) t),
+       tot AS (SELECT COUNT(*) AS n_total FROM tri)
+       SELECT g, COUNT(*) AS cnt
+       FROM tri, tot GROUP BY g, n_total
+       HAVING COUNT(*) * 5000 >= n_total""",
+)
+def ext_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter trigrams (boilerplate detection): every word
+    3-gram occurring in >= 0.02% of the corpus token stream — the
+    repeated-boilerplate table a curation pipeline feeds into
+    templated-content filters.
+
+    Pattern: count-min candidates + exact verification (the sketch
+    sibling of the Bloom decontamination recipe).  The CMS pass
+    (operators/scale.py) partial-aggregates the full occurrence
+    stream into width x depth cells — the exchange carries sketch
+    cells, never the trigram-keyed stream; probing the vocabulary
+    against the broadcast sketch yields a CANDIDATE set that CMS's
+    one-sided error guarantees is a superset of the true heavy
+    hitters.  Only candidates (a broadcast-sized set by the
+    threshold's own pigeonhole: <= 5000 keys can exceed N/5000) are
+    exactly counted, so the one key-shuffled aggregation is bounded
+    by the threshold, not the vocabulary.  Output is therefore
+    EXACT — false candidates die at the final HAVING — and fully
+    DuckDB-oracled.  The integer cross-multiplied threshold
+    (cnt * 5000 >= N) keeps both engines in exact arithmetic.
+    The trigram stream keeps duplicates (occurrence counts, unlike
+    the per-doc-distinct shingle index), with the same bind-the-
+    split-once lambda trick as dedup.shingle_array_expr."""
+    from smartpipeline_spark.operators.scale import (
+        cms_estimate,
+        cms_merge,
+        cms_rollup,
+    )
+
+    d = sources.table(spark, "documents", sf_dir)
+    tri = F.expr(
+        """transform(array(split(lower(trim(text)), '\\\\s+')),
+             ws -> CASE WHEN size(ws) >= 3
+                   THEN transform(sequence(0, size(ws) - 3),
+                        i -> concat_ws(' ', slice(ws, i + 1, 3)))
+                   ELSE CAST(array() AS array<string>) END)[0]"""
+    )
+    grams = d.select(F.explode(tri).alias("g")).persist()
+    tot = grams.agg(F.count("*").alias("n_total"))
+    width, depth = 4096, 4
+    sketch = cms_merge(cms_rollup(grams, "g", [], width, depth), [])
+    vocab = grams.select("g").distinct()
+    candidates = (
+        cms_estimate(sketch, vocab, "g", width, depth)
+        .join(F.broadcast(tot))
+        .filter(F.col("est") * 5000 >= F.col("n_total"))
+        .select("g")
+    )
+    exact = (
+        grams.join(F.broadcast(candidates), "g")
+        .groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        exact.join(F.broadcast(tot))
+        .filter(F.col("cnt") * 5000 >= F.col("n_total"))
+        .select("g", "cnt")
+    )
+
+
+@ext_query(
     "ext_ngram_stats",
     """WITH words AS (
          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
