@@ -2371,3 +2371,60 @@ def q62_table_profile(spark, sf_dir):
         ]
     )
     return row.select(F.explode(report).alias("s")).select("s.*")
+
+
+@query(
+    "q75_interval_join",
+    """WITH a AS (
+         SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dd,
+                MIN(CAST(ts AS TIMESTAMP)) AS a_start,
+                MAX(CAST(ts AS TIMESTAMP)) AS a_end
+         FROM events GROUP BY user_id, dd),
+       b AS (
+         SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS b_start,
+                time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+                  + INTERVAL 1 HOUR AS b_end
+         FROM events GROUP BY 1 HAVING COUNT(*) >= 24)
+       SELECT user_id, strftime(dd, '%Y-%m-%d') AS day,
+              strftime(b_start, '%Y-%m-%d %H:%M:%S') AS incident_hour,
+              epoch_us(least(a_end, b_end)) - epoch_us(greatest(a_start, b_start))
+                AS overlap_us
+       FROM a JOIN b ON a_start < b_end AND b_start <= a_end""",
+)
+def q75_interval_join(spark, sf_dir):
+    """Interval-overlap join: which per-user daily activity spans
+    [first event, last event] overlap corpus-wide incident hours
+    (hours with >= 24 events)?  The naive ON-clause form is a pure
+    range predicate, which Spark must execute as a broadcast-nested-
+    loop join — O(|A| x |B|) with no key parallelism, a scale killer
+    when neither side is tiny.  ``scale.binned_interval_join`` turns
+    it into an EQUI-join on epoch-aligned hour bins (each span
+    explodes to the <= 25 bins it covers, incidents occupy exactly
+    one), with the first-shared-bin rule deduplicating multi-bin
+    matches row-locally instead of via a distinct.  Overlap duration
+    is integral microseconds — exact in both engines."""
+    from smartpipeline_spark.operators.scale import binned_interval_join
+
+    e = _t(spark, sf_dir, "events")
+    a = e.groupBy(
+        "user_id", F.to_date("ts").alias("dd")
+    ).agg(F.min("ts").alias("a_start"), F.max("ts").alias("a_end"))
+    b = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("b_start"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 24)
+        .select(
+            "b_start",
+            (F.col("b_start") + F.expr("INTERVAL 1 HOUR")).alias("b_end"),
+        )
+    )
+    joined = binned_interval_join(a, b, bin_seconds=3600)
+    return joined.select(
+        "user_id",
+        F.date_format("dd", "yyyy-MM-dd").alias("day"),
+        F.date_format("b_start", "yyyy-MM-dd HH:mm:ss").alias("incident_hour"),
+        (
+            F.unix_micros(F.least("a_end", "b_end"))
+            - F.unix_micros(F.greatest("a_start", "b_start"))
+        ).alias("overlap_us"),
+    )

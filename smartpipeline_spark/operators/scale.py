@@ -296,6 +296,68 @@ def cms_estimate(
     )
 
 
+def binned_interval_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str = "a_start",
+    a_end: str = "a_end",
+    b_start: str = "b_start",
+    b_end: str = "b_end",
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Interval-overlap join ``[a_start, a_end] x [b_start, b_end)``
+    as an EQUI-join on time bins — the plan that survives 100 TB where
+    the naive form cannot: Spark executes a pure range predicate as a
+    broadcast-nested-loop (or cartesian) join, O(|A|x|B|) comparisons
+    with no partition parallelism on the key.  Binning restores hash
+    semantics: each interval explodes to the epoch-aligned bins it
+    covers, both sides shuffle on the bin, and only same-bin pairs are
+    compared.
+
+    Duplicate control without a distinct: a pair overlapping several
+    shared bins would match once per bin, so the join keeps a pair
+    only in the FIRST bin both intervals cover (``bin ==
+    floor(us(greatest(starts)) / width)``) — row-local arithmetic, no
+    post-join dedup shuffle.
+
+    Explosion bound: rows_per_interval = ceil(len / bin_seconds) + 1;
+    pick ``bin_seconds`` near the typical interval length (the classic
+    interval-bin sizing rule).  Skewed bins (rush hour) remain
+    ordinary skewed-key territory — salt or let AQE split them."""
+    w_us = F.lit(int(bin_seconds) * 1_000_000)
+    a_bins = a.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(a_start)) / w_us),
+                F.floor(F.unix_micros(F.col(a_end)) / w_us),
+            )
+        ),
+    )
+    b_bins = b.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(b_start)) / w_us),
+                # half-open b-end: an interval ending exactly on a bin
+                # boundary does not occupy the next bin
+                F.floor((F.unix_micros(F.col(b_end)) - F.lit(1)) / w_us),
+            )
+        ),
+    )
+    overlap = (
+        (F.col(a_start) < F.col(b_end))
+        & (F.col(b_start) <= F.col(a_end))
+        & (
+            F.col("_bin")
+            == F.floor(
+                F.unix_micros(F.greatest(F.col(a_start), F.col(b_start))) / w_us
+            )
+        )
+    )
+    return a_bins.join(b_bins, ["_bin"]).filter(overlap).drop("_bin")
+
+
 def quantile_rollup(
     df: DataFrame, group_cols: list[str], col: str, b: int = 128
 ) -> DataFrame:

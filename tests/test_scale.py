@@ -742,3 +742,62 @@ def test_quantile_merge_at_intermediate_grain(spark):
     assert set(via_merge) == set(direct)
     for k in direct:
         assert abs(via_merge[k] - direct[k]) <= 2.0, (k, via_merge[k], direct[k])
+
+
+def test_binned_interval_join_matches_naive_range_join(spark):
+    """The bin equi-join must return EXACTLY the naive overlap join's
+    pairs — including intervals spanning many bins (the first-shared-
+    bin rule must emit each pair once, not once per shared bin)."""
+    from smartpipeline_spark.operators.scale import binned_interval_join
+
+    base = "2024-01-01 00:00:00"
+    a = spark.createDataFrame(
+        [  # (id, start offset s, end offset s): spans of 30s .. 3h
+            (1, 0, 30), (2, 100, 7300), (3, 3600, 3600), (4, 10000, 20800),
+            (5, 50, 40000), (6, 7200, 7199 + 2),
+        ],
+        "a_id int, s long, e long",
+    ).selectExpr(
+        "a_id",
+        f"timestampadd(SECOND, s, timestamp'{base}') AS a_start",
+        f"timestampadd(SECOND, e, timestamp'{base}') AS a_end",
+    )
+    b = spark.createDataFrame(
+        [(10, 0, 3600), (11, 3600, 7200), (12, 7200, 14400), (13, 39999, 40001)],
+        "b_id int, s long, e long",
+    ).selectExpr(
+        "b_id",
+        f"timestampadd(SECOND, s, timestamp'{base}') AS b_start",
+        f"timestampadd(SECOND, e, timestamp'{base}') AS b_end",
+    )
+    naive = {
+        (r.a_id, r.b_id)
+        for r in a.join(
+            b, (a.a_start < b.b_end) & (b.b_start <= a.a_end)
+        ).collect()
+    }
+    binned = [
+        (r.a_id, r.b_id)
+        for r in binned_interval_join(a, b, bin_seconds=3600).collect()
+    ]
+    assert len(binned) == len(set(binned)), "pair emitted more than once"
+    assert set(binned) == naive
+
+
+def test_binned_interval_join_plan_is_hash_not_nested_loop(spark):
+    """The whole point: the physical plan must contain a hash-style
+    equi-join on the bin, never a BroadcastNestedLoopJoin/cartesian."""
+    import io
+    from contextlib import redirect_stdout
+
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.operators import QUERIES
+
+    df = QUERIES["q75_interval_join"](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan
