@@ -59,11 +59,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # members for the isolated shapes they strictly subsume: TPC-H Q8
 # (8-table market share) replaces q09_join_3way, and TPC-H Q18
 # (HAVING semi-join + top-k) replaces q44_having_in (the Q18-shape
-# it was modeled on).
+# it was modeled on). Two further swaps admit the session's last two
+# flagships: the binned interval-overlap join q75 replaces the simple
+# equi+range join q10 it generalizes, and the CMS-candidates
+# heavy-hitter query replaces plain ext_contamination (whose exact
+# output the in-window Bloom variant already reproduces by
+# construction — same broadcast-path equality, lower information).
 _WINDOW = (
     "q02_sink_roundtrip", "ext_dedup_incremental",
     "q06_join_broadcast",
-    "q67_tpch_q8", "q10_join_range",
+    "q67_tpch_q8", "q75_interval_join",
     "q38_tpch_q5", "q73_tpch_q18",
     "q11_agg_pricing_summary",
     "q13b_grouping_sets", "q28_percentiles",
@@ -82,7 +87,7 @@ _WINDOW = (
     "ext_knn_bruteforce", "ext_embedding_centroids", "ext_hybrid_search",
     "ext_contamination_bloom", "ext_quality_gate", "ext_repetition",
     "ext_url_stats",
-    "ext_multimodal_decode", "ext_contamination",
+    "ext_multimodal_decode", "ext_heavy_hitters",
     "ext_stratified_sample", "ext_bm25",
 )
 

@@ -224,3 +224,53 @@ def test_substring_spans_match_brute_force_property(spark, docs, k):
         for r in duplicate_spans(df, k=k).collect()
     }
     assert got == _brute_duplicate_spans(texts, k)
+
+
+@settings(**_SETTINGS)
+@given(
+    a_iv=st.lists(
+        st.tuples(st.integers(0, 50_000), st.integers(0, 20_000)),
+        min_size=1,
+        max_size=20,
+    ),
+    b_iv=st.lists(
+        st.tuples(st.integers(0, 50_000), st.integers(1, 20_000)),
+        min_size=1,
+        max_size=20,
+    ),
+    bin_s=st.sampled_from([60, 3600, 7200]),
+)
+def test_binned_interval_join_property(spark, a_iv, b_iv, bin_s):
+    """For ANY interval sets and bin width — spans from sub-bin to
+    many-bin, boundary-touching, zero-length closed a-spans — the bin
+    equi-join emits exactly the naive range join's pairs, each once.
+    (b intervals are half-open so they get length >= 1s.)"""
+    from smartpipeline_spark.operators.scale import binned_interval_join
+
+    base = "2024-01-01 00:00:00"
+    a = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(a_iv)],
+        "a_id int, s long, e long",
+    ).selectExpr(
+        "a_id",
+        f"timestampadd(SECOND, s, timestamp'{base}') AS a_start",
+        f"timestampadd(SECOND, e, timestamp'{base}') AS a_end",
+    )
+    b = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(b_iv)],
+        "b_id int, s long, e long",
+    ).selectExpr(
+        "b_id",
+        f"timestampadd(SECOND, s, timestamp'{base}') AS b_start",
+        f"timestampadd(SECOND, e, timestamp'{base}') AS b_end",
+    )
+    naive = {
+        (r.a_id, r.b_id)
+        for r in a.join(b, (a.a_start < b.b_end) & (b.b_start <= a.a_end)).collect()
+    }
+    got = [
+        (r.a_id, r.b_id)
+        for r in binned_interval_join(a, b, bin_seconds=bin_s).collect()
+    ]
+    assert len(got) == len(set(got))
+    assert set(got) == naive
