@@ -9,7 +9,8 @@ TPC-H-lite schema (no ``partsupp`` table; no
 shipmode/commitdate/receiptdate/phone/container columns — queries
 needing those are adapted as documented per-query, the rest are the
 canonical text).  Q1 and Q5 already exist as q11/q38; this file adds
-Q3, Q4, Q6, Q7, Q8, Q10, Q13, Q14, Q15, Q17, Q18, Q22.
+Q3, Q4, Q6, Q7, Q8, Q10, Q12, Q13, Q14, Q15, Q17, Q18, Q19, Q21,
+Q22 — every TPC-H query that does not require partsupp.
 
 Every query follows the determinism contract from
 ``relational.py``'s module header: money aggregates through exact
@@ -564,4 +565,142 @@ def q74_tpch_q22(spark, sf_dir):
             F.count("*").alias("numcust"),
             dsum2(F.col("c_acctbal")).alias("totacctbal"),
         )
+    )
+
+
+@query(
+    "q76_tpch_q12",
+    """SELECT l_returnflag,
+              SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_line_count,
+              SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS low_line_count
+       FROM orders, lineitem
+       WHERE o_orderkey = l_orderkey
+         AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+         AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+         AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE)
+       GROUP BY l_returnflag""",
+)
+def q76_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 (shipping-mode priority split).  The lite schema has
+    no l_shipmode/commitdate/receiptdate, so the mode grouping becomes
+    l_returnflag and the date-ordering chain becomes "shipped after
+    ordered, within 1997" — the same join + conditional-count shape.
+    Plan: the year filter prunes lineitem at the scan; the
+    shipdate > orderdate comparison rides the joined row (row-local);
+    the conditional SUMs are one partial-agg'd pass, 3 groups."""
+    sd = F.to_date("l_shipdate")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (sd >= F.lit("1997-01-01").cast("date")) & (sd < F.lit("1998-01-01").cast("date"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.to_date("l_shipdate") > F.to_date("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q77_tpch_q19",
+    f"""SELECT {_sql_dsum2(_SQL_REV, "DECIMAL(28,12)")} AS revenue
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey AND (
+             (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+              AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+              AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 20 AND 30))""",
+)
+def q77_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue, disjunctive predicates) — the
+    OR-of-ANDs stress case, minus the p_container/l_shipmode legs the
+    lite schema lacks.  The planner lesson Q19 exists to test: the
+    disjunction straddles BOTH tables, so neither side's scan can
+    evaluate it alone — but Catalyst derives the single-table
+    implications (p_brand IN (...), p_size <= 15, l_quantity <= 30)
+    and pushes THOSE, shrinking the join inputs before the full
+    predicate runs on the joined row.  part broadcasts as always."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    leg = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & q.between(qlo, qhi)
+    )
+    cond = leg("Brand#12", 5, 1, 11) | leg("Brand#23", 10, 10, 20) | leg(
+        "Brand#14", 15, 20, 30
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(r2(F.sum(_rev()).cast("double")).alias("revenue"))
+    )
+
+
+@query(
+    "q78_tpch_q21",
+    """SELECT s_name, COUNT(*) AS numwait
+       FROM supplier, lineitem l1, orders, nation
+       WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+         AND o_orderstatus = 'F'
+         AND CAST(l1.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60
+         AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND CAST(l3.l_shipdate AS DATE)
+                               > CAST(o_orderdate AS DATE) + 60)
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name LIMIT 100""",
+)
+def q78_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting) — the hardest
+    correlation shape in the suite: EXISTS + NOT EXISTS both
+    correlated to the same fact row.  Lateness is adapted to
+    "shipped > 60 days after the order date" (no commit/receipt
+    dates).  The oracle keeps the correlated form; the Spark plan
+    de-correlates it into ONE per-order aggregate — n_suppliers and
+    n_late_suppliers via conditional count-distinct — joined back on
+    l_orderkey: "some other supplier exists" = ns >= 2, "no OTHER
+    late supplier" = nl == 1 (the row's own supplier is late).  Two
+    correlated subqueries collapse into one exchange the join
+    already needed; supplier and nation broadcast.  The top-100 is
+    TakeOrdered with s_name tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    rows = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 60)).alias(
+            "late"
+        ),
+    )
+    per_order = rows.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nl"),
+    )
+    return (
+        rows.filter("late")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("ns") >= 2) & (F.col("nl") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
     )
