@@ -9,8 +9,11 @@ TPC-H-lite schema (no ``partsupp`` table; no
 shipmode/commitdate/receiptdate/phone/container columns — queries
 needing those are adapted as documented per-query, the rest are the
 canonical text).  Q1 and Q5 already exist as q11/q38; this file adds
-Q3, Q4, Q6, Q7, Q8, Q10, Q12, Q13, Q14, Q15, Q17, Q18, Q19, Q21,
-Q22 — every TPC-H query that does not require partsupp.
+the other twenty — ALL 22 TPC-H queries run oracled.  The five
+partsupp-bound queries (Q2/Q9/Q11/Q16/Q20) run against a
+deterministic partsupp derived in-plan from part x supplier (see the
+derivation contract mid-file), with the identical derivation embedded
+in their oracle CTEs.
 
 Every query follows the determinism contract from
 ``relational.py``'s module header: money aggregates through exact
@@ -703,4 +706,304 @@ def q78_tpch_q21(spark, sf_dir):
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp: the one TPC-H table the test schema omits.
+#
+# Q2/Q9/Q11/Q16/Q20 need part-supplier rows, so they run against a
+# DETERMINISTIC derivation from the tables that do exist (the same
+# derived-fixture pattern as multimodal.synth_media): each part gets
+# exactly 4 suppliers at stride S/4 around the supplier ring (dbgen's
+# scheme simplified to a constant stride — collision-free for S >= 5,
+# which holds at every shipped SF), and availqty/supplycost are
+# integer-arithmetic hashes of the keys, so both engines derive
+# bit-identical rows (supplycost is an integer scaled by 100, i.e. an
+# exact 2-decimal double).  The oracle queries embed the IDENTICAL
+# derivation as a CTE, so the comparison remains end-to-end sound.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_CTE = """partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey + i * (S // 4)) % S AS ps_suppkey,
+         (p_partkey * 7 + i * 11) % 9999 + 1 AS ps_availqty,
+         ((p_partkey * 13 + ((p_partkey + i * (S // 4)) % S) * 7) % 90000)
+           / 100.0 + 100.0 AS ps_supplycost
+  FROM part,
+       (SELECT COUNT(*) AS S FROM supplier) ns,
+       (SELECT unnest(generate_series(0, 3)) AS i) gs)"""
+
+
+def derived_partsupp(spark, sf_dir):
+    """(ps_partkey, ps_suppkey, ps_availqty, ps_supplycost) — see the
+    derivation contract above.  The supplier count folds in as an
+    in-plan 1-row broadcast, not a driver count."""
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    s_count = _t(spark, sf_dir, "supplier").agg(F.count("*").alias("S"))
+    base = (
+        p.join(F.broadcast(s_count))
+        .select("p_partkey", "S", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"))
+    )
+    suppkey = (F.col("p_partkey") + F.col("i") * F.expr("S div 4")) % F.col("S")
+    return base.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        suppkey.alias("ps_suppkey"),
+        ((F.col("p_partkey") * 7 + F.col("i") * 11) % 9999 + 1).alias("ps_availqty"),
+        (
+            ((F.col("p_partkey") * 13 + suppkey * 7) % 90000) / F.lit(100.0)
+            + F.lit(100.0)
+        ).alias("ps_supplycost"),
+    )
+
+
+@query(
+    "q79_tpch_q2",
+    f"""WITH {_PARTSUPP_CTE},
+       eu_cost AS (
+         SELECT ps_partkey, ps_suppkey, ps_supplycost
+         FROM partsupp, supplier, nation, region
+         WHERE s_suppkey = ps_suppkey AND s_nationkey = n_nationkey
+           AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+       SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+       FROM part, eu_cost, supplier, nation, region
+       WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+         AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'EUROPE'
+         AND ps_supplycost = (SELECT MIN(c2.ps_supplycost) FROM eu_cost c2
+                              WHERE c2.ps_partkey = p_partkey)
+       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+)
+def q79_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier; p_mfgr/address/phone dropped —
+    columns absent).  The correlated MIN de-correlates into one
+    per-part aggregate over the region-filtered partsupp, joined back
+    on (partkey, exact supplycost equality — safe because supplycost
+    is a derived 2-decimal exact double).  Every dimension broadcasts;
+    partsupp itself is part x 4 rows, generated in-plan with zero
+    shuffle.  Top-100 is TakeOrdered with the canonical sort."""
+    ps = derived_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    )
+    eu = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    min_cost = eu.groupBy(F.col("ps_partkey").alias("mc_key")).agg(
+        F.min("ps_supplycost").alias("mc")
+    )
+    return (
+        eu.join(
+            F.broadcast(min_cost),
+            (eu.ps_partkey == F.col("mc_key")) & (eu.ps_supplycost == F.col("mc")),
+        )
+        .join(F.broadcast(p), eu.ps_partkey == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q80_tpch_q9",
+    f"""WITH {_PARTSUPP_CTE}
+       SELECT nation, o_year,
+              FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                  - ps_supplycost * l_quantity
+                                  AS DECIMAL(28,12))) AS DOUBLE)
+                    * 100.0 + 0.5) / 100.0 AS sum_profit
+       FROM (SELECT n_name AS nation,
+                    year(CAST(o_orderdate AS DATE)) AS o_year,
+                    l_extendedprice, l_discount, ps_supplycost, l_quantity
+             FROM part, supplier, lineitem, partsupp, orders, nation
+             WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+               AND ps_partkey = l_partkey AND p_partkey = l_partkey
+               AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+               AND p_name LIKE '%red%') profit
+       GROUP BY nation, o_year""",
+)
+def q80_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit measure) — canonical except the
+    part filter word ('%red%'; the generator's names have no 'green').
+    Profit = revenue minus supply cost per lineitem, aggregated by
+    supplier nation and order year.  Plan: the name filter prunes part
+    before broadcast; partsupp joins lineitem on the composite
+    (partkey, suppkey) — both broadcast-sized here, and at full scale
+    partsupp is the one dimension worth bucketing by partkey;
+    lineitem⋈orders is again the lone fact shuffle.  The profit
+    difference is computed per-row then summed as exact DECIMAL."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    ps = derived_partsupp(spark, sf_dir)
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(ps),
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    ).cast(_DEC28)
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year(F.to_date("o_orderdate")).alias("o_year"),
+            profit.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(r2(F.sum("amount").cast("double")).alias("sum_profit"))
+    )
+
+
+@query(
+    "q81_tpch_q11",
+    f"""WITH {_PARTSUPP_CTE},
+       nps AS (
+         SELECT ps_partkey,
+                CAST(ps_supplycost * ps_availqty AS DECIMAL(28,12)) AS v
+         FROM partsupp, supplier, nation
+         WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+           AND n_name = 'NATION_7'),
+       tot AS (SELECT SUM(v) AS total_v FROM nps)
+       SELECT ps_partkey,
+              FLOOR(CAST(SUM(v) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS part_value
+       FROM nps, tot
+       GROUP BY ps_partkey, total_v
+       HAVING CAST(SUM(v) AS DOUBLE) > CAST(total_v AS DOUBLE) * 0.004""",
+)
+def q81_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock identification): parts whose stock
+    value at NATION_7's suppliers exceeds a fraction of the nation's
+    total.  The national total stays IN-PLAN as a 1-row aggregate
+    cross-joined back (the TF-IDF/data-card recipe) — no driver
+    round-trip.  Both the per-part values and the total are exact
+    DECIMAL sums, so the threshold comparison divides bit-identical
+    doubles in both engines."""
+    ps = derived_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nps = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).cast(_DEC28).alias("v"),
+        )
+    )
+    tot = nps.agg(F.sum("v").alias("total_v"))
+    return (
+        nps.groupBy("ps_partkey")
+        .agg(F.sum("v").alias("pv"))
+        .join(F.broadcast(tot))
+        .filter(F.col("pv").cast("double") > F.col("total_v").cast("double") * 0.004)
+        .select("ps_partkey", r2(F.col("pv").cast("double")).alias("part_value"))
+    )
+
+
+@query(
+    "q82_tpch_q16",
+    f"""WITH {_PARTSUPP_CTE}
+       SELECT p_brand, p_type, p_size,
+              COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+       FROM partsupp, part
+       WHERE p_partkey = ps_partkey
+         AND p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+         AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+         AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+       GROUP BY p_brand, p_type, p_size""",
+)
+def q82_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship; the supplier-complaint
+    exclusion becomes negative account balance — no comment column).
+    Plan: the NOT IN compiles to a null-safe anti join against the
+    tiny excluded-supplier list (broadcast); part's three predicates
+    prune before its broadcast; the count-distinct groups by the
+    (brand, type, size) cells."""
+    ps = derived_partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q83_tpch_q20",
+    f"""WITH {_PARTSUPP_CTE},
+       shipped AS (
+         SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+         GROUP BY l_partkey, l_suppkey)
+       SELECT DISTINCT s_name, n_name
+       FROM supplier, nation, partsupp, shipped
+       WHERE s_nationkey = n_nationkey AND n_name = 'NATION_9'
+         AND ps_suppkey = s_suppkey
+         AND ps_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'red%')
+         AND ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         AND ps_availqty > 0.5 * sq""",
+)
+def q83_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion): NATION_9 suppliers whose
+    stock of red parts exceeds half of what they shipped in 1997.
+    The doubly-correlated quantity subquery de-correlates into one
+    (partkey, suppkey) aggregate over the year-pruned lineitem —
+    the inner join drops never-shipped pairs exactly as the NULL
+    comparison would.  0.5 * an integer-valued sum keeps the
+    comparison exact.  part's name filter and the nation filter both
+    prune before broadcast; DISTINCT collapses multi-part hits."""
+    ps = derived_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    sd = F.to_date("l_shipdate")
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (sd >= F.lit("1997-01-01").cast("date"))
+            & (sd < F.lit("1998-01-01").cast("date"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+    )
+    return (
+        ps.join(F.broadcast(red), ps.ps_partkey == red.p_partkey, "left_semi")
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey) & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") > F.lit(0.5) * F.col("sq"))
+        .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .distinct()
     )

@@ -11,6 +11,7 @@ import re
 from contextlib import redirect_stdout
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 
@@ -102,3 +103,30 @@ def test_tpch_values_match_duckdb_at_smoke(spark, queries):
     for key in ("q65_tpch_q6", "q66_tpch_q7", "q70_tpch_q14"):
         res = compare(queries[key](spark, SF_SMOKE), oracles[key], SF_SMOKE)
         assert res["hash_match"], (key, res)
+
+
+def test_derived_partsupp_invariants(spark):
+    """The derived partsupp must behave like the real table: exactly 4
+    DISTINCT suppliers per part (the stride is collision-free for
+    S >= 5), supplier keys within range, and 2-decimal-exact
+    supplycost."""
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.operators.tpch import derived_partsupp
+
+    ps = derived_partsupp(spark, SF_SMOKE)
+    n_parts = sources.table(spark, "part", SF_SMOKE).count()
+    n_supp = sources.table(spark, "supplier", SF_SMOKE).count()
+    stats = ps.groupBy("ps_partkey").agg(
+        F.countDistinct("ps_suppkey").alias("ds"), F.count("*").alias("n")
+    )
+    bad = stats.filter((F.col("ds") != 4) | (F.col("n") != 4)).count()
+    assert bad == 0
+    assert stats.count() == n_parts
+    rng = ps.agg(
+        F.min("ps_suppkey").alias("lo"), F.max("ps_suppkey").alias("hi")
+    ).collect()[0]
+    assert rng.lo >= 0 and rng.hi < n_supp
+    off_grid = ps.filter(
+        F.col("ps_supplycost") * 100 != F.floor(F.col("ps_supplycost") * 100)
+    ).count()
+    assert off_grid == 0
