@@ -64,10 +64,12 @@ BENCH_QUERIES = [
     "ext_contamination_bloom",
     "ext_substring_dedup",
     "ext_dsir_select",
-    # TPC-H composite flagships: the 8-table market-share join and the
-    # large-volume HAVING semi-join (operators/tpch.py)
+    # TPC-H composite flagships: the 8-table market-share join, the
+    # large-volume HAVING semi-join, and the partsupp profit rollup
+    # (operators/tpch.py)
     "q67_tpch_q8",
     "q73_tpch_q18",
+    "q80_tpch_q9",
 ]
 
 

@@ -86,6 +86,104 @@ def main() -> None:
     target = docs.filter(F.col("doc_id") % 97 == 0)
     timed("dsir_selected", lambda: dsir_select(docs, target, frac=0.25).count())
 
+    # --- TPC-H fact-replication block: the same join/agg plans the
+    # suite pins (one fact-fact exchange, broadcast dims) must hold
+    # their shape as the fact side multiplies N-fold. Order keys are
+    # remapped (k*n + r) so the lineitem⋈orders key space replicates
+    # consistently; dimensions stay at 1x, exactly like production
+    # (facts grow, dims don't).
+    li = sources.table(spark, "lineitem", sf_dir)
+    o = sources.table(spark, "orders", sf_dir)
+    rep = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("r")
+    li_n = li.select(rep, "*").withColumn(
+        "l_orderkey", F.col("l_orderkey") * n + F.col("r")
+    ).drop("r").repartition(32).persist()
+    o_n = o.select(rep, "*").withColumn(
+        "o_orderkey", F.col("o_orderkey") * n + F.col("r")
+    ).drop("r").repartition(32).persist()
+    counts["fact_lineitem_rows"] = li_n.count()
+    counts["fact_orders_rows"] = o_n.count()
+
+    s = sources.table(spark, "supplier", sf_dir)
+    nt = sources.table(spark, "nation", sf_dir)
+    rg = sources.table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    c = sources.table(spark, "customer", sf_dir)
+
+    def tpch_q5():
+        od = F.to_date("o_orderdate")
+        of = o_n.filter(
+            (od >= F.lit("1996-01-01").cast("date"))
+            & (od < F.lit("1997-01-01").cast("date"))
+        )
+        j = (
+            li_n.join(of, li_n.l_orderkey == of.o_orderkey)
+            .join(F.broadcast(s), li_n.l_suppkey == s.s_suppkey)
+            .join(
+                F.broadcast(c),
+                (of.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
+            )
+            .join(F.broadcast(nt), s.s_nationkey == nt.n_nationkey)
+            .join(F.broadcast(rg), nt.n_regionkey == rg.r_regionkey)
+        )
+        rev = (
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).cast("decimal(28,12)")
+        return j.groupBy("n_name").agg(F.sum(rev).alias("revenue")).count()
+
+    def tpch_q18():
+        big = (
+            li_n.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("tq"))
+            .filter(F.col("tq") > 250)
+            .select("l_orderkey")
+        )
+        return (
+            li_n.join(
+                big.withColumnRenamed("l_orderkey", "bk"),
+                F.col("l_orderkey") == F.col("bk"),
+                "left_semi",
+            )
+            .join(o_n, F.col("l_orderkey") == o_n.o_orderkey)
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("sq"))
+            .count()
+        )
+
+    def tpch_q9():
+        from smartpipeline_spark.operators.tpch import derived_partsupp
+
+        ps = derived_partsupp(spark, sf_dir)
+        p = sources.table(spark, "part", sf_dir).filter(
+            F.col("p_name").like("%red%")
+        )
+        j = (
+            li_n.join(o_n, li_n.l_orderkey == o_n.o_orderkey)
+            .join(F.broadcast(p), li_n.l_partkey == p.p_partkey)
+            .join(
+                F.broadcast(ps),
+                (li_n.l_partkey == ps.ps_partkey)
+                & (li_n.l_suppkey == ps.ps_suppkey),
+            )
+            .join(F.broadcast(s), li_n.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(nt), s.s_nationkey == nt.n_nationkey)
+        )
+        amount = (
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            - F.col("ps_supplycost") * F.col("l_quantity")
+        ).cast("decimal(28,12)")
+        return (
+            j.select(
+                "n_name", F.year(F.to_date("o_orderdate")).alias("y"), amount.alias("a")
+            )
+            .groupBy("n_name", "y")
+            .agg(F.sum("a").alias("profit"))
+            .count()
+        )
+
+    timed("tpch_q5_replicated", tpch_q5)
+    timed("tpch_q18_replicated", tpch_q18)
+    timed("tpch_q9_replicated", tpch_q9)
+
     print(
         json.dumps(
             {"n_docs": n_docs, "replicas": n, "timings": timings, "counts": counts}
