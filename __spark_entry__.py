@@ -65,6 +65,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # heavy-hitter query replaces plain ext_contamination (whose exact
 # output the in-window Bloom variant already reproduces by
 # construction — same broadcast-path equality, lower information).
+# Finally the REAL streaming session-window query replaces its batch
+# twin q23 (identical oracle, strictly harder execution path) — the
+# same upgrade ext_stream_tumbling made over batch q22.
 _WINDOW = (
     "q02_sink_roundtrip", "ext_dedup_incremental",
     "q06_join_broadcast",
@@ -78,7 +81,7 @@ _WINDOW = (
     "q60_scd2", "q61_snapshot_diff", "q59_ohlc_downsample",
     "ext_pack_sequences", "ext_pack_emit", "ext_mixture_sample",
     "ext_dsir_select", "ext_stream_tumbling",
-    "q53_funnel", "q23_session_window",
+    "q53_funnel", "ext_stream_session",
     "q24b_udf_chain_throughput", "q30_correlated_exists",
     "q24_udf_stage", "q36_asof_join",
     "ext_dedup_exact", "ext_dedup_ngram_jaccard", "ext_dedup_embedding",

@@ -26,27 +26,16 @@ from smartpipeline_spark.functions import ext_query
 from smartpipeline_spark.operators.relational import _sql_dsum2, dsum2
 
 _SINK = "_ext_stream_tumbling_sink"
+_SESSION_SINK = "_ext_stream_session_sink"
 
 
-@ext_query(
-    "ext_stream_tumbling",
-    f"""SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
-                       '%Y-%m-%d %H:%M:%S') AS window_start,
-              event_type,
-              COUNT(*) AS n_events,
-              {_sql_dsum2('value', 'DECIMAL(28,12)')} AS sum_value
-       FROM events
-       GROUP BY window_start, event_type""",
-)
-def ext_stream_tumbling(spark, sf_dir) -> DataFrame:
-    """Streaming tumbling 1h window over the events directory, run to
-    completion with availableNow and returned from the memory sink —
-    oracle-identical to batch q22."""
+def _staged_event_stream(spark, sf_dir):
+    """readStream over the events fixture: stages a symlink directory
+    around the single-file layout (file-stream sources need a
+    directory), takes the batch reader's schema (nanos conf set
+    first), and normalizes legacy ts encodings — shared by every
+    registered streaming query."""
     path = os.path.join(sf_dir, "events.parquet")
-    # the file-stream source requires a DIRECTORY. The production
-    # layout — a directory of part files (e.g. bench.py's multipart
-    # staging) — streams directly; the shipped fixtures are single
-    # parquet FILES, which get a symlink-dir staged around them.
     if os.path.isdir(path):
         stage = path
     else:
@@ -64,10 +53,6 @@ def ext_stream_tumbling(spark, sf_dir) -> DataFrame:
                 os.symlink(path, link)
         else:
             os.symlink(path, link)
-    # the file-stream source needs an explicit schema: take the batch
-    # reader's via sources.table (which sets nanosAsLong before the
-    # probe — a fresh session on the legacy TIMESTAMP(NANOS) layout
-    # would otherwise refuse the metadata read itself)
     from smartpipeline_spark import sources
 
     sources.table(spark, "events", sf_dir)  # conf side effect on purpose
@@ -80,7 +65,45 @@ def ext_stream_tumbling(spark, sf_dir) -> DataFrame:
         )
     elif ts_type == "timestamp_ntz":
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
+
+def _run_to_memory(spark, agg, sink_name: str) -> DataFrame:
+    """Execute a streaming aggregation to completion (availableNow,
+    complete mode so the final trigger emits every window) into a
+    memory sink and return its table."""
+    for q in spark.streams.active:
+        if q.name == sink_name:
+            q.stop()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name)
+
+
+@ext_query(
+    "ext_stream_tumbling",
+    f"""SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
+                       '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type,
+              COUNT(*) AS n_events,
+              {_sql_dsum2('value', 'DECIMAL(28,12)')} AS sum_value
+       FROM events
+       GROUP BY window_start, event_type""",
+)
+def ext_stream_tumbling(spark, sf_dir) -> DataFrame:
+    """Streaming tumbling 1h window over the events directory, run to
+    completion with availableNow and returned from the memory sink —
+    oracle-identical to batch q22.  (The file-stream source requires a
+    DIRECTORY; production layouts — directories of part files — stream
+    directly, and :func:`_staged_event_stream` symlink-stages the
+    shipped single-file fixtures.)"""
+    stream = _staged_event_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -99,15 +122,52 @@ def ext_stream_tumbling(spark, sf_dir) -> DataFrame:
     )
     # complete mode so the final trigger emits every window (append
     # would withhold windows not yet past the terminal watermark)
-    for q in spark.streams.active:
-        if q.name == _SINK:
-            q.stop()
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(_SINK)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    return _run_to_memory(spark, agg, _SINK)
+
+
+@ext_query(
+    "ext_stream_session",
+    """WITH e AS (
+         SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, value
+         FROM events),
+       marked AS (
+         SELECT user_id, t_us, value,
+                CASE WHEN t_us - LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us)
+                          >= 1800000000
+                       OR LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us) IS NULL
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM e),
+       sess AS (
+         SELECT user_id, t_us, value,
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM marked)
+       SELECT user_id, MIN(t_us) AS sess_start_us, COUNT(*) AS n_events,
+              FLOOR((CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE)) * 100.0 + 0.5)
+                / 100.0 AS sum_value
+       FROM sess GROUP BY user_id, sid""",
+)
+def ext_stream_session(spark, sf_dir) -> DataFrame:
+    """Session windows (30-min gap, per user) executed as a REAL
+    streaming query — the stateful-merging window shape, where the
+    engine must MERGE adjacent session state as events arrive rather
+    than route rows to precomputed buckets.  Run to completion under
+    availableNow against the same gaps-and-islands DuckDB oracle as
+    batch q23, pinning streaming/batch equivalence for the second
+    (harder) window class.  Same harness contract as
+    ext_stream_tumbling: availableNow + memory sink is the
+    verification harness; the identical plan runs unbounded with the
+    watermark closing sessions 1h behind the event-time frontier."""
+    stream = _staged_event_stream(spark, sf_dir)
+    agg = (
+        stream.withColumn("t_us", F.unix_micros(F.col("ts")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.min("t_us").alias("sess_start_us"),
+            F.count("*").alias("n_events"),
+            dsum2(F.col("value"), "decimal(28,12)").alias("sum_value"),
+        )
+        .select("user_id", "sess_start_us", "n_events", "sum_value")
     )
-    q.awaitTermination()
-    return spark.table(_SINK)
+    return _run_to_memory(spark, agg, _SESSION_SINK)
