@@ -274,3 +274,41 @@ def test_binned_interval_join_property(spark, a_iv, b_iv, bin_s):
     ]
     assert len(got) == len(set(got))
     assert set(got) == naive
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=4,
+        max_size=300,
+    ),
+    n_groups=st.sampled_from([1, 3, 7]),
+    b=st.sampled_from([16, 64]),
+)
+def test_quantile_sketch_rank_error_property(spark, vals, n_groups, b):
+    """For ANY value distribution (adversarial floats included), any
+    fine-grain partitioning, and any grid size: merging per-group
+    quantile rollups to the global grain stays within the documented
+    rank-error bound of the exact sorted answer."""
+    import bisect
+
+    from smartpipeline_spark.operators.scale import quantile_merge, quantile_rollup
+
+    rows = [(i % n_groups, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    probs = [0.25, 0.5, 0.9]
+    merged = {
+        r.prob: r.est
+        for r in quantile_merge(quantile_rollup(df, ["g"], "v", b), [], probs).collect()
+    }
+    svals = sorted(v for _, v in rows)
+    n = len(svals)
+    bound = 1.0 / (b - 1) + 0.02
+    for p in probs:
+        est = merged[p]
+        # rank window of the estimate (ties give a range)
+        lo = bisect.bisect_left(svals, est) / n
+        hi = bisect.bisect_right(svals, est) / n
+        dist = 0.0 if lo - bound <= p <= hi + bound else min(abs(lo - p), abs(hi - p))
+        assert dist <= bound, (p, est, lo, hi)
