@@ -65,10 +65,14 @@ def test_q8_eight_table_join_broadcasts_all_dims(spark, queries):
 def test_q13_filter_lives_in_join_not_where(spark, queries):
     """Customers with zero (non-urgent) orders must survive the left
     join — the count-0 group is the point of Q13."""
+    from smartpipeline_spark import sources
+
     df = queries["q69_tpch_q13"](spark, SF_SMOKE)
     rows = {r["c_count"]: r["custdist"] for r in df.collect()}
-    assert 0 in rows or min(rows) >= 0  # zero-group present at smoke scale
-    assert sum(rows.values()) > 0
+    # the distribution partitions customers: zero-order customers are
+    # retained by the left join (the ON-filter must not become WHERE)
+    n_customers = sources.table(spark, "customer", SF_SMOKE).count()
+    assert sum(rows.values()) == n_customers
 
 
 def test_q15_max_revenue_equality_is_exact(spark, queries):
