@@ -10,9 +10,11 @@ WITH partsupp AS (
        (SELECT COUNT(*) AS S FROM supplier) ns,
        (SELECT unnest(generate_series(0, 3)) AS i) gs)
        SELECT nation, o_year,
-              FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                  - ps_supplycost * l_quantity
-                                  AS DECIMAL(28,12))) AS DOUBLE)
+              FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                                  - CAST(ps_supplycost AS DECIMAL(12,2))
+                                    * CAST(l_quantity AS DECIMAL(12,2)))
+                               AS DOUBLE)
                     * 100.0 + 0.5) / 100.0 AS sum_profit
        FROM (SELECT n_name AS nation,
                     year(CAST(o_orderdate AS DATE)) AS o_year,

@@ -304,6 +304,7 @@ def binned_interval_join(
     b_start: str = "b_start",
     b_end: str = "b_end",
     bin_seconds: int = 3600,
+    max_bins_per_interval: int = 10_000,
 ) -> DataFrame:
     """Interval-overlap join ``[a_start, a_end] x [b_start, b_end)``
     as an EQUI-join on time bins — the plan that survives 100 TB where
@@ -322,13 +323,33 @@ def binned_interval_join(
 
     Explosion bound: rows_per_interval = ceil(len / bin_seconds) + 1;
     pick ``bin_seconds`` near the typical interval length (the classic
-    interval-bin sizing rule).  Skewed bins (rush hour) remain
-    ordinary skewed-key territory — salt or let AQE split them."""
+    interval-bin sizing rule).  A row whose span exceeds
+    ``max_bins_per_interval`` bins fails fast with raise_error instead
+    of silently exploding the stage (the hot-key-cap ethos: quadratic
+    and multiplicative blowups die loudly at their source).  Skewed
+    bins (rush hour) remain ordinary skewed-key territory — salt or
+    let AQE split them."""
     w_us = F.lit(int(bin_seconds) * 1_000_000)
+
+    def guarded_seq(lo, hi):
+        n_bins = hi - lo + 1
+        return F.when(
+            n_bins > F.lit(max_bins_per_interval),
+            F.raise_error(
+                F.format_string(
+                    "binned_interval_join: an interval spans %s bins "
+                    "(> max_bins_per_interval=%s) — widen bin_seconds "
+                    "or raise the cap",
+                    n_bins.cast("string"),
+                    F.lit(str(max_bins_per_interval)),
+                )
+            ).cast("array<bigint>"),
+        ).otherwise(F.sequence(lo, hi))
+
     a_bins = a.withColumn(
         "_bin",
         F.explode(
-            F.sequence(
+            guarded_seq(
                 F.floor(F.unix_micros(F.col(a_start)) / w_us),
                 F.floor(F.unix_micros(F.col(a_end)) / w_us),
             )
@@ -337,7 +358,7 @@ def binned_interval_join(
     b_bins = b.withColumn(
         "_bin",
         F.explode(
-            F.sequence(
+            guarded_seq(
                 F.floor(F.unix_micros(F.col(b_start)) / w_us),
                 # half-open b-end: an interval ending exactly on a bin
                 # boundary does not occupy the next bin

@@ -815,9 +815,11 @@ def q79_tpch_q2(spark, sf_dir):
     "q80_tpch_q9",
     f"""WITH {_PARTSUPP_CTE}
        SELECT nation, o_year,
-              FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                  - ps_supplycost * l_quantity
-                                  AS DECIMAL(28,12))) AS DOUBLE)
+              FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                                  - CAST(ps_supplycost AS DECIMAL(12,2))
+                                    * CAST(l_quantity AS DECIMAL(12,2)))
+                               AS DOUBLE)
                     * 100.0 + 0.5) / 100.0 AS sum_profit
        FROM (SELECT n_name AS nation,
                     year(CAST(o_orderdate AS DATE)) AS o_year,
@@ -855,10 +857,20 @@ def q80_tpch_q9(spark, sf_dir):
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
     )
-    profit = (
-        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-        - F.col("ps_supplycost") * F.col("l_quantity")
-    ).cast(_DEC28)
+    # profit is a DIFFERENCE, so it gets the strictest determinism
+    # treatment in the suite: cast only the CLEAN 2-decimal input
+    # columns to DECIMAL (exact in both engines) and keep every
+    # multiply/subtract in decimal. Casting any COMPUTED double to
+    # decimal diverges between engines at the 1e-12 level (Spark
+    # rounds the shortest string, DuckDB the exact binary) — harmless
+    # under 2-decimal rounding for plain revenue sums, but on a
+    # cancellation-prone difference it flipped a group landing exactly
+    # on a .xx5 boundary.
+    profit = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    ) - F.col("ps_supplycost").cast("decimal(12,2)") * F.col("l_quantity").cast(
+        "decimal(12,2)"
+    )
     return (
         joined.select(
             F.col("n_name").alias("nation"),

@@ -801,3 +801,25 @@ def test_binned_interval_join_plan_is_hash_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Join" in plan, plan
+
+
+def test_binned_interval_join_rejects_runaway_spans(spark):
+    """An interval spanning more bins than the cap must fail fast with
+    raise_error, not silently explode the stage."""
+    import pytest as _pytest
+
+    from smartpipeline_spark.operators.scale import binned_interval_join
+
+    base = "2024-01-01 00:00:00"
+    a = spark.createDataFrame([(1, 0, 400)], "a_id int, s long, e long").selectExpr(
+        "a_id",
+        f"timestampadd(SECOND, s, timestamp'{base}') AS a_start",
+        f"timestampadd(SECOND, e, timestamp'{base}') AS a_end",
+    )
+    b = spark.createDataFrame([(1, 0, 60)], "b_id int, s long, e long").selectExpr(
+        "b_id",
+        f"timestampadd(SECOND, s, timestamp'{base}') AS b_start",
+        f"timestampadd(SECOND, e, timestamp'{base}') AS b_end",
+    )
+    with _pytest.raises(Exception, match="max_bins_per_interval"):
+        binned_interval_join(a, b, bin_seconds=60, max_bins_per_interval=3).collect()
