@@ -3,7 +3,13 @@
 and flag scale smells — missing filter pushdown, unpruned scans,
 missing broadcasts, excess exchanges.
 
-Usage: python scripts/explain_plans.py [key_prefix...] [--full]
+Usage: python scripts/explain_plans.py [key_prefix...] [--full] [--check]
+
+``--check`` exits non-zero if any plan builds with an error or
+contains a nested-loop join shape (CartesianProduct /
+BroadcastNestedLoopJoin) outside the declared allowlist below —
+the one plan pathology that silently turns a working fixture query
+into an O(N*M) scan at cluster scale.
 """
 
 from __future__ import annotations
@@ -16,6 +22,21 @@ from contextlib import redirect_stdout
 sys.path.insert(0, "/root/repo")
 
 SF = "/root/testdata/sf0.01"
+
+# Keys whose docstrings DECLARE an all-pairs shape (exact baselines
+# that exist to oracle the bucketed scale paths, or an explicit
+# tiny-side cartesian). Everything else must plan hash/sort joins —
+# EXCEPT the scalar-attach idiom: joining a broadcast 1-row aggregate
+# (a keyless `Keys: []` HashAggregate) plans as a
+# BroadcastNestedLoopJoin that moves one row, which is the correct
+# way to put an in-plan total beside every row. The check therefore
+# flags CartesianProduct always, and BNLJ only in plans that contain
+# no keyless aggregate at all (no scalar frame that could justify it).
+NESTED_LOOP_ALLOWED = {
+    "q49_cross_join",  # declared tiny-side cartesian demo
+    "ext_dedup_embedding",  # O(N^2) exact baseline for semantic dedup
+    "ext_knn_bruteforce",  # O(N*Q) exact baseline for the ANN ladder
+}
 
 
 def plan_of(df) -> str:
@@ -32,7 +53,9 @@ def main():
 
     prefixes = [a for a in sys.argv[1:] if not a.startswith("--")] or None
     full = "--full" in sys.argv
+    check = "--check" in sys.argv
     spark = get_spark("explain")
+    violations = []
     for key, fn in sorted(entrymod.queries().items()):
         if prefixes and not any(key.startswith(p) for p in prefixes):
             continue
@@ -40,23 +63,52 @@ def main():
             p = plan_of(fn(spark, SF))
         except Exception as e:
             print(f"{key}: ERROR {e}")
+            violations.append(f"{key}: plan build error: {e}")
             continue
         n_exchange = len(re.findall(r"\bExchange\b", p))
+        n_reused = len(re.findall(r"ReusedExchange", p))
         n_bhj = len(re.findall(r"BroadcastHashJoin", p))
         n_smj = len(re.findall(r"SortMergeJoin", p))
-        n_wsc = len(re.findall(r"WholeStageCodegen", p))
+        n_cart = len(re.findall(r"CartesianProduct", p))
+        n_bnlj = len(re.findall(r"BroadcastNestedLoopJoin", p))
+        n_nlj = n_cart + n_bnlj
+        # scalar-attach justification: a keyless aggregate anywhere in
+        # the plan (formatted detail line "Keys: []")
+        has_scalar_agg = bool(re.search(r"Keys: \[\]", p))
+        # formatted mode tags codegen'd operators "[codegen id : N]";
+        # count distinct stage ids = number of fused codegen spans
+        n_wsc = len(set(re.findall(r"codegen id : (\d+)", p)))
         pushed = re.findall(r"PushedFilters: \[(.*?)\]", p)
         pushed_n = sum(1 for x in pushed if x.strip())
         scans = re.findall(r"ReadSchema: (.*)", p)
+        nlj_note = f" NESTEDLOOP={n_nlj}" if n_nlj else ""
         print(
-            f"{key:28s} exch={n_exchange:2d} bhj={n_bhj} smj={n_smj} "
-            f"codegen={n_wsc:2d} pushedFilterScans={pushed_n}/{len(pushed)}"
+            f"{key:28s} exch={n_exchange:2d} (reused={n_reused}) bhj={n_bhj} "
+            f"smj={n_smj} codegen={n_wsc:2d} "
+            f"pushedFilterScans={pushed_n}/{len(pushed)}{nlj_note}"
         )
+        if key not in NESTED_LOOP_ALLOWED:
+            if n_cart:
+                violations.append(
+                    f"{key}: {n_cart} CartesianProduct outside the allowlist"
+                )
+            if n_bnlj and not has_scalar_agg:
+                violations.append(
+                    f"{key}: {n_bnlj} BroadcastNestedLoopJoin with no "
+                    "scalar aggregate in plan (not a scalar attach)"
+                )
         if full:
             for s in scans:
                 print(f"    scan: {s.strip()[:120]}")
             print(p)
     spark.stop()
+    if check and violations:
+        print("PLAN CHECK FAILED:")
+        for v in violations:
+            print(f"  {v}")
+        sys.exit(1)
+    if check:
+        print("PLAN CHECK OK")
 
 
 if __name__ == "__main__":

@@ -27,6 +27,7 @@ from smartpipeline_spark.operators.relational import _sql_dsum2, dsum2
 
 _SINK = "_ext_stream_tumbling_sink"
 _SESSION_SINK = "_ext_stream_session_sink"
+_SLIDING_SINK = "_ext_stream_sliding_sink"
 
 
 def _staged_event_stream(spark, sf_dir):
@@ -123,6 +124,42 @@ def ext_stream_tumbling(spark, sf_dir) -> DataFrame:
     # complete mode so the final trigger emits every window (append
     # would withhold windows not yet past the terminal watermark)
     return _run_to_memory(spark, agg, _SINK)
+
+
+@ext_query(
+    "ext_stream_sliding",
+    """SELECT strftime(time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+                      - k * INTERVAL 15 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type, COUNT(*) AS n_events
+       FROM events, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) t
+       GROUP BY window_start, event_type""",
+)
+def ext_stream_sliding(spark, sf_dir) -> DataFrame:
+    """Sliding 1h/15min windows executed as a REAL streaming query —
+    the overlapping-assignment window class (each event owned by
+    exactly 4 windows), completing the streaming triad beside
+    ext_stream_tumbling (non-overlapping) and ext_stream_session
+    (stateful-merging).  Run to completion under availableNow against
+    the same generate_series enumeration oracle as batch q22b.  Same
+    harness contract: availableNow + complete-mode memory sink is the
+    verification harness; unbounded, the 1h watermark expires a
+    window's state once the frontier passes its END (the engine keeps
+    ~4x tumbling state — the overlap factor — which is why production
+    slides should divide the width coarsely, not per-minute)."""
+    stream = _staged_event_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+    return _run_to_memory(spark, agg, _SLIDING_SINK)
 
 
 @ext_query(
