@@ -304,3 +304,27 @@ def test_dsir_scoring_is_map_side(spark):
     plan = _plan(dsir_scores(raw, dsir_logratio(raw, target)))
     assert "Generate" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_no_undeclared_nested_loop_joins_in_relational_inventory(spark, queries):
+    """Global guard over every lazily-planned relational key (q*): no
+    CartesianProduct anywhere except the declared q49 demo, and any
+    BroadcastNestedLoopJoin must be the scalar-attach idiom (a keyless
+    `Keys: []` aggregate exists in the plan to supply the 1-row side).
+    This is the plan pathology that passes every value check on
+    fixtures and becomes an O(N*M) scan at cluster scale; the per-key
+    tests above pin specific shapes, this pins the inventory-wide
+    invariant (scripts/explain_plans.py --check is the full-registry
+    twin covering the eager ext_* keys too)."""
+    for key, fn in sorted(queries.items()):
+        if not key.startswith("q"):
+            continue  # ext_* keys build indexes eagerly; script covers them
+        if key == "q49_cross_join":
+            continue  # the declared tiny-side cartesian demo
+        p = _plan(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in p, f"{key} plans a cartesian"
+        if "BroadcastNestedLoopJoin" in p:
+            assert re.search(r"Keys: \[\]", p), (
+                f"{key} plans a BroadcastNestedLoopJoin with no scalar "
+                "aggregate side"
+            )
