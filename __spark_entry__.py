@@ -3,7 +3,8 @@
 ``entry(spark)`` runs the flagship query (TPC-H Q1 shape, built
 through the engine's Pipeline surface) on sf0.001. ``queries()`` /
 ``oracle_sql()`` expose the full declared inventory from SURVEY.md §2
-(relational Q1–Q61 plus the training-data extension operators —
+(relational Q1–Q83 incl. all 22 TPC-H queries, plus the
+training-data extension operators —
 dedup/similarity/text/curation/multimodal/streaming), each
 oracle-checked against DuckDB at sf0.01 unless inherently
 non-SQL-expressible (full SQL text mirrored in queries/*.sql).
@@ -67,7 +68,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # construction — same broadcast-path equality, lower information).
 # Finally the REAL streaming session-window query replaces its batch
 # twin q23 (identical oracle, strictly harder execution path) — the
-# same upgrade ext_stream_tumbling made over batch q22.
+# same upgrade ext_stream_tumbling made over batch q22. With
+# ext_stream_sliding the triad of streaming window classes is
+# complete, and it takes the slot of q17_window_lag (q15 keeps the
+# window-function representation; lag/first_value/nth_value stay
+# sweep-verified outside the window).
 _WINDOW = (
     "q02_sink_roundtrip", "ext_dedup_incremental",
     "q06_join_broadcast",
@@ -76,7 +81,7 @@ _WINDOW = (
     "q11_agg_pricing_summary",
     "q13b_grouping_sets", "q28_percentiles",
     "q58_merge_upsert", "q46_recursive_cte",
-    "q15_window_topk", "ext_substring_dedup", "q17_window_lag",
+    "q15_window_topk", "ext_substring_dedup", "ext_stream_sliding",
     "q20_intersect_except", "q41_gapfill",
     "q60_scd2", "q61_snapshot_diff", "q59_ohlc_downsample",
     "ext_pack_sequences", "ext_pack_emit", "ext_mixture_sample",
