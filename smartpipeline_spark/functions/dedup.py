@@ -714,11 +714,37 @@ def ext_winnow(spark, sf_dir):
     index in jaccard_pairs.
 
     The k-gram hash is md5-derived ONLY for cross-engine oracle
-    parity; at production scale swap the hash lambda for
-    ``xxhash64(substring(s, i, k))`` — same plan, ~5-10x cheaper per
-    k-gram, and the winnowing guarantees don't care which hash."""
+    parity; production corpora should pass ``hash_fn="xxhash64"`` to
+    :func:`winnow_fingerprints` — same plan, ~5-10x cheaper per
+    k-gram, and the winnowing guarantees don't care which hash
+    (pinned by tests/test_extensions.py on both variants)."""
     d = sources.table(spark, "documents", sf_dir)
-    k, w = WINNOW_K, WINNOW_W
+    return winnow_fingerprints(d)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(doc_id, text) → (doc_id, fp) winnowed fingerprint index.
+
+    ``hash_fn="md5"`` (default) truncates md5 to 32 bits — chosen so
+    the DuckDB oracle can reproduce the exact fingerprints.
+    ``hash_fn="xxhash64"`` is the production choice: one JVM xxhash64
+    per k-gram instead of a full md5 + hex + conv chain, same plan
+    shape and identical winnowing guarantees (detection of shared
+    substrings >= w+k-1, density ~2/(w+1))."""
+    if hash_fn == "md5":
+        kgram = (
+            f"cast(conv(substring(md5(substring(s, i, {k})), 1, 8), 16, 10)"
+            " AS bigint)"
+        )
+    elif hash_fn == "xxhash64":
+        kgram = f"xxhash64(substring(s, i, {k}))"
+    else:  # fail loudly: a typo'd hash silently changing fps is a trap
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     # both the normalized string and the hash array are bound ONCE per
     # row to lambda variables (the shingle_array_expr lesson: inlining
     # lower(trim(text)) into the per-kgram lambda re-normalizes the
@@ -727,15 +753,13 @@ def ext_winnow(spark, sf_dir):
         f"""transform(array(lower(trim(text))), s ->
               transform(array(transform(
                   sequence(1, greatest(length(s) - {k - 1}, 0)),
-                  i -> cast(conv(substring(md5(substring(s, i, {k})), 1, 8), 16, 10) AS bigint))),
+                  i -> {kgram})),
                 h -> CASE WHEN size(h) >= {w}
                      THEN transform(sequence(0, size(h) - {w}),
                                     j -> array_min(slice(h, j + 1, {w})))
                      ELSE CAST(array() AS array<bigint>) END)[0])[0]"""
     )
-    return (
-        d.select("doc_id", F.explode(fps).alias("fp")).distinct()
-    )
+    return df.select("doc_id", F.explode(fps).alias("fp")).distinct()
 
 
 def overlap_pairs(

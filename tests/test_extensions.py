@@ -859,3 +859,47 @@ def test_substring_strip_keeps_first_occurrence_only(spark):
         ]
     )
     assert duplicate_spans(cleaned, k=8).count() == 0
+
+
+def test_winnow_xxhash_variant_same_guarantees_and_plan(spark):
+    """The production hash swap (md5 -> xxhash64) must preserve the
+    two winnowing guarantees (long-shared-substring detection, 1-char
+    edit robustness) and the row-local plan shape; and an unknown
+    hash_fn must fail loudly rather than silently change fingerprints."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    import pytest as _pytest
+
+    from smartpipeline_spark.functions.dedup import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog and keeps on running far away"
+    edited = base.replace("lazy", "hazy")
+    df = spark.createDataFrame(
+        [{"doc_id": 1, "text": base}, {"doc_id": 2, "text": edited},
+         {"doc_id": 3, "text": "completely different content with nothing in common here at all"}]
+    )
+    out = winnow_fingerprints(df, hash_fn="xxhash64")
+    fps = {1: set(), 2: set(), 3: set()}
+    for r in out.collect():
+        fps[r.doc_id].add(r.fp)
+    shared = fps[1] & fps[2]
+    assert len(shared) >= 1
+    assert len(shared) / len(fps[1]) > 0.5
+    assert len(fps[1] & fps[3]) <= 1
+    # same plan shape as the md5 variant: no md5 anywhere, one
+    # Generate (the final explode), fused into the scan stage
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "md5" not in plan
+    assert "xxhash64" in plan.lower()
+    # one explode: count distinct Generate node ids (tree + details
+    # repeat ids) in the final plan only (AQE appends an Initial Plan
+    # section that re-lists every node under fresh ids)
+    final = plan.split("Initial Plan")[0]
+    assert len(re.findall(r"Generate \(\d+\)", final)) == 1
+    with _pytest.raises(ValueError, match="hash_fn"):
+        winnow_fingerprints(df, hash_fn="sha1")
