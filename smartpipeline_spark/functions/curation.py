@@ -1144,6 +1144,50 @@ def export_tar_shards(
     )
 
 
+def read_tar_shards(spark, path: str) -> DataFrame:
+    """Distributed reader twin of :func:`export_tar_shards`: scan the
+    shard directory with the binaryFile source (one row per tar, so
+    shards parallelize across executors exactly like any file scan)
+    and unpack members in an Arrow-batched mapInPandas — returns
+    (shard, key, ext, data) with ``data`` the raw member bytes.
+
+    The trainer-side contract this verifies: what the sink wrote is
+    recoverable bit-exactly by any reader that can list the directory
+    — no driver-side unpacking, no member-name conventions beyond
+    ``{key}.{ext}``. Filter/selection pushdown applies to the FILE
+    level (shard pruning by path); member-level projection happens
+    after the unpack."""
+    import io as _io
+    import os
+    import re as _re
+    import tarfile
+
+    def _unpack(batches):
+        for pdf in batches:
+            out = {"shard": [], "key": [], "ext": [], "data": []}
+            for row in pdf.itertuples(index=False):
+                m = _re.search(r"shard-(\d+)\.tar$", row.path)
+                sid = int(m.group(1)) if m else -1
+                with tarfile.open(fileobj=_io.BytesIO(row.content)) as tar:
+                    for mem in tar.getmembers():
+                        key, _, ext = mem.name.rpartition(".")
+                        out["shard"].append(sid)
+                        out["key"].append(key)
+                        out["ext"].append(ext)
+                        out["data"].append(tar.extractfile(mem).read())
+            yield pd.DataFrame(out)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*.tar")
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(
+        _unpack, schema="shard bigint, key string, ext string, data binary"
+    )
+
+
 @ext_query(
     "ext_export_shards",
     """SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
