@@ -184,6 +184,22 @@ def main():
         "exported:",
         {k: v["rows"] for k, v in sorted(manifest["splits"].items())},
     )
+
+    # 12. tar-shard the train split for sequential-read training
+    #     loaders (WebDataset layout, byte-deterministic shards)
+    from smartpipeline_spark.functions.curation import export_tar_shards
+
+    shards = export_tar_shards(
+        back.filter(F.col("split") == "train"),
+        "/root/repo/.tmp/curated_shards",
+        members={"text": "txt"},
+        num_shards=8,
+    ).collect()
+    print(
+        f"sharded train split into {len(shards)} tars, "
+        f"{sum(s.n_samples for s in shards)} samples, "
+        f"{sum(s.payload_bytes for s in shards)} payload bytes"
+    )
     spark.stop()
 
 
