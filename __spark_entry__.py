@@ -72,7 +72,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # ext_stream_sliding the triad of streaming window classes is
 # complete, and it takes the slot of q17_window_lag (q15 keeps the
 # window-function representation; lag/first_value/nth_value stay
-# sweep-verified outside the window).
+# sweep-verified outside the window). The byte-deterministic tar-shard
+# sink ext_export_shards (stats attested from written bytes) takes
+# ext_url_stats' slot — a genuinely new surface class (binary sink)
+# vs another map-side rollup.
 _WINDOW = (
     "q02_sink_roundtrip", "ext_dedup_incremental",
     "q06_join_broadcast",
@@ -94,7 +97,7 @@ _WINDOW = (
     "ext_winnow", "ext_winnow_pairs", "ext_fuzzy_match",
     "ext_knn_bruteforce", "ext_embedding_centroids", "ext_hybrid_search",
     "ext_contamination_bloom", "ext_quality_gate", "ext_repetition",
-    "ext_url_stats",
+    "ext_export_shards",
     "ext_multimodal_decode", "ext_heavy_hitters",
     "ext_stratified_sample", "ext_bm25",
 )

@@ -59,11 +59,13 @@ BENCH_QUERIES = [
     "ext_pack_emit",
     "ext_stream_tumbling",
     # round-4 additions: incremental ingestion dedup, Bloom
-    # decontamination, ExactSubstr spans, DSIR selection
+    # decontamination, ExactSubstr spans, DSIR selection, the
+    # byte-deterministic tar-shard sink (a real write per rep)
     "ext_dedup_incremental",
     "ext_contamination_bloom",
     "ext_substring_dedup",
     "ext_dsir_select",
+    "ext_export_shards",
     # TPC-H composite flagships: the 8-table market-share join, the
     # large-volume HAVING semi-join, and the partsupp profit rollup
     # (operators/tpch.py)
