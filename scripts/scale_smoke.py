@@ -184,6 +184,49 @@ def main() -> None:
     timed("tpch_q18_replicated", tpch_q18)
     timed("tpch_q9_replicated", tpch_q9)
 
+    # --- ANN block: IVF retrieval as the embedding corpus multiplies
+    # N-fold with NEAR-duplicate vectors (each base vector gets N-1
+    # slightly perturbed twins — maximum cell crowding, the ANN analog
+    # of the near-dup corpus above). The contract under test: training
+    # stays constant-cost (bounded sample), assignment stays one linear
+    # pass, and the scored candidate volume tracks cell occupancy
+    # (linear in corpus), never all-pairs.
+    from smartpipeline_spark.functions import similarity as sim
+
+    e = sim._emb(spark, sf_dir)
+    rep_e = (
+        e.select(
+            F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("r"),
+            "vec_id",
+            "emb",
+        )
+        .select(
+            (F.col("vec_id") * n + F.col("r")).alias("vec_id"),
+            F.expr(
+                "transform(emb, (x, i) -> x * (1.0 + 0.002 * r"
+                " * (CAST(i % 3 AS DOUBLE) - 1.0)))"
+            ).alias("emb"),
+        )
+        .repartition(32)
+        .persist()
+    )
+    counts["ann_corpus_vectors"] = rep_e.count()
+
+    def ann_ivf_topk():
+        cents = sim._ivf_centroids(rep_e)
+        keyed = sim._ivf_keyed(rep_e, cents)
+        probe = sim._ivf_cells_udf(cents, sim._IVF_NPROBE)
+        q = rep_e.filter(
+            (F.col("vec_id") % n == 0) & (F.col("vec_id") < sim.N_QUERIES * n)
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.explode(probe(F.col("emb"))).alias("cell"),
+        )
+        return sim._exact_topk(sim._ivf_candidates(keyed, q)).count()
+
+    timed("ann_ivf_topk", ann_ivf_topk)
+
     print(
         json.dumps(
             {"n_docs": n_docs, "replicas": n, "timings": timings, "counts": counts}
