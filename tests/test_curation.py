@@ -701,3 +701,36 @@ def test_read_tar_shards_roundtrip(spark, tmp_path):
     assert {r.shard: r.n for r in per_shard} == {
         s.shard: s.n_samples * 2 for s in stats
     }
+
+
+def test_export_tar_shards_append_stable(spark, tmp_path):
+    """The md5-bucket contract: exporting a SUPERSET corpus never
+    moves an existing key to a different shard, and the original
+    keys' member bytes are identical in the superset's shards."""
+    import tarfile
+
+    from smartpipeline_spark.functions.curation import export_tar_shards
+
+    base = [{"doc_id": i, "text": f"body {i}"} for i in range(30)]
+    more = base + [{"doc_id": 100 + i, "text": f"late arrival {i}"} for i in range(10)]
+    p1, p2 = str(tmp_path / "base"), str(tmp_path / "more")
+    df1 = spark.createDataFrame(base, "doc_id long, text string")
+    df2 = spark.createDataFrame(more, "doc_id long, text string")
+    export_tar_shards(df1, p1, {"text": "txt"}, num_shards=4).collect()
+    export_tar_shards(df2, p2, {"text": "txt"}, num_shards=4).collect()
+
+    def members(path):
+        out = {}
+        import glob
+
+        for f in sorted(glob.glob(f"{path}/shard-*.tar")):
+            sid = int(f.rsplit("-", 1)[1].split(".")[0])
+            with tarfile.open(f) as tar:
+                for m in tar.getmembers():
+                    out[m.name] = (sid, tar.extractfile(m).read())
+        return out
+
+    m1, m2 = members(p1), members(p2)
+    for name, (sid, data) in m1.items():
+        assert m2[name] == (sid, data)  # same shard, same bytes
+    assert len(m2) == len(m1) + 10
