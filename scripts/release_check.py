@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""One-command green-ness gate: chains the four verification surfaces
+in cheap-to-expensive order and stops at the first failure.
+
+    python scripts/release_check.py [--fast]
+
+1. pytest tests/ (full suite; ~8 min)
+2. scripts/check_oracles.py at sf0.01 (the driver's own comparison;
+   ~4 min)
+3. scripts/explain_plans.py --check (no undeclared nested-loop plans;
+   ~10 min — skipped with --fast)
+4. bench.py (one measured pass so a pathological slowdown surfaces;
+   ~7 min — skipped with --fast)
+
+Exit code 0 = every stage passed. Each stage streams its own output;
+this wrapper only sequences and summarizes.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+
+STAGES = [
+    ("pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"]),
+    (
+        "oracles@sf0.01",
+        [sys.executable, "scripts/check_oracles.py", "/root/testdata/sf0.01"],
+    ),
+    ("plan-check", [sys.executable, "scripts/explain_plans.py", "--check"]),
+    ("bench", [sys.executable, "bench.py"]),
+]
+
+
+def main() -> int:
+    fast = "--fast" in sys.argv
+    stages = STAGES[:2] if fast else STAGES
+    results = []
+    for name, cmd in stages:
+        t0 = time.monotonic()
+        rc = subprocess.call(cmd, cwd="/root/repo")
+        dt = round(time.monotonic() - t0, 1)
+        results.append((name, rc, dt))
+        print(f"[release_check] {name}: {'PASS' if rc == 0 else 'FAIL'} ({dt}s)")
+        if rc != 0:
+            break
+    print("[release_check] summary:")
+    for name, rc, dt in results:
+        print(f"  {name:16s} {'PASS' if rc == 0 else 'FAIL':4s} {dt:8.1f}s")
+    return 0 if all(rc == 0 for _, rc, _ in results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
