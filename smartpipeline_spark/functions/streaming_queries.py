@@ -28,6 +28,7 @@ from smartpipeline_spark.operators.relational import _sql_dsum2, dsum2
 _SINK = "_ext_stream_tumbling_sink"
 _SESSION_SINK = "_ext_stream_session_sink"
 _SLIDING_SINK = "_ext_stream_sliding_sink"
+_JOIN_SINK = "_ext_stream_join_sink"
 
 
 def _staged_event_stream(spark, sf_dir):
@@ -160,6 +161,53 @@ def ext_stream_sliding(spark, sf_dir) -> DataFrame:
         )
     )
     return _run_to_memory(spark, agg, _SLIDING_SINK)
+
+
+@ext_query(
+    "ext_stream_join",
+    """SELECT l.event_id AS click_id, r.event_id AS view_id
+       FROM events l JOIN events r
+         ON l.user_id = r.user_id
+        AND l.event_type = 'click' AND r.event_type = 'view'
+        AND CAST(r.ts AS TIMESTAMP)
+            BETWEEN CAST(l.ts AS TIMESTAMP) - INTERVAL 10 MINUTE
+                AND CAST(l.ts AS TIMESTAMP)""",
+)
+def ext_stream_join(spark, sf_dir) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join as a real streaming
+    query — the fourth attested streaming class beside the three
+    window shapes: clicks pair with same-user views from the
+    preceding 10 minutes, both sides watermarked so join state
+    evicts past the horizon (the property that lets this run with
+    bounded memory on unbounded input; inner-join matches emit as
+    soon as both rows arrive, the watermark only gates eviction).
+    Drained with availableNow in append mode (the only output mode
+    stream-stream joins support) against the plain batch interval
+    join as the DuckDB oracle."""
+    from smartpipeline_spark.streaming import interval_join
+
+    stream = _staged_event_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    views = stream.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    joined = interval_join(
+        clicks, views, key="user_id", ts_col="ts", within="10 minutes"
+    ).select("l.click_id", "r.view_id")
+    for q in spark.streams.active:
+        if q.name == _JOIN_SINK:
+            q.stop()
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(_JOIN_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_JOIN_SINK)
 
 
 @ext_query(
