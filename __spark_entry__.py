@@ -75,7 +75,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # sweep-verified outside the window). The byte-deterministic tar-shard
 # sink ext_export_shards (stats attested from written bytes) takes
 # ext_url_stats' slot — a genuinely new surface class (binary sink)
-# vs another map-side rollup.
+# vs another map-side rollup. The stream-stream interval join
+# ext_stream_join (the join-state streaming class) takes ext_bm25's
+# slot: the in-window hybrid-search key CONTAINS the full BM25
+# pipeline as its lexical leg (plus RRF fusion), so bm25 alone was
+# the window's last strict-subset member.
 _WINDOW = (
     "q02_sink_roundtrip", "ext_dedup_incremental",
     "q06_join_broadcast",
@@ -99,7 +103,7 @@ _WINDOW = (
     "ext_contamination_bloom", "ext_quality_gate", "ext_repetition",
     "ext_export_shards",
     "ext_multimodal_decode", "ext_heavy_hitters",
-    "ext_stratified_sample", "ext_bm25",
+    "ext_stratified_sample", "ext_stream_join",
 )
 
 
