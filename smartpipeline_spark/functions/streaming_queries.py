@@ -29,6 +29,7 @@ _SINK = "_ext_stream_tumbling_sink"
 _SESSION_SINK = "_ext_stream_session_sink"
 _SLIDING_SINK = "_ext_stream_sliding_sink"
 _JOIN_SINK = "_ext_stream_join_sink"
+_DEDUP_SINK = "_ext_stream_dedup_sink"
 
 
 def _staged_event_stream(spark, sf_dir):
@@ -208,6 +209,41 @@ def ext_stream_join(spark, sf_dir) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(_JOIN_SINK)
+
+
+@ext_query(
+    "ext_stream_dedup",
+    """SELECT DISTINCT user_id, event_type FROM events""",
+)
+def ext_stream_dedup(spark, sf_dir) -> DataFrame:
+    """Stateful streaming DEDUP as a real streaming query — the
+    stateful-distinct class beside windows and the stream-stream
+    join: ``dropDuplicates`` keeps the first (user_id, event_type)
+    arrival and suppresses every later one, draining to exactly the
+    batch DISTINCT. This variant keeps keys forever (state = key
+    cardinality — here a few hundred pairs; the right choice when the
+    key space is bounded, e.g. entity ids); for unbounded key spaces
+    production uses ``dropDuplicatesWithinWatermark`` (state evicted
+    past the horizon, pytest-covered in tests/test_streaming.py)
+    whose time-bounded semantics intentionally differ from batch
+    DISTINCT, which is why THIS key, not that one, carries the
+    oracle."""
+    stream = _staged_event_stream(spark, sf_dir)
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    for q in spark.streams.active:
+        if q.name == _DEDUP_SINK:
+            q.stop()
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(_DEDUP_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_DEDUP_SINK)
 
 
 @ext_query(
