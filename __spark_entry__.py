@@ -79,14 +79,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # ext_stream_join (the join-state streaming class) takes ext_bm25's
 # slot: the in-window hybrid-search key CONTAINS the full BM25
 # pipeline as its lexical leg (plus RRF fusion), so bm25 alone was
-# the window's last strict-subset member.
+# the window's last strict-subset member. Round 5 continues the
+# rotation with the four round-4 flagships born outside the window:
+# TPC-H Q21 (double-correlated EXISTS/NOT-EXISTS) replaces
+# q30_correlated_exists (the isolated shape it strictly subsumes);
+# TPC-H Q2 (min-cost-supplier correlated scalar subquery) replaces
+# q24_udf_stage (q24b keeps the UDF-chain representation and contains
+# the single-UDF stage); q62_table_profile (6-column profile union)
+# replaces q28_percentiles (its min/max/distinct profile legs cover
+# the rollup shape; exact percentile_disc stays sweep-verified); and
+# the fifth streaming class ext_stream_dedup (stateful
+# dropDuplicates-with-watermark) replaces ext_dedup_exact, whose
+# exact-dedup path ext_dedup_incremental's anti-join leg already
+# exercises in-window.
 _WINDOW = (
     "q02_sink_roundtrip", "ext_dedup_incremental",
     "q06_join_broadcast",
     "q67_tpch_q8", "q75_interval_join",
     "q38_tpch_q5", "q73_tpch_q18",
     "q11_agg_pricing_summary",
-    "q13b_grouping_sets", "q28_percentiles",
+    "q13b_grouping_sets", "q62_table_profile",
     "q58_merge_upsert", "q46_recursive_cte",
     "q15_window_topk", "ext_substring_dedup", "ext_stream_sliding",
     "q20_intersect_except", "q41_gapfill",
@@ -94,9 +106,9 @@ _WINDOW = (
     "ext_pack_sequences", "ext_pack_emit", "ext_mixture_sample",
     "ext_dsir_select", "ext_stream_tumbling",
     "q53_funnel", "ext_stream_session",
-    "q24b_udf_chain_throughput", "q30_correlated_exists",
-    "q24_udf_stage", "q36_asof_join",
-    "ext_dedup_exact", "ext_dedup_ngram_jaccard", "ext_dedup_embedding",
+    "q24b_udf_chain_throughput", "q78_tpch_q21",
+    "q79_tpch_q2", "q36_asof_join",
+    "ext_stream_dedup", "ext_dedup_ngram_jaccard", "ext_dedup_embedding",
     "ext_dedup_clusters", "ext_chunk_dedup",
     "ext_winnow", "ext_winnow_pairs", "ext_fuzzy_match",
     "ext_knn_bruteforce", "ext_embedding_centroids", "ext_hybrid_search",
@@ -126,10 +138,15 @@ ROWS_ONLY_ATTESTATIONS = {
         "test_ivf_ann_recall_against_bruteforce",
         "test_ivf_saved_index_matches_inline_and_prunes_partitions",
     ],
-    "ext_knn_pq": ["test_pq_ann_recall_against_bruteforce"],
+    "ext_knn_pq": [
+        "test_pq_ann_recall_against_bruteforce",
+        "test_pq_saved_index_matches_inline_and_prunes_partitions",
+        "test_pq_append_equals_rebuild_and_flags_drift",
+    ],
     "ext_knn_ivfpq": [
         "test_ivfpq_ann_recall_tracks_ivf_ceiling",
         "test_ivfpq_scans_only_probed_cells",
+        "test_pq_saved_index_matches_inline_and_prunes_partitions",
     ],
     "ext_bpe_train": ["test_bpe_training_matches_reference_implementation"],
     "ext_multimodal_resize": ["test_multimodal_resize_and_frames_queries"],

@@ -22,6 +22,6 @@ WITH t AS (
                                          (start_off + tokens - 1) // 512)) AS s) s
          WHERE tokens > 0)
        SELECT seq_id,
-              flatten(list(chunk ORDER BY off)) AS tokens,
-              len(flatten(list(chunk ORDER BY off))) AS n_tokens
+              array_to_string(flatten(list(chunk ORDER BY off)), ' ') AS tokens,
+              CAST(len(flatten(list(chunk ORDER BY off))) AS BIGINT) AS n_tokens
        FROM spans GROUP BY seq_id

@@ -17,11 +17,11 @@ WITH old AS (SELECT c_custkey AS custkey, c_name AS name,
               CASE WHEN o.custkey IS NULL THEN 'insert'
                    WHEN n.custkey IS NULL THEN 'delete'
                    ELSE 'update' END AS change_type,
-              CASE WHEN o.custkey IS NULL OR n.custkey IS NULL THEN []::VARCHAR[]
-                   ELSE list_filter(
+              CASE WHEN o.custkey IS NULL OR n.custkey IS NULL THEN ''
+                   ELSE array_to_string(list_filter(
                      [CASE WHEN o.name IS DISTINCT FROM n.name THEN 'name' END,
                       CASE WHEN o.acctbal IS DISTINCT FROM n.acctbal THEN 'acctbal' END],
-                     x -> x IS NOT NULL) END AS changed_cols,
+                     x -> x IS NOT NULL), ',') END AS changed_cols,
               o.acctbal AS old_acctbal, n.acctbal AS new_acctbal
        FROM old o FULL OUTER JOIN new n ON o.custkey = n.custkey
        WHERE o.custkey IS NULL OR n.custkey IS NULL

@@ -1091,6 +1091,15 @@ def export_tar_shards(
 
     members = members or {"text": "txt"}
     os.makedirs(path, exist_ok=True)
+    # The directory must equal the attestation frame after the run: a
+    # shard that is empty THIS run writes no file, so a stale tar from
+    # a prior run over a different corpus would silently disagree with
+    # the returned stats. Clear matching shard files up front (driver
+    # side, same fs contract as the makedirs above).
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(path, "shard-*.tar")):
+        os.remove(stale)
     cols = [key_col, *members]
     mem_items = sorted(members.items())  # deterministic member order
 
@@ -1192,7 +1201,7 @@ def read_tar_shards(spark, path: str) -> DataFrame:
     "ext_export_shards",
     """SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
               COUNT(*) AS n_samples,
-              SUM(strlen(text)) AS payload_bytes
+              CAST(SUM(strlen(text)) AS BIGINT) AS payload_bytes
        FROM documents GROUP BY shard""",
 )
 def ext_export_shards(spark, sf_dir):
@@ -1556,14 +1565,21 @@ def emit_packed(
                                          (start_off + tokens - 1) // 512)) AS s) s
          WHERE tokens > 0)
        SELECT seq_id,
-              flatten(list(chunk ORDER BY off)) AS tokens,
-              len(flatten(list(chunk ORDER BY off))) AS n_tokens
+              array_to_string(flatten(list(chunk ORDER BY off)), ' ') AS tokens,
+              CAST(len(flatten(list(chunk ORDER BY off))) AS BIGINT) AS n_tokens
        FROM spans GROUP BY seq_id""",
 )
 def ext_pack_emit(spark, sf_dir):
     """Oracle is the naive single-window placement plus the same
     span-slice reassembly — DuckDB affords the global window at
     sf0.01; Spark must emit bit-identical sequences from the
-    bucketed decomposition."""
+    bucketed decomposition. The REGISTERED query space-joins the
+    token array to a flat string (and only it — :func:`emit_packed`
+    keeps returning real arrays) because the driver's pandas
+    canonicalizer cannot sort/hash list cells."""
     d = sources.table(spark, "documents", sf_dir)
-    return emit_packed(d)
+    return emit_packed(d).select(
+        "seq_id",
+        F.array_join("tokens", " ").alias("tokens"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )

@@ -543,6 +543,109 @@ def _pq_encode_udf(books: np.ndarray):
     return enc
 
 
+def _query_matrix(df: DataFrame, id_col: str = "vec_id", emb_col: str = "emb"):
+    """BOUNDED driver collect of the query batch (ANN queries arrive
+    in small batches by contract — same bound as query_ivf_index's
+    probe collect), returned as (ids, row-normalized matrix) sorted by
+    id for determinism."""
+    qrows = sorted(df.select(id_col, emb_col).collect(), key=lambda r: r[id_col])
+    qids = np.array([r[id_col] for r in qrows])
+    qm = np.stack([np.array(r[emb_col], dtype=np.float64) for r in qrows])
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True) + 1e-12
+    return qids, qm
+
+
+def _adc_tables(qm: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """ADC lookup tables T[q, j, c] = <query_j, codebook_{j,c}> —
+    (Q, m, k) doubles, closure-broadcast to the scoring kernel."""
+    m_, ds = books.shape[0], books.shape[2]
+    return np.stack(
+        [qm[:, j * ds : (j + 1) * ds] @ books[j].T for j in range(m_)], axis=1
+    )
+
+
+def _probe_cells(qm: np.ndarray, qids: np.ndarray, cents: np.ndarray, nprobe: int):
+    """Per-query probed coarse cells, driver-side (Q x nprobe ints):
+    {query_id -> cell set} for the kernel's mask plus the sorted union
+    for the partition-prunable scan filter."""
+    sims = qm @ cents.T
+    probe = np.argsort(-sims, axis=1)[:, :nprobe]
+    probed_sets = {int(q): set(map(int, row)) for q, row in zip(qids, probe)}
+    all_probed = sorted({c for s in probed_sets.values() for c in s})
+    return probed_sets, all_probed
+
+
+def _adc_score_fn(tables: np.ndarray, qids: np.ndarray, rerank: int, probed_sets=None):
+    """The ONE ADC scoring kernel every PQ path runs (inline
+    ext_knn_pq / ext_knn_ivfpq and the saved-index query path —
+    equality between them is pytest-pinned, and a divergent copy here
+    would break it silently): per Arrow batch, score = m table
+    gathers over the codes, optionally mask rows outside each query's
+    probed cells, keep the per-batch top ``rerank`` INCLUDING rows
+    tied with the boundary score. Keeping boundary ties makes the
+    candidate set invariant to batching: duplicate code rows produce
+    exact ADC ties, and an arbitrary per-batch tie cut would let the
+    final ranking depend on partition layout — the global
+    (score desc, neighbor_id) cut in :func:`_adc_rerank` then selects
+    the same rows under ANY partitioning."""
+    m_ = tables.shape[1]
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):  # empty Arrow batch: np.stack would raise
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # (B, m)
+            vids = pdf["vec_id"].to_numpy()
+            acc = np.zeros((len(qids), len(codes)))
+            for j in range(m_):
+                acc += tables[:, j, codes[:, j]]
+            # self-matches are masked HERE, not filtered downstream: a
+            # self row surviving to the per-batch cut would consume a
+            # top-``rerank`` slot and push the true boundary candidate
+            # out in large batches only — breaking batching invariance
+            acc[qids[:, None] == vids[None, :]] = -np.inf
+            if probed_sets is not None:
+                cells = pdf["cell"].to_numpy()
+                for qi, q in enumerate(qids):
+                    mask = np.array(
+                        [c not in probed_sets[int(q)] for c in cells]
+                    )
+                    acc[qi, mask] = -np.inf
+            top = min(rerank, len(codes))
+            kth = -np.partition(-acc, top - 1, axis=1)[:, top - 1]
+            keep = np.isfinite(acc) & (acc >= kth[:, None])
+            qidx, vidx = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[qidx],
+                    "neighbor_id": vids[vidx],
+                    "pq_score": acc[qidx, vidx],
+                }
+            )
+
+    return score
+
+
+def _adc_rerank(cand: DataFrame, vectors: DataFrame, q: DataFrame, rerank: int) -> DataFrame:
+    """Shared exact-re-rank tail of every PQ path: global per-query
+    top-R cut on the ADC score, join the (tiny) survivor set back to
+    full vectors, exact cosine top-k."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col("neighbor_id")
+    )
+    top_cand = (
+        cand.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    full = (
+        top_cand.join(vectors, top_cand.neighbor_id == vectors.vec_id)
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "q_emb", "neighbor_id", "emb")
+    )
+    return _exact_topk(full)
+
+
 @ext_query("ext_knn_pq")  # recall-tested in pytest against brute force
 def ext_knn_pq(spark, sf_dir):
     """PQ ANN with asymmetric distance computation (ADC) + exact
@@ -561,58 +664,16 @@ def ext_knn_pq(spark, sf_dir):
     enc = _pq_encode_udf(books)
     codes_df = e.select("vec_id", enc(F.col("emb")).alias("codes"))
 
-    qrows = sorted(
-        e.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "emb").collect(),
-        key=lambda r: r["vec_id"],
-    )
-    qids = np.array([r["vec_id"] for r in qrows])
-    qm = np.stack([np.array(r["emb"], dtype=np.float64) for r in qrows])
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True) + 1e-12
-    m_, ds = books.shape[0], books.shape[2]
-    # ADC tables: T[q, j, c] = <query_j, codebook_{j,c}>
-    tables = np.stack(
-        [qm[:, j * ds : (j + 1) * ds] @ books[j].T for j in range(m_)], axis=1
-    )
-    rerank = _PQ_RERANK
-
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):  # empty Arrow batch: np.stack would raise
-                continue
-            codes = np.stack(pdf["codes"].to_numpy())  # (B, m)
-            vids = pdf["vec_id"].to_numpy()
-            acc = np.zeros((tables.shape[0], len(codes)))
-            for j in range(m_):
-                acc += tables[:, j, codes[:, j]]
-            top = min(rerank, len(codes))
-            idx = np.argpartition(-acc, top - 1, axis=1)[:, :top]
-            out = {
-                "query_id": np.repeat(qids, top),
-                "neighbor_id": vids[idx].ravel(),
-                "pq_score": np.take_along_axis(acc, idx, axis=1).ravel(),
-            }
-            yield pd.DataFrame(out)
-
+    qids, qm = _query_matrix(e.filter(F.col("vec_id") < N_QUERIES))
+    tables = _adc_tables(qm, books)
     cand = codes_df.mapInPandas(
-        score, "query_id long, neighbor_id long, pq_score double"
+        _adc_score_fn(tables, qids, _PQ_RERANK),
+        "query_id long, neighbor_id long, pq_score double",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("pq_score").desc(), F.col("neighbor_id")
-    )
-    top_cand = (
-        cand.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= rerank)
-        .select("query_id", "neighbor_id")
-    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
-    full = (
-        top_cand.join(e, top_cand.neighbor_id == e.vec_id)
-        .join(F.broadcast(q), "query_id")
-        .select("query_id", "q_emb", "neighbor_id", "emb")
-    )
-    return _exact_topk(full)
+    return _adc_rerank(cand, e, q, _PQ_RERANK)
 
 
 @ext_query("ext_knn_ivfpq")  # recall-tested in pytest against brute force
@@ -636,72 +697,248 @@ def ext_knn_ivfpq(spark, sf_dir):
         "vec_id", "cell", enc(F.col("emb")).alias("codes")
     )
 
-    qrows = sorted(
-        e.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "emb").collect(),
-        key=lambda r: r["vec_id"],
-    )
-    qids = np.array([r["vec_id"] for r in qrows])
-    qm = np.stack([np.array(r["emb"], dtype=np.float64) for r in qrows])
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True) + 1e-12
-    m_, ds = books.shape[0], books.shape[2]
-    tables = np.stack(
-        [qm[:, j * ds : (j + 1) * ds] @ books[j].T for j in range(m_)], axis=1
-    )
-    # per-query probed cells (driver-side: Q x nprobe ints)
-    qn = qm / (np.linalg.norm(qm, axis=1, keepdims=True) + 1e-12)
-    sims = qn @ cents.T
-    probe = np.argsort(-sims, axis=1)[:, :_IVF_NPROBE]
-    probed_sets = {int(q): set(map(int, row)) for q, row in zip(qids, probe)}
-    all_probed = sorted({c for s in probed_sets.values() for c in s})
-    rerank = _PQ_RERANK
-
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):  # cell filter makes empty batches routine
-                continue
-            codes = np.stack(pdf["codes"].to_numpy())
-            vids = pdf["vec_id"].to_numpy()
-            cells = pdf["cell"].to_numpy()
-            acc = np.zeros((len(qids), len(codes)))
-            for j in range(m_):
-                acc += tables[:, j, codes[:, j]]
-            # mask rows outside each query's probed cells
-            for qi, q in enumerate(qids):
-                mask = np.array([c not in probed_sets[int(q)] for c in cells])
-                acc[qi, mask] = -np.inf
-            top = min(rerank, len(codes))
-            idx = np.argpartition(-acc, top - 1, axis=1)[:, :top]
-            scores = np.take_along_axis(acc, idx, axis=1)
-            keep = np.isfinite(scores)
-            out = {
-                "query_id": np.repeat(qids, top)[keep.ravel()],
-                "neighbor_id": vids[idx].ravel()[keep.ravel()],
-                "pq_score": scores.ravel()[keep.ravel()],
-            }
-            yield pd.DataFrame(out)
-
+    qids, qm = _query_matrix(e.filter(F.col("vec_id") < N_QUERIES))
+    tables = _adc_tables(qm, books)
+    probed_sets, all_probed = _probe_cells(qm, qids, cents, _IVF_NPROBE)
     cand = (
         keyed.filter(F.col("cell").isin(all_probed))
-        .mapInPandas(score, "query_id long, neighbor_id long, pq_score double")
+        .mapInPandas(
+            _adc_score_fn(tables, qids, _PQ_RERANK, probed_sets),
+            "query_id long, neighbor_id long, pq_score double",
+        )
         .filter(F.col("query_id") != F.col("neighbor_id"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("pq_score").desc(), F.col("neighbor_id")
-    )
-    top_cand = (
-        cand.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= rerank)
-        .select("query_id", "neighbor_id")
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
-    full = (
-        top_cand.join(e, top_cand.neighbor_id == e.vec_id)
-        .join(F.broadcast(q), "query_id")
-        .select("query_id", "q_emb", "neighbor_id", "emb")
+    return _adc_rerank(cand, e, q, _PQ_RERANK)
+
+
+# ------------------------------------------------ persisted PQ / IVFPQ index
+
+def _pq_recon_sims(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Per-row cosine between a (normalized) vector and its PQ
+    reconstruction — the codebook-fit metric: high when the codebooks
+    were trained on this distribution, falling when the data drifts
+    away from them. Vectorized numpy (n x k matmul per subspace)."""
+    m_, ds = books.shape[0], books.shape[2]
+    recon = np.empty_like(x)
+    for j in range(m_):
+        sub = x[:, j * ds : (j + 1) * ds]
+        d2 = -2.0 * (sub @ books[j].T) + (books[j] ** 2).sum(axis=1)
+        recon[:, j * ds : (j + 1) * ds] = books[j][d2.argmin(axis=1)]
+    return (x * recon).sum(axis=1) / (np.linalg.norm(recon, axis=1) + 1e-12)
+
+
+def _pq_encode_sim_udf(books: np.ndarray):
+    """Codes + reconstruction cosine in one Arrow pass — the append
+    path needs both (codes route the row into the index; the sim
+    feeds the codebook-drift report)."""
+    m_, ds = books.shape[0], books.shape[2]
+
+    @F.pandas_udf("struct<codes:array<int>, sim:double>")
+    def enc(emb: pd.Series) -> pd.DataFrame:
+        x = np.stack(emb.to_numpy())
+        x = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
+        codes = np.empty((len(x), m_), dtype="int64")
+        for j in range(m_):
+            sub = x[:, j * ds : (j + 1) * ds]
+            d2 = -2.0 * (sub @ books[j].T) + (books[j] ** 2).sum(axis=1)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {"codes": list(codes), "sim": _pq_recon_sims(x, books)}
+        )
+
+    return enc
+
+
+def build_pq_index(e: DataFrame, path: str, with_cells: bool = False) -> dict:
+    """Materialize the PQ index the inline queries recompute: the
+    encoded corpus (vec_id, codes — m bytes of scoring payload per
+    row) written once, plus the trained codebooks as
+    ``_codebooks.json`` in the index root. ``with_cells=True`` builds
+    the composed IVFPQ layout instead (the FAISS IVFADC architecture):
+    rows additionally carry their nearest coarse centroid and the
+    parquet is PARTITIONED BY cell (with ``_centroids.json``), so a
+    query batch's scan opens only its probed cell directories.
+
+    This is the write-once form of the PQ 100 TB contract, mirroring
+    :func:`build_ivf_index`: codebooks (and centroids) train on a
+    constant-size deterministic sample, the corpus is encoded in one
+    linear pass, and every later query reads m-byte codes instead of
+    float vectors. ``_pq_fit.json`` records the training sample's mean
+    reconstruction cosine — the fit reference the append path's drift
+    report compares against. Returns the recorded fit stats."""
+    import json
+    import os
+
+    books = _pq_codebooks(e)
+    enc = _pq_encode_udf(books)
+    if with_cells:
+        cents = _ivf_centroids(e)
+        _ivf_keyed(e, cents).select(
+            "vec_id", "cell", enc(F.col("emb")).alias("codes")
+        ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    else:
+        e.select("vec_id", enc(F.col("emb")).alias("codes")).write.mode(
+            "overwrite"
+        ).parquet(path)
+    # fit reference on a HELD-OUT deterministic stride (disjoint from
+    # the % 7 == 0 training sample): k-means with k near the sample
+    # size memorizes training points (recon sim -> 1.0 at small
+    # corpora), so the training sample itself would set an
+    # unreachable reference and flag every in-distribution append as
+    # drift. The held-out slice measures generalization fit — what an
+    # append batch from the same distribution should actually score.
+    sample = (
+        e.filter(F.col("vec_id") % 7 == 1)
+        .orderBy("vec_id")
+        .limit(_IVF_SAMPLE_CAP)
+        .select("emb")
+        .collect()
     )
-    return _exact_topk(full)
+    m = np.array([r["emb"] for r in sample], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-12
+    stats = {"mean_recon_sim": float(_pq_recon_sims(m, books).mean())}
+    with open(os.path.join(path, "_codebooks.json"), "w") as fh:
+        json.dump(books.tolist(), fh)
+    if with_cells:
+        with open(os.path.join(path, "_centroids.json"), "w") as fh:
+            json.dump(cents.tolist(), fh)
+    with open(os.path.join(path, "_pq_fit.json"), "w") as fh:
+        json.dump(stats, fh)
+    return stats
+
+
+def append_to_pq_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    fit_drop_threshold: float = 0.05,
+    concentration_factor: float = 4.0,
+) -> dict:
+    """Incremental PQ maintenance, mirroring :func:`append_to_ivf_index`:
+    new vectors are encoded with the SAVED codebooks (existing codes
+    stay valid — readers see one quantizer throughout) and appended;
+    the codebooks move never. The price of never retraining is
+    codebook drift, so the append returns a drift report:
+    ``mean_recon_sim`` is the batch's mean cosine to its own PQ
+    reconstruction, compared against the build-time fit reference
+    (``fit_drop = build - batch``); on an IVFPQ layout the coarse
+    concentration signal fires too (hottest cell >
+    ``concentration_factor`` x uniform share). Either trips
+    ``retrain_recommended`` — the signal for a new build, not a
+    mutation."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_codebooks.json")) as fh:
+        books = np.array(json.load(fh))
+    with open(os.path.join(path, "_pq_fit.json")) as fh:
+        fit = json.load(fh)
+    cents_path = os.path.join(path, "_centroids.json")
+    has_cells = os.path.exists(cents_path)
+    enc = _pq_encode_sim_udf(books)
+    assigned = new_vectors.select(
+        "vec_id", "emb", enc(F.col("emb")).alias("p")
+    ).select(
+        "vec_id", "emb", F.col("p.codes").alias("codes"), F.col("p.sim").alias("sim")
+    )
+    if has_cells:
+        with open(cents_path) as fh:
+            cents = np.array(json.load(fh))
+        cell = _ivf_assign_udf(cents)
+        assigned = assigned.withColumn("cell", cell(F.col("emb")).getField("cell"))
+    assigned = assigned.persist()
+    if has_cells:
+        stats = assigned.groupBy("cell").agg(
+            F.count("*").alias("n"), F.sum("sim").alias("s")
+        ).collect()
+        n = sum(r["n"] for r in stats)
+        assigned.select("vec_id", "cell", "codes").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(path)
+    else:
+        stats = assigned.agg(
+            F.count("*").alias("n"), F.sum("sim").alias("s")
+        ).collect()
+        n = stats[0]["n"]
+        assigned.select("vec_id", "codes").write.mode("append").parquet(path)
+    assigned.unpersist()
+    mean_sim = (sum(r["s"] for r in stats) / n) if n else None
+    fit_drop = (fit["mean_recon_sim"] - mean_sim) if n else 0.0
+    max_frac = (
+        (max(r["n"] for r in stats) / n) if (has_cells and n) else None
+    )
+    concentrated = (
+        has_cells and n and max_frac > concentration_factor / len(cents)
+    )
+    return {
+        "appended": n,
+        "mean_recon_sim": mean_sim,
+        "build_recon_sim": fit["mean_recon_sim"],
+        "fit_drop": fit_drop,
+        "cells_touched": len(stats) if has_cells else None,
+        "max_cell_frac": max_frac,
+        "retrain_recommended": bool(fit_drop > fit_drop_threshold or concentrated),
+    }
+
+
+def query_pq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    vectors: DataFrame | None = None,
+    rerank: int = _PQ_RERANK,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """ANN top-k against a saved :func:`build_pq_index` layout.
+    ``queries`` carries (query_id, q_emb) — a bounded batch, collected
+    driver-side to build the ADC tables (same contract as the inline
+    paths). On an IVFPQ layout the probed cell ids become an IN-filter
+    on the index's PARTITION column (scan opens only probed cell
+    directories). ``vectors`` (vec_id, emb) enables the exact re-rank
+    tail — the full-fidelity contract, identical to the inline
+    queries; without it the ADC ranking itself is returned (rank by
+    approximate score), the codes-only deployment where float vectors
+    are too large to keep online."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_codebooks.json")) as fh:
+        books = np.array(json.load(fh))
+    qids, qm = _query_matrix(queries, "query_id", "q_emb")
+    tables = _adc_tables(qm, books)
+    idx = spark.read.parquet(path)
+    probed_sets = None
+    cents_path = os.path.join(path, "_centroids.json")
+    if os.path.exists(cents_path):
+        with open(cents_path) as fh:
+            cents = np.array(json.load(fh))
+        probed_sets, all_probed = _probe_cells(
+            qm, qids, cents, nprobe if nprobe is not None else _IVF_NPROBE
+        )
+        idx = idx.filter(F.col("cell").isin(all_probed))
+    cand = idx.mapInPandas(
+        _adc_score_fn(tables, qids, rerank, probed_sets),
+        "query_id long, neighbor_id long, pq_score double",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    if vectors is None:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("pq_score").desc(), F.col("neighbor_id")
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= K_NEIGHBORS)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "rank",
+                round4(F.col("pq_score")).alias("score"),
+            )
+        )
+    q = queries.select("query_id", "q_emb")
+    return _adc_rerank(cand, vectors, q, rerank)
 
 
 RRF_K = 60

@@ -2244,11 +2244,11 @@ def q60_scd2(spark, sf_dir):
               CASE WHEN o.custkey IS NULL THEN 'insert'
                    WHEN n.custkey IS NULL THEN 'delete'
                    ELSE 'update' END AS change_type,
-              CASE WHEN o.custkey IS NULL OR n.custkey IS NULL THEN []::VARCHAR[]
-                   ELSE list_filter(
+              CASE WHEN o.custkey IS NULL OR n.custkey IS NULL THEN ''
+                   ELSE array_to_string(list_filter(
                      [CASE WHEN o.name IS DISTINCT FROM n.name THEN 'name' END,
                       CASE WHEN o.acctbal IS DISTINCT FROM n.acctbal THEN 'acctbal' END],
-                     x -> x IS NOT NULL) END AS changed_cols,
+                     x -> x IS NOT NULL), ',') END AS changed_cols,
               o.acctbal AS old_acctbal, n.acctbal AS new_acctbal
        FROM old o FULL OUTER JOIN new n ON o.custkey = n.custkey
        WHERE o.custkey IS NULL OR n.custkey IS NULL
@@ -2259,8 +2259,8 @@ def q61_snapshot_diff(spark, sf_dir):
     """CDC snapshot diff — the change-extraction twin of q58/q60:
     given two keyed snapshots (here: the full customer dimension vs
     the post-merge state q58 produces), emit one row per changed key
-    with ``change_type`` (insert/update/delete), the array of changed
-    columns, and old/new values — what a downstream incremental
+    with ``change_type`` (insert/update/delete), the comma-joined list
+    of changed columns, and old/new values — what a downstream incremental
     consumer (or a table format's CDC feed) ingests. Unchanged keys
     are filtered out, so the output is delta-sized, not
     snapshot-sized. Scale shape: both snapshots pre-reduce to one row
@@ -2298,8 +2298,11 @@ def q61_snapshot_diff(spark, sf_dir):
             .when(is_del, F.lit("delete"))
             .otherwise(F.lit("update"))
             .alias("change_type"),
-            F.when(is_ins | is_del, F.array().cast("array<string>"))
-            .otherwise(changed)
+            # Joined to a flat CSV string (not array<string>) so the
+            # driver's pandas canonicalizer — which cannot sort/hash
+            # list cells — can attest the output; same info, flat type.
+            F.when(is_ins | is_del, F.lit(""))
+            .otherwise(F.array_join(changed, ","))
             .alias("changed_cols"),
             F.col("o.acctbal").alias("old_acctbal"),
             F.col("n.acctbal").alias("new_acctbal"),

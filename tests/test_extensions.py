@@ -721,6 +721,103 @@ def test_phash_query_planted_recall(spark):
     assert res / len(img_ids) >= 0.95
 
 
+# --------------------------------------------------------- persisted PQ index
+
+
+def test_pq_saved_index_matches_inline_and_prunes_partitions(spark, tmp_path):
+    """The saved PQ layouts must return bit-identical top-k to the
+    inline queries (same deterministic codebooks/centroids; the ONE
+    shared ADC kernel makes the candidate cut batching-invariant),
+    and the IVFPQ layout's probe scan must prune cell directories."""
+    import io
+    import re as _re
+    from contextlib import redirect_stdout
+
+    from smartpipeline_spark.functions import EXT_QUERIES
+    from smartpipeline_spark.functions.similarity import (
+        _emb,
+        build_pq_index,
+        query_pq_index,
+        N_QUERIES,
+    )
+
+    e = _emb(spark, SF_SMOKE)
+    flat, cells = str(tmp_path / "pq_flat"), str(tmp_path / "pq_cells")
+    build_pq_index(e, flat)
+    build_pq_index(e, cells, with_cells=True)
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    from_flat = query_pq_index(spark, flat, queries, vectors=e)
+    assert sorted(map(tuple, from_flat.collect())) == sorted(
+        map(tuple, EXT_QUERIES["ext_knn_pq"](spark, SF_SMOKE).collect())
+    )
+    from_cells = query_pq_index(spark, cells, queries, vectors=e)
+    assert sorted(map(tuple, from_cells.collect())) == sorted(
+        map(tuple, EXT_QUERIES["ext_knn_ivfpq"](spark, SF_SMOKE).collect())
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        from_cells.explain("formatted")
+    assert _re.search(r"PartitionFilters: \[[^\]]*cell", buf.getvalue())
+    # codes-only deployment (no float vectors online): ADC ranking
+    # still returns a full top-k per query
+    adc_only = query_pq_index(spark, cells, queries)
+    assert adc_only.count() == N_QUERIES * 10
+    assert adc_only.columns == ["query_id", "neighbor_id", "rank", "score"]
+
+
+def test_pq_append_equals_rebuild_and_flags_drift(spark, tmp_path):
+    """(build; append) must equal a from-scratch rebuild (the held-out
+    append slice avoids vec_id % 7 == 0 AND % 7 == 1, so training and
+    fit-reference strides see the same samples either way), an
+    in-distribution batch must NOT flag retrain, and a novel tight
+    cluster must trip BOTH drift signals (codebook fit drop + cell
+    concentration)."""
+    from smartpipeline_spark.functions.similarity import (
+        _emb,
+        append_to_pq_index,
+        build_pq_index,
+        query_pq_index,
+        N_QUERIES,
+    )
+
+    e = _emb(spark, SF_SMOKE)
+    hold = e.filter(
+        (F.col("vec_id") % 7 > 1) & (F.col("vec_id") % 11 == 3)
+    )
+    base = e.join(hold.select("vec_id"), "vec_id", "left_anti")
+    incr, full = str(tmp_path / "pq_incr"), str(tmp_path / "pq_full")
+    build_pq_index(base, incr, with_cells=True)
+    rep = append_to_pq_index(spark, incr, hold)
+    build_pq_index(e, full, with_cells=True)
+
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    got = sorted(map(tuple, query_pq_index(spark, incr, queries, vectors=e).collect()))
+    want = sorted(map(tuple, query_pq_index(spark, full, queries, vectors=e).collect()))
+    assert got == want
+    assert rep["appended"] == hold.count()
+    assert rep["retrain_recommended"] is False
+    assert abs(rep["fit_drop"]) < 0.05
+    assert rep["cells_touched"] > 1
+
+    # adversarial drift: 200 copies of an out-of-distribution one-hot
+    # vector reconstruct poorly under the saved codebooks AND pile
+    # into a single coarse cell
+    one = [0.0] * 64
+    one[0] = 1.0
+    novel = spark.createDataFrame(
+        [(10_000_000 + i, one) for i in range(200)],
+        "vec_id long, emb array<double>",
+    )
+    rep2 = append_to_pq_index(spark, incr, novel)
+    assert rep2["fit_drop"] > 0.05
+    assert rep2["max_cell_frac"] == 1.0
+    assert rep2["retrain_recommended"] is True
+
+
 # --------------------------------------------------- incremental corpus dedup
 
 

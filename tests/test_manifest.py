@@ -13,6 +13,7 @@ import re
 from pathlib import Path
 
 import __spark_entry__ as entrymod
+from conftest import SF_SMOKE
 
 TESTS_DIR = Path(__file__).parent
 
@@ -44,6 +45,72 @@ def test_manifest_tests_exist():
     for key, tests in entrymod.ROWS_ONLY_ATTESTATIONS.items():
         missing = [t for t in tests if t not in have]
         assert not missing, f"{key}: attestation tests not found: {missing}"
+
+
+def test_window_outputs_are_driver_canonicalizable(spark):
+    """The driver canonicalizes results with pandas ``sort_values``,
+    which raises ``TypeError: unhashable type`` on array/map/struct
+    cells — round 4 lost two otherwise-correct window rows to exactly
+    this. Pin it: every _WINDOW key's output schema must be flat
+    (registered queries stringify arrays; library functions keep
+    returning real arrays)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    qs = entrymod.queries()
+    offenders = {}
+    for key in entrymod._WINDOW:
+        schema = qs[key](spark, SF_SMOKE).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[key] = bad
+    assert not offenders, (
+        f"window keys with non-flat output columns (driver pandas "
+        f"canonicalizer cannot sort these): {offenders}"
+    )
+
+
+def test_window_oracles_emit_no_hugeint_or_nested_types():
+    """DuckDB HUGEINT reaches the driver's pandas canonicalizer as
+    float64 ('65994.0' vs Spark's '65994' — the round-4
+    ext_export_shards red row), and list/struct cells crash its sort.
+    Pin it: every _WINDOW oracle, executed on sf0.001, must return
+    only flat, pandas-faithful column types (CAST SUM arithmetic to
+    BIGINT; array_to_string list outputs)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    oracles = entrymod.oracle_sql()
+    offenders = {}
+    for key in entrymod._WINDOW:
+        if key not in oracles:
+            continue
+        rel = con.sql(oracles[key])
+        bad = [
+            f"{name}: {t}"
+            for name, t in zip(rel.columns, map(str, rel.types))
+            if "HUGEINT" in str(t).upper()
+            or "[]" in str(t)
+            or "STRUCT" in str(t).upper()
+            or "MAP" in str(t).upper()
+        ]
+        if bad:
+            offenders[key] = bad
+    assert not offenders, (
+        f"window oracles with HUGEINT/nested output types (pandas "
+        f"renders these unfaithfully for the driver compare): {offenders}"
+    )
 
 
 def test_registry_is_the_full_union_no_key_dropped():
