@@ -3,8 +3,9 @@
 WITH per AS (
           SELECT source, lang,
                  COUNT(*) AS n_docs,
-                 SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE len(string_split_regex(trim(text), '\s+')) END) AS n_tokens
+                 CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END)
+                      AS BIGINT) AS n_tokens
           FROM documents GROUP BY source, lang),
         tot AS (SELECT SUM(n_tokens) AS total_tokens FROM per)
        SELECT source, lang, n_docs, n_tokens,

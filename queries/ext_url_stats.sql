@@ -15,6 +15,6 @@ WITH u AS (
        SELECT regexp_extract(canon, '^([^/]+)', 1) AS domain,
               COUNT(*) AS n_pages,
               COUNT(DISTINCT canon) AS n_unique_pages,
-              SUM(n_chars) AS total_chars,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
               MIN(canon) AS example_url
        FROM c GROUP BY 1

@@ -30,8 +30,10 @@ SF = "/root/testdata/sf0.01"
 # (a keyless `Keys: []` HashAggregate) plans as a
 # BroadcastNestedLoopJoin that moves one row, which is the correct
 # way to put an in-plan total beside every row. The check therefore
-# flags CartesianProduct always, and BNLJ only in plans that contain
-# no keyless aggregate at all (no scalar frame that could justify it).
+# flags CartesianProduct always, and BNLJ when a plan contains more
+# BNLJs than keyless-aggregate lines could justify (a COUNT, not a
+# plan-global boolean — one legitimate scalar attach must not exempt
+# a second, accidental all-pairs join in the same plan).
 NESTED_LOOP_ALLOWED = {
     "q49_cross_join",  # declared tiny-side cartesian demo
     "ext_dedup_embedding",  # O(N^2) exact baseline for semantic dedup
@@ -69,12 +71,23 @@ def main():
         n_reused = len(re.findall(r"ReusedExchange", p))
         n_bhj = len(re.findall(r"BroadcastHashJoin", p))
         n_smj = len(re.findall(r"SortMergeJoin", p))
-        n_cart = len(re.findall(r"CartesianProduct", p))
-        n_bnlj = len(re.findall(r"BroadcastNestedLoopJoin", p))
+        # count OPERATORS, not mentions: formatted explain prints each
+        # operator in the tree view AND as a numbered detail block, so
+        # a bare substring count double-counts every join
+        n_cart = len(set(re.findall(r"\((\d+)\) CartesianProduct", p)))
+        n_bnlj = len(set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", p)))
         n_nlj = n_cart + n_bnlj
-        # scalar-attach justification: a keyless aggregate anywhere in
-        # the plan (formatted detail line "Keys: []")
-        has_scalar_agg = bool(re.search(r"Keys: \[\]", p))
+        # scalar-attach justification: keyless aggregates (formatted
+        # detail line "Keys: []"). Counted, not boolean — a plan-global
+        # boolean would let ONE legitimate scalar frame exempt EVERY
+        # BNLJ in the plan, hiding an accidental all-pairs join beside
+        # a legitimate total-attach. Each scalar frame prints ~2 lines
+        # (partial + final aggregate operators), so requiring
+        # n_bnlj <= n_keyless_lines still over-approximates per-frame
+        # matching, but an accidental extra BNLJ in a plan whose
+        # scalar frames are all attached (1 BNLJ + 2 lines each) now
+        # needs TWO spare keyless lines to hide, not zero.
+        n_scalar_lines = len(re.findall(r"Keys: \[\]", p))
         # formatted mode tags codegen'd operators "[codegen id : N]";
         # count distinct stage ids = number of fused codegen spans
         n_wsc = len(set(re.findall(r"codegen id : (\d+)", p)))
@@ -92,10 +105,11 @@ def main():
                 violations.append(
                     f"{key}: {n_cart} CartesianProduct outside the allowlist"
                 )
-            if n_bnlj and not has_scalar_agg:
+            if n_bnlj > n_scalar_lines:
                 violations.append(
-                    f"{key}: {n_bnlj} BroadcastNestedLoopJoin with no "
-                    "scalar aggregate in plan (not a scalar attach)"
+                    f"{key}: {n_bnlj} BroadcastNestedLoopJoin vs "
+                    f"{n_scalar_lines} keyless-aggregate lines — more "
+                    "nested-loop joins than scalar frames could justify"
                 )
         if full:
             for s in scans:

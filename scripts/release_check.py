@@ -1,15 +1,17 @@
 #!/usr/bin/env python
-"""One-command green-ness gate: chains the four verification surfaces
-in cheap-to-expensive order and stops at the first failure.
+"""One-command green-ness gate: chains the verification surfaces in
+cheap-to-expensive order and stops at the first failure.
 
     python scripts/release_check.py [--fast]
 
-1. pytest tests/ (full suite; ~8 min)
-2. scripts/check_oracles.py at sf0.01 (the driver's own comparison;
+1. scripts/audit_oracle_types.py (driver-faithful oracle output types
+   across the FULL registry; ~30 s)
+2. pytest tests/ (full suite; ~8 min)
+3. scripts/check_oracles.py at sf0.01 (the driver's own comparison;
    ~4 min)
-3. scripts/explain_plans.py --check (no undeclared nested-loop plans;
+4. scripts/explain_plans.py --check (no undeclared nested-loop plans;
    ~10 min — skipped with --fast)
-4. bench.py (one measured pass so a pathological slowdown surfaces;
+5. bench.py (one measured pass so a pathological slowdown surfaces;
    ~7 min — skipped with --fast)
 
 Exit code 0 = every stage passed. Each stage streams its own output;
@@ -23,6 +25,11 @@ import sys
 import time
 
 STAGES = [
+    # cheapest first: every oracle's DuckDB output types must be
+    # pandas-faithful (no HUGEINT/list/struct — the driver's
+    # canonicalizer mishandles them; ~30s, catches rotation hazards
+    # across the FULL registry, not just the current window)
+    ("oracle-types", [sys.executable, "scripts/audit_oracle_types.py"]),
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"]),
     (
         "oracles@sf0.01",
@@ -35,7 +42,7 @@ STAGES = [
 
 def main() -> int:
     fast = "--fast" in sys.argv
-    stages = STAGES[:2] if fast else STAGES
+    stages = STAGES[:3] if fast else STAGES
     results = []
     for name, cmd in stages:
         t0 = time.monotonic()

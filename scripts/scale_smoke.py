@@ -12,8 +12,11 @@ Each replica appends a distinct tag word, so replicas are NEAR dups
 (exact dedup correctly finds nothing; MinHash banding and ExactSubstr
 spans light up at maximum density).
 
-Usage: python scripts/scale_smoke.py [N] [sf_dir]
+Usage: python scripts/scale_smoke.py [N] [sf_dir] [--ops=a,b,c]
 Prints one JSON line: {"n_docs": ..., "timings": {...}, "counts": {...}}
+
+``--ops`` restricts to a named subset (64x rungs target the
+shuffle-heaviest ops without paying for the cheap ones again).
 """
 
 from __future__ import annotations
@@ -31,8 +34,11 @@ from smartpipeline_spark.session import get_spark
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flt = next((a for a in sys.argv[1:] if a.startswith("--ops=")), None)
+    ops = set(flt.split("=", 1)[1].split(",")) if flt else None
+    n = int(pos[0]) if pos else 8
+    sf_dir = pos[1] if len(pos) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("scale-smoke")
     base = sources.table(spark, "documents", sf_dir).select("doc_id", "text")
     docs = base.select(
@@ -52,9 +58,14 @@ def main() -> None:
     counts: dict[str, int] = {}
 
     def timed(name, fn):
+        if ops is not None and name not in ops:
+            return
         t0 = time.monotonic()
         counts[name] = fn()
         timings[name] = round(time.monotonic() - t0, 2)
+
+    def want(*names) -> bool:
+        return ops is None or bool(ops & set(names))
 
     from smartpipeline_spark.functions.dedup import (
         duplicate_spans,
@@ -92,97 +103,99 @@ def main() -> None:
     # remapped (k*n + r) so the lineitem⋈orders key space replicates
     # consistently; dimensions stay at 1x, exactly like production
     # (facts grow, dims don't).
-    li = sources.table(spark, "lineitem", sf_dir)
-    o = sources.table(spark, "orders", sf_dir)
-    rep = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("r")
-    li_n = li.select(rep, "*").withColumn(
-        "l_orderkey", F.col("l_orderkey") * n + F.col("r")
-    ).drop("r").repartition(32).persist()
-    o_n = o.select(rep, "*").withColumn(
-        "o_orderkey", F.col("o_orderkey") * n + F.col("r")
-    ).drop("r").repartition(32).persist()
-    counts["fact_lineitem_rows"] = li_n.count()
-    counts["fact_orders_rows"] = o_n.count()
+    if want("tpch_q5_replicated", "tpch_q18_replicated",
+             "tpch_q9_replicated"):
+        li = sources.table(spark, "lineitem", sf_dir)
+        o = sources.table(spark, "orders", sf_dir)
+        rep = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("r")
+        li_n = li.select(rep, "*").withColumn(
+            "l_orderkey", F.col("l_orderkey") * n + F.col("r")
+        ).drop("r").repartition(32).persist()
+        o_n = o.select(rep, "*").withColumn(
+            "o_orderkey", F.col("o_orderkey") * n + F.col("r")
+        ).drop("r").repartition(32).persist()
+        counts["fact_lineitem_rows"] = li_n.count()
+        counts["fact_orders_rows"] = o_n.count()
 
-    s = sources.table(spark, "supplier", sf_dir)
-    nt = sources.table(spark, "nation", sf_dir)
-    rg = sources.table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
-    c = sources.table(spark, "customer", sf_dir)
+        s = sources.table(spark, "supplier", sf_dir)
+        nt = sources.table(spark, "nation", sf_dir)
+        rg = sources.table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+        c = sources.table(spark, "customer", sf_dir)
 
-    def tpch_q5():
-        od = F.to_date("o_orderdate")
-        of = o_n.filter(
-            (od >= F.lit("1996-01-01").cast("date"))
-            & (od < F.lit("1997-01-01").cast("date"))
-        )
-        j = (
-            li_n.join(of, li_n.l_orderkey == of.o_orderkey)
-            .join(F.broadcast(s), li_n.l_suppkey == s.s_suppkey)
-            .join(
-                F.broadcast(c),
-                (of.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
+        def tpch_q5():
+            od = F.to_date("o_orderdate")
+            of = o_n.filter(
+                (od >= F.lit("1996-01-01").cast("date"))
+                & (od < F.lit("1997-01-01").cast("date"))
             )
-            .join(F.broadcast(nt), s.s_nationkey == nt.n_nationkey)
-            .join(F.broadcast(rg), nt.n_regionkey == rg.r_regionkey)
-        )
-        rev = (
-            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-        ).cast("decimal(28,12)")
-        return j.groupBy("n_name").agg(F.sum(rev).alias("revenue")).count()
-
-    def tpch_q18():
-        big = (
-            li_n.groupBy("l_orderkey")
-            .agg(F.sum("l_quantity").alias("tq"))
-            .filter(F.col("tq") > 250)
-            .select("l_orderkey")
-        )
-        return (
-            li_n.join(
-                big.withColumnRenamed("l_orderkey", "bk"),
-                F.col("l_orderkey") == F.col("bk"),
-                "left_semi",
+            j = (
+                li_n.join(of, li_n.l_orderkey == of.o_orderkey)
+                .join(F.broadcast(s), li_n.l_suppkey == s.s_suppkey)
+                .join(
+                    F.broadcast(c),
+                    (of.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
+                )
+                .join(F.broadcast(nt), s.s_nationkey == nt.n_nationkey)
+                .join(F.broadcast(rg), nt.n_regionkey == rg.r_regionkey)
             )
-            .join(o_n, F.col("l_orderkey") == o_n.o_orderkey)
-            .groupBy("o_orderkey")
-            .agg(F.sum("l_quantity").alias("sq"))
-            .count()
-        )
+            rev = (
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).cast("decimal(28,12)")
+            return j.groupBy("n_name").agg(F.sum(rev).alias("revenue")).count()
 
-    def tpch_q9():
-        from smartpipeline_spark.operators.tpch import derived_partsupp
-
-        ps = derived_partsupp(spark, sf_dir)
-        p = sources.table(spark, "part", sf_dir).filter(
-            F.col("p_name").like("%red%")
-        )
-        j = (
-            li_n.join(o_n, li_n.l_orderkey == o_n.o_orderkey)
-            .join(F.broadcast(p), li_n.l_partkey == p.p_partkey)
-            .join(
-                F.broadcast(ps),
-                (li_n.l_partkey == ps.ps_partkey)
-                & (li_n.l_suppkey == ps.ps_suppkey),
+        def tpch_q18():
+            big = (
+                li_n.groupBy("l_orderkey")
+                .agg(F.sum("l_quantity").alias("tq"))
+                .filter(F.col("tq") > 250)
+                .select("l_orderkey")
             )
-            .join(F.broadcast(s), li_n.l_suppkey == s.s_suppkey)
-            .join(F.broadcast(nt), s.s_nationkey == nt.n_nationkey)
-        )
-        amount = (
-            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-            - F.col("ps_supplycost") * F.col("l_quantity")
-        ).cast("decimal(28,12)")
-        return (
-            j.select(
-                "n_name", F.year(F.to_date("o_orderdate")).alias("y"), amount.alias("a")
+            return (
+                li_n.join(
+                    big.withColumnRenamed("l_orderkey", "bk"),
+                    F.col("l_orderkey") == F.col("bk"),
+                    "left_semi",
+                )
+                .join(o_n, F.col("l_orderkey") == o_n.o_orderkey)
+                .groupBy("o_orderkey")
+                .agg(F.sum("l_quantity").alias("sq"))
+                .count()
             )
-            .groupBy("n_name", "y")
-            .agg(F.sum("a").alias("profit"))
-            .count()
-        )
 
-    timed("tpch_q5_replicated", tpch_q5)
-    timed("tpch_q18_replicated", tpch_q18)
-    timed("tpch_q9_replicated", tpch_q9)
+        def tpch_q9():
+            from smartpipeline_spark.operators.tpch import derived_partsupp
+
+            ps = derived_partsupp(spark, sf_dir)
+            p = sources.table(spark, "part", sf_dir).filter(
+                F.col("p_name").like("%red%")
+            )
+            j = (
+                li_n.join(o_n, li_n.l_orderkey == o_n.o_orderkey)
+                .join(F.broadcast(p), li_n.l_partkey == p.p_partkey)
+                .join(
+                    F.broadcast(ps),
+                    (li_n.l_partkey == ps.ps_partkey)
+                    & (li_n.l_suppkey == ps.ps_suppkey),
+                )
+                .join(F.broadcast(s), li_n.l_suppkey == s.s_suppkey)
+                .join(F.broadcast(nt), s.s_nationkey == nt.n_nationkey)
+            )
+            amount = (
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                - F.col("ps_supplycost") * F.col("l_quantity")
+            ).cast("decimal(28,12)")
+            return (
+                j.select(
+                    "n_name", F.year(F.to_date("o_orderdate")).alias("y"), amount.alias("a")
+                )
+                .groupBy("n_name", "y")
+                .agg(F.sum("a").alias("profit"))
+                .count()
+            )
+
+        timed("tpch_q5_replicated", tpch_q5)
+        timed("tpch_q18_replicated", tpch_q18)
+        timed("tpch_q9_replicated", tpch_q9)
 
     # --- ANN block: IVF retrieval as the embedding corpus multiplies
     # N-fold with NEAR-duplicate vectors (each base vector gets N-1
@@ -191,41 +204,42 @@ def main() -> None:
     # stays constant-cost (bounded sample), assignment stays one linear
     # pass, and the scored candidate volume tracks cell occupancy
     # (linear in corpus), never all-pairs.
-    from smartpipeline_spark.functions import similarity as sim
+    if want("ann_ivf_topk"):
+        from smartpipeline_spark.functions import similarity as sim
 
-    e = sim._emb(spark, sf_dir)
-    rep_e = (
-        e.select(
-            F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("r"),
-            "vec_id",
-            "emb",
+        e = sim._emb(spark, sf_dir)
+        rep_e = (
+            e.select(
+                F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("r"),
+                "vec_id",
+                "emb",
+            )
+            .select(
+                (F.col("vec_id") * n + F.col("r")).alias("vec_id"),
+                F.expr(
+                    "transform(emb, (x, i) -> x * (1.0 + 0.002 * r"
+                    " * (CAST(i % 3 AS DOUBLE) - 1.0)))"
+                ).alias("emb"),
+            )
+            .repartition(32)
+            .persist()
         )
-        .select(
-            (F.col("vec_id") * n + F.col("r")).alias("vec_id"),
-            F.expr(
-                "transform(emb, (x, i) -> x * (1.0 + 0.002 * r"
-                " * (CAST(i % 3 AS DOUBLE) - 1.0)))"
-            ).alias("emb"),
-        )
-        .repartition(32)
-        .persist()
-    )
-    counts["ann_corpus_vectors"] = rep_e.count()
+        counts["ann_corpus_vectors"] = rep_e.count()
 
-    def ann_ivf_topk():
-        cents = sim._ivf_centroids(rep_e)
-        keyed = sim._ivf_keyed(rep_e, cents)
-        probe = sim._ivf_cells_udf(cents, sim._IVF_NPROBE)
-        q = rep_e.filter(
-            (F.col("vec_id") % n == 0) & (F.col("vec_id") < sim.N_QUERIES * n)
-        ).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("emb").alias("q_emb"),
-            F.explode(probe(F.col("emb"))).alias("cell"),
-        )
-        return sim._exact_topk(sim._ivf_candidates(keyed, q)).count()
+        def ann_ivf_topk():
+            cents = sim._ivf_centroids(rep_e)
+            keyed = sim._ivf_keyed(rep_e, cents)
+            probe = sim._ivf_cells_udf(cents, sim._IVF_NPROBE)
+            q = rep_e.filter(
+                (F.col("vec_id") % n == 0) & (F.col("vec_id") < sim.N_QUERIES * n)
+            ).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("emb").alias("q_emb"),
+                F.explode(probe(F.col("emb"))).alias("cell"),
+            )
+            return sim._exact_topk(sim._ivf_candidates(keyed, q)).count()
 
-    timed("ann_ivf_topk", ann_ivf_topk)
+        timed("ann_ivf_topk", ann_ivf_topk)
 
     print(
         json.dumps(

@@ -1341,7 +1341,7 @@ def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
        SELECT regexp_extract(canon, '^([^/]+)', 1) AS domain,
               COUNT(*) AS n_pages,
               COUNT(DISTINCT canon) AS n_unique_pages,
-              SUM(n_chars) AS total_chars,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
               MIN(canon) AS example_url
        FROM c GROUP BY 1""",
 )

@@ -294,24 +294,36 @@ def ext_heavy_hitters(spark, sf_dir):
                    ELSE CAST(array() AS array<string>) END)[0]"""
     )
     grams = d.select(F.explode(tri).alias("g")).persist()
-    tot = grams.agg(F.count("*").alias("n_total"))
     width, depth = 4096, 4
-    sketch = cms_merge(cms_rollup(grams, "g", [], width, depth), [])
-    vocab = grams.select("g").distinct()
-    candidates = (
-        cms_estimate(sketch, vocab, "g", width, depth)
-        .join(F.broadcast(tot))
-        .filter(F.col("est") * 5000 >= F.col("n_total"))
-        .select("g")
-    )
-    exact = (
-        grams.join(F.broadcast(candidates), "g")
+    try:
+        # eager sketch phase against the cached trigram stream: total,
+        # CMS cells, and the candidate keys (<= 5000 by the
+        # threshold's pigeonhole) all land driver-side here, so the
+        # cache can be RELEASED before returning — a long session
+        # (oracle sweep, bench reps) must not accumulate one leaked
+        # cached frame per invocation
+        n_total = grams.count()
+        sketch = cms_merge(cms_rollup(grams, "g", [], width, depth), [])
+        vocab = grams.select("g").distinct()
+        candidates = [
+            r["g"]
+            for r in cms_estimate(sketch, vocab, "g", width, depth)
+            .filter(F.col("est") * 5000 >= F.lit(n_total))
+            .select("g")
+            .collect()
+        ]
+    finally:
+        grams.unpersist()
+    # exact verification as a fresh single-pass plan: candidate IN-list
+    # pushes into the scan, the one key-shuffled aggregation stays
+    # bounded by the candidate count, and the returned frame owns no
+    # cache
+    fresh = d.select(F.explode(tri).alias("g"))
+    return (
+        fresh.filter(F.col("g").isin(candidates))
         .groupBy("g")
         .agg(F.count("*").alias("cnt"))
-    )
-    return (
-        exact.join(F.broadcast(tot))
-        .filter(F.col("cnt") * 5000 >= F.col("n_total"))
+        .filter(F.col("cnt") * 5000 >= F.lit(n_total))
         .select("g", "cnt")
     )
 
@@ -356,8 +368,9 @@ def ext_ngram_stats(spark, sf_dir):
     r"""WITH per AS (
           SELECT source, lang,
                  COUNT(*) AS n_docs,
-                 SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE len(string_split_regex(trim(text), '\s+')) END) AS n_tokens
+                 CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END)
+                      AS BIGINT) AS n_tokens
           FROM documents GROUP BY source, lang),
         tot AS (SELECT SUM(n_tokens) AS total_tokens FROM per)
        SELECT source, lang, n_docs, n_tokens,

@@ -333,7 +333,18 @@ def binned_interval_join(
 
     def guarded_seq(lo, hi):
         n_bins = hi - lo + 1
+        # hi < lo (end before start) would make F.sequence emit a
+        # DESCENDING bin list — spurious matches instead of a loud
+        # failure, and n_bins <= 0 sails under the cap check below
         return F.when(
+            n_bins <= F.lit(0),
+            F.raise_error(
+                F.lit(
+                    "binned_interval_join: invalid interval "
+                    "(end before start) — fix the input rows"
+                )
+            ).cast("array<bigint>"),
+        ).when(
             n_bins > F.lit(max_bins_per_interval),
             F.raise_error(
                 F.format_string(

@@ -574,10 +574,10 @@ def q74_tpch_q22(spark, sf_dir):
 @query(
     "q76_tpch_q12",
     """SELECT l_returnflag,
-              SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS high_line_count,
-              SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS low_line_count
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
        FROM orders, lineitem
        WHERE o_orderkey = l_orderkey
          AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
