@@ -91,7 +91,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # the fifth streaming class ext_stream_dedup (stateful
 # dropDuplicates-with-watermark) replaces ext_dedup_exact, whose
 # exact-dedup path ext_dedup_incremental's anti-join leg already
-# exercises in-window.
+# exercises in-window. The round-5 streaming-sink flagship
+# ext_stream_upsert (foreachBatch + dynamic-partition-overwrite
+# continuous rollup — the sixth attested streaming class) takes
+# ext_pack_sequences' slot: ext_pack_emit runs the SAME placement
+# algebra and additionally reassembles the packed sequences, so the
+# placement-only key was the window's last strict-subset member.
 _WINDOW = (
     "q02_sink_roundtrip", "ext_dedup_incremental",
     "q06_join_broadcast",
@@ -103,7 +108,7 @@ _WINDOW = (
     "q15_window_topk", "ext_substring_dedup", "ext_stream_sliding",
     "q20_intersect_except", "q41_gapfill",
     "q60_scd2", "q61_snapshot_diff", "q59_ohlc_downsample",
-    "ext_pack_sequences", "ext_pack_emit", "ext_mixture_sample",
+    "ext_stream_upsert", "ext_pack_emit", "ext_mixture_sample",
     "ext_dsir_select", "ext_stream_tumbling",
     "q53_funnel", "ext_stream_session",
     "q24b_udf_chain_throughput", "q78_tpch_q21",
@@ -149,6 +154,7 @@ ROWS_ONLY_ATTESTATIONS = {
         "test_pq_saved_index_matches_inline_and_prunes_partitions",
     ],
     "ext_bpe_train": ["test_bpe_training_matches_reference_implementation"],
+    "ext_bpe_encode": ["test_bpe_tokenize_applies_merges_in_rank_order"],
     "ext_multimodal_resize": ["test_multimodal_resize_and_frames_queries"],
     "ext_multimodal_frames": ["test_multimodal_resize_and_frames_queries"],
     "ext_multimodal_phash": [

@@ -9,8 +9,11 @@ Ladder (each rung trades candidate quality for scanned bytes):
   4. PQ                 — m-byte codes, ADC table-gather scoring
   5. IVF+PQ (IVFADC)    — cells bound WHICH rows, codes bound the
                           BYTES per row; the FAISS production layout
-Plus the index lifecycle: build once partitioned by cell, query with
-partition pruning, append incrementally with a drift report.
+Plus the index lifecycle — for BOTH quantizers: build once
+(partitioned by cell), query with partition pruning, append
+incrementally with a drift report (IVF: cell concentration; PQ:
+codebook reconstruction fit). The saved-index query paths are pinned
+bit-equal to the inline queries in tests.
 
 Run: python examples/ann_stack.py
 """
@@ -28,8 +31,11 @@ from smartpipeline_spark.functions.similarity import (
     N_QUERIES,
     _emb,
     append_to_ivf_index,
+    append_to_pq_index,
     build_ivf_index,
+    build_pq_index,
     query_ivf_index,
+    query_pq_index,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -67,6 +73,20 @@ def main():
             f"saved index: {before} -> {after} result rows after appending "
             f"{rep['appended']} vectors into {rep['cells_touched']} cells "
             f"(retrain_recommended={rep['retrain_recommended']})"
+        )
+
+        # the same lifecycle on the memory-bound quantizer: IVFPQ
+        # layout (codes behind cell partitions), codebook-drift report
+        pq = f"{d}/pq_index"
+        build_pq_index(base, pq, with_cells=True)
+        rep2 = append_to_pq_index(spark, pq, hold)
+        topk = query_pq_index(spark, pq, queries, vectors=e)
+        print(
+            f"saved PQ index: {topk.count()} result rows; append fit "
+            f"drop {rep2['fit_drop']:+.4f} vs build "
+            f"(retrain_recommended={rep2['retrain_recommended']}); "
+            f"codes-only ADC mode rows = "
+            f"{query_pq_index(spark, pq, queries).count()}"
         )
 
 

@@ -39,6 +39,14 @@ def main() -> None:
     ops = set(flt.split("=", 1)[1].split(",")) if flt else None
     n = int(pos[0]) if pos else 8
     sf_dir = pos[1] if len(pos) > 1 else "/root/testdata/sf0.1"
+    # the default 8g driver heap models ONE executor; a high-replica
+    # rung (64x = 38M fact rows / 1.28M near-dup docs in a single
+    # local JVM) stands in for a multi-executor cluster, so size the
+    # JVM accordingly (32g ~ four 8g executors) — OOMing the smoke
+    # would measure the harness, not the operators
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g" if n >= 32 else "8g")
     spark = get_spark("scale-smoke")
     base = sources.table(spark, "documents", sf_dir).select("doc_id", "text")
     docs = base.select(

@@ -36,3 +36,4 @@ except ImportError:  # pragma: no cover
 
 from smartpipeline_spark.functions import curation  # noqa: E402,F401
 from smartpipeline_spark.functions import streaming_queries  # noqa: E402,F401
+from smartpipeline_spark.functions import scale_queries  # noqa: E402,F401

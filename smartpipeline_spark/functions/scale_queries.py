@@ -1,0 +1,89 @@
+"""Registered query keys for the scale machinery (operators/scale.py).
+
+The skew/salting levers were previously pytest-only; these thin
+wrappers put them in the DuckDB-oracled registry, driver-attesting the
+two claims that matter: the skew DIAGNOSTIC reports exact key
+concentrations, and the salted join EQUALS the plain join it
+replaces (salting redistributes work, never changes results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from smartpipeline_spark import sources
+from smartpipeline_spark.functions import ext_query
+from smartpipeline_spark.operators.relational import _sql_dsum2, dsum2
+
+
+@ext_query(
+    "ext_skew_report",
+    """WITH c AS (SELECT o_custkey AS key, COUNT(*) AS n
+                  FROM orders GROUP BY o_custkey),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+       SELECT key, n,
+              FLOOR(n * 1.0 / total * 1000000.0 + 0.5) / 1000000.0 AS frac
+       FROM c, t
+       ORDER BY n DESC, key
+       LIMIT 10""",
+)
+def ext_skew_report(spark, sf_dir) -> DataFrame:
+    """The top-10 hottest join-key table for a prospective
+    orders-by-customer join — the tabular core of
+    :func:`smartpipeline_spark.operators.scale.skew_report` (which
+    additionally collects quantiles into a driver dict). Scale shape:
+    one partial-agg key count, the corpus total stays IN-PLAN as a
+    1-row broadcast, and the top-10 compiles to
+    TakeOrderedAndProject — the pre-flight you run on 100 TB BEFORE
+    wiring the join, not after it stalls."""
+    o = sources.table(spark, "orders", sf_dir)
+    counts = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    total = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n",
+            (
+                F.floor(F.col("n") * F.lit(1.0) / F.col("total") * F.lit(1e6) + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("frac"),
+        )
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(10)
+    )
+
+
+@ext_query(
+    "ext_salted_join",
+    f"""SELECT s.s_nationkey AS nationkey,
+               COUNT(*) AS n_items,
+               {_sql_dsum2('l.l_quantity')} AS sum_qty
+       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       GROUP BY s.s_nationkey""",
+)
+def ext_salted_join(spark, sf_dir) -> DataFrame:
+    """Skew-mitigated fact-to-dimension join, driver-attested EQUAL to
+    the plain join it replaces: the fact side carries a random salt,
+    the dimension side replicates once per salt value, and the
+    per-nation rollup must hash-match the unsalted oracle exactly —
+    pinning that salting redistributes WORK (a hot supplier's rows
+    spread over ``salt_buckets`` tasks) without touching RESULTS.
+    The oracle is the plain join because equality IS the contract
+    (operators/scale.py:29 documents the join-type restrictions that
+    preserve it)."""
+    from smartpipeline_spark.operators.scale import salted_join
+
+    li = sources.table(spark, "lineitem", sf_dir).select(
+        "l_suppkey", "l_quantity"
+    )
+    s = sources.table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey"
+    )
+    j = salted_join(li, s, key="l_suppkey", small_key="s_suppkey", salt_buckets=8)
+    return j.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_items"),
+        dsum2(F.col("l_quantity")).alias("sum_qty"),
+    )

@@ -707,3 +707,26 @@ def ext_pmi(spark, sf_dir):
             (F.floor(pmi * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias("pmi"),
         )
     )
+
+
+@ext_query("ext_bpe_encode")  # merge-table-driven; pytest-attested
+def ext_bpe_encode(spark, sf_dir):
+    """The ENCODE half of the tokenizer story (train_bpe learns the
+    merges, bpe_tokenize applies them — this key registers the
+    composition): the corpus tokenized under its own 12-merge
+    vocabulary, emitted as (doc_id, space-joined tokens, n_tokens).
+    No SQL oracle — encoding is defined by the argmax-driven merge
+    table, so correctness is pytest-pinned (rank-order application +
+    trainer equivalence vs a reference implementation). Tokens are
+    space-joined (BPE symbols never contain whitespace: they merge
+    within whitespace-split words) so the output stays flat for any
+    future window rotation. Scale shape: the merge table is a KB-scale
+    closure constant; application is one vectorized Arrow pass —
+    embarrassingly parallel, no shuffle."""
+    d = sources.table(spark, "documents", sf_dir)
+    merges = train_bpe(d, n_merges=12)
+    return bpe_tokenize(d, merges).select(
+        "doc_id",
+        F.array_join("tokens", " ").alias("tokens"),
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+    )
