@@ -72,6 +72,14 @@ BENCH_QUERIES = [
     "q67_tpch_q8",
     "q73_tpch_q18",
     "q80_tpch_q9",
+    # round-5 additions: the foreachBatch upsert sink (a real
+    # streaming-query drain + partitioned write per rep), the salted
+    # join equality key, the CMS heavy-hitter detector (post
+    # cache-leak fix), and TPC-H Q21 (double correlation)
+    "ext_stream_upsert",
+    "ext_salted_join",
+    "ext_heavy_hitters",
+    "q78_tpch_q21",
 ]
 
 
