@@ -327,12 +327,20 @@ def ext_stream_upsert(spark, sf_dir) -> DataFrame:
     upsert rewrites only changed partitions per trigger, and the
     watermark bounds both state and how far back a partition can
     still be rewritten (streaming/__init__.py:216)."""
-    import tempfile
+    import shutil
 
     from smartpipeline_spark import streaming
 
     stream = _staged_event_stream(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="spark_graft_stream_upsert_")
+    # fixed per-sf staging, CLEARED each invocation (the export-shards
+    # lesson: per-run mkdtemp leaks a directory per sweep/bench call,
+    # while a reused dir must not keep a stale checkpoint — a
+    # checkpoint that believes the files are already processed would
+    # drain zero batches and attest an empty table)
+    base = os.path.join(
+        "/tmp", "spark_graft_stream_upsert", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(base, ignore_errors=True)
     out = os.path.join(base, "rollup")
     ckpt = os.path.join(base, "ckpt")
     # the fixture replay can arrive in any file order, so the late
