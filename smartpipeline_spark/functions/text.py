@@ -296,35 +296,33 @@ def ext_heavy_hitters(spark, sf_dir):
     grams = d.select(F.explode(tri).alias("g")).persist()
     width, depth = 4096, 4
     try:
-        # eager sketch phase against the cached trigram stream: total,
-        # CMS cells, and the candidate keys (<= 5000 by the
-        # threshold's pigeonhole) all land driver-side here, so the
-        # cache can be RELEASED before returning — a long session
-        # (oracle sweep, bench reps) must not accumulate one leaked
-        # cached frame per invocation
+        # the ENTIRE query drains eagerly against the cached trigram
+        # stream, then the cache is RELEASED before returning — a long
+        # session (oracle sweep, bench reps) must not accumulate one
+        # leaked cached frame per invocation. Eager is safe because
+        # every driver-side structure is bounded: the total (1 row),
+        # the CMS cells (width x depth), the candidate set and the
+        # final answer (both <= 5000 keys by the threshold's own
+        # pigeonhole — only 5000 keys can exceed N/5000).
         n_total = grams.count()
         sketch = cms_merge(cms_rollup(grams, "g", [], width, depth), [])
         vocab = grams.select("g").distinct()
-        candidates = [
-            r["g"]
-            for r in cms_estimate(sketch, vocab, "g", width, depth)
+        candidates = (
+            cms_estimate(sketch, vocab, "g", width, depth)
             .filter(F.col("est") * 5000 >= F.lit(n_total))
             .select("g")
+        )
+        rows = (
+            grams.join(F.broadcast(candidates), "g")
+            .groupBy("g")
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") * 5000 >= F.lit(n_total))
             .collect()
-        ]
+        )
     finally:
         grams.unpersist()
-    # exact verification as a fresh single-pass plan: candidate IN-list
-    # pushes into the scan, the one key-shuffled aggregation stays
-    # bounded by the candidate count, and the returned frame owns no
-    # cache
-    fresh = d.select(F.explode(tri).alias("g"))
-    return (
-        fresh.filter(F.col("g").isin(candidates))
-        .groupBy("g")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") * 5000 >= F.lit(n_total))
-        .select("g", "cnt")
+    return spark.createDataFrame(
+        [(r["g"], r["cnt"]) for r in rows] or [], "g string, cnt bigint"
     )
 
 
