@@ -18,26 +18,15 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-TABLES = (
-    "region nation customer supplier part orders lineitem "
-    "events documents embeddings"
-).split()
-
 BAD_MARKERS = ("HUGEINT", "INT128", "STRUCT(", "MAP(")
 
 
 def main() -> int:
-    import duckdb
-
     import __spark_entry__ as entrymod
+    from smartpipeline_spark.testing import duckdb_connection
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = duckdb_connection(sf_dir)
     offenders: dict[str, list[str]] = {}
     oracles = entrymod.oracle_sql()
     for key, sql in sorted(oracles.items()):

@@ -31,12 +31,6 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-TABLES = (
-    "region nation customer supplier part orders lineitem "
-    "events documents embeddings"
-).split()
-
-
 def _cell(v) -> str:
     import datetime
 
@@ -73,20 +67,14 @@ def _canon_hash(pdf) -> str:
 
 
 def main() -> int:
-    import duckdb
-
     from smartpipeline_spark.session import get_spark
+    from smartpipeline_spark.testing import duckdb_connection
 
     import __spark_entry__ as entrymod
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("driver-sim")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = duckdb_connection(sf_dir)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failed = []

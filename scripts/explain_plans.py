@@ -31,9 +31,10 @@ SF = "/root/testdata/sf0.01"
 # BroadcastNestedLoopJoin that moves one row, which is the correct
 # way to put an in-plan total beside every row. The check therefore
 # flags CartesianProduct always, and BNLJ when a plan contains more
-# BNLJs than keyless-aggregate lines could justify (a COUNT, not a
-# plan-global boolean — one legitimate scalar attach must not exempt
-# a second, accidental all-pairs join in the same plan).
+# BNLJ operators than keyless FINAL-aggregate frames (a per-frame
+# COUNT, not a plan-global boolean — one legitimate scalar attach
+# must not exempt a second, accidental all-pairs join in the same
+# plan, and partial-aggregate twins must not inflate the budget).
 NESTED_LOOP_ALLOWED = {
     "q49_cross_join",  # declared tiny-side cartesian demo
     "ext_dedup_embedding",  # O(N^2) exact baseline for semantic dedup
@@ -77,17 +78,24 @@ def main():
         n_cart = len(set(re.findall(r"\((\d+)\) CartesianProduct", p)))
         n_bnlj = len(set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", p)))
         n_nlj = n_cart + n_bnlj
-        # scalar-attach justification: keyless aggregates (formatted
-        # detail line "Keys: []"). Counted, not boolean — a plan-global
-        # boolean would let ONE legitimate scalar frame exempt EVERY
-        # BNLJ in the plan, hiding an accidental all-pairs join beside
-        # a legitimate total-attach. Each scalar frame prints ~2 lines
-        # (partial + final aggregate operators), so requiring
-        # n_bnlj <= n_keyless_lines still over-approximates per-frame
-        # matching, but an accidental extra BNLJ in a plan whose
-        # scalar frames are all attached (1 BNLJ + 2 lines each) now
-        # needs TWO spare keyless lines to hide, not zero.
-        n_scalar_lines = len(re.findall(r"Keys: \[\]", p))
+        # scalar-attach justification: keyless FINAL aggregates.
+        # Counted per logical frame, not boolean and not per line — a
+        # plan-global boolean would let ONE legitimate scalar frame
+        # exempt EVERY BNLJ in the plan, and counting raw "Keys: []"
+        # lines double-counts (each frame prints a partial AND a final
+        # aggregate operator, so one legit frame's spare line would
+        # still hide one accidental all-pairs join). The partial twin
+        # is identified by its partial_* function names; only the
+        # final operator counts as a frame.
+        n_scalar_frames = len(
+            [
+                m
+                for m in re.findall(
+                    r"Keys: \[\]\nFunctions \[\d+\]: \[([^\]]*)\]", p
+                )
+                if "partial_" not in m
+            ]
+        )
         # formatted mode tags codegen'd operators "[codegen id : N]";
         # count distinct stage ids = number of fused codegen spans
         n_wsc = len(set(re.findall(r"codegen id : (\d+)", p)))
@@ -105,11 +113,11 @@ def main():
                 violations.append(
                     f"{key}: {n_cart} CartesianProduct outside the allowlist"
                 )
-            if n_bnlj > n_scalar_lines:
+            if n_bnlj > n_scalar_frames:
                 violations.append(
                     f"{key}: {n_bnlj} BroadcastNestedLoopJoin vs "
-                    f"{n_scalar_lines} keyless-aggregate lines — more "
-                    "nested-loop joins than scalar frames could justify"
+                    f"{n_scalar_frames} keyless final-aggregate frames — "
+                    "more nested-loop joins than scalar frames could justify"
                 )
         if full:
             for s in scans:

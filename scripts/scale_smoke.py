@@ -48,19 +48,6 @@ def main() -> None:
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g" if n >= 32 else "8g")
     spark = get_spark("scale-smoke")
-    base = sources.table(spark, "documents", sf_dir).select("doc_id", "text")
-    docs = base.select(
-        F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("r"),
-        "doc_id",
-        "text",
-    ).select(
-        (F.col("doc_id") * n + F.col("r")).alias("doc_id"),
-        F.concat("text", F.lit(" rtag"), F.col("r").cast("string")).alias("text"),
-    )
-    # materialize once so every operator reads the same physical corpus
-    # (and the replicate explode isn't re-run inside each timing)
-    docs = docs.repartition(32).persist()
-    n_docs = docs.count()
 
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
@@ -74,6 +61,26 @@ def main() -> None:
 
     def want(*names) -> bool:
         return ops is None or bool(ops & set(names))
+
+    # the replicated near-dup corpus is itself minutes of explode +
+    # gigabytes of cache at 64x — built only when a doc op runs (the
+    # same guard the TPC-H and ANN blocks get; --ops exists exactly to
+    # avoid paying for unselected work)
+    n_docs = 0
+    if want("exact_dedup_groups", "minhash_candidate_pairs", "jaccard_verified_pairs", "exactsubstr_spans", "dsir_selected"):
+        base = sources.table(spark, "documents", sf_dir).select("doc_id", "text")
+        docs = base.select(
+            F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("r"),
+            "doc_id",
+            "text",
+        ).select(
+            (F.col("doc_id") * n + F.col("r")).alias("doc_id"),
+            F.concat("text", F.lit(" rtag"), F.col("r").cast("string")).alias("text"),
+        )
+        # materialize once so every operator reads the same physical
+        # corpus (the replicate explode isn't re-run inside each timing)
+        docs = docs.repartition(32).persist()
+        n_docs = docs.count()
 
     from smartpipeline_spark.functions.dedup import (
         duplicate_spans,
@@ -102,8 +109,14 @@ def main() -> None:
 
     from smartpipeline_spark.functions.curation import dsir_select
 
-    target = docs.filter(F.col("doc_id") % 97 == 0)
-    timed("dsir_selected", lambda: dsir_select(docs, target, frac=0.25).count())
+    # target built INSIDE the lambda: `docs` only exists when a doc op
+    # was selected, and timed() skips unselected lambdas unevaluated
+    timed(
+        "dsir_selected",
+        lambda: dsir_select(
+            docs, docs.filter(F.col("doc_id") % 97 == 0), frac=0.25
+        ).count(),
+    )
 
     # --- TPC-H fact-replication block: the same join/agg plans the
     # suite pins (one fact-fact exchange, broadcast dims) must hold

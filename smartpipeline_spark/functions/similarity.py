@@ -549,6 +549,11 @@ def _query_matrix(df: DataFrame, id_col: str = "vec_id", emb_col: str = "emb"):
     probe collect), returned as (ids, row-normalized matrix) sorted by
     id for determinism."""
     qrows = sorted(df.select(id_col, emb_col).collect(), key=lambda r: r[id_col])
+    if not qrows:
+        raise ValueError(
+            "empty query batch: the ANN query frame produced no rows "
+            "(np.stack on nothing would raise an opaque numpy error)"
+        )
     qids = np.array([r[id_col] for r in qrows])
     qm = np.stack([np.array(r[emb_col], dtype=np.float64) for r in qrows])
     qm /= np.linalg.norm(qm, axis=1, keepdims=True) + 1e-12
@@ -1031,7 +1036,15 @@ def ext_hybrid_search(spark, sf_dir):
     )
 
     e = _emb(spark, sf_dir)
-    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("q_emb"))
+    # the query vector attaches as a keyless 1-row AGGREGATE (not a
+    # filtered frame): semantically identical (exactly one row has
+    # vec_id 0), but the plan then carries a scalar frame the BNLJ
+    # gate can account for — a bare 1-row filter broadcast is
+    # indistinguishable from an accidental all-pairs join in plan text
+    q = (
+        e.filter(F.col("vec_id") == 0)
+        .agg(F.first("emb").alias("q_emb"))
+    )
     c = e.filter(F.col("vec_id") != 0)
     vec_scored = c.crossJoin(F.broadcast(q)).select(
         "vec_id", round4(cosine_expr(F.col("q_emb"), F.col("emb"))).alias("cos")

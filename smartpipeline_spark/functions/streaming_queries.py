@@ -332,13 +332,17 @@ def ext_stream_upsert(spark, sf_dir) -> DataFrame:
     from smartpipeline_spark import streaming
 
     stream = _staged_event_stream(spark, sf_dir)
-    # fixed per-sf staging, CLEARED each invocation (the export-shards
-    # lesson: per-run mkdtemp leaks a directory per sweep/bench call,
-    # while a reused dir must not keep a stale checkpoint — a
-    # checkpoint that believes the files are already processed would
-    # drain zero batches and attest an empty table)
+    # fixed per-(sf, pid) staging, CLEARED each invocation (the
+    # export-shards lesson: per-run mkdtemp leaks a directory per
+    # sweep/bench call, while a reused dir must not keep a stale
+    # checkpoint — a checkpoint that believes the files are already
+    # processed would drain zero batches and attest an empty table).
+    # The pid suffix keeps concurrent sessions at the same sf (sweep +
+    # driver_sim) from rmtree-ing each other's in-flight stream state.
     base = os.path.join(
-        "/tmp", "spark_graft_stream_upsert", sf_dir.strip("/").replace("/", "_")
+        "/tmp",
+        "spark_graft_stream_upsert",
+        f"{sf_dir.strip('/').replace('/', '_')}_{os.getpid()}",
     )
     shutil.rmtree(base, ignore_errors=True)
     out = os.path.join(base, "rollup")

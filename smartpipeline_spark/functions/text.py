@@ -294,16 +294,26 @@ def ext_heavy_hitters(spark, sf_dir):
                    ELSE CAST(array() AS array<string>) END)[0]"""
     )
     grams = d.select(F.explode(tri).alias("g")).persist()
-    width, depth = 4096, 4
+    # width must beat the threshold for the CANDIDATE bound to hold:
+    # CMS overestimates by up to N/width (all-colliding worst case),
+    # so candidates = {keys with est >= N/5000} is only
+    # pigeonhole-bounded if N/width is well under the N/5000
+    # threshold. At width 65536, a candidate needs TRUE count
+    # >= N(1/5000 - 1/65536), so at most ~5400 keys can qualify even
+    # adversarially; at width 4096 (the old value) the error term
+    # alone exceeded the threshold and a rare-trigram-heavy corpus
+    # could promote the whole vocabulary. 64k cells x 4 rows = 256k
+    # longs — still a broadcast-sized sketch.
+    width, depth = 65536, 4
     try:
         # the ENTIRE query drains eagerly against the cached trigram
         # stream, then the cache is RELEASED before returning — a long
         # session (oracle sweep, bench reps) must not accumulate one
         # leaked cached frame per invocation. Eager is safe because
         # every driver-side structure is bounded: the total (1 row),
-        # the CMS cells (width x depth), the candidate set and the
-        # final answer (both <= 5000 keys by the threshold's own
-        # pigeonhole — only 5000 keys can exceed N/5000).
+        # the CMS cells (width x depth), the candidate set (see the
+        # width bound above) and the final answer (<= 5000 keys by the
+        # exact threshold's pigeonhole).
         n_total = grams.count()
         sketch = cms_merge(cms_rollup(grams, "g", [], width, depth), [])
         vocab = grams.select("g").distinct()

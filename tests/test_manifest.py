@@ -80,17 +80,9 @@ def test_window_oracles_emit_no_hugeint_or_nested_types():
     Pin it: every _WINDOW oracle, executed on sf0.001, must return
     only flat, pandas-faithful column types (CAST SUM arithmetic to
     BIGINT; array_to_string list outputs)."""
-    import duckdb
+    from smartpipeline_spark.testing import duckdb_connection
 
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem "
-        "events documents embeddings"
-    ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{SF_SMOKE}/{t}.parquet')"
-        )
+    con = duckdb_connection(SF_SMOKE)
     oracles = entrymod.oracle_sql()
     offenders = {}
     for key in entrymod._WINDOW:
