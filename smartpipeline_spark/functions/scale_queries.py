@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from smartpipeline_spark import sources
 from smartpipeline_spark.functions import ext_query
-from smartpipeline_spark.operators.relational import _sql_dsum2, dsum2
+from smartpipeline_spark.operators.relational import _sql_dsum2, dsum2, r2
 
 
 @ext_query(
@@ -86,4 +86,45 @@ def ext_salted_join(spark, sf_dir) -> DataFrame:
     return j.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
         F.count("*").alias("n_items"),
         dsum2(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+@ext_query(
+    "ext_rollup_reuse",
+    f"""SELECT strftime(time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)),
+                       '%Y-%m-%d') AS day,
+               event_type,
+               COUNT(*) AS n_events,
+               {_sql_dsum2('value', 'DECIMAL(28,12)')} AS sum_value
+       FROM events GROUP BY day, event_type""",
+)
+def ext_rollup_reuse(spark, sf_dir) -> DataFrame:
+    """Materialized-rollup REUSE (the batch half of the hypertable /
+    continuous-aggregate contract whose streaming maintenance is
+    ext_stream_upsert): daily per-type totals answered from the
+    HOURLY rollup — counts sum, and the value partials stay DECIMAL
+    through the re-aggregation (decimal addition is associative, so
+    agg-on-agg is EXACT; casting to double per hour first would not
+    hash-match) — while the oracle computes the same dailies straight
+    from the raw events. A green row is the mergeability proof that
+    makes rollup layouts usable at all: coarser grains never rescan
+    raw data. At 100 TB the hourly rollup is ~1/3600th of the event
+    stream; every daily/weekly/monthly question costs a scan of THAT,
+    which is why the continuous aggregate is maintained in the first
+    place (the same algebra as scale.sketch_rollup's mergeable HLL /
+    CMS / quantile grids, here for exact counts and sums)."""
+    ev = sources.table(spark, "events", sf_dir)
+    hourly = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,12)")).alias("s"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            r2(F.sum("s").cast("double")).alias("sum_value"),
+        )
     )
