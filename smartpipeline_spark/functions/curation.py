@@ -556,9 +556,15 @@ def dsir_select(
     ``frac`` by Gumbel-perturbed importance weight via a broadcast
     percentile gate (no global sort): (doc_id, score, gate)."""
     # scored is consumed twice (percentile gate + final filter); it is
-    # two narrow columns per doc, so persisting it trades ~16 bytes a
-    # row against a full re-scan-and-rescore of the corpus
-    scored = dsir_scores(raw, dsir_logratio(raw, target, m), m).persist()
+    # two narrow columns per doc, so materializing it trades ~16 bytes
+    # a row against a full re-scan-and-rescore of the corpus.
+    # localCheckpoint, not persist: the returned filter keeps reading
+    # this frame, so no unpersist could ever run — persist would leak
+    # a CacheManager entry per invocation (session-lifetime), while
+    # checkpoint blocks are GC-cleaned with the frame.
+    scored = dsir_scores(raw, dsir_logratio(raw, target, m), m).localCheckpoint(
+        eager=True
+    )
     th = scored.agg(F.percentile("score", 1.0 - frac).alias("gate"))
     return scored.crossJoin(F.broadcast(th)).filter(
         F.col("score") >= F.col("gate")
@@ -711,13 +717,16 @@ def contamination_report_bloom(
 
     corpus_sh = word_shingles(corpus, n)
     # the benchmark shingle frame is consumed THREE times (sizing
-    # count, bitmap build, exact-verify join) — persist it so the
+    # count, bitmap build, exact-verify join) — materialize it so the
     # benchmark side is shingled once instead of re-scanned per use
-    # (it is the small side by precondition, so the cache is bounded)
+    # (small side by precondition, so the footprint is bounded).
+    # localCheckpoint, not persist: the returned aggregation keeps
+    # reading it, so an unpersist can never run and a persist would
+    # leak a CacheManager entry per invocation.
     bench_sh = (
         word_shingles(benchmark, n)
         .select(F.col("doc_id").alias("bench_id"), "sh")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # sizing count: distinct benchmark shingles (the small side; one
     # bounded aggregate job, same order as the filter build itself)

@@ -1033,11 +1033,16 @@ def dedup_against(
     fp_new = batch_fp.filter(F.col("doc_id") == F.col("_keep")).join(
         idx_fps.select("fp"), "fp", "left_anti"
     ).select("doc_id", "text", "fp")
-    fp_new = fp_new.persist()
+    # localCheckpoint, not persist: the returned frame keeps referencing
+    # this materialization, so an unpersist can never run — a persist
+    # here would pin a CacheManager entry per invocation for the whole
+    # session (the heavy-hitters lesson). Checkpoint blocks are
+    # GC-cleaned with the frame instead.
+    fp_new = fp_new.localCheckpoint(eager=True)
     survivors = fp_new
     new_sigs = minhash_signatures(fp_new.select("doc_id", "text"), n)
     if near:
-        new_sigs = new_sigs.persist()
+        new_sigs = new_sigs.localCheckpoint(eager=True)
         idx_sigs = spark.read.parquet(root + "/signatures").join(
             batch_ids, "doc_id", "left_anti"
         )

@@ -460,13 +460,15 @@ def query_ivf_index(
     with open(os.path.join(path, "_centroids.json")) as fh:
         cents = np.array(json.load(fh))
     probe = _ivf_cells_udf(cents, nprobe if nprobe is not None else _IVF_NPROBE)
-    # persisted: the frame is consumed twice (distinct-cells collect for
-    # the partition filter, then the candidate join) — without this the
-    # upstream query pipeline AND the Arrow cell-assignment UDF run as
-    # two full jobs
+    # materialized: the frame is consumed twice (distinct-cells collect
+    # for the partition filter, then the candidate join) — without this
+    # the upstream query pipeline AND the Arrow cell-assignment UDF run
+    # as two full jobs. localCheckpoint, not persist: the returned plan
+    # keeps reading it, so a persist here could never be unpersisted
+    # and would leak a CacheManager entry per query batch.
     q = queries.select(
         "query_id", "q_emb", F.explode(probe(F.col("q_emb"))).alias("cell")
-    ).persist()
+    ).localCheckpoint(eager=True)
     probed = [r.cell for r in q.select("cell").distinct().collect()]
     idx = spark.read.parquet(path).filter(F.col("cell").isin(probed))
     return _exact_topk(_ivf_candidates(idx, q))
