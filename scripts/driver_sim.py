@@ -19,7 +19,10 @@ rehearsed against the contract that actually grades it:
   digits (tolerant of sub-ulp engine drift, strict on int-vs-float
   representation).
 
-Usage: python scripts/driver_sim.py [sf_dir]   (default sf0.01)
+Usage: python scripts/driver_sim.py [sf_dir] [--all]   (default sf0.01)
+``--all`` rehearses EVERY oracled key, not just the current window —
+any key may rotate into the window next round, so full-registry
+driver-compatibility is what actually de-risks rotation.
 Exit 1 on any mismatch.
 """
 
@@ -72,19 +75,26 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = pos[0] if pos else "/root/testdata/sf0.01"
     spark = get_spark("driver-sim")
     con = duckdb_connection(sf_dir)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    keys = (
+        sorted(qs) if "--all" in sys.argv else list(entrymod._WINDOW)
+    )
     failed = []
-    for key in entrymod._WINDOW:
+    for key in keys:
         t0 = time.time()
         try:
-            sp = qs[key](spark, sf_dir).toPandas()
             if key not in oracles:
+                if "--all" in sys.argv:
+                    continue  # rows-only keys have pytest attestations
+                sp = qs[key](spark, sf_dir).toPandas()
                 print(f"PASS  {key:32s} {time.time()-t0:6.1f}s  rows-only {len(sp)}", flush=True)
                 continue
+            sp = qs[key](spark, sf_dir).toPandas()
             od = con.execute(oracles[key]).df()
             rows_ok = len(sp) == len(od)
             schema_ok = sorted(sp.columns) == sorted(od.columns)
