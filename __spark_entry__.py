@@ -155,6 +155,16 @@ ROWS_ONLY_ATTESTATIONS = {
     ],
     "ext_bpe_train": ["test_bpe_training_matches_reference_implementation"],
     "ext_bpe_encode": ["test_bpe_tokenize_applies_merges_in_rank_order"],
+    "ext_quality_classifier": [
+        "test_classifier_matches_local_reference",
+        "test_classifier_learns_planted_concept",
+        "test_classifier_key_beats_base_rate",
+    ],
+    "ext_cdc_chunk_stats": [
+        "test_cdc_spark_matches_reference_chunker",
+        "test_cdc_boundaries_survive_prefix_edit",
+        "test_cdc_stats_find_planted_shared_chunks",
+    ],
     "ext_multimodal_resize": ["test_multimodal_resize_and_frames_queries"],
     "ext_multimodal_frames": ["test_multimodal_resize_and_frames_queries"],
     "ext_multimodal_phash": [

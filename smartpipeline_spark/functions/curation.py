@@ -1592,3 +1592,206 @@ def ext_pack_emit(spark, sf_dir):
         F.array_join("tokens", " ").alias("tokens"),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+# ------------------------------- trained quality classifier (fastText-style)
+# CCNet / GPT-3 / LLaMA curation filters documents with a TRAINED
+# linear classifier over bag-of-ngram features (fastText), not just
+# hand-written heuristics (quality_score in text.py is the heuristic
+# sibling). Same feature space as DSIR above — hashed word
+# unigram+bigram buckets, binary presence — but instead of a
+# closed-form density ratio, logistic regression fit by full-batch
+# gradient descent (deterministic: zero init, no sampling).
+#
+# Scale shape (the DSIR/BPE precedents composed): the featurized
+# corpus (doc_id, y, distinct-bucket array) is checkpointed ONCE —
+# three narrow columns, document text never re-read per iteration.
+# Each GD iteration is ONE job: explode buckets, partial-agg'd
+# groupBy(bucket) summing residuals — the collected gradient is
+# <= m+1 rows (m=2048) regardless of corpus size, the same
+# bounded-driver-transfer contract as the DSIR histograms and ANN
+# codebooks. The bias is just the weight of a sentinel bucket (-1)
+# planted in every document's feature array, so it trains in the
+# same aggregate with no second job. Scoring is 100% map-side:
+# weights ride as a plan literal and each document folds its own
+# bucket array row-locally — the corpus is never shuffled to score,
+# identical to dsir_scores.
+
+QC_BUCKETS = 2048
+_QC_BIAS = -1  # sentinel always-on feature: its weight IS the bias
+
+
+def _qc_buckets_expr(m: int):
+    """Row-local distinct hashed-gram bucket array of ``text``, with
+    the sentinel bias bucket prepended (binary-presence features)."""
+    grams = _unigram_bigram_expr()
+    return F.array_distinct(
+        F.concat(
+            F.array(F.lit(_QC_BIAS).cast("bigint")),
+            F.transform(grams, lambda g: _gram_bucket(g, m)),
+        )
+    )
+
+
+def _weight_map(w: dict):
+    """Sparse weight dict -> plan-literal map (sorted for a stable
+    plan; a dummy entry when empty so the lookup type-checks)."""
+    if w:
+        return F.create_map(
+            *[F.lit(x) for b, v in sorted(w.items()) for x in (b, v)]
+        )
+    return F.create_map(F.lit(-2).cast("bigint"), F.lit(0.0))
+
+
+def train_text_classifier(
+    docs: DataFrame,
+    label_col: str = "label",
+    m: int = QC_BUCKETS,
+    iters: int = 30,
+    lr: float = 2.0,
+    l2: float = 1e-6,
+) -> dict:
+    """Fit logistic regression over hashed-ngram presence features by
+    full-batch gradient descent; returns {"weights": {bucket: w},
+    "m": m} (bucket -1 is the bias). ``iters`` sequential jobs, each
+    collecting <= m+1 gradient rows (see scale note above)."""
+    feats = docs.select(
+        F.col(label_col).cast("double").alias("y"),
+        _qc_buckets_expr(m).alias("bs"),
+    ).localCheckpoint(eager=True)
+    n_docs = feats.count()
+    w: dict = {}
+    if n_docs == 0:
+        return {"weights": w, "m": m}
+    for _ in range(iters):
+        wmap = _weight_map(w)
+        z = F.aggregate(
+            "bs", F.lit(0.0), lambda acc, b: acc + F.coalesce(wmap[b], F.lit(0.0))
+        )
+        resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
+        grad_rows = (
+            feats.select(F.explode("bs").alias("b"), resid.alias("r"))
+            .groupBy("b")
+            .agg(F.sum("r").alias("g"))
+            .collect()
+        )
+        for r in grad_rows:
+            w[r.b] = w.get(r.b, 0.0) - lr * (r.g / n_docs + l2 * w.get(r.b, 0.0))
+    return {"weights": w, "m": m}
+
+
+def classifier_scores(
+    docs: DataFrame, model: dict, label_col: str | None = None
+) -> DataFrame:
+    """(doc_id[, label], prob, pred): map-side scoring under a trained
+    model — weights as a plan literal, row-local bucket fold, prob
+    rounded to 4 decimals (rerun-stable output like dsir_scores)."""
+    wmap = _weight_map(model["weights"])
+    z = F.aggregate(
+        _qc_buckets_expr(model["m"]),
+        F.lit(0.0),
+        lambda acc, b: acc + F.coalesce(wmap[b], F.lit(0.0)),
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    cols = ["doc_id"]
+    if label_col:
+        cols.append(label_col)
+    return docs.select(
+        *cols,
+        (F.floor(prob * 10000.0 + F.lit(0.5)) / 10000.0).alias("prob"),
+        (prob >= 0.5).cast("int").alias("pred"),
+    )
+
+
+@ext_query("ext_quality_classifier")  # iterative GD: pytest-attested
+def ext_quality_classifier(spark, sf_dir):
+    """End-to-end trained filter on the corpus: label = document
+    mentions 'vector' (a ~77%-base-rate single-feature concept the
+    classifier must REDISCOVER from hashed n-grams — beating the base
+    rate on the held-out split is the proof training worked, pinned
+    in pytest); fit on the md5 train split, score every document.
+    Rows-only by design: 30 gradient-descent iterations are not
+    SQL-expressible. Attested by reference-equivalence,
+    planted-concept accuracy, and determinism tests
+    (tests/test_extensions.py)."""
+    d = sources.table(spark, "documents", sf_dir)
+    labeled = d.withColumn(
+        "label", F.col("text").contains("vector").cast("int")
+    )
+    train = assign_split(labeled).filter(F.col("split") == "train")
+    model = train_text_classifier(train.select("text", "label"))
+    return classifier_scores(labeled, model, label_col="label")
+
+
+# ------------------------------------- deterministic fixed-k group sampling
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Exactly-k-per-group deterministic uniform sample: the k rows
+    with the smallest md5(key) hash in each group (rerun- and
+    append-stable for the surviving keys, like every md5-order
+    operator here), with ``sample_rank`` 1..k. The fixed-size sibling
+    of :func:`stratified_sample`'s fixed-RATE gate — eval-set and
+    inspection-set construction wants "exactly 1000 per language",
+    not a rate.
+
+    Scale shape: the naive plan is ONE window partitioned by the
+    group column — with a handful of groups that is a handful of
+    partitions sorting the whole corpus (the classic skew trap). Here
+    phase 1 windows over (group, salt-of-key) so every task sorts
+    ~1/salt_buckets of a group and keeps its local top-k; phase 2
+    windows over the survivors — at most k * salt_buckets rows per
+    group — to pick the true global top-k. Both sorts are bounded;
+    the corpus shuffles once, carrying only (key, group, 8-byte
+    hash). The result is IDENTICAL to the naive single-window plan
+    (top-k distributes over any partition of the rows), which is what
+    the DuckDB oracle runs."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    salt = _keep_bucket(key_col, salt_buckets)
+    base = df.select(
+        key_col, group_col, h.alias("h"), salt.alias("s")
+    )
+    w1 = Window.partitionBy(group_col, "s").orderBy("h", key_col)
+    local = (
+        base.withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") <= k)
+        .drop("r", "s")
+    )
+    w2 = Window.partitionBy(group_col).orderBy("h", key_col)
+    return (
+        local.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= k)
+        .drop("h")
+    )
+
+
+@ext_query(
+    "ext_sample_per_group",
+    """WITH h AS (
+         SELECT doc_id, lang,
+                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+         FROM documents)
+       SELECT doc_id, lang,
+              CAST(row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id)
+                   AS BIGINT) AS sample_rank
+       FROM h
+       QUALIFY sample_rank <= 25""",
+)
+def ext_sample_per_group(spark, sf_dir):
+    """Exactly 25 documents per language by smallest md5(doc_id) —
+    the oracle runs the naive one-window-per-group plan DuckDB can
+    afford at sf0.01; Spark must produce the identical set from the
+    salted two-phase decomposition (see :func:`sample_per_group`)."""
+    d = sources.table(spark, "documents", sf_dir)
+    return sample_per_group(d, "lang", 25).select(
+        "doc_id", "lang", F.col("sample_rank").cast("bigint").alias("sample_rank")
+    )

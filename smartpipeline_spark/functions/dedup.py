@@ -1361,3 +1361,123 @@ def ext_substring_strip(spark, sf_dir):
     rebuild the documents — the removal half of ExactSubstr dedup."""
     d = sources.table(spark, "documents", sf_dir)
     return strip_duplicate_spans(d.select("doc_id", "text"))
+
+
+# ------------------------------------------- content-defined chunking (CDC)
+# Rolling-hash chunking à la LBFS/FastCDC: split each document's BYTES
+# at positions where a gear hash hits a boundary mask, so chunk
+# boundaries are decided by CONTENT, not offsets — an insertion early
+# in a copy shifts every fixed-size block but leaves all downstream
+# CDC chunks (and their fingerprints) identical. This is the
+# byte-level complement to the word-level ExactSubstr detector above:
+# storage-side dedup, delta-sync, and cross-snapshot diffing all key
+# on it, and it works on binary columns where word shingles don't.
+
+_CDC_MIN = 64  # bytes: boundaries inside the first MIN are ignored
+_CDC_MAX = 4096  # bytes: force a boundary at MAX (pathological inputs)
+_CDC_BITS = 8  # boundary mask width -> ~2^8 = 256-byte average chunks
+
+# deterministic 256-entry gear table (seeded, same on every executor)
+_CDC_GEAR = None
+
+
+def _gear_table():
+    global _CDC_GEAR
+    if _CDC_GEAR is None:
+        import random as _random
+
+        rng = _random.Random(0x5EED)
+        _CDC_GEAR = [rng.getrandbits(64) for _ in range(256)]
+    return _CDC_GEAR
+
+
+def cdc_chunk_offsets(data: bytes, min_size: int = _CDC_MIN,
+                      max_size: int = _CDC_MAX, bits: int = _CDC_BITS):
+    """Pure-python reference chunker (also the executor kernel): yields
+    (offset, length) per chunk. Gear hash: h = (h << 1 + gear[byte])
+    mod 2^64; boundary when the low ``bits`` bits are zero and the
+    chunk has reached ``min_size``; forced boundary at ``max_size``."""
+    gear = _gear_table()
+    mask = (1 << bits) - 1
+    out = []
+    start = 0
+    h = 0
+    n = len(data)
+    for i in range(n):
+        h = ((h << 1) + gear[data[i]]) & 0xFFFFFFFFFFFFFFFF
+        length = i - start + 1
+        if (length >= min_size and (h & mask) == 0) or length >= max_size:
+            out.append((start, length))
+            start = i + 1
+            h = 0
+    if start < n:
+        out.append((start, n - start))
+    return out
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_size: int = _CDC_MIN,
+    max_size: int = _CDC_MAX,
+    bits: int = _CDC_BITS,
+) -> DataFrame:
+    """(doc_id, off, length, fp) — one row per content-defined chunk,
+    fingerprinted with md5 over the chunk bytes. Arrow-batched
+    mapInPandas over utf-8 bytes (works unchanged on a binary column);
+    row-local, no shuffle — the downstream groupBy(fp) is the only
+    exchange, and it carries 16-byte keys + two ints per chunk, never
+    chunk bodies. At 100 TB: chunking parallelizes per partition,
+    average chunk size (2^bits) is the dedup-granularity/index-size
+    dial, and the fingerprint table is the write-once index a
+    storage-dedup or delta-sync layer keys on."""
+    import hashlib as _hashlib
+
+    import pandas as pd  # executor-side: module has no top-level pd
+
+    def chunk(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "off": [], "length": [], "fp": []}
+            for did, text in zip(pdf["doc_id"], pdf[text_col]):
+                data = (
+                    text if isinstance(text, (bytes, bytearray)) else
+                    (text or "").encode("utf-8")
+                )
+                for off, ln in cdc_chunk_offsets(
+                    data, min_size, max_size, bits
+                ):
+                    rows["doc_id"].append(did)
+                    rows["off"].append(off)
+                    rows["length"].append(ln)
+                    rows["fp"].append(
+                        _hashlib.md5(data[off : off + ln]).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        chunk, "doc_id long, off long, length long, fp string"
+    )
+
+
+@ext_query("ext_cdc_chunk_stats")  # gear-hash-driven: pytest-attested
+def ext_cdc_chunk_stats(spark, sf_dir):
+    """Corpus chunk-duplication profile from CDC fingerprints: per
+    duplicated chunk, how many documents and occurrences share it and
+    how many bytes each extra occurrence costs — the table a
+    storage-dedup layer (or a byte-level corpus diff) reads to decide
+    what single-instancing buys. No SQL oracle (the gear hash defines
+    the chunking); the chunker itself is pytest-pinned: reference
+    equivalence, boundary-shift robustness under prefix edits, and
+    planted cross-document chunk sharing."""
+    d = sources.table(spark, "documents", sf_dir)
+    ch = cdc_chunks(d.select("doc_id", "text"))
+    return (
+        ch.groupBy("fp")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.first("length").alias("chunk_bytes"),
+            ((F.count("*") - 1) * F.first("length")).alias("dup_bytes"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )

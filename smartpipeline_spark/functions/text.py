@@ -738,3 +738,88 @@ def ext_bpe_encode(spark, sf_dir):
         F.array_join("tokens", " ").alias("tokens"),
         F.size("tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+# --------------------------------------------- Zipf frequency spectrum
+
+@ext_query(
+    "ext_zipf_spectrum",
+    r"""WITH words AS (
+         SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+         FROM documents),
+       vocab AS (SELECT w, COUNT(*) AS c FROM words WHERE w <> '' GROUP BY w),
+       spec AS (SELECT c AS freq, COUNT(*) AS n_words FROM vocab GROUP BY c),
+       ranked AS (
+         SELECT freq, n_words,
+                COALESCE(SUM(n_words) OVER (ORDER BY freq DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + (n_words + 1) / 2.0 AS rank_mid
+         FROM spec),
+       fit AS (
+         SELECT (SUM(n_words * ln(rank_mid) * ln(freq))
+                 - SUM(n_words * ln(rank_mid)) * SUM(n_words * ln(freq))
+                   / SUM(n_words))
+              / (SUM(n_words * ln(rank_mid) * ln(rank_mid))
+                 - SUM(n_words * ln(rank_mid)) * SUM(n_words * ln(rank_mid))
+                   / SUM(n_words)) AS slope
+         FROM ranked)
+       SELECT CAST(freq AS BIGINT) AS freq,
+              CAST(n_words AS BIGINT) AS n_words,
+              rank_mid,
+              FLOOR(slope * 10000.0 + 0.5) / 10000.0 AS zipf_slope
+       FROM ranked, fit""",
+)
+def ext_zipf_spectrum(spark, sf_dir):
+    """Corpus token-frequency SPECTRUM (frequency-of-frequencies) plus
+    a weighted-OLS Zipf exponent — the one-page statistical profile a
+    data card quotes for vocabulary health (a slope far from -1 or a
+    truncated tail flags templated/boilerplate corpora; Heaps/Zipf
+    checks are standard corpus QA). Scale shape: the corpus-sized
+    shuffle is the partial-agg'd word count; the spectrum groupBy then
+    collapses the VOCAB to at most O(sqrt(total_tokens)) distinct
+    frequencies (a million-token corpus has < ~1500 spectrum rows, a
+    100 TB one < ~10M — each row 3 numbers), so the global
+    rank-cumsum window runs over a bounded frame (the documented
+    single-partition exception, same class as the percentile gates)
+    and the slope is one more tiny aggregate broadcast back as a
+    plan-literal column. Word ranks are never materialized — the
+    midpoint rank of every word at frequency f falls out of the
+    spectrum cumsum, which is what keeps the global sort out of the
+    plan entirely."""
+    from pyspark.sql import Window
+
+    d = sources.table(spark, "documents", sf_dir)
+    words = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count("*").alias("c"))
+    spec = vocab.groupBy(F.col("c").alias("freq")).agg(
+        F.count("*").alias("n_words")
+    )
+    win = (
+        Window.orderBy(F.desc("freq"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = spec.withColumn(
+        "rank_mid",
+        F.coalesce(F.sum("n_words").over(win), F.lit(0))
+        + (F.col("n_words") + F.lit(1)) / F.lit(2.0),
+    )
+    wx = F.col("n_words") * F.log("rank_mid")
+    fit = ranked.agg(
+        (
+            (F.sum(wx * F.log("freq"))
+             - F.sum(wx) * F.sum(F.col("n_words") * F.log("freq"))
+               / F.sum("n_words"))
+            / (F.sum(wx * F.log("rank_mid"))
+               - F.sum(wx) * F.sum(wx) / F.sum("n_words"))
+        ).alias("slope")
+    )
+    return ranked.crossJoin(F.broadcast(fit)).select(
+        F.col("freq").cast("bigint").alias("freq"),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        "rank_mid",
+        (F.floor(F.col("slope") * 10000.0 + F.lit(0.5)) / 10000.0).alias(
+            "zipf_slope"
+        ),
+    )

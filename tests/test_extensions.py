@@ -1000,3 +1000,262 @@ def test_winnow_xxhash_variant_same_guarantees_and_plan(spark):
     assert len(re.findall(r"Generate \(\d+\)", final)) == 1
     with _pytest.raises(ValueError, match="hash_fn"):
         winnow_fingerprints(df, hash_fn="sha1")
+
+
+# ---------------------------------------------- content-defined chunking
+
+
+def test_cdc_spark_matches_reference_chunker(spark):
+    """The distributed chunker must emit exactly the reference
+    pure-python chunking of every document (offsets, lengths, and
+    md5 fingerprints)."""
+    import hashlib
+
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.functions.dedup import (
+        cdc_chunk_offsets,
+        cdc_chunks,
+    )
+
+    d = sources.table(spark, "documents", SF_SMOKE).select("doc_id", "text")
+    got = {
+        (r.doc_id, r.off, r.length, r.fp)
+        for r in cdc_chunks(d).collect()
+    }
+    want = set()
+    for row in d.collect():
+        data = (row.text or "").encode("utf-8")
+        for off, ln in cdc_chunk_offsets(data):
+            want.add(
+                (row.doc_id, off, ln, hashlib.md5(data[off : off + ln]).hexdigest())
+            )
+    assert got == want and want
+
+
+def test_cdc_boundaries_survive_prefix_edit(spark):
+    """THE content-defined property: inserting bytes at the head of a
+    copy shifts every fixed-size block, but CDC boundaries downstream
+    of the edit re-synchronize, so the copy shares most chunk
+    fingerprints with the original. Fixed-size blocking would share
+    none."""
+    from smartpipeline_spark.functions.dedup import cdc_chunk_offsets
+    import hashlib
+    import random
+
+    rng = random.Random(11)
+    base = bytes(rng.getrandbits(8) for _ in range(20_000))
+    edited = b"INSERTED-PREFIX-" + base
+
+    def fps(data):
+        return [
+            hashlib.md5(data[o : o + ln]).hexdigest()
+            for o, ln in cdc_chunk_offsets(data)
+        ]
+
+    f_base, f_edit = fps(base), fps(edited)
+    shared = len(set(f_base) & set(f_edit))
+    assert shared / len(f_base) >= 0.8, (shared, len(f_base))
+    # and the fixed-size strawman really would lose everything
+    fixed_base = {hashlib.md5(base[i : i + 256]).hexdigest() for i in range(0, len(base), 256)}
+    fixed_edit = {hashlib.md5(edited[i : i + 256]).hexdigest() for i in range(0, len(edited), 256)}
+    assert len(fixed_base & fixed_edit) <= 1
+
+
+def test_cdc_stats_find_planted_shared_chunks(spark):
+    """Two documents sharing a large middle passage must surface in
+    the duplication profile with n_docs == 2 rows covering the shared
+    bytes."""
+    from smartpipeline_spark.functions.dedup import cdc_chunks
+
+    import random
+
+    rng = random.Random(7)
+    shared = "".join(rng.choice("abcdefgh ") for _ in range(5_000))
+    a = "unique-head-A " * 40 + shared + " unique-tail-A" * 40
+    b = "different-head-B " * 40 + shared + " other-tail-B" * 40
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, "entirely unrelated " * 200)],
+        "doc_id long, text string",
+    )
+    ch = cdc_chunks(df)
+    dup = (
+        ch.groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.first("length").alias("chunk_bytes"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .collect()
+    )
+    assert dup, "no shared chunks found for a 5KB planted passage"
+    assert sum(r.chunk_bytes for r in dup) >= 3_000
+
+
+# ------------------------------------------- trained quality classifier
+
+
+def _qc_reference(rows, m, iters=30, lr=2.0, l2=1e-6):
+    """Pure-python twin of train_text_classifier: identical
+    featurization (md5-bucketed unigrams+bigrams, distinct presence,
+    sentinel bias bucket) and identical full-batch GD."""
+    import hashlib
+    import math
+    import re
+
+    def buckets(text):
+        ws = re.split(r"\s+", (text or "").strip().lower())
+        grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        out = [-1]
+        for g in grams:
+            b = int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % m
+            if b not in out:
+                out.append(b)
+        return out
+
+    feats = [(float(y), buckets(t)) for t, y in rows]
+    w = {}
+    n = len(feats)
+    for _ in range(iters):
+        grads = {}
+        for y, bs in feats:
+            z = sum(w.get(b, 0.0) for b in bs)
+            r = 1.0 / (1.0 + math.exp(-z)) - y
+            for b in bs:
+                grads[b] = grads.get(b, 0.0) + r
+        for b, g in grads.items():
+            w[b] = w.get(b, 0.0) - lr * (g / n + l2 * w.get(b, 0.0))
+    return w
+
+
+def test_classifier_matches_local_reference(spark):
+    """Distributed GD must reproduce the textbook single-machine fit
+    on the same featurization — weights equal within float-sum
+    tolerance."""
+    from smartpipeline_spark.functions.curation import train_text_classifier
+
+    rows = [
+        ("good prose flows well and stays coherent", 1),
+        ("well written text stays clear and coherent prose", 1),
+        ("clear writing flows well good text", 1),
+        ("spam spam click here buy now spam", 0),
+        ("buy now click spam here now buy", 0),
+        ("click buy spam now here spam click", 0),
+        ("good prose stays clear", 1),
+        ("spam here buy click", 0),
+    ]
+    m = 256
+    model = train_text_classifier(
+        spark.createDataFrame(rows, "text string, label int"), m=m
+    )
+    want = _qc_reference(rows, m)
+    assert set(model["weights"]) == set(want)
+    for b, v in want.items():
+        assert abs(model["weights"][b] - v) < 1e-9, (b, model["weights"][b], v)
+
+
+def test_classifier_learns_planted_concept(spark):
+    """Two disjoint vocabularies -> near-perfect holdout accuracy: the
+    proof the distributed training actually learns."""
+    import random
+
+    from smartpipeline_spark.functions.curation import (
+        classifier_scores,
+        train_text_classifier,
+    )
+
+    rng = random.Random(3)
+    phys = "quark lepton boson gauge entropy lagrangian tensor flux".split()
+    cook = "butter flour saute simmer garlic whisk oven braise".split()
+    rows = [
+        (
+            i,
+            " ".join(rng.choices(phys if i % 2 else cook, k=12)),
+            i % 2,
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    train = df.filter(F.col("doc_id") < 300)
+    hold = df.filter(F.col("doc_id") >= 300)
+    model = train_text_classifier(train)
+    scored = classifier_scores(hold, model, label_col="label")
+    acc = scored.agg(
+        F.avg((F.col("pred") == F.col("label")).cast("double"))
+    ).collect()[0][0]
+    assert acc >= 0.95, acc
+
+
+def test_classifier_key_beats_base_rate(spark):
+    """The registered key's planted 'mentions vector' concept must be
+    rediscovered from hashed n-grams: accuracy far above the positive
+    base rate, and stable across reruns."""
+    from smartpipeline_spark.functions import EXT_QUERIES
+
+    q = EXT_QUERIES["ext_quality_classifier"]
+    rows = q(spark, SF_SMOKE).collect()
+    n = len(rows)
+    base = sum(r.label for r in rows) / n
+    acc = sum(int(r.pred == r.label) for r in rows) / n
+    assert 0.5 < base < 0.9, base  # non-degenerate concept
+    assert acc >= 0.95, (acc, base)
+    again = {(r.doc_id, r.prob, r.pred) for r in q(spark, SF_SMOKE).collect()}
+    assert {(r.doc_id, r.prob, r.pred) for r in rows} == again
+
+
+# ---------------------------- zipf spectrum + fixed-k group sampling
+
+
+def test_zipf_spectrum_conserves_vocab_and_tokens(spark):
+    """The spectrum is a lossless regrouping of the vocabulary:
+    sum(n_words) == vocab size, sum(freq * n_words) == total tokens,
+    and the slope column is one constant."""
+    from smartpipeline_spark.functions import EXT_QUERIES
+
+    rows = EXT_QUERIES["ext_zipf_spectrum"](spark, SF_SMOKE).collect()
+    from smartpipeline_spark import sources
+
+    d = sources.table(spark, "documents", SF_SMOKE)
+    words = d.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab, toks = words.agg(
+        F.countDistinct("w"), F.count("*")
+    ).collect()[0]
+    assert sum(r.n_words for r in rows) == vocab
+    assert sum(r.freq * r.n_words for r in rows) == toks
+    assert len({r.zipf_slope for r in rows}) == 1
+    assert rows[0].zipf_slope < 0  # frequency falls with rank
+
+
+def test_sample_per_group_equals_naive_window_on_skewed_groups(spark):
+    """The salted two-phase top-k must return exactly the naive
+    one-window-per-group answer, exactly k rows per group (fewer only
+    when the group is smaller than k), on a corpus where one group
+    dominates."""
+    from pyspark.sql import Window
+
+    from smartpipeline_spark.functions.curation import sample_per_group
+
+    rows = [(i, "big" if i % 20 else "rare") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    got = {
+        (r.doc_id, r.grp, r.sample_rank)
+        for r in sample_per_group(df, "grp", 7, salt_buckets=8).collect()
+    }
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    naive = (
+        df.withColumn("h", h)
+        .withColumn(
+            "sample_rank",
+            F.row_number().over(Window.partitionBy("grp").orderBy("h", "doc_id")),
+        )
+        .filter(F.col("sample_rank") <= 7)
+    )
+    want = {(r.doc_id, r.grp, r.sample_rank) for r in naive.collect()}
+    assert got == want
+    per = {}
+    for _, g, _r in got:
+        per[g] = per.get(g, 0) + 1
+    assert per == {"big": 7, "rare": 7}
