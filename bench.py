@@ -80,6 +80,14 @@ BENCH_QUERIES = [
     "ext_salted_join",
     "ext_heavy_hitters",
     "q78_tpch_q21",
+    # round-5 additions (late): gear-hash CDC chunk profile, the Zipf
+    # frequency-spectrum profile, and salted exact-k group sampling.
+    # ext_quality_classifier stays OUT: 30 sequential GD jobs are
+    # ~40s of fixed job overhead at fixture scale and would mask the
+    # rest of the headline set (it is timed in its pytest attestation)
+    "ext_cdc_chunk_stats",
+    "ext_zipf_spectrum",
+    "ext_sample_per_group",
 ]
 
 

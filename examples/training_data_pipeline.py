@@ -114,6 +114,33 @@ def curate(spark, sf_dir: str):
         frac=0.8,
     ).select("doc_id")
 
+    # 7c. TRAINED quality score (CCNet/fastText recipe): positives =
+    #     the held-out target split, negatives = an md5-bucket slice
+    #     of the raw pool; logistic regression over hashed n-grams
+    #     (each GD iteration is one bounded-collect job), scored in
+    #     one shuffle-free map stage. Reported as a column here; a
+    #     production run gates on it exactly like `quality` (or feeds
+    #     it to quality_gate for a per-stratum percentile cut).
+    from smartpipeline_spark.functions.curation import (
+        _keep_bucket,
+        classifier_scores,
+        train_text_classifier,
+    )
+
+    neg = (
+        docs.join(bench.select("doc_id"), "doc_id", "left_anti")
+        .filter(_keep_bucket("doc_id", 10) == 0)
+        .select("text")
+    )
+    labeled = (
+        bench.select("text").withColumn("label", F.lit(1))
+        .unionByName(neg.withColumn("label", F.lit(0)))
+    )
+    clf = train_text_classifier(labeled, iters=15)
+    clf_scores = classifier_scores(docs, clf).select(
+        "doc_id", F.col("prob").alias("clf_prob")
+    )
+
     curated = (
         docs.join(keep_exact, "doc_id", "left_semi")
         .join(non_canonical, "doc_id", "left_anti")
@@ -125,6 +152,7 @@ def curate(spark, sf_dir: str):
         .join(lm, "doc_id")
         .join(chunks, "doc_id")
         .join(rep, "doc_id")
+        .join(clf_scores, "doc_id")
         .join(tokens, "doc_id")
         .filter(
             (F.col("quality") >= 0.7)
@@ -145,6 +173,7 @@ def curate(spark, sf_dir: str):
         "pred_lang",
         "quality",
         "avg_logprob",
+        "clf_prob",
         "novelty",
         "n_ws_tokens",
         "split",

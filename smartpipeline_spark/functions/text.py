@@ -805,6 +805,11 @@ def ext_zipf_spectrum(spark, sf_dir):
         F.coalesce(F.sum("n_words").over(win), F.lit(0))
         + (F.col("n_words") + F.lit(1)) / F.lit(2.0),
     )
+    # the spectrum is consumed twice (slope fit + output); it is a
+    # bounded O(sqrt(tokens))-row frame, so materializing it costs KBs
+    # and saves the SECOND full corpus word-count chain. checkpoint,
+    # not persist — same leak rationale as dsir_select.
+    ranked = ranked.localCheckpoint(eager=True)
     wx = F.col("n_words") * F.log("rank_mid")
     fit = ranked.agg(
         (
