@@ -1840,3 +1840,37 @@ def ext_sample_per_group(spark, sf_dir):
     return sample_per_group(d, "lang", 25).select(
         "doc_id", "lang", F.col("sample_rank").cast("bigint").alias("sample_rank")
     )
+
+
+def save_classifier(model: dict, path: str) -> None:
+    """Persist a trained model as ``_classifier.json`` under ``path``
+    (same contract as the ANN indexes' ``_centroids.json`` /
+    ``_codebooks.json``): the model is a KB-scale artifact — train
+    once on a labeled slice, score every future ingest batch against
+    the saved weights without refitting."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_classifier.json"), "w") as fh:
+        json.dump(
+            {
+                "m": model["m"],
+                "weights": {str(b): v for b, v in model["weights"].items()},
+            },
+            fh,
+        )
+
+
+def load_classifier(path: str) -> dict:
+    """Inverse of :func:`save_classifier`; the loaded model scores
+    bit-identically to the in-memory one (pytest-pinned)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_classifier.json")) as fh:
+        raw = json.load(fh)
+    return {
+        "m": raw["m"],
+        "weights": {int(b): v for b, v in raw["weights"].items()},
+    }

@@ -1259,3 +1259,29 @@ def test_sample_per_group_equals_naive_window_on_skewed_groups(spark):
     for _, g, _r in got:
         per[g] = per.get(g, 0) + 1
     assert per == {"big": 7, "rare": 7}
+
+
+def test_classifier_saved_model_scores_identically(spark, tmp_path):
+    """save -> load -> score must be bit-equal to scoring with the
+    in-memory model (the train-once / score-every-batch contract)."""
+    from smartpipeline_spark.functions.curation import (
+        classifier_scores,
+        load_classifier,
+        save_classifier,
+        train_text_classifier,
+    )
+
+    rows = [
+        (1, "good prose flows well and stays coherent", 1),
+        (2, "spam spam click here buy now spam", 0),
+        (3, "clear writing flows well good text", 1),
+        (4, "buy now click spam here now buy", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    model = train_text_classifier(df, iters=5)
+    save_classifier(model, str(tmp_path / "clf"))
+    loaded = load_classifier(str(tmp_path / "clf"))
+    assert loaded == model
+    a = {tuple(r) for r in classifier_scores(df, model).collect()}
+    b = {tuple(r) for r in classifier_scores(df, loaded).collect()}
+    assert a == b and a
