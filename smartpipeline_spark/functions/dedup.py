@@ -1481,3 +1481,104 @@ def ext_cdc_chunk_stats(spark, sf_dir):
         )
         .filter(F.col("n_occurrences") >= 2)
     )
+
+
+def build_cdc_index(spark, docs: DataFrame, path: str, **chunk_kw) -> dict:
+    """Persist the byte-level dedup INDEX for a corpus — the CDC twin
+    of :func:`build_dedup_index`: chunk every document once
+    (content-defined boundaries, see :func:`cdc_chunks`), keep ONE row
+    per distinct chunk fingerprint. Arriving batches are then profiled
+    against this table instead of re-chunking the corpus.
+
+    Index layout: ``<path>/chunk_fps`` — (fp, first_doc, chunk_bytes),
+    16-byte md5 + two ints per distinct chunk; document bytes never
+    land in the index. Returns {"n_chunks", "n_fps"}."""
+    ch = cdc_chunks(docs, **chunk_kw)
+    idx = ch.groupBy("fp").agg(
+        F.min("doc_id").alias("first_doc"),
+        F.first("length").alias("chunk_bytes"),
+    )
+    idx.write.mode("overwrite").parquet(path.rstrip("/") + "/chunk_fps")
+    return {
+        "n_chunks": ch.count(),
+        "n_fps": spark.read.parquet(path.rstrip("/") + "/chunk_fps").count(),
+    }
+
+
+def cdc_dedup_against(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    dup_threshold: float = 0.5,
+    append: bool = True,
+    **chunk_kw,
+) -> DataFrame:
+    """Byte-level duplication report for an arriving batch against a
+    persisted CDC index: per batch doc — total_bytes, dup_bytes
+    (bytes in chunks already present in the index OR in a smaller-id
+    doc of the same batch), dup_fraction, and ``is_dup`` at
+    ``dup_threshold``. Because boundaries are content-defined, a
+    near-copy with an insertion still shares most chunk fingerprints
+    and is flagged — a fixed-size blocking index would miss it.
+
+    ``append=True`` writes the batch's fp-new chunks back (parquet
+    append; run batches serially, same contract as dedup_against).
+    Index rows whose first_doc is in the batch are excluded from the
+    comparison, so the LAZY report never matches a doc against its own
+    just-appended chunks and the call is re-entrant; with globally
+    increasing doc_ids (the shared ordering contract),
+    (build; append) is row-equal to build-on-concat — pytest-pinned.
+
+    Scale: the batch joins the index on 16-byte fps (uniform shuffle
+    keys); corpus text is never re-read; the report aggregate is
+    partial-agg friendly."""
+    root = index_path.rstrip("/")
+    batch_ids = batch.select("doc_id").distinct()
+    idx = spark.read.parquet(root + "/chunk_fps").join(
+        batch_ids.withColumnRenamed("doc_id", "first_doc"),
+        "first_doc",
+        "left_anti",
+    )
+    # localCheckpoint: chunks feed the report join, the within-batch
+    # first-occurrence agg, and the append write — chunk once. (Not
+    # persist: the returned frame keeps reading it, so no unpersist
+    # could ever run.)
+    ch = cdc_chunks(batch, **chunk_kw).localCheckpoint(eager=True)
+    first = ch.groupBy("fp").agg(F.min("doc_id").alias("batch_first"))
+    marked = (
+        ch.join(idx.select("fp").withColumn("_in_idx", F.lit(1)), "fp", "left")
+        .join(first, "fp")
+        .withColumn(
+            "_dup",
+            (F.col("_in_idx") == 1) | (F.col("doc_id") > F.col("batch_first")),
+        )
+    )
+    report = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.sum("length").alias("total_bytes"),
+            F.sum(F.when(F.col("_dup"), F.col("length")).otherwise(0)).alias(
+                "dup_bytes"
+            ),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.col("dup_bytes") / F.greatest(F.col("total_bytes"), F.lit(1)),
+        )
+        .withColumn("is_dup", F.col("dup_fraction") >= F.lit(dup_threshold))
+    )
+    if append:
+        (
+            marked.filter(
+                F.col("_in_idx").isNull()
+                & (F.col("doc_id") == F.col("batch_first"))
+            )
+            .groupBy("fp")
+            .agg(
+                F.min("doc_id").alias("first_doc"),
+                F.first("length").alias("chunk_bytes"),
+            )
+            .write.mode("append")
+            .parquet(root + "/chunk_fps")
+        )
+    return report

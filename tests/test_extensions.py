@@ -1285,3 +1285,66 @@ def test_classifier_saved_model_scores_identically(spark, tmp_path):
     a = {tuple(r) for r in classifier_scores(df, model).collect()}
     b = {tuple(r) for r in classifier_scores(df, loaded).collect()}
     assert a == b and a
+
+
+def test_cdc_index_append_equals_rebuild(spark, tmp_path):
+    """(build on A; dedup_against B with append) must leave the same
+    chunk-fp index as building on A+B directly — the incremental
+    ingestion contract, byte-level edition."""
+    import random
+
+    from smartpipeline_spark.functions.dedup import (
+        build_cdc_index,
+        cdc_dedup_against,
+    )
+
+    rng = random.Random(5)
+    mk = lambda: " ".join(rng.choice("abcdefgh qrstu") for _ in range(900))
+    a_rows = [(i, mk()) for i in range(6)]
+    b_rows = [(10 + i, mk()) for i in range(4)] + [(20, a_rows[0][1])]
+    schema = "doc_id long, text string"
+    A = spark.createDataFrame(a_rows, schema)
+    B = spark.createDataFrame(b_rows, schema)
+
+    p_inc = str(tmp_path / "inc")
+    build_cdc_index(spark, A, p_inc)
+    cdc_dedup_against(spark, p_inc, B, append=True).count()  # drain
+    p_all = str(tmp_path / "all")
+    build_cdc_index(spark, A.unionByName(B), p_all)
+
+    inc = {tuple(r) for r in spark.read.parquet(p_inc + "/chunk_fps").collect()}
+    allr = {tuple(r) for r in spark.read.parquet(p_all + "/chunk_fps").collect()}
+    assert inc == allr and inc
+
+
+def test_cdc_dedup_against_flags_near_copy_with_insertion(spark, tmp_path):
+    """A batch doc that is an indexed doc with a prefix insertion must
+    report a high dup_fraction (content-defined boundaries resync);
+    an unrelated doc must not. Rerunning the same call (re-entrancy
+    after its own append) gives the identical report."""
+    import random
+
+    from smartpipeline_spark.functions.dedup import (
+        build_cdc_index,
+        cdc_dedup_against,
+    )
+
+    rng = random.Random(9)
+    base = " ".join(rng.choice("lmnop wxyz") for _ in range(2500))
+    other = " ".join(rng.choice("01234 56789") for _ in range(2500))
+    A = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    p = str(tmp_path / "idx")
+    build_cdc_index(spark, A, p)
+
+    B = spark.createDataFrame(
+        [(11, "INSERTED PREFIX " + base), (12, other)],
+        "doc_id long, text string",
+    )
+    rep1 = {r.doc_id: r for r in cdc_dedup_against(spark, p, B).collect()}
+    assert rep1[11].dup_fraction >= 0.6, rep1[11]
+    assert rep1[12].dup_fraction <= 0.2, rep1[12]
+    assert rep1[11].is_dup and not rep1[12].is_dup
+    rep2 = {r.doc_id: r for r in cdc_dedup_against(spark, p, B).collect()}
+    assert {k: tuple(v) for k, v in rep1.items()} == {
+        k: tuple(v) for k, v in rep2.items()
+    }
