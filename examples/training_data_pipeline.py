@@ -122,14 +122,14 @@ def curate(spark, sf_dir: str):
     #     production run gates on it exactly like `quality` (or feeds
     #     it to quality_gate for a per-stratum percentile cut).
     from smartpipeline_spark.functions.curation import (
-        _keep_bucket,
         classifier_scores,
+        hash_bucket,
         train_text_classifier,
     )
 
     neg = (
         docs.join(bench.select("doc_id"), "doc_id", "left_anti")
-        .filter(_keep_bucket("doc_id", 10) == 0)
+        .filter(hash_bucket("doc_id", 10) == 0)
         .select("text")
     )
     labeled = (

@@ -48,6 +48,14 @@ def _keep_bucket(key_col: str, mod: int):
     )
 
 
+def hash_bucket(key_col: str, mod: int):
+    """Public name for the md5 keep-bucket primitive (deterministic,
+    rerun- and append-stable row bucketing) — for user code that wants
+    its own hash-sliced subsets with the same stability contract the
+    split/balance/mixing operators share."""
+    return _keep_bucket(key_col, mod)
+
+
 # ---------------------------------------------------------------- split
 
 def assign_split(
@@ -1633,8 +1641,12 @@ _QC_BIAS = -1  # sentinel always-on feature: its weight IS the bias
 
 def _qc_buckets_expr(m: int):
     """Row-local distinct hashed-gram bucket array of ``text``, with
-    the sentinel bias bucket prepended (binary-presence features)."""
-    grams = _unigram_bigram_expr()
+    the sentinel bias bucket prepended (binary-presence features).
+    NULL text coalesces to an empty gram array (bias-only features)
+    rather than a NULL array that would crash the numpy kernel."""
+    grams = F.coalesce(
+        _unigram_bigram_expr(), F.expr("CAST(array() AS array<string>)")
+    )
     return F.array_distinct(
         F.concat(
             F.array(F.lit(_QC_BIAS).cast("bigint")),
@@ -1739,8 +1751,11 @@ def classifier_scores(
             )
             prob = 1.0 / (1.0 + np.exp(-z))
             out = pdf[cols].copy()
-            out["prob"] = np.floor(prob * 10000.0 + 0.5) / 10000.0
-            out["pred"] = (prob >= 0.5).astype("int32")
+            p4 = np.floor(prob * 10000.0 + 0.5) / 10000.0
+            out["prob"] = p4
+            # threshold the PUBLISHED (rounded) prob so pred always
+            # equals prob >= 0.5 for a reader of the output
+            out["pred"] = (p4 >= 0.5).astype("int32")
             yield out
 
     return base.mapInPandas(
@@ -1761,7 +1776,8 @@ def ext_quality_classifier(spark, sf_dir):
     (tests/test_extensions.py)."""
     d = sources.table(spark, "documents", sf_dir)
     labeled = d.withColumn(
-        "label", F.col("text").contains("vector").cast("int")
+        "label",
+        F.coalesce(F.col("text").contains("vector").cast("int"), F.lit(0)),
     )
     train = assign_split(labeled).filter(F.col("split") == "train")
     model = train_text_classifier(train.select("text", "label"))

@@ -1493,7 +1493,9 @@ def build_cdc_index(spark, docs: DataFrame, path: str, **chunk_kw) -> dict:
     Index layout: ``<path>/chunk_fps`` — (fp, first_doc, chunk_bytes),
     16-byte md5 + two ints per distinct chunk; document bytes never
     land in the index. Returns {"n_chunks", "n_fps"}."""
-    ch = cdc_chunks(docs, **chunk_kw)
+    # checkpoint: the per-byte python chunker is the expensive pass —
+    # without it the n_chunks count below would re-chunk the corpus
+    ch = cdc_chunks(docs, **chunk_kw).localCheckpoint(eager=True)
     idx = ch.groupBy("fp").agg(
         F.min("doc_id").alias("first_doc"),
         F.first("length").alias("chunk_bytes"),
@@ -1545,22 +1547,36 @@ def cdc_dedup_against(
     # could ever run.)
     ch = cdc_chunks(batch, **chunk_kw).localCheckpoint(eager=True)
     first = ch.groupBy("fp").agg(F.min("doc_id").alias("batch_first"))
+    # .distinct() on the probe side: the report sums chunk lengths, so
+    # a duplicated index fp would double-count bytes (the sibling
+    # dedup_against only feeds anti-joins, where dups are harmless)
     marked = (
-        ch.join(idx.select("fp").withColumn("_in_idx", F.lit(1)), "fp", "left")
+        ch.join(
+            idx.select("fp").distinct().withColumn("_in_idx", F.lit(1)),
+            "fp",
+            "left",
+        )
         .join(first, "fp")
         .withColumn(
             "_dup",
             (F.col("_in_idx") == 1) | (F.col("doc_id") > F.col("batch_first")),
         )
     )
+    # outer-join back to the batch ids so zero-chunk docs (empty text)
+    # still get a report row — the "per batch doc" contract
     report = (
-        marked.groupBy("doc_id")
-        .agg(
-            F.sum("length").alias("total_bytes"),
-            F.sum(F.when(F.col("_dup"), F.col("length")).otherwise(0)).alias(
-                "dup_bytes"
+        batch_ids.join(
+            marked.groupBy("doc_id").agg(
+                F.sum("length").alias("total_bytes"),
+                F.sum(
+                    F.when(F.col("_dup"), F.col("length")).otherwise(0)
+                ).alias("dup_bytes"),
             ),
+            "doc_id",
+            "left",
         )
+        .withColumn("total_bytes", F.coalesce("total_bytes", F.lit(0)))
+        .withColumn("dup_bytes", F.coalesce("dup_bytes", F.lit(0)))
         .withColumn(
             "dup_fraction",
             F.col("dup_bytes") / F.greatest(F.col("total_bytes"), F.lit(1)),
@@ -1568,11 +1584,16 @@ def cdc_dedup_against(
         .withColumn("is_dup", F.col("dup_fraction") >= F.lit(dup_threshold))
     )
     if append:
+        # the append filter checks the RAW index (no first_doc-in-batch
+        # exclusion): after this batch's own append lands, its fps are
+        # present there, so re-running the same call appends NOTHING —
+        # the filtered view used for the report would hide them and
+        # re-append duplicates on every rerun
+        raw_fps = spark.read.parquet(root + "/chunk_fps").select("fp")
         (
-            marked.filter(
-                F.col("_in_idx").isNull()
-                & (F.col("doc_id") == F.col("batch_first"))
-            )
+            ch.join(first, "fp")
+            .filter(F.col("doc_id") == F.col("batch_first"))
+            .join(raw_fps, "fp", "left_anti")
             .groupBy("fp")
             .agg(
                 F.min("doc_id").alias("first_doc"),

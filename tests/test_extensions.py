@@ -1348,3 +1348,54 @@ def test_cdc_dedup_against_flags_near_copy_with_insertion(spark, tmp_path):
     assert {k: tuple(v) for k, v in rep1.items()} == {
         k: tuple(v) for k, v in rep2.items()
     }
+
+
+def test_cdc_rerun_appends_nothing_and_empty_docs_get_report_rows(spark, tmp_path):
+    """Re-running the same batch must leave the index row count
+    unchanged (idempotent append), and a zero-chunk (empty-text) batch
+    doc must still appear in the report with total_bytes=0."""
+    from smartpipeline_spark.functions.dedup import (
+        build_cdc_index,
+        cdc_dedup_against,
+    )
+
+    A = spark.createDataFrame(
+        [(1, "alpha beta gamma " * 120)], "doc_id long, text string"
+    )
+    p = str(tmp_path / "idx")
+    build_cdc_index(spark, A, p)
+    B = spark.createDataFrame(
+        [(11, "delta epsilon zeta " * 120), (12, "")],
+        "doc_id long, text string",
+    )
+    rep1 = {r.doc_id: tuple(r) for r in cdc_dedup_against(spark, p, B).collect()}
+    n1 = spark.read.parquet(p + "/chunk_fps").count()
+    rep2 = {r.doc_id: tuple(r) for r in cdc_dedup_against(spark, p, B).collect()}
+    n2 = spark.read.parquet(p + "/chunk_fps").count()
+    assert n1 == n2, "rerun appended duplicate fps"
+    assert rep1 == rep2
+    assert 12 in rep1 and rep1[12][1] == 0 and not rep1[12][-1]
+    fps = [r.fp for r in spark.read.parquet(p + "/chunk_fps").collect()]
+    assert len(fps) == len(set(fps)), "index holds duplicate fps"
+
+
+def test_classifier_handles_null_and_empty_text(spark):
+    """NULL / empty text must score (bias-only features), not crash
+    the Arrow kernel; pred always equals (published prob >= 0.5)."""
+    from smartpipeline_spark.functions.curation import (
+        classifier_scores,
+        train_text_classifier,
+    )
+
+    rows = [
+        (1, "good clear prose", 1),
+        (2, "spam spam spam", 0),
+        (3, None, 0),
+        (4, "", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    model = train_text_classifier(df, iters=3)
+    got = classifier_scores(df, model, label_col="label").collect()
+    assert len(got) == 4
+    for r in got:
+        assert r.pred == int(r.prob >= 0.5), (r.doc_id, r.prob, r.pred)
