@@ -67,7 +67,7 @@ def main() -> None:
     # same guard the TPC-H and ANN blocks get; --ops exists exactly to
     # avoid paying for unselected work)
     n_docs = 0
-    if want("exact_dedup_groups", "minhash_candidate_pairs", "jaccard_verified_pairs", "exactsubstr_spans", "dsir_selected"):
+    if want("exact_dedup_groups", "minhash_candidate_pairs", "jaccard_verified_pairs", "exactsubstr_spans", "dsir_selected", "cdc_chunk_fps", "classifier_train_5it"):
         base = sources.table(spark, "documents", sf_dir).select("doc_id", "text")
         docs = base.select(
             F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("r"),
@@ -117,6 +117,31 @@ def main() -> None:
             docs, docs.filter(F.col("doc_id") % 97 == 0), frac=0.25
         ).count(),
     )
+
+    # CDC chunking is pure map-side python-kernel work — the smoke
+    # demonstrates the embarrassingly-parallel claim holds as bytes
+    # multiply (timing should track corpus bytes ~linearly); the
+    # distinct-fp count is the index-build shuffle (16-byte keys)
+    from smartpipeline_spark.functions.dedup import cdc_chunks
+
+    timed(
+        "cdc_chunk_fps",
+        lambda: cdc_chunks(docs).select("fp").distinct().count(),
+    )
+
+    # classifier training: per-iteration cost must stay ONE bounded
+    # (<= m+1 row) collect as the corpus multiplies — 5 iterations
+    # suffice to smoke the loop shape without paying full convergence
+    from smartpipeline_spark.functions.curation import train_text_classifier
+
+    def _clf():
+        labeled = docs.withColumn(
+            "label",
+            F.coalesce(F.col("text").contains("vector").cast("int"), F.lit(0)),
+        )
+        return len(train_text_classifier(labeled, iters=5)["weights"])
+
+    timed("classifier_train_5it", _clf)
 
     # --- TPC-H fact-replication block: the same join/agg plans the
     # suite pins (one fact-fact exchange, broadcast dims) must hold
