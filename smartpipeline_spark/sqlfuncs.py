@@ -113,6 +113,14 @@ _DEFS: dict[str, tuple[str, str, str]] = {
         " / (sqrt(aggregate(a, 0.0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v))"
         "    * sqrt(aggregate(b, 0.0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v)))",
     ),
+    # deterministic md5 keep-bucket (curation._keep_bucket /
+    # hash_bucket): the rerun- and append-stable row-bucketing
+    # primitive behind split / balance / mixing / shard assignment
+    "hash_bucket": (
+        "(k STRING, m BIGINT)",
+        "BIGINT",
+        "CAST(conv(substring(md5(k), 1, 8), 16, 10) AS BIGINT) % m",
+    ),
     # Hamming distance between 64-bit fingerprints (SimHash / pHash)
     "hamming64": (
         "(a BIGINT, b BIGINT)",

@@ -119,3 +119,19 @@ def test_macros_stay_jvm_side(spark, docs_view):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     # '*' prefix = inside a WholeStageCodegen span in formatted plans
     assert "* Filter" in plan, plan
+
+
+def test_hash_bucket_matches_dataframe_twin(spark, docs_view):
+    """SQL hash_bucket must agree row-for-row with the curation
+    keep-bucket primitive (the split/balance/mixing contract), and
+    with assign_split's train/val/test boundaries."""
+    from smartpipeline_spark.functions.curation import hash_bucket
+
+    sql = spark.sql(
+        f"SELECT doc_id, hash_bucket(CAST(doc_id AS STRING), 100) AS v "
+        f"FROM {docs_view}"
+    )
+    eng = sources.table(spark, "documents", SF_SMOKE).select(
+        "doc_id", hash_bucket("doc_id", 100).alias("v")
+    )
+    assert _pairs(sql) == _pairs(eng)
