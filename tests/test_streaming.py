@@ -473,3 +473,72 @@ def test_ingestion_showcase_dedup_gate_partitioned_sink_restart(spark, tmp_path)
     # partitioned layout materialized (hive-style lang= dirs)
     langs = {d for d in os.listdir(out) if d.startswith("lang=")}
     assert langs and {f"lang={r.lang}" for r in got.select("lang").distinct().collect()} == langs
+
+
+def test_streaming_cdc_ingest_index_equals_batch_build(spark, tmp_path):
+    """Streaming byte-dedup ingestion: a document file-drop drained
+    micro-batch by micro-batch through foreachBatch ->
+    cdc_dedup_against(append=True) must leave EXACTLY the chunk-fp
+    index that one batch build over the whole corpus produces
+    (micro-batch boundaries must not change what the index remembers),
+    and every doc must be reported exactly once across batches. This
+    is the storage-side ingestion composition: content-defined
+    chunking + persisted fingerprint index + streaming arrival."""
+    from smartpipeline_spark.functions.dedup import (
+        build_cdc_index,
+        cdc_dedup_against,
+    )
+
+    docs = sources.table(spark, "documents", SF_SMOKE).select("doc_id", "text")
+    # seed the index with the low half; stream the high half in
+    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    seed = docs.filter(F.col("doc_id") <= median)
+    arriving = docs.filter(F.col("doc_id") > median)
+
+    p_stream = str(tmp_path / "idx_stream")
+    build_cdc_index(spark, seed, p_stream)
+
+    src = str(tmp_path / "drop")
+    arriving.repartition(3).write.mode("overwrite").parquet(src)
+
+    reported: list = []
+
+    def ingest(batch_df, batch_id):
+        reported.extend(
+            cdc_dedup_against(spark, p_stream, batch_df, append=True).collect()
+        )
+
+    q = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(ingest)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120), "stream did not finish in 120s"
+    finally:
+        q.stop()
+
+    # every arriving doc reported exactly once across micro-batches
+    ids = [r.doc_id for r in reported]
+    assert sorted(ids) == sorted(
+        r.doc_id for r in arriving.select("doc_id").collect()
+    )
+
+    # the index equals the one-shot batch build over seed + arrivals
+    p_batch = str(tmp_path / "idx_batch")
+    build_cdc_index(spark, docs, p_batch)
+    got = {
+        (r.fp, r.chunk_bytes)
+        for r in spark.read.parquet(p_stream + "/chunk_fps").collect()
+    }
+    want = {
+        (r.fp, r.chunk_bytes)
+        for r in spark.read.parquet(p_batch + "/chunk_fps").collect()
+    }
+    assert got == want and got
