@@ -1399,3 +1399,45 @@ def test_classifier_handles_null_and_empty_text(spark):
     assert len(got) == 4
     for r in got:
         assert r.pred == int(r.prob >= 0.5), (r.doc_id, r.prob, r.pred)
+
+
+def test_cdc_chunks_binary_column(spark):
+    """The chunker's docstring claims binary columns work unchanged:
+    feed actual bytes (non-UTF8 content included) and check the
+    distributed output equals the reference chunking of those bytes."""
+    import hashlib
+    import random
+
+    from smartpipeline_spark.functions.dedup import (
+        cdc_chunk_offsets,
+        cdc_chunks,
+    )
+
+    rng = random.Random(21)
+    blobs = [(i, bytes(rng.getrandbits(8) for _ in range(3000))) for i in range(3)]
+    df = spark.createDataFrame(blobs, "doc_id long, payload binary")
+    got = {
+        (r.doc_id, r.off, r.length, r.fp)
+        for r in cdc_chunks(df, text_col="payload").collect()
+    }
+    want = set()
+    for i, data in blobs:
+        for off, ln in cdc_chunk_offsets(data):
+            want.add((i, off, ln, hashlib.md5(data[off : off + ln]).hexdigest()))
+    assert got == want and want
+
+
+def test_sample_per_group_smaller_group_returns_all_ranked(spark):
+    """A group with fewer than k rows returns every row, ranked 1..n."""
+    from smartpipeline_spark.functions.curation import sample_per_group
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 50 else "tiny") for i in range(53)],
+        "doc_id long, grp string",
+    )
+    got = sample_per_group(df, "grp", 10, salt_buckets=4).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.grp, []).append(r.sample_rank)
+    assert sorted(per["big"]) == list(range(1, 11))
+    assert sorted(per["tiny"]) == [1, 2, 3]
