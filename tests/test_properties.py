@@ -312,3 +312,32 @@ def test_quantile_sketch_rank_error_property(spark, vals, n_groups, b):
         hi = bisect.bisect_right(svals, est) / n
         dist = 0.0 if lo - bound <= p <= hi + bound else min(abs(lo - p), abs(hi - p))
         assert dist <= bound, (p, est, lo, hi)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=20_000),
+    bits=st.sampled_from([4, 6, 8]),
+)
+def test_cdc_offsets_partition_the_bytes_exactly(data, bits):
+    """For ANY byte string and mask width: CDC chunk offsets tile the
+    input exactly — contiguous, non-overlapping, full coverage — and
+    every chunk except possibly the last is within [min_size,
+    max_size] (pure-python kernel, no Spark job per example)."""
+    from smartpipeline_spark.functions.dedup import (
+        _CDC_MAX,
+        _CDC_MIN,
+        cdc_chunk_offsets,
+    )
+
+    chunks = cdc_chunk_offsets(data, bits=bits)
+    pos = 0
+    for i, (off, ln) in enumerate(chunks):
+        assert off == pos, "gap or overlap at chunk boundary"
+        assert ln >= 1
+        assert ln <= _CDC_MAX
+        if i < len(chunks) - 1:
+            assert ln >= _CDC_MIN
+        pos = off + ln
+    assert pos == len(data)
+    assert (len(chunks) == 0) == (len(data) == 0)
