@@ -163,6 +163,9 @@ ROWS_ONLY_ATTESTATIONS = {
     ],
     "ext_bpe_train": ["test_bpe_training_matches_reference_implementation"],
     "ext_bpe_encode": ["test_bpe_tokenize_applies_merges_in_rank_order"],
+    "ext_compression_ratio": [
+        "test_compression_ratio_exact_and_ordering",
+    ],
     "ext_quality_classifier": [
         "test_classifier_matches_local_reference",
         "test_classifier_learns_planted_concept",

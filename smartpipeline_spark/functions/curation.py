@@ -1893,3 +1893,92 @@ def load_classifier(path: str) -> dict:
         "m": raw["m"],
         "weights": {int(b): v for b, v in raw["weights"].items()},
     }
+
+
+# ------------------------------------------- model evaluation (AUC)
+
+def binary_auc(
+    df: DataFrame, score_col: str, label_col: str = "label"
+) -> DataFrame:
+    """Distributed ROC-AUC (Mann-Whitney rank-sum with tie
+    correction) WITHOUT the global rank sort every naive AUC plan
+    pays: decompose over the SCORE HISTOGRAM. groupBy(score) is the
+    only corpus-sized shuffle (partial-agg'd, one row per distinct
+    score); the rank cumsum then runs over that bounded frame (the
+    zipf-spectrum single-partition exception class) and
+    AUC = sum_g n_pos_g * (cum_neg_below_g + n_neg_g / 2) / (P * N).
+    Exactly equal to pair-counting — ties contribute half, which is
+    what the n_neg/2 midpoint term is. Returns one row
+    (auc, n_pos, n_neg); auc rounded to 6 decimals."""
+    from pyspark.sql import Window
+
+    y = F.col(label_col).cast("int")
+    hist = (
+        df.select(F.col(score_col).alias("score"), y.alias("y"))
+        .groupBy("score")
+        .agg(
+            F.sum("y").alias("n_pos"),
+            F.sum(F.lit(1) - F.col("y")).alias("n_neg"),
+        )
+    )
+    win = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = hist.withColumn(
+        "cum_neg", F.coalesce(F.sum("n_neg").over(win), F.lit(0))
+    )
+    return c.agg(
+        (
+            F.floor(
+                F.sum(
+                    F.col("n_pos")
+                    * (F.col("cum_neg") + F.col("n_neg") / F.lit(2.0))
+                )
+                / (F.sum("n_pos") * F.sum("n_neg"))
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("auc"),
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum("n_neg").cast("bigint").alias("n_neg"),
+    )
+
+
+@ext_query(
+    "ext_score_auc",
+    r"""WITH s AS (
+         SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS score,
+                CASE WHEN contains(text, 'vector') THEN 1 ELSE 0 END AS y
+         FROM documents),
+       h AS (SELECT score,
+                    CAST(SUM(y) AS BIGINT) AS n_pos,
+                    CAST(SUM(1 - y) AS BIGINT) AS n_neg
+             FROM s GROUP BY score),
+       c AS (SELECT score, n_pos, n_neg,
+                    CAST(COALESCE(SUM(n_neg) OVER (ORDER BY score
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS cum_neg
+             FROM h)
+       SELECT FLOOR(SUM(n_pos * (cum_neg + n_neg / 2.0))
+                    / (SUM(n_pos) * SUM(n_neg)) * 1000000.0 + 0.5)
+              / 1000000.0 AS auc,
+              CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+              CAST(SUM(n_neg) AS BIGINT) AS n_neg
+       FROM c""",
+)
+def ext_score_auc(spark, sf_dir):
+    """Model-evaluation surface: ROC-AUC of a signal against a binary
+    label at corpus scale — here the whitespace token count scoring
+    the planted 'mentions vector' concept (longer docs are likelier
+    to contain any given word, so AUC lands meaningfully above 0.5).
+    The oracle re-derives the same histogram-decomposed rank-sum in
+    SQL; the Spark plan pays one partial-agg'd shuffle and a
+    bounded-frame cumsum, never a corpus-wide rank sort."""
+    d = sources.table(spark, "documents", sf_dir)
+    from smartpipeline_spark.functions.text import _word_count_expr
+
+    scored = d.select(
+        _word_count_expr(F.col("text")).alias("score"),
+        F.when(F.col("text").contains("vector"), 1).otherwise(0).alias("label"),
+    )
+    return binary_auc(scored, "score", "label")

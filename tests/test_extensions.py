@@ -1441,3 +1441,51 @@ def test_sample_per_group_smaller_group_returns_all_ranked(spark):
         per.setdefault(r.grp, []).append(r.sample_rank)
     assert sorted(per["big"]) == list(range(1, 11))
     assert sorted(per["tiny"]) == [1, 2, 3]
+
+
+# ------------------------------ AUC evaluation + compression ratio
+
+
+def test_binary_auc_matches_sklearn_free_reference(spark):
+    """Histogram-decomposed AUC must equal the textbook pairwise
+    definition (ties count half) on a small corpus with heavy ties."""
+    from smartpipeline_spark.functions.curation import binary_auc
+
+    rows = [
+        (1, 3.0, 1), (2, 3.0, 0), (3, 1.0, 0), (4, 5.0, 1),
+        (5, 5.0, 0), (6, 2.0, 0), (7, 4.0, 1), (8, 1.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, label int")
+    got = binary_auc(df, "score", "label").collect()[0]
+    pos = [s for _, s, y in rows if y == 1]
+    neg = [s for _, s, y in rows if y == 0]
+    pairs = sum(
+        1.0 if p > n_ else (0.5 if p == n_ else 0.0) for p in pos for n_ in neg
+    )
+    want = pairs / (len(pos) * len(neg))
+    assert abs(got.auc - want) < 1e-6, (got.auc, want)
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+
+
+def test_compression_ratio_exact_and_ordering(spark):
+    """Spark output must equal local zlib byte-for-byte, and a
+    repetitive doc must compress far better than a diverse one."""
+    import random
+    import zlib
+
+    from smartpipeline_spark.functions.text import compression_ratio
+
+    rng = random.Random(13)
+    diverse = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8))
+        for _ in range(300)
+    )
+    rows = [(1, "lorem ipsum " * 400), (2, diverse), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in compression_ratio(df).collect()}
+    for did, text in rows:
+        data = text.encode("utf-8")
+        assert got[did].n_bytes == len(data)
+        assert got[did].z_bytes == len(zlib.compress(data, 6))
+    assert got[1].ratio < 0.1 < got[2].ratio
+    assert got[3].n_bytes == 0
