@@ -1982,3 +1982,60 @@ def ext_score_auc(spark, sf_dir):
         F.when(F.col("text").contains("vector"), 1).otherwise(0).alias("label"),
     )
     return binary_auc(scored, "score", "label")
+
+
+def temperature_mixture(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (the mT5/UniMax recipe):
+    stratum weights are DERIVED from the data, w_s = n_s^(1/T), so
+    T=1 reproduces the natural distribution (keeps everything) and
+    T→∞ approaches the equal-balance of :func:`stratified_sample`;
+    in between, minority strata are upweighted relative to their
+    natural share — the standard multilingual-pretraining dial.
+    Entirely in-plan (no driver-side weight dict): per-stratum counts
+    and the 1-row binding minimum stay as plan aggregates, the rate
+    table broadcasts, the corpus never shuffles, and the md5-bucket
+    keep-decision is the same rerun/append-stable primitive the rest
+    of the sampling family shares."""
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n"))
+    w = F.pow(F.col("n"), F.lit(1.0 / temperature))
+    binding = counts.agg(F.min(F.col("n") / w).alias("scale"))
+    rates = counts.crossJoin(F.broadcast(binding)).select(
+        stratum_col,
+        F.floor(F.lit(10000.0) * F.col("scale") * w / F.col("n"))
+        .cast("bigint")
+        .alias("keep_lt"),
+    )
+    bucket = _keep_bucket(key_col, 10000)
+    return df.join(F.broadcast(rates), stratum_col).filter(
+        bucket < F.col("keep_lt")
+    )
+
+
+@ext_query(
+    "ext_mixture_temperature",
+    """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         binding AS (SELECT MIN(n / pow(n, 0.5)) AS scale FROM counts),
+         rates AS (SELECT lang,
+                          CAST(FLOOR(10000.0 * scale * pow(n, 0.5) / n) AS BIGINT)
+                            AS keep_lt
+                   FROM counts, binding)
+       SELECT d.doc_id, d.lang
+       FROM documents d JOIN rates r ON d.lang = r.lang
+       WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 10000 < r.keep_lt""",
+)
+def ext_mixture_temperature(spark, sf_dir):
+    """T=2 language rebalancing over the natural en-heavy corpus: the
+    majority language thins toward sqrt-proportional share, minority
+    languages keep more of their data — the oracle re-derives the
+    whole in-plan chain (counts → n^(1/T) weights → binding minimum →
+    bucket rates) independently in SQL."""
+    d = sources.table(spark, "documents", sf_dir)
+    return temperature_mixture(d, "lang", "doc_id", 2.0).select(
+        "doc_id", "lang"
+    )

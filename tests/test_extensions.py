@@ -1489,3 +1489,31 @@ def test_compression_ratio_exact_and_ordering(spark):
         assert got[did].z_bytes == len(zlib.compress(data, 6))
     assert got[1].ratio < 0.1 < got[2].ratio
     assert got[3].n_bytes == 0
+
+
+def test_temperature_mixture_limits_and_monotonicity(spark):
+    """T=1 keeps the natural distribution (everything); larger T moves
+    minority share toward balance monotonically; the binding
+    (upweighted-most) stratum is always kept whole."""
+    from smartpipeline_spark.functions.curation import temperature_mixture
+
+    rows = [(i, "en" if i < 900 else ("fr" if i < 980 else "zh"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    t1 = temperature_mixture(df, "lang", "doc_id", 1.0)
+    assert t1.count() == 1000  # natural distribution: nothing dropped
+
+    def shares(t):
+        out = temperature_mixture(df, "lang", "doc_id", t).groupBy("lang").count()
+        d = {r.lang: r["count"] for r in out.collect()}
+        tot = sum(d.values())
+        return {k: v / tot for k, v in d.items()}, d
+
+    s2, d2 = shares(2.0)
+    s8, d8 = shares(8.0)
+    nat_en = 0.9
+    assert s2["en"] < nat_en            # majority thins
+    assert s8["en"] < s2["en"]          # more temperature -> more balance
+    assert s8["zh"] > s2["zh"] > 20 / 1000
+    assert d2["zh"] == 20 and d8["zh"] == 20  # binding stratum kept whole
