@@ -2039,3 +2039,84 @@ def ext_mixture_temperature(spark, sf_dir):
     return temperature_mixture(d, "lang", "doc_id", 2.0).select(
         "doc_id", "lang"
     )
+
+
+def pr_curve(
+    df: DataFrame, score_col: str, label_col: str = "label"
+) -> DataFrame:
+    """Precision/recall at every distinct score threshold ("predict
+    positive when score >= t"), from the same histogram decomposition
+    as :func:`binary_auc`: one partial-agg'd groupBy(score), then
+    cumulative sums over the bounded distinct-score frame — the
+    corpus is never rank-sorted. Returns (threshold, tp, fp,
+    precision, recall), rounded to 6 decimals."""
+    from pyspark.sql import Window
+
+    y = F.col(label_col).cast("int")
+    hist = (
+        df.select(F.col(score_col).alias("threshold"), y.alias("y"))
+        .groupBy("threshold")
+        .agg(
+            F.sum("y").alias("n_pos"),
+            F.sum(F.lit(1) - F.col("y")).alias("n_neg"),
+        )
+    )
+    win = Window.orderBy(F.desc("threshold")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = hist.agg(F.sum("n_pos").alias("p_total"))
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+    return (
+        hist.withColumn("tp", F.sum("n_pos").over(win))
+        .withColumn("fp", F.sum("n_neg").over(win))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            F.col("tp").cast("bigint").alias("tp"),
+            F.col("fp").cast("bigint").alias("fp"),
+            r6(F.col("tp") / (F.col("tp") + F.col("fp"))).alias("precision"),
+            r6(F.col("tp") / F.col("p_total")).alias("recall"),
+        )
+    )
+
+
+@ext_query(
+    "ext_pr_curve",
+    r"""WITH s AS (
+         SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS threshold,
+                CASE WHEN contains(text, 'vector') THEN 1 ELSE 0 END AS y
+         FROM documents),
+       h AS (SELECT threshold,
+                    CAST(SUM(y) AS BIGINT) AS n_pos,
+                    CAST(SUM(1 - y) AS BIGINT) AS n_neg
+             FROM s GROUP BY threshold),
+       c AS (SELECT threshold,
+                    CAST(SUM(n_pos) OVER (ORDER BY threshold DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS tp,
+                    CAST(SUM(n_neg) OVER (ORDER BY threshold DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS fp
+             FROM h),
+       t AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS p_total FROM h)
+       SELECT threshold, tp, fp,
+              FLOOR(tp * 1.0 / (tp + fp) * 1000000.0 + 0.5) / 1000000.0
+                AS precision,
+              FLOOR(tp * 1.0 / p_total * 1000000.0 + 0.5) / 1000000.0
+                AS recall
+       FROM c, t""",
+)
+def ext_pr_curve(spark, sf_dir):
+    """The operating-point companion of ext_score_auc: precision and
+    recall of the token-count signal against the planted concept at
+    every distinct threshold — same histogram shape, one shuffle, a
+    bounded-frame cumsum, no corpus rank sort."""
+    d = sources.table(spark, "documents", sf_dir)
+    from smartpipeline_spark.functions.text import _word_count_expr
+
+    scored = d.select(
+        _word_count_expr(F.col("text")).alias("score"),
+        F.when(F.col("text").contains("vector"), 1).otherwise(0).alias("label"),
+    )
+    return pr_curve(scored, "score", "label")

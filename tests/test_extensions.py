@@ -1517,3 +1517,28 @@ def test_temperature_mixture_limits_and_monotonicity(spark):
     assert s8["en"] < s2["en"]          # more temperature -> more balance
     assert s8["zh"] > s2["zh"] > 20 / 1000
     assert d2["zh"] == 20 and d8["zh"] == 20  # binding stratum kept whole
+
+
+def test_pr_curve_matches_pointwise_reference(spark):
+    """Every (threshold, precision, recall) row must equal the direct
+    'score >= t' confusion-matrix computation."""
+    from smartpipeline_spark.functions.curation import pr_curve
+
+    rows = [
+        (1, 3.0, 1), (2, 3.0, 0), (3, 1.0, 0), (4, 5.0, 1),
+        (5, 5.0, 0), (6, 2.0, 0), (7, 4.0, 1), (8, 1.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, label int")
+    got = {r.threshold: r for r in pr_curve(df, "score", "label").collect()}
+    P = sum(y for _, _, y in rows)
+    for t in {s for _, s, _ in rows}:
+        tp = sum(1 for _, s, y in rows if s >= t and y == 1)
+        fp = sum(1 for _, s, y in rows if s >= t and y == 0)
+        r = got[t]
+        assert (r.tp, r.fp) == (tp, fp)
+        assert abs(r.precision - tp / (tp + fp)) < 1e-6
+        assert abs(r.recall - tp / P) < 1e-6
+    # recall is monotone nonincreasing in threshold
+    ts = sorted(got)
+    for a, b in zip(ts, ts[1:]):
+        assert got[a].recall >= got[b].recall
