@@ -2001,6 +2001,8 @@ def temperature_mixture(
     table broadcasts, the corpus never shuffles, and the md5-bucket
     keep-decision is the same rerun/append-stable primitive the rest
     of the sampling family shares."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
     counts = df.groupBy(stratum_col).agg(F.count("*").alias("n"))
     w = F.pow(F.col("n"), F.lit(1.0 / temperature))
     binding = counts.agg(F.min(F.col("n") / w).alias("scale"))
