@@ -8,7 +8,8 @@ WITH w AS (SELECT * FROM (VALUES ('src0', 3.0), ('src1', 1.0),
                     GROUP BY d.source),
          binding AS (SELECT MIN(n / w) AS scale FROM counts),
          rates AS (SELECT source,
-                          CAST(FLOOR(10000.0 * scale * w / n) AS BIGINT) AS keep_lt
+                          CAST(FLOOR(10000.0 * scale * w / n + 0.000001) AS BIGINT)
+                            AS keep_lt
                    FROM counts, binding)
        SELECT d.doc_id, d.source
        FROM documents d JOIN rates r ON d.source = r.source

@@ -1,8 +1,8 @@
 -- ext_score_auc: DuckDB oracle (ANSI SQL over the shared parquet views).
 -- Spark implementation in smartpipeline_spark (see SURVEY.md 2.12).
 WITH s AS (
-         SELECT CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE len(string_split_regex(trim(text), '\s+')) END AS score,
+         SELECT COALESCE(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS score,
                 CASE WHEN contains(text, 'vector') THEN 1 ELSE 0 END AS y
          FROM documents),
        h AS (SELECT score,

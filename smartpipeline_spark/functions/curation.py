@@ -1264,9 +1264,18 @@ def mixture_sample(
     )
     counts = df.groupBy(stratum_col).agg(F.count("*").alias("n")).join(w, stratum_col)
     binding = counts.agg(F.min(F.col("n") / F.col("w")).alias("scale"))
+    # the binding stratum's rate is EXACTLY 10000 in exact arithmetic
+    # (scale*w/n with scale = n/w), which is a floor() discontinuity:
+    # FP rounding can deliver 9999.999...8 and silently drop the
+    # bucket-9999 slice of the stratum the contract says is kept
+    # whole. The 1e-6 nudge absorbs ulp noise (mirrored in the
+    # oracle) while leaving genuinely fractional rates untouched.
     rates = counts.crossJoin(F.broadcast(binding)).select(
         stratum_col,
-        F.floor(F.lit(10000.0) * F.col("scale") * F.col("w") / F.col("n"))
+        F.floor(
+            F.lit(10000.0) * F.col("scale") * F.col("w") / F.col("n")
+            + F.lit(1e-6)
+        )
         .cast("bigint")
         .alias("keep_lt"),
     )
@@ -1284,7 +1293,8 @@ def mixture_sample(
                     GROUP BY d.source),
          binding AS (SELECT MIN(n / w) AS scale FROM counts),
          rates AS (SELECT source,
-                          CAST(FLOOR(10000.0 * scale * w / n) AS BIGINT) AS keep_lt
+                          CAST(FLOOR(10000.0 * scale * w / n + 0.000001) AS BIGINT)
+                            AS keep_lt
                    FROM counts, binding)
        SELECT d.doc_id, d.source
        FROM documents d JOIN rates r ON d.source = r.source
@@ -1736,7 +1746,9 @@ def classifier_scores(
     m = model["m"]
     w_dense = _qc_dense(model["weights"], m)
     cols = ["doc_id"]
-    out_fields = ["doc_id bigint"]
+    out_fields = [
+        f"doc_id {docs.schema['doc_id'].dataType.simpleString()}"
+    ]
     if label_col:
         cols.append(label_col)
         out_fields.append(
@@ -1946,8 +1958,8 @@ def binary_auc(
 @ext_query(
     "ext_score_auc",
     r"""WITH s AS (
-         SELECT CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE len(string_split_regex(trim(text), '\s+')) END AS score,
+         SELECT COALESCE(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS score,
                 CASE WHEN contains(text, 'vector') THEN 1 ELSE 0 END AS y
          FROM documents),
        h AS (SELECT score,
@@ -1977,8 +1989,11 @@ def ext_score_auc(spark, sf_dir):
     d = sources.table(spark, "documents", sf_dir)
     from smartpipeline_spark.functions.text import _word_count_expr
 
+    # coalesce: a NULL-text doc must score 0, not a NULL that the two
+    # engines ORDER differently (Spark NULLS FIRST vs DuckDB NULLS
+    # LAST) inside the cumsum window
     scored = d.select(
-        _word_count_expr(F.col("text")).alias("score"),
+        F.coalesce(_word_count_expr(F.col("text")), F.lit(0)).alias("score"),
         F.when(F.col("text").contains("vector"), 1).otherwise(0).alias("label"),
     )
     return binary_auc(scored, "score", "label")
@@ -2006,9 +2021,16 @@ def temperature_mixture(
     counts = df.groupBy(stratum_col).agg(F.count("*").alias("n"))
     w = F.pow(F.col("n"), F.lit(1.0 / temperature))
     binding = counts.agg(F.min(F.col("n") / w).alias("scale"))
+    # 1e-6 nudge before floor: the binding stratum's rate is exactly
+    # 10000 in exact arithmetic but pow() is transcendental — FP puts
+    # it at 9999.999...8 (measured for n=64, T=8), and a 1-ulp
+    # JVM-vs-libm pow difference could even land Spark and the SQL
+    # oracle on opposite sides of the integer. Mirrored in the oracle.
     rates = counts.crossJoin(F.broadcast(binding)).select(
         stratum_col,
-        F.floor(F.lit(10000.0) * F.col("scale") * w / F.col("n"))
+        F.floor(
+            F.lit(10000.0) * F.col("scale") * w / F.col("n") + F.lit(1e-6)
+        )
         .cast("bigint")
         .alias("keep_lt"),
     )
@@ -2023,8 +2045,8 @@ def temperature_mixture(
     """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
          binding AS (SELECT MIN(n / pow(n, 0.5)) AS scale FROM counts),
          rates AS (SELECT lang,
-                          CAST(FLOOR(10000.0 * scale * pow(n, 0.5) / n) AS BIGINT)
-                            AS keep_lt
+                          CAST(FLOOR(10000.0 * scale * pow(n, 0.5) / n + 0.000001)
+                            AS BIGINT) AS keep_lt
                    FROM counts, binding)
        SELECT d.doc_id, d.lang
        FROM documents d JOIN rates r ON d.lang = r.lang
@@ -2066,6 +2088,11 @@ def pr_curve(
     win = Window.orderBy(F.desc("threshold")).rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # the histogram feeds both the cumsum chain and the p_total
+    # aggregate; it is a bounded distinct-score frame, so
+    # materializing it costs KBs and saves the SECOND corpus-sized
+    # groupBy (same rationale as the zipf spectrum checkpoint)
+    hist = hist.localCheckpoint(eager=True)
     tot = hist.agg(F.sum("n_pos").alias("p_total"))
     r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6
     return (
@@ -2085,8 +2112,8 @@ def pr_curve(
 @ext_query(
     "ext_pr_curve",
     r"""WITH s AS (
-         SELECT CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE len(string_split_regex(trim(text), '\s+')) END AS threshold,
+         SELECT COALESCE(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS threshold,
                 CASE WHEN contains(text, 'vector') THEN 1 ELSE 0 END AS y
          FROM documents),
        h AS (SELECT threshold,
@@ -2118,7 +2145,7 @@ def ext_pr_curve(spark, sf_dir):
     from smartpipeline_spark.functions.text import _word_count_expr
 
     scored = d.select(
-        _word_count_expr(F.col("text")).alias("score"),
+        F.coalesce(_word_count_expr(F.col("text")), F.lit(0)).alias("score"),
         F.when(F.col("text").contains("vector"), 1).otherwise(0).alias("label"),
     )
     return pr_curve(scored, "score", "label")

@@ -1391,6 +1391,18 @@ def _gear_table():
     return _CDC_GEAR
 
 
+def _to_bytes(value) -> bytes:
+    """THE document-bytes coercion for byte-level operators (CDC
+    chunking, compression ratio): bytes-like passes through
+    (memoryview included — Arrow can hand those over), strings encode
+    utf-8, NULL is empty. One definition — diverging copies would
+    silently give the byte-level operators different ideas of what a
+    document's bytes are."""
+    if isinstance(value, (bytes, bytearray, memoryview)):
+        return bytes(value)
+    return (value or "").encode("utf-8")
+
+
 def cdc_chunk_offsets(data: bytes, min_size: int = _CDC_MIN,
                       max_size: int = _CDC_MAX, bits: int = _CDC_BITS):
     """Pure-python reference chunker (also the executor kernel): yields
@@ -1439,10 +1451,7 @@ def cdc_chunks(
         for pdf in batches:
             rows = {"doc_id": [], "off": [], "length": [], "fp": []}
             for did, text in zip(pdf["doc_id"], pdf[text_col]):
-                data = (
-                    text if isinstance(text, (bytes, bytearray)) else
-                    (text or "").encode("utf-8")
-                )
+                data = _to_bytes(text)
                 for off, ln in cdc_chunk_offsets(
                     data, min_size, max_size, bits
                 ):
@@ -1454,8 +1463,9 @@ def cdc_chunks(
                     )
             yield pd.DataFrame(rows)
 
+    id_type = docs.schema["doc_id"].dataType.simpleString()
     return docs.select("doc_id", text_col).mapInPandas(
-        chunk, "doc_id long, off long, length long, fp string"
+        chunk, f"doc_id {id_type}, off long, length long, fp string"
     )
 
 

@@ -845,14 +845,13 @@ def compression_ratio(
     import pandas as pd
     import zlib as _zlib
 
+    from smartpipeline_spark.functions.dedup import _to_bytes
+
     def kernel(batches):
         for pdf in batches:
             n_b, z_b = [], []
             for t in pdf[text_col]:
-                data = (
-                    t if isinstance(t, (bytes, bytearray)) else
-                    (t or "").encode("utf-8")
-                )
+                data = _to_bytes(t)
                 n_b.append(len(data))
                 z_b.append(len(_zlib.compress(data, level)))
             out = pd.DataFrame({"doc_id": pdf["doc_id"]})
@@ -865,8 +864,9 @@ def compression_ratio(
             out["ratio"] = return_ratio
             yield out
 
+    id_type = docs.schema["doc_id"].dataType.simpleString()
     return docs.select("doc_id", text_col).mapInPandas(
-        kernel, "doc_id long, n_bytes long, z_bytes long, ratio double"
+        kernel, f"doc_id {id_type}, n_bytes long, z_bytes long, ratio double"
     )
 
 

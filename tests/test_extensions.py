@@ -1198,8 +1198,16 @@ def test_classifier_key_beats_base_rate(spark):
     acc = sum(int(r.pred == r.label) for r in rows) / n
     assert 0.5 < base < 0.9, base  # non-degenerate concept
     assert acc >= 0.95, (acc, base)
-    again = {(r.doc_id, r.prob, r.pred) for r in q(spark, SF_SMOKE).collect()}
-    assert {(r.doc_id, r.prob, r.pred) for r in rows} == again
+    # rerun stability: preds exact; probs may drift by one 4-decimal
+    # rounding step when Spark's FP partial-sum order differs between
+    # runs (gradient sums are not order-stable across schedulings)
+    again = {r.doc_id: (r.prob, r.pred) for r in q(spark, SF_SMOKE).collect()}
+    first = {r.doc_id: (r.prob, r.pred) for r in rows}
+    assert set(first) == set(again)
+    for did, (p1, d1) in first.items():
+        p2, d2 = again[did]
+        assert d1 == d2, (did, first[did], again[did])
+        assert abs(p1 - p2) <= 1e-4 + 1e-12, (did, p1, p2)
 
 
 # ---------------------------- zipf spectrum + fixed-k group sampling
@@ -1542,3 +1550,44 @@ def test_pr_curve_matches_pointwise_reference(spark):
     ts = sorted(got)
     for a, b in zip(ts, ts[1:]):
         assert got[a].recall >= got[b].recall
+
+
+def test_temperature_mixture_binding_stratum_whole_at_pow_boundary(spark):
+    """The measured floor-discontinuity combo (n=64, T=8 gives
+    10000.0*scale*w/n = 9999.999999999998 without the epsilon nudge):
+    the binding stratum must be kept WHOLE, including bucket-9999
+    rows."""
+    from smartpipeline_spark.functions.curation import temperature_mixture
+
+    rows = [(i, "maj" if i < 936 else "min") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mixture(df, "lang", "doc_id", 8.0)
+    kept_min = out.filter(F.col("lang") == "min").count()
+    assert kept_min == 64, kept_min
+
+
+def test_byte_ops_and_classifier_work_with_string_doc_ids(spark):
+    """cdc_chunks / compression_ratio / classifier_scores declare
+    their output doc_id from the INPUT schema — string ids (common in
+    document stores) must flow through unchanged."""
+    from smartpipeline_spark.functions.curation import (
+        classifier_scores,
+        train_text_classifier,
+    )
+    from smartpipeline_spark.functions.dedup import cdc_chunks
+    from smartpipeline_spark.functions.text import compression_ratio
+
+    df = spark.createDataFrame(
+        [("doc-a", "alpha beta gamma " * 40), ("doc-b", "delta " * 100)],
+        "doc_id string, text string",
+    )
+    ch = cdc_chunks(df)
+    assert dict(ch.dtypes)["doc_id"] == "string" and ch.count() > 0
+    cr = compression_ratio(df)
+    assert {r.doc_id for r in cr.collect()} == {"doc-a", "doc-b"}
+    model = train_text_classifier(
+        df.withColumn("label", (F.col("doc_id") == "doc-a").cast("int")),
+        iters=2,
+    )
+    sc = classifier_scores(df, model)
+    assert {r.doc_id for r in sc.collect()} == {"doc-a", "doc-b"}
