@@ -877,3 +877,82 @@ def ext_compression_ratio(spark, sf_dir):
     and a planted repetitive-vs-diverse ordering test."""
     d = sources.table(spark, "documents", sf_dir)
     return compression_ratio(d)
+
+
+# ------------------------------------------- per-group top terms
+
+def top_terms_per_group(
+    docs, group_col: str = "lang", k: int = 10
+) -> "DataFrame":
+    """Top-k words per group by corpus frequency — the data-card
+    "characteristic vocabulary" table. Same skew-safe decomposition
+    as curation.sample_per_group: the per-(group, word) count is the
+    only corpus-sized shuffle (partial-agg'd); phase 1 takes a local
+    top-k per (group, salt-of-word) so no task ever sorts a whole
+    group's vocabulary; phase 2 ranks the <= k*32 survivors.
+    Identical to the naive one-window-per-group plan (top-k by
+    (count desc, word) distributes over any partition of the rows —
+    the oracle runs the naive plan). Ties break on the word so both
+    engines pick the same boundary rows."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("grp", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    salt = (
+        F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10)
+        .cast("bigint") % 32
+    )
+    local = (
+        counts.withColumn("s", salt)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("grp", "s").orderBy(
+                    F.desc("n"), F.asc("word")
+                )
+            ),
+        )
+        .filter(F.col("r") <= k)
+        .drop("r", "s")
+    )
+    w2 = Window.partitionBy("grp").orderBy(F.desc("n"), F.asc("word"))
+    return (
+        local.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            "word",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+@ext_query(
+    "ext_top_terms",
+    r"""WITH words AS (
+         SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+         FROM documents),
+       counts AS (SELECT lang, word, COUNT(*) AS n
+                  FROM words WHERE word <> '' GROUP BY lang, word)
+       SELECT lang, word, CAST(n AS BIGINT) AS n,
+              CAST(row_number() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, word) AS BIGINT) AS rank
+       FROM counts
+       QUALIFY rank <= 10""",
+)
+def ext_top_terms(spark, sf_dir):
+    """Top-10 words per language — the oracle affords the naive
+    one-window-per-group plan at fixture scale; Spark must produce
+    the identical table from the salted two-phase decomposition."""
+    d = sources.table(spark, "documents", sf_dir)
+    return top_terms_per_group(d, "lang", 10)

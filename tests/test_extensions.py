@@ -1591,3 +1591,45 @@ def test_byte_ops_and_classifier_work_with_string_doc_ids(spark):
     )
     sc = classifier_scores(df, model)
     assert {r.doc_id for r in sc.collect()} == {"doc-a", "doc-b"}
+
+
+def test_top_terms_equals_naive_window_on_skewed_vocab(spark):
+    """The salted two-phase top-k over aggregated counts must return
+    exactly the naive per-group window answer on a corpus where one
+    group's vocabulary dwarfs the other's."""
+    import random
+
+    from pyspark.sql import Window
+
+    from smartpipeline_spark.functions.text import top_terms_per_group
+
+    rng = random.Random(17)
+    big_vocab = [f"w{i}" for i in range(400)]
+    rows = [
+        (i, "big", " ".join(rng.choices(big_vocab, k=30))) for i in range(300)
+    ] + [(1000 + i, "small", "alpha beta alpha") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        tuple(r) for r in top_terms_per_group(df, "lang", 7).collect()
+    }
+    counts = (
+        df.select(
+            "lang",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    naive = (
+        counts.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("word"))
+            ),
+        )
+        .filter(F.col("rank") <= 7)
+        .select("lang", "word", F.col("n").cast("bigint"), F.col("rank").cast("bigint"))
+    )
+    want = {tuple(r) for r in naive.collect()}
+    assert got == want and len({g for g, *_ in got}) == 2
