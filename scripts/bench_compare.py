@@ -1,7 +1,11 @@
 #!/usr/bin/env python
-"""Round-over-round bench regression gate.
+"""Round-over-round bench regression gate, with mechanical
+plan-diff/git adjudication.
 
-Usage: python scripts/bench_compare.py OLD NEW [threshold]
+Usage:
+    python scripts/bench_compare.py OLD NEW [threshold]
+        [--plans-old PLANS_rN-1.txt --plans-new PLANS_rN.txt]
+        [--git-since REV]
 
 OLD/NEW are bench result files — either the driver's BENCH_r{N}.json
 (with a "parsed" envelope) or a raw bench.py JSON line. Prints a
@@ -9,12 +13,30 @@ per-query delta table and exits 1 if any query regressed more than
 ``threshold`` (default 0.25 = +25%) AND by more than an absolute
 floor of 0.2s (sub-second queries jitter by more than 25% on a
 shared box — flagging those is noise, the round-2 lesson).
+
+Adjudication (round-6 addition, after the round-5 ext_dsir_select
+mis-adjudication): a flagged regression may only be attributed to
+host variance if the key is genuinely code- and plan-unchanged, and
+history shows that claim is exactly where adjudication goes wrong by
+hand. When ``--plans-old/--plans-new`` are given, each regression is
+joined against its per-key plan-fingerprint line in both files; when
+``--git-since`` is given, the key's defining source file (resolved
+through the live query registry) is checked for commits in
+``REV..HEAD``. If either differs, the tool prints an explicit
+REFUSAL of the "unchanged/host variance" adjudication, naming the
+commits and the fingerprint diff — the r05 dsir case, replayed
+through this path, is auto-flagged as "code changed (de8f398), plan
+changed" (pinned by tests/test_extensions.py).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def load(path: str) -> dict[str, float]:
@@ -26,12 +48,117 @@ def load(path: str) -> dict[str, float]:
     return data["queries"]
 
 
+def load_plan_fingerprints(path: str) -> dict[str, str]:
+    """PLANS_r{N}.txt -> {key: fingerprint}. Lines look like
+    ``ext_dsir_select  exch= 2 (reused=0) bhj=0 ... NESTEDLOOP=1``;
+    comment/blank lines are skipped."""
+    fps: dict[str, str] = {}
+    with open(path) as fh:
+        for line in fh:
+            line = line.rstrip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(None, 1)
+            if len(parts) == 2 and "exch=" in parts[1]:
+                fps[parts[0]] = " ".join(parts[1].split())
+    return fps
+
+
+def defining_file(key: str) -> str | None:
+    """Resolve a query key to the repo-relative source file of its
+    registered callable (unwrapping decorator layers). Imports the
+    registry lazily — no Spark session is started."""
+    import inspect
+
+    sys.path.insert(0, REPO)
+    try:
+        import __spark_entry__ as entrymod
+
+        fn = entrymod.queries().get(key)
+        if fn is None:
+            return None
+        while hasattr(fn, "__wrapped__"):
+            fn = fn.__wrapped__
+        src = inspect.getsourcefile(fn)
+        return os.path.relpath(src, REPO) if src else None
+    except Exception:
+        return None
+
+
+def commits_touching(path: str, since: str) -> list[str]:
+    out = subprocess.run(
+        ["git", "log", "--oneline", f"{since}..HEAD", "--", path],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    return [l for l in out.stdout.splitlines() if l.strip()]
+
+
+def adjudicate(
+    regressions: list[tuple[str, float, float, float]],
+    plans_old: str | None,
+    plans_new: str | None,
+    git_since: str | None,
+) -> list[str]:
+    """For each flagged regression, gather the mechanical evidence and
+    emit a verdict line. Returns the lines (also printed)."""
+    fps_old = load_plan_fingerprints(plans_old) if plans_old else {}
+    fps_new = load_plan_fingerprints(plans_new) if plans_new else {}
+    lines: list[str] = []
+    for name, o, n, pct in regressions:
+        facts = []
+        changed = False
+        if plans_old and plans_new:
+            fo, fn_ = fps_old.get(name), fps_new.get(name)
+            if fo != fn_:
+                changed = True
+                facts.append(f"plan changed [{fo or '(absent)'}] -> [{fn_ or '(absent)'}]")
+            else:
+                facts.append("plan fingerprint unchanged")
+        if git_since:
+            src = defining_file(name)
+            if src:
+                commits = commits_touching(src, git_since)
+                if commits:
+                    changed = True
+                    shas = ", ".join(c.split()[0] for c in commits[:5])
+                    more = f" +{len(commits) - 5} more" if len(commits) > 5 else ""
+                    facts.append(
+                        f"code changed ({shas}{more}) in {src}"
+                    )
+                else:
+                    facts.append(f"no commits touched {src} since {git_since}")
+            else:
+                facts.append("defining file unresolved")
+        verdict = (
+            'ADJUDICATION REFUSED: "unchanged/host variance" is falsified — '
+            if changed
+            else "eligible for host-variance adjudication — "
+        )
+        lines.append(f"  {name}: {verdict}{'; '.join(facts) or 'no evidence sources given'}")
+    for ln in lines:
+        print(ln)
+    return lines
+
+
 def main() -> int:
-    if len(sys.argv) < 3:
+    args: list[str] = []
+    opts: dict[str, str] = {}
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        if argv[i].startswith("--"):
+            opts[argv[i][2:]] = argv[i + 1] if i + 1 < len(argv) else ""
+            i += 2
+        else:
+            args.append(argv[i])
+            i += 1
+    if len(args) < 2:
         print(__doc__)
         return 2
-    old, new = load(sys.argv[1]), load(sys.argv[2])
-    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 0.25
+    old, new = load(args[0]), load(args[1])
+    threshold = float(args[2]) if len(args) > 2 else 0.25
     abs_floor = 0.2
     regressions = []
     print(f"{'query':<32} {'old':>8} {'new':>8} {'delta':>8}")
@@ -52,6 +179,13 @@ def main() -> int:
         print(f"\n{len(regressions)} regression(s) over {threshold:.0%}:")
         for name, o, n, pct in regressions:
             print(f"  {name}: {o:.3f}s -> {n:.3f}s ({pct:+.0%})")
+        print("\nper-key adjudication evidence:")
+        adjudicate(
+            regressions,
+            opts.get("plans-old"),
+            opts.get("plans-new"),
+            opts.get("git-since"),
+        )
         return 1
     print("\nno regressions")
     return 0

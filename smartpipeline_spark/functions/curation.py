@@ -504,22 +504,25 @@ def _unigram_bigram_expr():
 
 def dsir_logratio(raw: DataFrame, target: DataFrame, m: int = DSIR_BUCKETS) -> dict:
     """Fit the importance model: {bucket: ln p̂ - ln q̂} with add-one
-    smoothing, for every bucket seen in ``raw``. Two aggregates of at
-    most ``m`` rows each are collected — bounded by construction, the
-    same contract as the ANN codebook training collects."""
+    smoothing, for every bucket seen in ``raw``. ONE aggregate job of
+    at most ``2m`` rows is collected (raw and target unioned under a
+    side flag so both histograms partial-agg in a single pass) —
+    bounded by construction, the same contract as the ANN codebook
+    training collects."""
     import math
 
-    def counts(df):
-        g = df.select(F.explode(_unigram_bigram_expr()).alias("g"))
-        rows = (
-            g.select(_gram_bucket(F.col("g"), m).alias("b"))
-            .groupBy("b")
-            .agg(F.count("*").alias("c"))
-            .collect()
-        )
-        return {r.b: r.c for r in rows}
-
-    qc, pc = counts(raw), counts(target)
+    both = raw.select(F.lit(0).alias("_t"), "text").unionByName(
+        target.select(F.lit(1).alias("_t"), "text")
+    )
+    rows = (
+        both.select("_t", F.explode(_unigram_bigram_expr()).alias("g"))
+        .select("_t", _gram_bucket(F.col("g"), m).alias("b"))
+        .groupBy("_t", "b")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    qc = {r.b: r.c for r in rows if r._t == 0}
+    pc = {r.b: r.c for r in rows if r._t == 1}
     qn, pn = sum(qc.values()), sum(pc.values())
     return {
         b: math.log((pc.get(b, 0) + 1.0) / (pn + m))
@@ -531,27 +534,46 @@ def dsir_logratio(raw: DataFrame, target: DataFrame, m: int = DSIR_BUCKETS) -> d
 def dsir_scores(raw: DataFrame, lr: dict, m: int = DSIR_BUCKETS) -> DataFrame:
     """(doc_id, score): per-document importance log-weight plus a
     doc_id-seeded Gumbel draw (rerun-stable resampling noise), rounded
-    to 4 decimals. Entirely map-side: the ``lr`` table is a plan
-    literal and the gram fold is row-local."""
-    if lr:
-        lr_map = F.create_map(
-            *[F.lit(x) for b, v in sorted(lr.items()) for x in (b, v)]
-        )
-    else:  # empty raw corpus: no buckets fitted, every lookup misses
-        lr_map = F.create_map(F.lit(-1).cast("bigint"), F.lit(0.0))
-    # default for buckets absent from the fit = the c=0-both-sides value
-    qn_pn_default = 0.0
-    grams = _unigram_bigram_expr()
-    logw = F.aggregate(
-        grams,
-        F.lit(0.0),
-        lambda acc, g: acc
-        + F.coalesce(lr_map[_gram_bucket(g, m)], F.lit(qn_pn_default)),
-    )
+    to 4 decimals. Entirely map-side: the fitted log-ratio table ships
+    as a DENSE m-slot numpy vector in a ``mapInPandas`` closure (~8 KB
+    per task, one O(1) ``np.take`` per gram) — the same kernel shape as
+    :func:`classifier_scores`, and for the same reason: the previous
+    plan-literal ``F.create_map`` fold paid a LINEAR GetMapValue scan
+    per gram (O(grams × m) per document, m=1024 — the hot path at
+    corpus scale). Buckets absent from the fit read their zero slot
+    (the c=0-both-sides log-ratio). The gram→md5-bucket projection
+    stays JVM-side so the arithmetic is bit-identical to the oracle."""
+    lrv = np.zeros(m)
+    for b, v in lr.items():
+        lrv[b] = v
     u = (_keep_bucket("doc_id", 1_000_000) + F.lit(0.5)) / F.lit(1_000_000.0)
     gumbel = -F.log(-F.log(u))
-    score = F.floor((logw + gumbel) * 10000.0 + F.lit(0.5)) / 10000.0
-    return raw.select("doc_id", score.alias("score"))
+    buckets = F.transform(
+        _unigram_bigram_expr(), lambda g: _gram_bucket(g, m)
+    )
+    base = raw.select(
+        "doc_id", buckets.alias("_bs"), gumbel.alias("_gum")
+    )
+    id_type = raw.schema["doc_id"].dataType.simpleString()
+
+    def score(batches):
+        for pdf in batches:
+            vals = []
+            for bs, g in zip(pdf["_bs"], pdf["_gum"]):
+                if bs is None:  # NULL text -> NULL score (as before)
+                    vals.append(None)
+                else:
+                    logw = float(
+                        lrv[np.asarray(bs, dtype=np.int64)].sum()
+                    )
+                    vals.append(
+                        np.floor((logw + g) * 10000.0 + 0.5) / 10000.0
+                    )
+            out = pdf[["doc_id"]].copy()
+            out["score"] = pd.array(vals, dtype="Float64")
+            yield out
+
+    return base.mapInPandas(score, f"doc_id {id_type}, score double")
 
 
 def dsir_select(
@@ -562,17 +584,20 @@ def dsir_select(
 ) -> DataFrame:
     """End-to-end DSIR: fit on (raw, target), score raw, keep the top
     ``frac`` by Gumbel-perturbed importance weight via a broadcast
-    percentile gate (no global sort): (doc_id, score, gate)."""
-    # scored is consumed twice (percentile gate + final filter); it is
-    # two narrow columns per doc, so materializing it trades ~16 bytes
-    # a row against a full re-scan-and-rescore of the corpus.
-    # localCheckpoint, not persist: the returned filter keeps reading
-    # this frame, so no unpersist could ever run — persist would leak
-    # a CacheManager entry per invocation (session-lifetime), while
-    # checkpoint blocks are GC-cleaned with the frame.
-    scored = dsir_scores(raw, dsir_logratio(raw, target, m), m).localCheckpoint(
-        eager=True
-    )
+    percentile gate (no global sort): (doc_id, score, gate).
+
+    The scored frame is consumed twice (percentile gate + final
+    filter) and is deliberately NOT materialized: scoring is one
+    map-side projection + a dense-numpy Arrow pass, so recomputing it
+    for the gate aggregate is two cheap scans of two narrow columns —
+    strictly better than the eager ``localCheckpoint`` this previously
+    used, which forced a synchronous full write+read of the
+    corpus-sized frame and dropped an optimizer barrier in front of
+    the filter (the round-5 +39% bench regression). No persist either:
+    the returned lazy frame keeps reading ``scored``, so no unpersist
+    could ever run and a CacheManager entry would leak per call."""
+    lr = dsir_logratio(raw, target, m)
+    scored = dsir_scores(raw, lr, m)
     th = scored.agg(F.percentile("score", 1.0 - frac).alias("gate"))
     return scored.crossJoin(F.broadcast(th)).filter(
         F.col("score") >= F.col("gate")

@@ -1633,3 +1633,39 @@ def test_top_terms_equals_naive_window_on_skewed_vocab(spark):
     )
     want = {tuple(r) for r in naive.collect()}
     assert got == want and len({g for g, *_ in got}) == 2
+
+
+def test_bench_compare_refuses_falsified_unchanged_adjudication():
+    """Replays the round-5 ext_dsir_select mis-adjudication through the
+    mechanized path: the committed r04/r05 artifacts show the plan
+    fingerprint changed and git shows curation.py changed since the
+    round-4 boundary, so bench_compare must refuse the 'unchanged /
+    host variance' adjudication for that key."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare", os.path.join(repo, "scripts", "bench_compare.py")
+    )
+    bc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bc)
+    lines = bc.adjudicate(
+        [("ext_dsir_select", 1.926, 2.675, 0.39)],
+        os.path.join(repo, "PLANS_r04.txt"),
+        os.path.join(repo, "PLANS_r05.txt"),
+        "906b544",  # round-4 verdict commit
+    )
+    assert len(lines) == 1
+    line = lines[0]
+    assert "ADJUDICATION REFUSED" in line
+    assert "plan changed" in line
+    assert "code changed" in line and "curation.py" in line
+    # and a genuinely-unchanged key stays eligible for host variance
+    ok = bc.adjudicate(
+        [("ext_dedup_minhash", 2.0, 2.7, 0.35)],
+        os.path.join(repo, "PLANS_r04.txt"),
+        os.path.join(repo, "PLANS_r04.txt"),
+        None,
+    )
+    assert "eligible for host-variance" in ok[0]
