@@ -105,30 +105,52 @@ def entry(spark: SparkSession) -> DataFrame:
 # slot — it exercises the SAME md5-bucket determinism primitive and
 # additionally pins the two-phase skew-safe top-k equal to the naive
 # window plan (the rate-based balancer stays sweep-verified).
+# Round 6 drains the attestation debt the round-5 verdict flagged:
+# SEVEN never-driver-graded TPC-H members rotate in (q63/Q3, q64/Q4,
+# q68/Q10, q70/Q14, q72/Q17, q77/Q19, q80/Q9 — the de-correlation and
+# disjunctive-pushdown flagships) plus the FOUR round-5 evaluation ops
+# (ext_score_auc, ext_pr_curve, ext_mixture_temperature,
+# ext_top_terms — all oracled, all driver-sim-green, never
+# driver-rowed). The eleven slots come from keys every one of which
+# already holds a green r05 (or earlier) driver row AND is a strict
+# subset / near-neighbor of a key that stays: q02 (parquet sink
+# roundtrip ⊂ ext_export_shards' byte-attested sink), q06 (broadcast
+# join ⊂ every incoming TPC-H composite), q11 (= TPC-H Q1 scan+agg,
+# ⊂ the composites; q62 keeps the agg-profile representation), q13b
+# (grouping sets — q62's union-profile covers the multi-grouping
+# shape; q51 keeps it sweep-verified), q15 (window top-k — the
+# in-window two-phase top-k keys ext_sample_per_group/ext_top_terms
+# are pytest-pinned EQUAL to this exact window plan; q16/q17 stay in
+# the sweep), q38 (TPC-H Q5 ⊂ q67/Q8's 8-table superset), q59 (OHLC
+# time-bucket agg ⊂ q41 gapfill's bucket+fill), q61 (snapshot diff ⊂
+# q60 SCD2's CDC algebra + history), ext_mixture_sample (the pow=1
+# point of incoming ext_mixture_temperature), ext_winnow (⊂
+# ext_winnow_pairs, which recomputes the fingerprints), and
+# ext_dedup_ngram_jaccard (⊂ ext_dedup_clusters = jaccard_pairs +
+# connected components).
 _WINDOW = (
-    "q02_sink_roundtrip", "ext_dedup_incremental",
-    "q06_join_broadcast",
+    "ext_dedup_incremental",
     "q67_tpch_q8", "q75_interval_join",
-    "q38_tpch_q5", "q73_tpch_q18",
-    "q11_agg_pricing_summary",
-    "q13b_grouping_sets", "q62_table_profile",
+    "q63_tpch_q3", "q73_tpch_q18",
+    "q64_tpch_q4", "q68_tpch_q10",
+    "q70_tpch_q14", "q62_table_profile",
     "q58_merge_upsert", "q46_recursive_cte",
-    "q15_window_topk", "ext_substring_dedup", "ext_stream_sliding",
+    "q72_tpch_q17", "ext_substring_dedup", "ext_stream_sliding",
     "ext_zipf_spectrum", "q41_gapfill",
-    "q60_scd2", "q61_snapshot_diff", "q59_ohlc_downsample",
-    "ext_stream_upsert", "ext_pack_emit", "ext_mixture_sample",
+    "q60_scd2", "q77_tpch_q19", "q80_tpch_q9",
+    "ext_stream_upsert", "ext_pack_emit", "ext_mixture_temperature",
     "ext_dsir_select", "ext_stream_tumbling",
     "q53_funnel", "ext_stream_session",
     "q24b_udf_chain_throughput", "q78_tpch_q21",
     "q79_tpch_q2", "q36_asof_join",
-    "ext_stream_dedup", "ext_dedup_ngram_jaccard", "ext_dedup_embedding",
+    "ext_stream_dedup", "ext_score_auc", "ext_dedup_embedding",
     "ext_dedup_clusters", "ext_chunk_dedup",
-    "ext_winnow", "ext_winnow_pairs", "ext_fuzzy_match",
+    "ext_pr_curve", "ext_winnow_pairs", "ext_fuzzy_match",
     "ext_knn_bruteforce", "ext_embedding_centroids", "ext_hybrid_search",
     "ext_contamination_bloom", "ext_quality_gate", "ext_repetition",
     "ext_export_shards",
     "ext_multimodal_decode", "ext_heavy_hitters",
-    "ext_sample_per_group", "ext_stream_join",
+    "ext_sample_per_group", "ext_stream_join", "ext_top_terms",
 )
 
 
