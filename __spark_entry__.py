@@ -198,6 +198,9 @@ ROWS_ONLY_ATTESTATIONS = {
         "test_cdc_boundaries_survive_prefix_edit",
         "test_cdc_stats_find_planted_shared_chunks",
     ],
+    "ext_html_boilerplate": [
+        "test_html_extraction_drops_planted_boilerplate",
+    ],
     "ext_multimodal_resize": ["test_multimodal_resize_and_frames_queries"],
     "ext_multimodal_frames": ["test_multimodal_resize_and_frames_queries"],
     "ext_multimodal_phash": [

@@ -1669,3 +1669,68 @@ def test_bench_compare_refuses_falsified_unchanged_adjudication():
         None,
     )
     assert "eligible for host-variance" in ok[0]
+
+
+def test_html_extraction_drops_planted_boilerplate(spark):
+    """Planted-boilerplate attestation for ext_html_boilerplate: chrome
+    subtrees (head/nav/header/footer, script/style bodies) and
+    link-dense blocks are removed, article prose survives; strip mode
+    keeps every text node (the SQL tag-strip contract); the Spark
+    operator matches the local kernel row-by-row and passes NULLs."""
+    from smartpipeline_spark.functions.markup import (
+        extract_html_text,
+        extract_text_local,
+    )
+
+    html = (
+        "<html><head><title>SiteTitle</title><script>var x=1;</script>"
+        "<style>p{color:red}</style></head><body>"
+        "<nav><a>HomeLink</a> <a>AboutLink</a> <a>ContactLink</a></nav>"
+        "<header>SiteHeader</header>"
+        "<div><p>The actual article text survives extraction.</p>"
+        "<p>Second paragraph keeps a <a href='x'>tiny link</a> inside "
+        "much longer running prose that clearly dominates.</p>"
+        "<ul><li><a>related one</a></li><li><a>related two</a></li></ul>"
+        "</div><footer>CopyrightFooter</footer></body></html>"
+    )
+    out = extract_text_local(html, mode="boilerplate")
+    assert "actual article text" in out
+    assert "Second paragraph" in out and "tiny link" in out
+    for boiler in (
+        "SiteTitle", "HomeLink", "AboutLink", "SiteHeader",
+        "CopyrightFooter", "var x=1", "color:red",
+        "related one", "related two",
+    ):
+        assert boiler not in out, boiler
+    s = extract_text_local(html, mode="strip")
+    for kept in (
+        "SiteTitle", "HomeLink", "SiteHeader", "CopyrightFooter",
+        "var x=1;", "actual article text", "related one",
+    ):
+        assert kept in s, kept
+    df = spark.createDataFrame(
+        [(1, html), (2, None)], "doc_id long, html string"
+    )
+    rows = {
+        r.doc_id: r.text
+        for r in extract_html_text(df, mode="boilerplate").collect()
+    }
+    assert rows[1] == out and rows[2] is None
+    # registered keys run end-to-end on the fixture corpus: boilerplate
+    # output strips the synthesized chrome that strip mode keeps
+    from smartpipeline_spark.functions import EXT_QUERIES
+
+    strip = {
+        r.doc_id: r.text
+        for r in EXT_QUERIES["ext_html_extract"](spark, SF_SMOKE).collect()
+    }
+    clean = {
+        r.doc_id: r.text
+        for r in EXT_QUERIES["ext_html_boilerplate"](spark, SF_SMOKE).collect()
+    }
+    assert set(strip) == set(clean) and len(strip) > 0
+    k = next(iter(strip))
+    assert strip[k].startswith("doc home about ")
+    assert strip[k].endswith(" contact us")
+    assert "home" not in clean[k] and "contact us" not in clean[k]
+    assert clean[k].split("\n", 1)[1] in strip[k]
