@@ -201,6 +201,10 @@ ROWS_ONLY_ATTESTATIONS = {
     "ext_html_boilerplate": [
         "test_html_extraction_drops_planted_boilerplate",
     ],
+    "ext_lang_id_trained": [
+        "test_trained_langid_beats_heuristic_on_signal_corpus",
+        "test_trained_langid_key_holds_heuristic_floor_on_fixture",
+    ],
     "ext_multimodal_resize": ["test_multimodal_resize_and_frames_queries"],
     "ext_multimodal_frames": ["test_multimodal_resize_and_frames_queries"],
     "ext_multimodal_phash": [

@@ -1824,6 +1824,133 @@ def ext_quality_classifier(spark, sf_dir):
     return classifier_scores(labeled, model, label_col="label")
 
 
+# ----------------------------------- trained language ID (multiclass)
+# fastText-lid-style: the SAME hashed unigram+bigram feature space and
+# GD machinery as the binary quality classifier, generalized to
+# one-vs-rest softmax-free multiclass. The naive composition (L calls
+# to train_text_classifier) would featurize the corpus L times and run
+# L x iters sequential jobs; this trainer featurizes ONCE and trains
+# ALL class heads in ONE job per iteration — the per-row residual is
+# an L-vector, the exploded gradient aggregate sums each component, so
+# the collected transfer is <= (m+1) x L doubles per iteration (40 KB
+# at m=2048, L=5): the same bounded-driver-transfer contract as the
+# binary trainer, independent of corpus size.
+
+
+def train_langid_classifier(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    m: int = QC_BUCKETS,
+    iters: int = 10,
+    lr: float = 2.0,
+    l2: float = 1e-6,
+) -> dict:
+    """Fit one-vs-rest logistic heads over hashed-ngram presence
+    features (deterministic: zero init, full batch, sorted class
+    order). Returns {"langs": [...], "weights": (L, m+1) nested list,
+    "m": m} — JSON-serializable like the binary model."""
+    if text_col != "text":
+        docs = docs.withColumn("text", F.col(text_col))
+    langs = sorted(
+        r[0] for r in docs.select(lang_col).distinct().collect()
+    )
+    L = len(langs)
+    feats = docs.select(
+        F.col(lang_col).alias("_y"), _qc_buckets_expr(m).alias("bs")
+    ).localCheckpoint(eager=True)
+    n_docs = feats.count()
+    if n_docs == 0 or L == 0:
+        return {"langs": langs, "weights": [], "m": m}
+    W = np.zeros((L, m + 1))
+    lang_idx = {lg: i for i, lg in enumerate(langs)}
+
+    for _ in range(iters):
+        W_c = W.copy()
+
+        @F.pandas_udf("array<double>")
+        def resid(bs: pd.Series, y: pd.Series) -> pd.Series:
+            out = []
+            for b, lbl in zip(bs, y):
+                z = W_c[:, np.asarray(b, dtype=np.int64)].sum(axis=1)
+                p = 1.0 / (1.0 + np.exp(-z))
+                p[lang_idx[lbl]] -= 1.0
+                out.append(p.tolist())
+            return pd.Series(out)
+
+        grad_rows = (
+            feats.select(
+                F.explode("bs").alias("b"), resid("bs", "_y").alias("r")
+            )
+            .groupBy("b")
+            .agg(*[F.sum(F.col("r")[i]).alias(f"g{i}") for i in range(L)])
+            .collect()
+        )
+        for row in grad_rows:
+            b = row.b
+            for i in range(L):
+                W[i, b] -= lr * (row[i + 1] / n_docs + l2 * W[i, b])
+    return {"langs": langs, "weights": W.tolist(), "m": m}
+
+
+def langid_predict(
+    docs: DataFrame, model: dict, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_col, pred_lang): argmax-margin language per document, ties
+    broken by sorted class order (np.argmax takes the first maximum).
+    Map-side only — the (L, m+1) weight matrix rides in the
+    mapInPandas closure; same operator-not-expression rationale as
+    :func:`classifier_scores`."""
+    langs = model["langs"]
+    if not langs:
+        return docs.select(id_col).withColumn(
+            "pred_lang", F.lit(None).cast("string")
+        )
+    W = np.asarray(model["weights"])
+    m = model["m"]
+    id_type = docs.schema[id_col].dataType.simpleString()
+    base = docs.select(id_col, _qc_buckets_expr(m).alias("_bs"))
+
+    def score(batches):
+        for pdf in batches:
+            preds = [
+                langs[
+                    int(
+                        np.argmax(
+                            W[:, np.asarray(b, dtype=np.int64)].sum(axis=1)
+                        )
+                    )
+                ]
+                for b in pdf["_bs"]
+            ]
+            out = pdf[[id_col]].copy()
+            out["pred_lang"] = pd.array(preds, dtype="string")
+            yield out
+
+    return base.mapInPandas(score, f"{id_col} {id_type}, pred_lang string")
+
+
+@ext_query("ext_lang_id_trained")  # iterative GD: pytest-attested
+def ext_lang_id_trained(spark, sf_dir):
+    """Trained language ID over the lang-labeled fixture: fit
+    one-vs-rest hashed-ngram heads on the md5 train split, predict
+    every document. Rows-only by design (iterative GD). The fixture
+    corpus's text is deliberately language-independent (verified: all
+    word frequencies match the lang base rates), so here the model can
+    only learn the majority class — the attestation therefore runs
+    twice: on a PLANTED signal-rich corpus the trained model must beat
+    the stopword heuristic outright, and on this fixture's holdout it
+    must stay >= the heuristic (tests/test_extensions.py, both
+    manifest-enforced). ext_lang_id (the oracled heuristic) is
+    unchanged."""
+    d = sources.table(spark, "documents", sf_dir)
+    train = assign_split(d).filter(F.col("split") == "train")
+    model = train_langid_classifier(
+        train.select("lang", "text"), iters=8
+    )
+    return langid_predict(d, model)
+
+
 # ------------------------------------- deterministic fixed-k group sampling
 
 def sample_per_group(

@@ -1734,3 +1734,117 @@ def test_html_extraction_drops_planted_boilerplate(spark):
     assert strip[k].endswith(" contact us")
     assert "home" not in clean[k] and "contact us" not in clean[k]
     assert clean[k].split("\n", 1)[1] in strip[k]
+
+
+def _heuristic_langid(spark, df):
+    """The stopword-marker heuristic (ext_lang_id's exact rule) applied
+    to an arbitrary (doc_id, text) frame, for head-to-head accuracy."""
+    from smartpipeline_spark.functions.text import LANG_MARKERS, _marker_hits
+
+    scores = {}
+    for lang, words in LANG_MARKERS.items():
+        s = None
+        for w in words:
+            hits = _marker_hits(F.col("text"), w)
+            s = hits if s is None else (s + hits)
+        scores[lang] = s
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["zh"]),
+            F.lit("en"),
+        )
+        .when(
+            (scores["es"] >= scores["fr"])
+            & (scores["es"] >= scores["de"])
+            & (scores["es"] >= scores["zh"]),
+            F.lit("es"),
+        )
+        .when(
+            (scores["fr"] >= scores["de"]) & (scores["fr"] >= scores["zh"]),
+            F.lit("fr"),
+        )
+        .when(scores["de"] >= scores["zh"], F.lit("de"))
+        .otherwise(F.lit("zh"))
+    )
+    return df.select("doc_id", pred.alias("pred_lang"))
+
+
+def test_trained_langid_beats_heuristic_on_signal_corpus(spark):
+    """Planted signal-rich corpus: every language has a distinctive
+    6-word vocabulary containing NO stopword markers, so the heuristic
+    scores 0 everywhere and tie-breaks to 'en' (20% accuracy) while
+    the trained one-vs-rest heads must recover the vocabulary from
+    hashed n-grams and clear 90% on the held-out split."""
+    from smartpipeline_spark.functions.curation import (
+        langid_predict,
+        train_langid_classifier,
+    )
+
+    vocab = {
+        "en": ["query", "window", "batch", "stream", "scan", "merge"],
+        "es": ["ventana", "consulta", "lote", "flujo", "mesa", "fila"],
+        "fr": ["fenetre", "requete", "paquet", "flot", "table2", "ligne"],
+        "de": ["fenster", "anfrage", "stapel", "strom", "tabelle", "zeile"],
+        "zh": ["chuangkou", "chaxun", "pici", "liu", "biao", "hang"],
+    }
+    rows = []
+    doc_id = 0
+    for lang, words in sorted(vocab.items()):
+        for i in range(40):
+            text = " ".join(words[(i + j) % 6] for j in range(8))
+            rows.append((doc_id, lang, text, i >= 30))
+            doc_id += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, holdout boolean"
+    )
+    train = df.filter(~F.col("holdout"))
+    hold = df.filter(F.col("holdout"))
+    model = train_langid_classifier(train.select("lang", "text"), iters=10)
+    got = {
+        r.doc_id: r.pred_lang for r in langid_predict(hold, model).collect()
+    }
+    truth = {r.doc_id: r.lang for r in hold.select("doc_id", "lang").collect()}
+    acc_trained = sum(got[k] == truth[k] for k in truth) / len(truth)
+    heur = {
+        r.doc_id: r.pred_lang
+        for r in _heuristic_langid(spark, hold).collect()
+    }
+    acc_heur = sum(heur[k] == truth[k] for k in truth) / len(truth)
+    assert acc_heur <= 0.25  # markers absent: tie-break majority only
+    assert acc_trained >= 0.9
+    assert acc_trained > acc_heur
+
+
+def test_trained_langid_key_holds_heuristic_floor_on_fixture(spark):
+    """On the fixture corpus (whose text is deliberately
+    language-independent — word frequencies match lang base rates) the
+    trained model can only learn the majority class; the attestation
+    is that its holdout accuracy never falls BELOW the heuristic's on
+    the same holdout, and that the registered key is deterministic and
+    total (one prediction per document)."""
+    from smartpipeline_spark.functions import EXT_QUERIES
+    from smartpipeline_spark.functions.curation import assign_split
+    from smartpipeline_spark import sources
+
+    d = sources.table(spark, "documents", SF_SMOKE)
+    pred = {
+        r.doc_id: r.pred_lang
+        for r in EXT_QUERIES["ext_lang_id_trained"](spark, SF_SMOKE).collect()
+    }
+    assert len(pred) == d.count() and all(v is not None for v in pred.values())
+    truth = {r.doc_id: r.lang for r in d.select("doc_id", "lang").collect()}
+    split = {
+        r.doc_id: r.split
+        for r in assign_split(d).select("doc_id", "split").collect()
+    }
+    hold = [k for k in truth if split[k] == "test"]
+    heur = {
+        r.doc_id: r.pred_lang
+        for r in EXT_QUERIES["ext_lang_id"](spark, SF_SMOKE).collect()
+    }
+    acc_trained = sum(pred[k] == truth[k] for k in hold) / len(hold)
+    acc_heur = sum(heur[k] == truth[k] for k in hold) / len(hold)
+    assert acc_trained >= acc_heur
