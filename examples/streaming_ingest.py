@@ -3,13 +3,20 @@ document ingest runs continuously:
 
     file-drop source  →  quality gate (stateless column algebra)
                       →  streaming exact dedup (stateful, checkpointed)
+                      →  TRAINED-classifier scoring under a persisted
+                         model (the CCNet shape: every micro-batch is
+                         scored map-side by the saved model)
                       →  lang-partitioned parquet sink
 
-driven through ``Pipeline.start_stream``. The checkpoint makes the
-whole chain restartable with exactly-once sink semantics: kill the
-process mid-stream, start it again with the same checkpoint dir, and
-the output contains every surviving document exactly once (pinned in
-tests/test_streaming.py::test_ingestion_showcase_...).
+driven through ``Pipeline.start_stream``. The model is trained ONCE
+offline (batch GD), persisted with ``save_classifier``, and loaded at
+stream start — scoring is a stateless Arrow map stage
+(``classifier_scores(passthrough=True)``), so it adds no streaming
+state and keeps the checkpoint contract intact. The checkpoint makes
+the whole chain restartable with exactly-once sink semantics: kill
+the process mid-stream, start it again with the same checkpoint dir,
+and the output contains every surviving document exactly once (pinned
+in tests/test_streaming.py::test_ingestion_showcase_...).
 
 At scale the same code runs unbounded: swap ``availableNow`` for a
 processing-time trigger, point the source at the landing bucket, and
@@ -61,6 +68,34 @@ def main() -> None:
     def dedup(df):
         return df.withColumn("fp", F.md5(_norm_text())).dropDuplicates(["fp"])
 
+    # one-time offline training, persisted like any production model
+    # artifact; the stream only ever LOADS it
+    from smartpipeline_spark.functions.curation import (
+        assign_split,
+        classifier_scores,
+        load_classifier,
+        save_classifier,
+        train_text_classifier,
+    )
+
+    labeled = docs.withColumn(
+        "label",
+        F.coalesce(F.col("text").contains("vector").cast("int"), F.lit(0)),
+    )
+    train = assign_split(labeled).filter(F.col("split") == "train")
+    save_classifier(
+        train_text_classifier(train.select("text", "label"), iters=20),
+        f"{work}/quality_model.json",
+    )
+    model = load_classifier(f"{work}/quality_model.json")
+
+    def score(df):
+        # stateless Arrow map stage: every micro-batch scored under
+        # the persisted model, low-quality docs gated out
+        return classifier_scores(df, model, passthrough=True).filter(
+            F.col("prob") >= 0.5
+        )
+
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -71,6 +106,7 @@ def main() -> None:
         .set_source(stream)
         .transform("quality_gate", gate)
         .transform("dedup", dedup)
+        .transform("classifier_score", score)
         .build()
         .start_stream(
             ckpt, sink=out, available_now=True, partition_by=("lang",)

@@ -1753,7 +1753,10 @@ def train_text_classifier(
 
 
 def classifier_scores(
-    docs: DataFrame, model: dict, label_col: str | None = None
+    docs: DataFrame,
+    model: dict,
+    label_col: str | None = None,
+    passthrough: bool = False,
 ) -> DataFrame:
     """(doc_id[, label], prob, pred): map-side scoring under a trained
     model — dense weights in the closure, row-local bucket lookups,
@@ -1770,15 +1773,18 @@ def classifier_scores(
     narrow map stage, no shuffle."""
     m = model["m"]
     w_dense = _qc_dense(model["weights"], m)
-    cols = ["doc_id"]
+    if passthrough:
+        # mid-pipeline stage shape (streaming ingest scoring): keep
+        # EVERY input column and append prob/pred — works unchanged on
+        # streaming DataFrames (stateless one-pass map, no shuffle)
+        cols = list(docs.columns)
+    else:
+        cols = ["doc_id"]
+        if label_col:
+            cols.append(label_col)
     out_fields = [
-        f"doc_id {docs.schema['doc_id'].dataType.simpleString()}"
+        f"{c} {docs.schema[c].dataType.simpleString()}" for c in cols
     ]
-    if label_col:
-        cols.append(label_col)
-        out_fields.append(
-            f"{label_col} {docs.schema[label_col].dataType.simpleString()}"
-        )
     base = docs.select(*cols, _qc_buckets_expr(m).alias("_qc_bs"))
 
     def score(batches):

@@ -542,3 +542,102 @@ def test_streaming_cdc_ingest_index_equals_batch_build(spark, tmp_path):
         for r in spark.read.parquet(p_batch + "/chunk_fps").collect()
     }
     assert got == want and got
+
+
+def test_ingestion_showcase_classifier_scoring_restart(spark, tmp_path):
+    """Round-6 showcase: the streaming ingest chain scores every
+    micro-batch under a PERSISTED trained classifier
+    (save_classifier -> load_classifier -> classifier_scores with
+    passthrough=True as a stateless mid-pipeline stage — the
+    production CCNet shape). Contract pinned here: kill-restart
+    exactly-once is preserved with the scoring stage in the chain,
+    and every streamed document's prob/pred equals the batch
+    equivalent of the same plan (map-side scoring is deterministic,
+    so stream and batch must agree bit-for-bit on the rounded
+    probs)."""
+    import time
+
+    from smartpipeline_spark import Pipeline
+    from smartpipeline_spark.functions.curation import (
+        assign_split,
+        classifier_scores,
+        load_classifier,
+        save_classifier,
+        train_text_classifier,
+    )
+    from smartpipeline_spark.functions.dedup import _norm_text
+
+    docs = sources.table(spark, "documents", SF_SMOKE).select(
+        "doc_id", "lang", "text"
+    )
+    src = str(tmp_path / "docs_drop")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    labeled = docs.withColumn(
+        "label",
+        F.coalesce(F.col("text").contains("vector").cast("int"), F.lit(0)),
+    )
+    train = assign_split(labeled).filter(F.col("split") == "train")
+    model_path = str(tmp_path / "quality_model.json")
+    save_classifier(
+        train_text_classifier(train.select("text", "label"), iters=6),
+        model_path,
+    )
+    model = load_classifier(model_path)
+
+    def dedup(df):
+        return df.withColumn("fp", F.md5(_norm_text())).dropDuplicates(["fp"])
+
+    def score(df):
+        return classifier_scores(df, model, passthrough=True)
+
+    out = str(tmp_path / "scored")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start(available_now):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            Pipeline(spark)
+            .set_source(stream)
+            .transform("dedup", dedup)
+            .transform("classifier_score", score)
+            .build()
+            .start_stream(
+                ckpt,
+                sink=out,
+                available_now=available_now,
+                processing_time=None if available_now else "200 milliseconds",
+            )
+        )
+
+    q = start(available_now=False)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if q.lastProgress and q.lastProgress["batchId"] >= 1:
+            break
+        time.sleep(0.3)
+    q.stop()  # crash mid-ingest
+    q.awaitTermination(30)
+    q2 = start(available_now=True)
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    rows = got.select("doc_id", "fp", "prob", "pred").collect()
+    fps = [r.fp for r in rows]
+    assert len(fps) == len(set(fps)), "restart re-emitted a fingerprint"
+    # stream output == the batch equivalent of the same plan,
+    # probs and preds included (deterministic map-side scoring)
+    batch = {
+        r.doc_id: (r.prob, r.pred)
+        for r in classifier_scores(
+            dedup(docs), model, passthrough=True
+        ).collect()
+    }
+    assert {r.doc_id for r in rows} == set(batch)
+    for r in rows:
+        assert (r.prob, r.pred) == batch[r.doc_id], r.doc_id
+    assert any(r.pred in (0, 1) for r in rows)
