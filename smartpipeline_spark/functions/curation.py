@@ -2079,7 +2079,14 @@ def binary_auc(
     AUC = sum_g n_pos_g * (cum_neg_below_g + n_neg_g / 2) / (P * N).
     Exactly equal to pair-counting — ties contribute half, which is
     what the n_neg/2 midpoint term is. Returns one row
-    (auc, n_pos, n_neg); auc rounded to 6 decimals."""
+    (auc, n_pos, n_neg); auc rounded to 6 decimals.
+
+    Degenerate label distributions (no positives or no negatives —
+    AUC is undefined: there are no discordant pairs to rank) return
+    an EXPLICIT NULL auc via the min(P,N)>0 guard rather than the
+    engine-dependent 0/0 result a bare division would give (Spark
+    NULL vs a possible DuckDB error/NaN — the guard pins one
+    behavior)."""
     from pyspark.sql import Window
 
     y = F.col(label_col).cast("int")
@@ -2095,18 +2102,21 @@ def binary_auc(
     c = hist.withColumn(
         "cum_neg", F.coalesce(F.sum("n_neg").over(win), F.lit(0))
     )
-    return c.agg(
-        (
-            F.floor(
-                F.sum(
-                    F.col("n_pos")
-                    * (F.col("cum_neg") + F.col("n_neg") / F.lit(2.0))
-                )
-                / (F.sum("n_pos") * F.sum("n_neg"))
-                * 1e6
-                + F.lit(0.5)
+    raw_auc = (
+        F.floor(
+            F.sum(
+                F.col("n_pos")
+                * (F.col("cum_neg") + F.col("n_neg") / F.lit(2.0))
             )
-            / 1e6
+            / (F.sum("n_pos") * F.sum("n_neg"))
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return c.agg(
+        F.when(
+            F.least(F.sum("n_pos"), F.sum("n_neg")) > 0, raw_auc
         ).alias("auc"),
         F.sum("n_pos").cast("bigint").alias("n_pos"),
         F.sum("n_neg").cast("bigint").alias("n_neg"),

@@ -343,18 +343,26 @@ def _ivf_keyed(e: DataFrame, cents: np.ndarray) -> DataFrame:
     )
 
 
-def _ivf_candidates(keyed: DataFrame, q: DataFrame) -> DataFrame:
+def _ivf_candidates(
+    keyed: DataFrame, q: DataFrame, exclude_self: bool = True
+) -> DataFrame:
     """Shared candidate algebra of every IVF path (inline and saved
     index): cell-equi join, self-match filter, per-(query, neighbor)
     dedup across probed cells. One definition — the saved-index path
     is equality-tested against the inline path, and divergent copies
-    here would break that silently."""
-    return (
-        keyed.join(F.broadcast(q), ["cell"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "q_emb", F.col("vec_id").alias("neighbor_id"), "emb")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    here would break that silently.
+
+    ID-NAMESPACE CONTRACT: ``exclude_self`` assumes query_id and the
+    corpus vec_id share one namespace (the corpus-self-join deployment
+    every inline key runs). An EXTERNAL query batch whose ids can
+    coincidentally collide with unrelated corpus vec_ids must pass
+    ``exclude_self=False`` or it silently loses those neighbors."""
+    j = keyed.join(F.broadcast(q), ["cell"])
+    if exclude_self:
+        j = j.filter(F.col("vec_id") != F.col("query_id"))
+    return j.select(
+        "query_id", "q_emb", F.col("vec_id").alias("neighbor_id"), "emb"
+    ).dropDuplicates(["query_id", "neighbor_id"])
 
 
 def build_ivf_index(e: DataFrame, path: str) -> None:
@@ -446,14 +454,25 @@ def append_to_ivf_index(
 
 
 def query_ivf_index(
-    spark, path: str, queries: DataFrame, nprobe: int | None = None
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ANN top-k against a saved :func:`build_ivf_index` layout.
     ``queries`` carries (query_id, q_emb). The probed cell ids become
     an IN-filter on the index's PARTITION column, so the parquet scan
     opens only nprobe directories per query batch — the remaining
     ~(k - nprobe)/k of the corpus is pruned before any IO. Candidates
-    get the same exact cosine re-score as every other ANN path."""
+    get the same exact cosine re-score as every other ANN path.
+
+    ``exclude_self=True`` (the default, matching the inline keys)
+    assumes query_id SHARES the corpus vec_id namespace and drops
+    exact-id matches as self-hits. Callers querying with an external
+    id namespace (ids minted outside the index) must pass
+    ``exclude_self=False`` — otherwise a query whose id coincidentally
+    equals an unrelated corpus vec_id silently loses that neighbor."""
     import json
     import os
 
@@ -471,7 +490,7 @@ def query_ivf_index(
     ).localCheckpoint(eager=True)
     probed = [r.cell for r in q.select("cell").distinct().collect()]
     idx = spark.read.parquet(path).filter(F.col("cell").isin(probed))
-    return _exact_topk(_ivf_candidates(idx, q))
+    return _exact_topk(_ivf_candidates(idx, q, exclude_self))
 
 
 # ---------------------------------------------------------------------------
@@ -582,7 +601,13 @@ def _probe_cells(qm: np.ndarray, qids: np.ndarray, cents: np.ndarray, nprobe: in
     return probed_sets, all_probed
 
 
-def _adc_score_fn(tables: np.ndarray, qids: np.ndarray, rerank: int, probed_sets=None):
+def _adc_score_fn(
+    tables: np.ndarray,
+    qids: np.ndarray,
+    rerank: int,
+    probed_sets=None,
+    exclude_self: bool = True,
+):
     """The ONE ADC scoring kernel every PQ path runs (inline
     ext_knn_pq / ext_knn_ivfpq and the saved-index query path —
     equality between them is pytest-pinned, and a divergent copy here
@@ -594,7 +619,18 @@ def _adc_score_fn(tables: np.ndarray, qids: np.ndarray, rerank: int, probed_sets
     exact ADC ties, and an arbitrary per-batch tie cut would let the
     final ranking depend on partition layout — the global
     (score desc, neighbor_id) cut in :func:`_adc_rerank` then selects
-    the same rows under ANY partitioning."""
+    the same rows under ANY partitioning.
+
+    Adversarial bound: the documented batches x Q x rerank emission
+    ceiling assumes ties at the kth score are rare. On a corpus of
+    heavily duplicated vectors (identical rows -> identical codes ->
+    exact ties) EVERY tied row survives the per-batch cut, so the
+    emission can degrade toward batches x Q x (rerank + tie-class
+    size). That is the price of batching invariance; callers who can
+    tolerate layout-dependent tie resolution can deduplicate exact
+    code rows upstream (group identical codes, fan back out after
+    the cut) — the global cut in _adc_rerank re-bounds the final
+    candidate set either way."""
     m_ = tables.shape[1]
 
     def score(batches):
@@ -609,8 +645,11 @@ def _adc_score_fn(tables: np.ndarray, qids: np.ndarray, rerank: int, probed_sets
             # self-matches are masked HERE, not filtered downstream: a
             # self row surviving to the per-batch cut would consume a
             # top-``rerank`` slot and push the true boundary candidate
-            # out in large batches only — breaking batching invariance
-            acc[qids[:, None] == vids[None, :]] = -np.inf
+            # out in large batches only — breaking batching invariance.
+            # Only valid under the shared-id-namespace contract (see
+            # query_pq_index); external-namespace callers disable it.
+            if exclude_self:
+                acc[qids[:, None] == vids[None, :]] = -np.inf
             if probed_sets is not None:
                 cells = pdf["cell"].to_numpy()
                 for qi, q in enumerate(qids):
@@ -898,6 +937,7 @@ def query_pq_index(
     vectors: DataFrame | None = None,
     rerank: int = _PQ_RERANK,
     nprobe: int | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ANN top-k against a saved :func:`build_pq_index` layout.
     ``queries`` carries (query_id, q_emb) — a bounded batch, collected
@@ -908,7 +948,15 @@ def query_pq_index(
     tail — the full-fidelity contract, identical to the inline
     queries; without it the ADC ranking itself is returned (rank by
     approximate score), the codes-only deployment where float vectors
-    are too large to keep online."""
+    are too large to keep online.
+
+    ``exclude_self=True`` (the default, matching the inline keys)
+    assumes query_id SHARES the corpus vec_id namespace: the kernel
+    masks exact-id matches and the plan filters
+    query_id != neighbor_id. Callers whose query batch carries an
+    EXTERNAL id namespace must pass ``exclude_self=False`` — otherwise
+    a query id coincidentally colliding with an unrelated corpus
+    vec_id silently loses that neighbor."""
     import json
     import os
 
@@ -927,9 +975,11 @@ def query_pq_index(
         )
         idx = idx.filter(F.col("cell").isin(all_probed))
     cand = idx.mapInPandas(
-        _adc_score_fn(tables, qids, rerank, probed_sets),
+        _adc_score_fn(tables, qids, rerank, probed_sets, exclude_self),
         "query_id long, neighbor_id long, pq_score double",
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
     if vectors is None:
         w = Window.partitionBy("query_id").orderBy(
             F.col("pq_score").desc(), F.col("neighbor_id")

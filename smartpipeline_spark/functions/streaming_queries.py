@@ -339,11 +339,25 @@ def ext_stream_upsert(spark, sf_dir) -> DataFrame:
     # processed would drain zero batches and attest an empty table).
     # The pid suffix keeps concurrent sessions at the same sf (sweep +
     # driver_sim) from rmtree-ing each other's in-flight stream state.
+    root = os.path.join("/tmp", "spark_graft_stream_upsert")
     base = os.path.join(
-        "/tmp",
-        "spark_graft_stream_upsert",
-        f"{sf_dir.strip('/').replace('/', '_')}_{os.getpid()}",
+        root, f"{sf_dir.strip('/').replace('/', '_')}_{os.getpid()}"
     )
+    # sweep DEAD siblings (dirs whose pid no longer runs) so distinct
+    # processes don't each leave a stale rollup+checkpoint behind
+    # forever — only live pids are protected, which is exactly the
+    # concurrency contract the pid suffix exists for
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            pid_part = d.rsplit("_", 1)[-1]
+            if not pid_part.isdigit() or int(pid_part) == os.getpid():
+                continue
+            try:
+                os.kill(int(pid_part), 0)  # raises if pid is gone
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            except PermissionError:
+                pass  # pid alive under another user: leave it
     shutil.rmtree(base, ignore_errors=True)
     out = os.path.join(base, "rollup")
     ckpt = os.path.join(base, "ckpt")

@@ -841,7 +841,10 @@ def compression_ratio(
     template or repeated content; near-incompressible text is noise
     or binary junk). Row-local mapInPandas, one Arrow crossing, no
     shuffle; works on string or binary columns. ratio = z/n rounded
-    to 4 decimals (1-byte docs floor n at 1)."""
+    to 4 decimals. Zero-byte/NULL documents get a NULL ratio — the
+    raw zlib header overhead would otherwise report ~8.0, which reads
+    as maximally-incompressible binary junk to downstream gates when
+    the document is actually just empty."""
     import pandas as pd
     import zlib as _zlib
 
@@ -857,11 +860,13 @@ def compression_ratio(
             out = pd.DataFrame({"doc_id": pdf["doc_id"]})
             out["n_bytes"] = n_b
             out["z_bytes"] = z_b
-            return_ratio = [
-                float(int(z / max(n, 1) * 10000 + 0.5)) / 10000
-                for n, z in zip(n_b, z_b)
-            ]
-            out["ratio"] = return_ratio
+            out["ratio"] = pd.array(
+                [
+                    float(int(z / n * 10000 + 0.5)) / 10000 if n else None
+                    for n, z in zip(n_b, z_b)
+                ],
+                dtype="Float64",
+            )
             yield out
 
     id_type = docs.schema["doc_id"].dataType.simpleString()

@@ -1496,7 +1496,9 @@ def test_compression_ratio_exact_and_ordering(spark):
         assert got[did].n_bytes == len(data)
         assert got[did].z_bytes == len(zlib.compress(data, 6))
     assert got[1].ratio < 0.1 < got[2].ratio
-    assert got[3].n_bytes == 0
+    # zero-byte doc: NULL ratio (not the ~8.0 zlib-header artifact
+    # that would read as incompressible binary junk downstream)
+    assert got[3].n_bytes == 0 and got[3].ratio is None
 
 
 def test_temperature_mixture_limits_and_monotonicity(spark):
@@ -1848,3 +1850,75 @@ def test_trained_langid_key_holds_heuristic_floor_on_fixture(spark):
     acc_trained = sum(pred[k] == truth[k] for k in hold) / len(hold)
     acc_heur = sum(heur[k] == truth[k] for k in hold) / len(hold)
     assert acc_trained >= acc_heur
+
+
+def test_binary_auc_single_class_returns_explicit_null(spark):
+    """Degenerate label distributions (all-positive / all-negative)
+    have no rankable pairs: auc must be an explicit NULL (pinned
+    behavior, not an engine-dependent 0/0), with the class counts
+    still reported."""
+    from smartpipeline_spark.functions.curation import binary_auc
+
+    allpos = spark.createDataFrame(
+        [(0.9, 1), (0.3, 1)], "score double, label int"
+    )
+    r = binary_auc(allpos, "score").collect()[0]
+    assert r.auc is None and r.n_pos == 2 and r.n_neg == 0
+    allneg = spark.createDataFrame(
+        [(0.9, 0), (0.3, 0)], "score double, label int"
+    )
+    r = binary_auc(allneg, "score").collect()[0]
+    assert r.auc is None and r.n_pos == 0 and r.n_neg == 2
+    # non-degenerate input unaffected by the guard
+    mixed = spark.createDataFrame(
+        [(0.9, 1), (0.3, 0)], "score double, label int"
+    )
+    assert binary_auc(mixed, "score").collect()[0].auc == 1.0
+
+
+def test_saved_index_external_namespace_exclude_self_flag(spark, tmp_path):
+    """The saved-index query paths default to the shared-id-namespace
+    contract (query_id == vec_id means self, masked). An external
+    query batch whose id coincidentally collides with an unrelated
+    corpus vec_id must pass exclude_self=False to keep that neighbor —
+    this pins both behaviors for the IVF and PQ paths."""
+    from smartpipeline_spark.functions.similarity import (
+        _emb,
+        build_ivf_index,
+        build_pq_index,
+        query_ivf_index,
+        query_pq_index,
+    )
+
+    e = _emb(spark, SF_SMOKE)
+    x = e.limit(1).collect()[0]  # corpus vector X
+    # external query: id collides with X, embedding IS X's -> X is the
+    # true rank-1 neighbor (cosine 1.0) but shares the colliding id
+    q = spark.createDataFrame(
+        [(int(x.vec_id), list(x.emb))], "query_id long, q_emb array<double>"
+    )
+    ivf_path = str(tmp_path / "ivf")
+    build_ivf_index(e, ivf_path)
+    got_default = {
+        r.neighbor_id
+        for r in query_ivf_index(spark, ivf_path, q).collect()
+    }
+    assert x.vec_id not in got_default  # masked as self
+    got_external = query_ivf_index(
+        spark, ivf_path, q, exclude_self=False
+    ).collect()
+    by_rank = {r.rank: r for r in got_external}
+    assert by_rank[1].neighbor_id == x.vec_id and by_rank[1].score >= 0.9999
+
+    pq_path = str(tmp_path / "pq")
+    build_pq_index(e, pq_path)
+    got_default = {
+        r.neighbor_id
+        for r in query_pq_index(spark, pq_path, q, vectors=e).collect()
+    }
+    assert x.vec_id not in got_default
+    got_external = query_pq_index(
+        spark, pq_path, q, vectors=e, exclude_self=False
+    ).collect()
+    by_rank = {r.rank: r for r in got_external}
+    assert by_rank[1].neighbor_id == x.vec_id and by_rank[1].score >= 0.9999
