@@ -46,7 +46,10 @@ def main() -> None:
     # would measure the harness, not the operators
     import os
 
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g" if n >= 32 else "8g")
+    os.environ.setdefault(
+        "SPARK_GRAFT_DRIVER_MEM",
+        "48g" if n >= 256 else ("32g" if n >= 32 else "8g"),
+    )
     spark = get_spark("scale-smoke")
 
     timings: dict[str, float] = {}
@@ -67,7 +70,7 @@ def main() -> None:
     # same guard the TPC-H and ANN blocks get; --ops exists exactly to
     # avoid paying for unselected work)
     n_docs = 0
-    if want("exact_dedup_groups", "minhash_candidate_pairs", "jaccard_verified_pairs", "exactsubstr_spans", "dsir_selected", "cdc_chunk_fps", "classifier_train_5it"):
+    if want("exact_dedup_groups", "minhash_candidate_pairs", "jaccard_verified_pairs", "exactsubstr_spans", "dsir_selected", "cdc_chunk_fps", "classifier_train_5it", "jaccard_pairs_capped2", "minhash_candidates_capped2"):
         base = sources.table(spark, "documents", sf_dir).select("doc_id", "text")
         docs = base.select(
             F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("r"),
@@ -106,6 +109,112 @@ def main() -> None:
     )
     timed("jaccard_verified_pairs", lambda: jaccard_pairs(docs, threshold=0.8).count())
     timed("exactsubstr_spans", lambda: duplicate_spans(docs).count())
+
+    # --- capped-OUTPUT pair probes (round-6): the full pair-emitters
+    # above are bounded below by their OUTPUT volume, which grows
+    # ~quadratically in replicas by construction (C(N,2) true pairs
+    # per cluster) — their >1 scaling exponents measure the output
+    # bound, not a compute blowup. These probes run the SAME index /
+    # join / verify plans but put only ANCHOR docs (the 2
+    # lowest-replica twins per cluster) on the build side, so emitted
+    # pair volume grows LINEARLY in replicas (~2N per base doc). If
+    # the capped probes track ~linear while the full ops show e~2,
+    # the super-linearity is the output, proven mechanically.
+    if want("jaccard_pairs_capped2", "minhash_candidates_capped2"):
+        from pyspark import StorageLevel
+
+        from smartpipeline_spark.functions.dedup import (
+            _N_BANDS,
+            _N_HASHES,
+            drop_hot_keys,
+            word_shingles,
+        )
+
+        anchor = F.col("doc_id") % n < 2
+
+        def capped_jaccard():
+            sh_full = word_shingles(docs, 3).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            # replica-PROPORTIONAL hot-key cap (16 base docs worth at
+            # every rung): the library's fixed cap is correct for a
+            # real corpus, but under N-fold replication every shingle's
+            # df scales by N, so a fixed cap prunes a growing share of
+            # the shingle universe as N rises (at 256x it empties it)
+            # and the probe would measure the guard, not the join.
+            # Holding the cap's BASE-doc semantics constant keeps the
+            # kept-universe comparable across rungs, which is the
+            # point of an exponent curve.
+            sh = drop_hot_keys(sh_full, "sh", 16 * n).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            try:
+                sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+                a, b = sh.alias("a"), sh.filter(anchor).alias("b")
+                common = (
+                    a.join(
+                        b,
+                        (F.col("a.sh") == F.col("b.sh"))
+                        & (F.col("a.doc_id") > F.col("b.doc_id")),
+                    )
+                    .groupBy(
+                        F.col("a.doc_id").alias("d1"),
+                        F.col("b.doc_id").alias("d2"),
+                    )
+                    .agg(F.count("*").alias("c"))
+                )
+                sa, sb = sizes.alias("sa"), sizes.alias("sb")
+                jac = F.col("c") / (
+                    F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("c")
+                )
+                return (
+                    common.join(sa, F.col("d1") == F.col("sa.doc_id"))
+                    .join(sb, F.col("d2") == F.col("sb.doc_id"))
+                    .filter(jac >= 0.8)
+                    .count()
+                )
+            finally:
+                sh.unpersist()
+                sh_full.unpersist()
+
+        def capped_minhash():
+            sigs = minhash_signatures(docs)
+            rows_per_band = _N_HASHES // _N_BANDS
+            bands = F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.hash(
+                            *[
+                                F.col(f"h{j * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for j in range(_N_BANDS)
+                ]
+            )
+            keyed = sigs.select(
+                "doc_id", F.explode(bands).alias("band")
+            ).select("doc_id", "band.band_id", "band.band_hash")
+            a, b = keyed.alias("a"), keyed.filter(anchor).alias("b")
+            return (
+                a.join(
+                    b,
+                    (F.col("a.band_id") == F.col("b.band_id"))
+                    & (F.col("a.band_hash") == F.col("b.band_hash"))
+                    & (F.col("a.doc_id") > F.col("b.doc_id")),
+                )
+                .select(
+                    F.col("a.doc_id").alias("d1"),
+                    F.col("b.doc_id").alias("d2"),
+                )
+                .distinct()
+                .count()
+            )
+
+        timed("jaccard_pairs_capped2", capped_jaccard)
+        timed("minhash_candidates_capped2", capped_minhash)
 
     from smartpipeline_spark.functions.curation import dsir_select
 
