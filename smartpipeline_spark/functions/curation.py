@@ -2233,6 +2233,193 @@ def ext_mixture_temperature(spark, sf_dir):
     )
 
 
+def unimax_mixture(
+    df: DataFrame,
+    budget_tokens: float | None = None,
+    budget_frac: float = 0.8,
+    max_epochs: float = 1.2,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax budget-constrained language allocation (Chung et al.
+    2023, "UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining"): given a total token
+    budget and a per-language epoch cap, allocate budget by
+    WATERFILLING — each language gets the uniform share of what
+    remains unless its entire supply x max_epochs is smaller, in
+    which case it is taken whole (capped) and the freed budget
+    redistributes over the rest. Returns one row per (document,
+    epoch): capped languages repeat every document exactly
+    ceil/floor(max_epochs) times via the fixed-point remainder gate,
+    uncapped languages keep the md5-bucket-gated fraction — the same
+    rerun/append-stable primitive as the rest of the sampling family.
+
+    Scale shape: the entire waterfill runs IN-PLAN over the L-row
+    per-stratum token-supply aggregate — the sorted-prefix form of
+    waterfilling (capped set = the ascending-cap prefix where
+    cap_k*(L-k+1) + prefix_sum < B, monotone by (L-k)(c_{k+1}-c_k)
+    >= 0) needs only rank + cumulative-sum windows over L rows (the
+    documented bounded partitionless-window class, like the Zipf
+    spectrum), one 2-number aggregate over the capped prefix, and a
+    broadcast join back; the corpus is scanned once for supplies and
+    once for emission, never shuffled, no driver-side state at all.
+    Epoch replication is a row-local sequence explode, so output
+    volume is exactly the allocated epochs. Fixed-point (1e-4) rate
+    quantization with the +1e-6 nudge keeps Spark and the SQL oracle
+    on the same side of every floor (the temperature_mixture
+    lesson)."""
+    from pyspark.sql import Window
+
+    from smartpipeline_spark.functions.text import _word_count_expr
+
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    tok = F.coalesce(_word_count_expr(F.col(text_col)), F.lit(0))
+    sup = df.groupBy(stratum_col).agg(
+        F.sum(tok).cast("double").alias("s")
+    )
+    sup = sup.select(
+        stratum_col, "s", (F.lit(float(max_epochs)) * F.col("s")).alias("cap")
+    )
+    if budget_tokens is None:
+        tot = sup.agg(
+            (F.lit(float(budget_frac)) * F.sum("s")).alias("B")
+        )
+        sup = sup.crossJoin(F.broadcast(tot))
+    else:
+        sup = sup.withColumn("B", F.lit(float(budget_tokens)))
+    w_asc = Window.orderBy(F.col("cap").asc(), F.col(stratum_col).asc())
+    flagged = sup.select(
+        stratum_col,
+        "s",
+        "cap",
+        "B",
+        F.row_number().over(w_asc).alias("k"),
+        F.coalesce(
+            F.sum("cap").over(
+                w_asc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0.0),
+        ).alias("p_prev"),
+        F.count("*")
+        .over(
+            w_asc.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("L"),
+    ).withColumn(
+        "capped",
+        F.col("cap") * (F.col("L") - F.col("k") + 1) + F.col("p_prev")
+        <= F.col("B"),
+    )
+    # the L-row frame feeds both the capped-prefix aggregate and the
+    # rate projection; localCheckpoint (bounded, like the pr_curve
+    # histogram) saves re-running the corpus-sized supply aggregate
+    flagged = flagged.localCheckpoint(eager=True)
+    cagg = flagged.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap"))), F.lit(0.0)
+        ).alias("p_capped"),
+        F.sum(F.col("capped").cast("int")).alias("n_capped"),
+    )
+    alloc = F.when(F.col("s") == 0, F.lit(0.0)).otherwise(
+        F.when(F.col("capped"), F.col("cap")).otherwise(
+            (F.col("B") - F.col("p_capped"))
+            / (F.col("L") - F.col("n_capped"))
+        )
+    )
+    rates = flagged.crossJoin(F.broadcast(cagg)).select(
+        stratum_col,
+        F.floor(
+            alloc
+            / F.when(F.col("s") == 0, F.lit(1.0)).otherwise(F.col("s"))
+            * 10000.0
+            + F.lit(1e-6)
+        )
+        .cast("bigint")
+        .alias("keep_total"),
+    )
+    bucket = _keep_bucket(key_col, 10000)
+    n_rep = (
+        F.floor(F.col("keep_total") / 10000)
+        + F.when(bucket < F.col("keep_total") % 10000, 1).otherwise(0)
+    ).cast("int")
+    keyed = df.join(F.broadcast(rates), stratum_col).withColumn(
+        "_n_rep", n_rep
+    )
+    # sequence(1, 0) DESCENDS in Spark, so zero-repeat docs need the
+    # explicit empty array (DuckDB generate_series(1, 0) is empty)
+    epochs = F.when(
+        F.col("_n_rep") >= 1, F.sequence(F.lit(1), F.col("_n_rep"))
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    return keyed.select(
+        key_col, stratum_col, F.explode(epochs).alias("epoch")
+    ).select(key_col, stratum_col, F.col("epoch").cast("bigint").alias("epoch"))
+
+
+_UNIMAX_ORACLE = r"""WITH sup AS (
+      SELECT lang,
+             CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END)
+                  AS DOUBLE) AS s
+      FROM documents GROUP BY lang),
+    caps AS (SELECT lang, s, 1.2 * s AS cap FROM sup),
+    tot AS (SELECT 0.8 * SUM(s) AS B FROM sup),
+    ordered AS (
+      SELECT lang, s, cap, B,
+             ROW_NUMBER() OVER w AS k,
+             COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS p_prev,
+             COUNT(*) OVER () AS L
+      FROM caps, tot
+      WINDOW w AS (ORDER BY cap, lang)),
+    flagged AS (
+      SELECT *, cap * (L - k + 1) + p_prev <= B AS capped
+      FROM ordered),
+    cagg AS (
+      SELECT COALESCE(SUM(cap) FILTER (WHERE capped), 0) AS p_capped,
+             COUNT(*) FILTER (WHERE capped) AS n_capped
+      FROM flagged),
+    rates AS (
+      SELECT lang,
+             CAST(FLOOR(
+               (CASE WHEN s = 0 THEN 0
+                     WHEN capped THEN cap
+                     ELSE (B - p_capped) / (L - n_capped) END)
+               / (CASE WHEN s = 0 THEN 1 ELSE s END)
+               * 10000.0 + 0.000001) AS BIGINT) AS keep_total
+      FROM flagged, cagg),
+    docs AS (
+      SELECT d.doc_id, d.lang,
+             r.keep_total // 10000 AS full_ep,
+             r.keep_total % 10000 AS rem,
+             ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10000 AS bucket
+      FROM documents d JOIN rates r USING (lang))
+    SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch
+    FROM (SELECT doc_id, lang,
+                 unnest(generate_series(1,
+                   full_ep + (CASE WHEN bucket < rem THEN 1 ELSE 0 END)))
+                   AS epoch
+          FROM docs) t"""
+
+
+@ext_query("ext_unimax_budget", _UNIMAX_ORACLE)
+def ext_unimax_budget(spark, sf_dir):
+    """UniMax at budget = 0.8 x corpus tokens, epoch cap 1.2: small
+    languages whose entire 1.2-epoch supply undercuts the uniform
+    share are taken whole (every doc emitted with epoch 2 at the
+    remainder rate), the majority language keeps the uniform share's
+    fraction. The oracle re-derives the full in-plan chain — supply
+    aggregate, sorted-prefix waterfill, fixed-point rates, epoch
+    explode — independently in SQL."""
+    d = sources.table(spark, "documents", sf_dir)
+    return unimax_mixture(d)
+
+
 def pr_curve(
     df: DataFrame, score_col: str, label_col: str = "label"
 ) -> DataFrame:

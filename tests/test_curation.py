@@ -734,3 +734,64 @@ def test_export_tar_shards_append_stable(spark, tmp_path):
     for name, (sid, data) in m1.items():
         assert m2[name] == (sid, data)  # same shard, same bytes
     assert len(m2) == len(m1) + 10
+
+
+def test_unimax_waterfill_matches_hand_computed_allocation(spark):
+    """Analytic UniMax case (Chung et al. 2023): supplies 100/400/2000
+    tokens, epoch cap 2 -> caps [200, 800, 4000]. At B=2500 the
+    waterfill caps a and b (whole supply x2) and hands c the residual
+    1500 -> rate 0.75; at B=3000 c's allocation rises to 2000 -> every
+    c doc exactly once (monotone in budget). A zero-token stratum is
+    allocated nothing. Gate membership is the md5 bucket, replicated
+    here exactly."""
+    import hashlib
+
+    from smartpipeline_spark.functions.curation import unimax_mixture
+
+    rows = []
+    doc_id = 0
+    for lang, n_docs in (("a", 10), ("b", 40), ("c", 200)):
+        for _ in range(n_docs):
+            rows.append((doc_id, lang, " ".join(f"w{j}" for j in range(10))))
+            doc_id += 1
+    for _ in range(3):  # zero-token stratum
+        rows.append((doc_id, "d", "   "))
+        doc_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    def run(budget):
+        out = {}
+        got = unimax_mixture(
+            df, budget_tokens=budget, max_epochs=2.0
+        ).collect()
+        for r in got:
+            out.setdefault(r.doc_id, []).append(r.epoch)
+        return {k: sorted(v) for k, v in out.items()}, {
+            r.doc_id: r.lang for r in df.collect()
+        }
+
+    got, lang_of = run(2500.0)
+    bucket = lambda k: int(
+        hashlib.md5(str(k).encode()).hexdigest()[:8], 16
+    ) % 10000
+    for k, lg in lang_of.items():
+        if lg in ("a", "b"):  # capped: exactly 2 epochs each
+            assert got.get(k) == [1, 2], (k, lg, got.get(k))
+        elif lg == "c":  # rate 0.75 remainder gate, 0 full epochs
+            expect = [1] if bucket(k) < 7500 else None
+            assert got.get(k) == expect, (k, got.get(k))
+        else:  # zero-token stratum: nothing allocated
+            assert k not in got
+    got3, _ = run(3000.0)
+    for k, lg in lang_of.items():
+        if lg == "c":  # alloc 2000 = supply -> exactly one epoch each
+            assert got3.get(k) == [1]
+        elif lg in ("a", "b"):
+            assert got3.get(k) == [1, 2]
+    # total emitted tokens equal the gate-determined expectation
+    # exactly (deterministic md5 buckets, not a statistical bound)
+    expect_c_docs = sum(
+        1 for k, lg in lang_of.items() if lg == "c" and bucket(k) < 7500
+    )
+    emitted = sum(10 * len(v) for k, v in got.items() if lang_of[k] != "d")
+    assert emitted == 200 + 800 + 10 * expect_c_docs
