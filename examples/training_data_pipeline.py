@@ -205,7 +205,26 @@ def main():
         f"{stats.straddle_frac:.1%} of docs straddle a boundary"
     )
 
-    # 11. materialize split-partitioned with a disk-attested manifest
+    # 11. UniMax budget-constrained mixing (Chung et al. 2023): cap
+    #     every language at 1.2 epochs, waterfill an 0.8x-total token
+    #     budget — small languages are taken whole (epoch-2 remainder
+    #     rows), the majority language is gated to the uniform share.
+    #     One row per (doc, epoch); the epoch-replicated stream is
+    #     what the trainer's sequence packer would consume.
+    from smartpipeline_spark.functions.curation import unimax_mixture
+
+    mixture = unimax_mixture(
+        back, budget_frac=0.8, max_epochs=1.2, stratum_col="pred_lang"
+    )
+    alloc = (
+        mixture.groupBy("pred_lang")
+        .agg(F.count("*").alias("doc_epochs"), F.max("epoch").alias("max_epoch"))
+        .orderBy("pred_lang")
+    )
+    print("UniMax allocation (doc-epochs per language):")
+    alloc.show()
+
+    # 12. materialize split-partitioned with a disk-attested manifest
     from smartpipeline_spark.functions.curation import export_dataset
 
     manifest = export_dataset(back, "/root/repo/.tmp/curated_dataset")
