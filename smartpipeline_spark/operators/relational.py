@@ -1263,6 +1263,73 @@ def q36_asof_join(spark, sf_dir):
     )
 
 
+@query(
+    "q36b_asof_forward_tolerance",
+    """SELECT l.event_id, l.user_id,
+              epoch_us(l.ts) AS click_us,
+              CASE WHEN r.ts IS NOT NULL
+                    AND epoch_us(r.ts) - epoch_us(l.ts) <= 600000000
+                   THEN r.event_id END AS next_view_id,
+              CASE WHEN r.ts IS NOT NULL
+                    AND epoch_us(r.ts) - epoch_us(l.ts) <= 600000000
+                   THEN epoch_us(r.ts) END AS view_us
+       FROM (SELECT * FROM events WHERE event_type = 'click') l
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+         ON l.user_id = r.user_id AND l.ts <= r.ts""",
+)
+def q36b_asof_forward_tolerance(spark, sf_dir):
+    """FORWARD as-of join with tolerance (pandas
+    ``merge_asof(direction='forward', tolerance=...)`` parity; q36 is
+    the backward direction): each click matched to the user's EARLIEST
+    view at or after the click, nulled when it arrives more than 10
+    minutes later. Same no-join union+window shape as q36, mirrored:
+    the carry runs FORWARD (first_value ignorenulls over currentRow..
+    unboundedFollowing), ties at equal ts order the click before the
+    view so >= inclusivity matches ASOF's l.ts <= r.ts, and the
+    tolerance is a row-local post-predicate (it cannot be pushed into
+    the carry without losing the farther-but-valid match for OTHER
+    rows — exactly merge_asof semantics). Still ONE shuffle on
+    user_id, linear work, no join node; the oracle is DuckDB's native
+    forward ASOF with the tolerance applied as the same row-local
+    CASE."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts",
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast("long").alias("view_id"),
+        F.lit(None).cast("timestamp_ntz").alias("view_ts"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts",
+        F.lit(0).alias("is_click"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("is_click").desc())  # click first on ties
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = clicks.unionByName(views).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_click",
+        F.first("view_id", ignorenulls=True).over(w).alias("next_view_id"),
+        F.first("view_ts", ignorenulls=True).over(w).alias("next_view_ts"),
+    )
+    click_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    view_us = F.unix_micros(F.col("next_view_ts").cast("timestamp"))
+    within = view_us - click_us <= F.lit(600_000_000)  # 10 min in µs
+    return merged.filter(F.col("is_click") == 1).select(
+        "event_id",
+        "user_id",
+        click_us.alias("click_us"),
+        F.when(within, F.col("next_view_id")).alias("next_view_id"),
+        F.when(within, view_us).alias("view_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Python UDTF (Spark 4) — the table-function authoring surface
 # ---------------------------------------------------------------------------
