@@ -89,13 +89,17 @@ BENCH_QUERIES = [
     "ext_zipf_spectrum",
     "ext_sample_per_group",
     # round-6 additions: HTML text extraction (the new raw-markup
-    # first stage; strip mode — one Arrow map pass) and the
-    # histogram-decomposed ROC-AUC evaluation op. ext_lang_id_trained
-    # stays OUT for the same reason as ext_quality_classifier: its
-    # sequential GD jobs are fixed job overhead at fixture scale
-    # (it is timed in its pytest attestations).
+    # first stage; strip mode — one Arrow map pass), the
+    # histogram-decomposed ROC-AUC evaluation op, the UniMax
+    # budget-waterfill mixer, and the forward-with-tolerance as-of
+    # join. ext_lang_id_trained stays OUT for the same reason as
+    # ext_quality_classifier: its sequential GD jobs are fixed job
+    # overhead at fixture scale (it is timed in its pytest
+    # attestations).
     "ext_html_extract",
     "ext_score_auc",
+    "ext_unimax_budget",
+    "q36b_asof_forward_tolerance",
 ]
 
 
