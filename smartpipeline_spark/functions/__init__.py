@@ -38,3 +38,4 @@ from smartpipeline_spark.functions import curation  # noqa: E402,F401
 from smartpipeline_spark.functions import markup  # noqa: E402,F401
 from smartpipeline_spark.functions import streaming_queries  # noqa: E402,F401
 from smartpipeline_spark.functions import scale_queries  # noqa: E402,F401
+from smartpipeline_spark.functions import timeseries  # noqa: E402,F401

@@ -2504,3 +2504,86 @@ def ext_pr_curve(spark, sf_dir):
         F.when(F.col("text").contains("vector"), 1).otherwise(0).alias("label"),
     )
     return pr_curve(scored, "score", "label")
+
+
+def clip_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    approx: bool = False,
+) -> DataFrame:
+    """Winsorize: clip ``value_col`` to the per-group [p_lo, p_hi]
+    quantile band, returning the input rows with the clipped value in
+    ``<value_col>_winsorized`` (plus the band columns).
+
+    Plan shape: one grouped quantile aggregate (few rows — one per
+    group) broadcast-joined back onto the fact, then a map-side
+    ``when`` chain; the fact table is never re-shuffled.  The exact
+    ``percentile`` aggregate buffers each group's values, which is the
+    oracle-checkable form; at 100 TB pass ``approx=True`` to use the
+    one-pass ``approx_percentile`` sketch instead (same plan shape,
+    bounded memory)."""
+    pexpr = "approx_percentile" if approx else "percentile"
+    bands = df.groupBy(group_col).agg(
+        F.expr(f"{pexpr}({value_col}, {lo})").alias("_p_lo"),
+        F.expr(f"{pexpr}({value_col}, {hi})").alias("_p_hi"),
+    )
+    v = F.col(value_col)
+    clipped = (
+        F.when(v < F.col("_p_lo"), F.col("_p_lo"))
+        .when(v > F.col("_p_hi"), F.col("_p_hi"))
+        .otherwise(v)
+    )
+    return df.join(F.broadcast(bands), group_col).withColumn(
+        f"{value_col}_winsorized", clipped
+    )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization report: quantile band, rows clipped on
+    each side, and the mean before/after clipping — the numeric-feature
+    outlier gate for training-data curation (heavy-tailed metadata
+    columns like lengths, scores, prices)."""
+    j = clip_outliers(df, value_col, group_col, lo, hi)
+    v = F.col(value_col)
+    return j.groupBy(group_col).agg(
+        F.round(F.first("_p_lo"), 4).alias("p_lo"),
+        F.round(F.first("_p_hi"), 4).alias("p_hi"),
+        F.count(F.when(v < F.col("_p_lo"), 1)).alias("n_clip_lo"),
+        F.count(F.when(v > F.col("_p_hi"), 1)).alias("n_clip_hi"),
+        F.round(F.avg(v), 4).alias("mean_raw"),
+        F.round(F.avg(F.col(f"{value_col}_winsorized")), 4).alias("mean_winsorized"),
+    )
+
+
+@ext_query(
+    "ext_winsorize",
+    """WITH p AS (
+         SELECT l_returnflag AS g,
+                quantile_cont(l_extendedprice, 0.01) AS p_lo,
+                quantile_cont(l_extendedprice, 0.99) AS p_hi
+         FROM lineitem GROUP BY l_returnflag
+       )
+       SELECT l.l_returnflag,
+              round(any_value(p.p_lo), 4) AS p_lo,
+              round(any_value(p.p_hi), 4) AS p_hi,
+              COUNT(*) FILTER (WHERE l_extendedprice < p.p_lo) AS n_clip_lo,
+              COUNT(*) FILTER (WHERE l_extendedprice > p.p_hi) AS n_clip_hi,
+              round(avg(l_extendedprice), 4) AS mean_raw,
+              round(avg(CASE WHEN l_extendedprice < p.p_lo THEN p.p_lo
+                             WHEN l_extendedprice > p.p_hi THEN p.p_hi
+                             ELSE l_extendedprice END), 4) AS mean_winsorized
+       FROM lineitem l JOIN p ON l.l_returnflag = p.g
+       GROUP BY l.l_returnflag""",
+)
+def ext_winsorize(spark, sf_dir):
+    li = sources.table(spark, "lineitem", sf_dir)
+    return winsorize_stats(li, "l_extendedprice", "l_returnflag")

@@ -1922,3 +1922,63 @@ def test_saved_index_external_namespace_exclude_self_flag(spark, tmp_path):
     ).collect()
     by_rank = {r.rank: r for r in got_external}
     assert by_rank[1].neighbor_id == x.vec_id and by_rank[1].score >= 0.9999
+
+
+def test_ewma_matches_closed_form(spark):
+    """ewma_by_key against a hand-computed 3-event series, plus the
+    anchor invariants: the last event weighs exactly 1, so decayed_n
+    >= 1 and ewma_value lies between min and max value."""
+    import datetime
+    import math
+
+    from smartpipeline_spark.functions.timeseries import decay_trend, ewma_by_key
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + datetime.timedelta(days=7), 20.0),
+        (1, t0 + datetime.timedelta(days=14), 40.0),
+        (2, t0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r.user_id: r for r in ewma_by_key(df, "user_id", "ts", "value").collect()}
+
+    # user 1, half-life 7d: weights 2^-2, 2^-1, 2^0 = .25, .5, 1
+    w = [0.25, 0.5, 1.0]
+    v = [10.0, 20.0, 40.0]
+    dv = sum(wi * vi for wi, vi in zip(w, v))
+    dn = sum(w)
+    assert got[1].decayed_value == round(dv, 4)
+    assert got[1].decayed_n == round(dn, 4)
+    assert math.isclose(got[1].ewma_value, round(dv / dn, 4), abs_tol=1e-9)
+    assert got[1].last_ts == t0 + datetime.timedelta(days=14)
+    # single-event key: anchor weight exactly 1, mean == the value
+    assert got[2].decayed_n == 1.0 and got[2].ewma_value == 5.0
+
+    # global-anchor trend: user 2's lone event is 14d old -> weight 2^-2
+    trend = {
+        r.user_id: r
+        for r in decay_trend(df, "user_id", "ts", "value").collect()
+    }
+    assert trend[2].decayed_n == 0.25 and trend[2].decayed_value == 1.25
+    assert trend[1].decayed_n == round(dn, 4)
+
+
+def test_winsorize_closed_form_band_and_clip_counts(spark):
+    """1..100 uniform: p01/p99 interpolate to 1.99/99.01, exactly one
+    row clips on each side, and the symmetric clip leaves the mean
+    unchanged; clip_outliers row count equals the input."""
+    from smartpipeline_spark.functions.curation import clip_outliers, winsorize_stats
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)], "g string, v double"
+    )
+    row = winsorize_stats(df, "v", "g").collect()[0]
+    assert row.p_lo == 1.99 and row.p_hi == 99.01
+    assert row.n_clip_lo == 1 and row.n_clip_hi == 1
+    assert row.mean_raw == 50.5 and row.mean_winsorized == 50.5
+
+    clipped = clip_outliers(df, "v", "g").collect()
+    assert len(clipped) == 100
+    vals = sorted(r.v_winsorized for r in clipped)
+    assert vals[0] == 1.99 and vals[-1] == 99.01 and vals[1] == 2.0
