@@ -19,11 +19,12 @@ rehearsed against the contract that actually grades it:
   digits (tolerant of sub-ulp engine drift, strict on int-vs-float
   representation).
 
-Usage: python scripts/driver_sim.py [sf_dir] [--all]   (default sf0.01)
-``--all`` rehearses EVERY oracled key, not just the current window —
-any key may rotate into the window next round, so full-registry
-driver-compatibility is what actually de-risks rotation.
-Exit 1 on any mismatch.
+Usage: python scripts/driver_sim.py [sf_dir] [prefix ...] [--all]
+(default sf0.01). ``--all`` rehearses EVERY oracled key, not just the
+current window — any key may rotate into the window next round, so
+full-registry driver-compatibility is what actually de-risks rotation.
+Extra positional args after sf_dir filter keys by prefix (handy when
+verifying one freshly added key). Exit 1 on any mismatch.
 """
 
 from __future__ import annotations
@@ -84,6 +85,9 @@ def main() -> int:
     keys = (
         sorted(qs) if "--all" in sys.argv else list(entrymod._WINDOW)
     )
+    if len(pos) > 1:
+        prefixes = tuple(pos[1:])
+        keys = [k for k in sorted(qs) if k.startswith(prefixes)]
     failed = []
     for key in keys:
         t0 = time.time()

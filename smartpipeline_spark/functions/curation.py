@@ -2587,3 +2587,69 @@ def winsorize_stats(
 def ext_winsorize(spark, sf_dir):
     li = sources.table(spark, "lineitem", sf_dir)
     return winsorize_stats(li, "l_extendedprice", "l_returnflag")
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier report: median, MAD (median absolute
+    deviation), the consistent robust sigma (1.4826·MAD), and how many
+    rows fall outside median ± k·sigma — the heavy-tail-safe companion
+    to :func:`winsorize_stats` (quantile bands move with the outliers
+    they are meant to catch; the MAD does not).
+
+    Plan shape: two grouped exact-percentile aggregates (one row per
+    group each) broadcast back onto the fact between map-side passes —
+    the fact table itself is never re-shuffled.  Like ``percentile``
+    everywhere else in this module, the exact aggregate is the
+    oracle-checkable form; swap ``approx_percentile`` into both passes
+    for bounded memory at 100 TB."""
+    v = F.col(value_col)
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    j = df.join(F.broadcast(med), group_col)
+    dev = F.abs(v - F.col("_med"))
+    mad = j.groupBy(group_col).agg(
+        F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad")
+    )
+    j2 = j.join(F.broadcast(mad), group_col)
+    sigma = F.col("_mad") * F.lit(1.4826)
+    return j2.groupBy(group_col).agg(
+        F.round(F.first("_med"), 4).alias("median"),
+        F.round(F.first("_mad"), 4).alias("mad"),
+        F.round(F.first("_mad") * F.lit(1.4826), 4).alias("robust_sigma"),
+        F.count(F.when(dev > F.lit(k) * sigma, 1)).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@ext_query(
+    "ext_mad_outliers",
+    """WITH m AS (
+         SELECT l_returnflag AS g, quantile_cont(l_extendedprice, 0.5) AS med
+         FROM lineitem GROUP BY l_returnflag
+       ),
+       d AS (
+         SELECT l.l_returnflag, l.l_extendedprice AS v, m.med
+         FROM lineitem l JOIN m ON l.l_returnflag = m.g
+       ),
+       s AS (
+         SELECT l_returnflag AS g, quantile_cont(abs(v - med), 0.5) AS mad
+         FROM d GROUP BY l_returnflag
+       )
+       SELECT d.l_returnflag,
+              round(any_value(d.med), 4) AS median,
+              round(any_value(s.mad), 4) AS mad,
+              round(any_value(s.mad) * 1.4826, 4) AS robust_sigma,
+              COUNT(*) FILTER (WHERE abs(d.v - d.med) > 3.0 * (s.mad * 1.4826)) AS n_outliers,
+              COUNT(*) AS n_rows
+       FROM d JOIN s ON d.l_returnflag = s.g
+       GROUP BY d.l_returnflag""",
+)
+def ext_mad_outliers(spark, sf_dir):
+    li = sources.table(spark, "lineitem", sf_dir)
+    return mad_outliers(li, "l_extendedprice", "l_returnflag")

@@ -1982,3 +1982,19 @@ def test_winsorize_closed_form_band_and_clip_counts(spark):
     assert len(clipped) == 100
     vals = sorted(r.v_winsorized for r in clipped)
     assert vals[0] == 1.99 and vals[-1] == 99.01 and vals[1] == 2.0
+
+
+def test_mad_outliers_closed_form(spark):
+    """1..100 uniform: median 50.5, MAD 25.0, robust sigma 37.065; at
+    k=1 exactly the 13 lowest and 13 highest values are outliers, at
+    the default k=3 none are."""
+    from smartpipeline_spark.functions.curation import mad_outliers
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)], "g string, v double"
+    )
+    r = mad_outliers(df, "v", "g", k=1.0).collect()[0]
+    assert r.median == 50.5 and r.mad == 25.0 and r.robust_sigma == 37.065
+    assert r.n_outliers == 26 and r.n_rows == 100
+    r3 = mad_outliers(df, "v", "g").collect()[0]
+    assert r3.n_outliers == 0
