@@ -2653,3 +2653,184 @@ def mad_outliers(
 def ext_mad_outliers(spark, sf_dir):
     li = sources.table(spark, "lineitem", sf_dir)
     return mad_outliers(li, "l_extendedprice", "l_returnflag")
+
+
+# ----------------------------------------- C4/FineWeb quality rules
+
+def c4_quality_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_lines: int = 3,
+    min_words_per_line: int = 3,
+    min_term_punct_ratio: float = 0.5,
+    max_dup_line_frac: float = 0.3,
+    max_word_chars: int = 1000,
+) -> DataFrame:
+    """C4 / FineWeb-style rule-based document filter battery (Raffel et
+    al. 2020 §2.2; Penedo et al. 2024): per-document line statistics,
+    the classic content flags, and the combined ``keep`` verdict.
+
+    Rules (each reported individually so a pipeline can re-weight):
+
+    * ``n_lines`` / ``short_line_frac`` — pages that are mostly
+      fragments (< ``min_words_per_line`` words per line) are menus.
+    * ``term_punct_ratio`` — fraction of lines ending in terminal
+      punctuation (C4 keeps only such lines; reported as a doc ratio).
+    * ``dup_line_frac`` — within-document repeated lines (boilerplate).
+    * ``has_lorem`` / ``has_brace`` / ``has_js`` — the three literal
+      C4 doc-kill flags ("lorem ipsum", '{' ⇒ code, "javascript").
+    * ``max_word_len`` — longest whitespace-token (FineWeb drops pages
+      with pathological unbroken tokens).
+
+    100 TB design: EVERY statistic is computed row-locally with
+    higher-order array functions (split / filter / transform /
+    array_distinct) inside whole-stage codegen — no explode, no
+    shuffle, no Python; the battery fuses behind the scan and runs at
+    parquet-read speed. The corpus is never re-shuffled: the output is
+    (id, stats, keep) with one row per input row."""
+    txt = F.col(text_col)
+    lines = F.filter(
+        F.split(txt, "\n"), lambda x: F.trim(x) != F.lit("")
+    )
+    n_lines = F.size(lines)
+    wc = lambda x: F.size(F.split(F.trim(x), r"\s+"))
+    short_lines = F.size(
+        F.filter(lines, lambda x: wc(x) < F.lit(min_words_per_line))
+    )
+    term_lines = F.size(
+        F.filter(lines, lambda x: x.rlike(r'[.!?"]\s*$'))
+    )
+    dup_lines = n_lines - F.size(F.array_distinct(lines))
+    max_word_len = F.array_max(
+        F.transform(F.split(txt, r"\s+"), F.length)
+    )
+    r4 = lambda c: F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+    term_ratio = r4(term_lines / n_lines)
+    short_frac = r4(short_lines / n_lines)
+    dup_frac = r4(dup_lines / n_lines)
+    has_lorem = F.lower(txt).contains("lorem ipsum")
+    has_brace = txt.contains("{")
+    has_js = F.exists(
+        lines, lambda x: F.lower(x).contains("javascript")
+    )
+    keep = (
+        ~has_lorem
+        & ~has_brace
+        & ~has_js
+        & (n_lines >= F.lit(min_lines))
+        & (term_ratio >= F.lit(min_term_punct_ratio))
+        & (dup_frac <= F.lit(max_dup_line_frac))
+        & (max_word_len <= F.lit(max_word_chars))
+    )
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        term_ratio.alias("term_punct_ratio"),
+        short_frac.alias("short_line_frac"),
+        dup_frac.alias("dup_line_frac"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_js.alias("has_js"),
+        max_word_len.cast("long").alias("max_word_len"),
+        keep.alias("keep"),
+    )
+
+
+def _synth_page(spark, sf_dir):
+    """Deterministic multi-line 'web page' derived in-plan from the
+    single-line fixture corpus (same pattern as markup._synth_html):
+    words wrapped at ``5 + doc_id % 7`` per line, ~2/3 of lines given
+    terminal punctuation, and the C4 kill-features planted on disjoint
+    doc_id residue classes (17: lorem ipsum, 13: code brace, 11:
+    javascript notice, 7: duplicated first line) so every flag and
+    ratio is non-degenerate. Both engines derive the page with the
+    same row-local array pipeline, so the battery itself is what the
+    oracle exercises."""
+    d = sources.table(spark, "documents", sf_dir)
+    k = F.lit(5) + F.col("doc_id") % 7
+    words = F.split(F.col("text"), " ")
+    nl = F.ceil(F.size(words) / k.cast("double")).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(words, i * k + 1, k), " "),
+            F.when((i + F.col("doc_id")) % 3 == 0, F.lit("")).otherwise(
+                F.lit(".")
+            ),
+        ),
+    )
+    first = F.element_at(lines, 1)
+    page = F.concat(
+        F.array_join(lines, "\n"),
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.lit("\nLorem ipsum dolor sit amet."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit("\nfunction f() { return 0; }"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("\nPlease enable JavaScript to continue."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("\n"), first, F.lit("\n"), first),
+        ).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", page.alias("text"))
+
+
+@ext_query(
+    "ext_c4_rules",
+    r"""WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS words,
+                 5 + doc_id % 7 AS k
+          FROM documents),
+        lined AS (
+          SELECT doc_id, k,
+                 list_transform(
+                   range(0, CAST(ceil(len(words) / (k * 1.0)) AS INT)),
+                   i -> array_to_string(words[i*k+1 : i*k+k], ' ') ||
+                        CASE WHEN (i + doc_id) % 3 = 0 THEN '' ELSE '.' END
+                 ) AS lines
+          FROM base),
+        paged AS (
+          SELECT doc_id,
+                 array_to_string(lines, chr(10))
+                 || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END
+                 || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'function f() { return 0; }' ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'Please enable JavaScript to continue.' ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0 THEN chr(10) || lines[1] || chr(10) || lines[1] ELSE '' END
+                 AS page
+          FROM lined),
+        stats AS (
+          SELECT doc_id, page,
+                 list_filter(string_split(page, chr(10)), x -> trim(x) <> '') AS lines
+          FROM paged)
+        SELECT doc_id,
+               len(lines) AS n_lines,
+               floor(CAST(len(list_filter(lines, x -> regexp_matches(x, '[.!?"]\s*$'))) AS DOUBLE) / len(lines) * 10000.0 + 0.5) / 10000.0 AS term_punct_ratio,
+               floor(CAST(len(list_filter(lines, x -> len(string_split_regex(trim(x), '\s+')) < 3)) AS DOUBLE) / len(lines) * 10000.0 + 0.5) / 10000.0 AS short_line_frac,
+               floor(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) * 10000.0 + 0.5) / 10000.0 AS dup_line_frac,
+               contains(lower(page), 'lorem ipsum') AS has_lorem,
+               contains(page, '{') AS has_brace,
+               len(list_filter(lines, x -> contains(lower(x), 'javascript'))) > 0 AS has_js,
+               list_max(list_transform(string_split_regex(page, '\s+'), x -> length(x))) AS max_word_len,
+               (NOT contains(lower(page), 'lorem ipsum'))
+               AND (NOT contains(page, '{'))
+               AND (len(list_filter(lines, x -> contains(lower(x), 'javascript'))) = 0)
+               AND len(lines) >= 3
+               AND floor(CAST(len(list_filter(lines, x -> regexp_matches(x, '[.!?"]\s*$'))) AS DOUBLE) / len(lines) * 10000.0 + 0.5) / 10000.0 >= 0.5
+               AND floor(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) * 10000.0 + 0.5) / 10000.0 <= 0.3
+               AND list_max(list_transform(string_split_regex(page, '\s+'), x -> length(x))) <= 1000
+               AS keep
+        FROM stats""",
+)
+def ext_c4_rules(spark, sf_dir):
+    """C4/FineWeb rule battery over the synthesized multi-line page
+    column; every statistic, flag, and the keep verdict mirrored in
+    the DuckDB oracle over the identically derived fixture."""
+    return c4_quality_rules(_synth_page(spark, sf_dir))

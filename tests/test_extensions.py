@@ -1998,3 +1998,28 @@ def test_mad_outliers_closed_form(spark):
     assert r.n_outliers == 26 and r.n_rows == 100
     r3 = mad_outliers(df, "v", "g").collect()[0]
     assert r3.n_outliers == 0
+
+
+def test_c4_rules_closed_form(spark):
+    """Hand-built pages: doc 1 (6 lines, 4 terminal-punct, one short
+    line, one duplicated line) passes every gate; doc 2 trips the
+    lorem-ipsum and brace kill flags."""
+    from smartpipeline_spark.functions.curation import c4_quality_rules
+
+    page1 = (
+        "Good line one here.\nGood line two here.\nshort\n"
+        "No punct line here\nGood line three yes.\nGood line three yes."
+    )
+    page2 = "Lorem ipsum dolor sit.\nvar x = { 1 };\nok fine."
+    df = spark.createDataFrame(
+        [(1, page1), (2, page2)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in c4_quality_rules(df).collect()}
+    r1 = rows[1]
+    assert r1.n_lines == 6 and r1.term_punct_ratio == 0.6667
+    assert r1.short_line_frac == 0.1667 and r1.dup_line_frac == 0.1667
+    assert not (r1.has_lorem or r1.has_brace or r1.has_js)
+    assert r1.max_word_len == 5 and r1.keep
+    r2 = rows[2]
+    assert r2.has_lorem and r2.has_brace and not r2.has_js
+    assert not r2.keep
