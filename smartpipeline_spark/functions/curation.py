@@ -2834,3 +2834,149 @@ def ext_c4_rules(spark, sf_dir):
     column; every statistic, flag, and the keep verdict mirrored in
     the DuckDB oracle over the identically derived fixture."""
     return c4_quality_rules(_synth_page(spark, sf_dir))
+
+
+# ------------------------------------- Stupid Backoff trigram LM
+
+def stupid_backoff_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_col: str | None = None,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Trigram language-model scoring under STUPID BACKOFF (Brants et
+    al. 2007, "Large Language Models in Machine Translation" — the
+    smoothing designed FOR distributed MapReduce-built LMs: no
+    normalized discounts, so every model table is a plain count
+    aggregate). Score(w3|w1,w2) backs off trigram -> bigram -> unigram
+    with factor ``alpha`` per level; a document's score is its mean
+    trigram ln-score (the CCNet perplexity-filter shape, trained here
+    on the reference half of the corpus).
+
+    ``ref_col``: boolean column marking the REFERENCE corpus the model
+    is trained on (CCNet trains on Wikipedia, scores CommonCrawl);
+    docs outside it genuinely exercise the backoff paths. Defaults to
+    ``doc_id % 2 = 0``. Out-of-vocabulary words take a deterministic
+    0.5 pseudo-count at the unigram level (SB leaves OOV unspecified;
+    a fixed sub-unit count keeps the score total finite and the
+    DuckDB oracle exact).
+
+    100 TB design: the three model tables are map-side-combinable
+    count aggregates over the reference half — the exploded trigram
+    frame persists and feeds all of them plus the scoring join in ONE
+    scan (same single-pass shape as :func:`bigram_lm_scores`). Model
+    tables are corpus-vocabulary-sized, NOT broadcast by hand — AQE
+    promotes whichever side measures small; at web scale these joins
+    shuffle on gram keys, which is exactly Brants et al.'s
+    distributed-LM layout. No Python, no driver transfer, no windows.
+    """
+    from pyspark import StorageLevel
+
+    ref = (
+        F.col(ref_col) if ref_col else (F.col(id_col) % 2 == 0)
+    )
+    w = df.select(
+        F.col(id_col).alias("doc_id"),
+        ref.alias("_is_ref"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("w"),
+    )
+    tris = F.expr(
+        "CASE WHEN size(w) < 3 THEN array() "
+        "ELSE transform(sequence(1, size(w)-2), "
+        "i -> struct(w[i-1] AS w1, w[i] AS w2, w[i+1] AS w3)) END"
+    )
+    grams = (
+        w.select("doc_id", "_is_ref", F.explode(tris).alias("g"))
+        .select("doc_id", "_is_ref", "g.w1", "g.w2", "g.w3")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ref_grams = grams.filter("_is_ref")
+    tri = ref_grams.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    # bigram counts from trigram CONTEXTS (w1,w2) — every scored
+    # trigram's context bigram is then guaranteed present whenever the
+    # trigram is, and the (w2,w3) backoff probe reuses the same table
+    bi = ref_grams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uni = ref_grams.groupBy("w1").agg(F.count("*").alias("c1"))
+    n_tot = uni.agg(F.sum("c1").alias("n_tot"))
+    a = F.lit(float(alpha))
+    score = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.log(F.col("c3") / F.col("c2")),
+        )
+        .when(
+            F.col("bo_c").isNotNull(),
+            F.log(a * F.col("bo_c") / F.col("bo_u")),
+        )
+        .otherwise(
+            F.log(
+                a * a * F.coalesce(F.col("u3_c"), F.lit(0.5))
+                / F.col("n_tot")
+            )
+        )
+    )
+    bo = bi.select(
+        F.col("w1").alias("w2"),
+        F.col("w2").alias("w3"),
+        F.col("c2").alias("bo_c"),
+    )
+    bo_u = uni.select(F.col("w1").alias("w2"), F.col("c1").alias("bo_u"))
+    u3 = uni.select(F.col("w1").alias("w3"), F.col("c1").alias("u3_c"))
+    return (
+        grams.join(tri, ["w1", "w2", "w3"], "left")
+        .join(bi, ["w1", "w2"], "left")
+        .join(bo, ["w2", "w3"], "left")
+        .join(bo_u, ["w2"], "left")
+        .join(u3, ["w3"], "left")
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.first("_is_ref").alias("in_ref"),
+            (
+                F.floor(F.avg(score) * F.lit(10000.0) + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("avg_logscore"),
+        )
+    )
+
+
+@ext_query(
+    "ext_lm_stupid_backoff",
+    r"""WITH toks AS (
+          SELECT doc_id, doc_id % 2 = 0 AS is_ref,
+                 string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        grams AS (
+          SELECT doc_id, is_ref, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 0))) AS i) t),
+        tri AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM grams WHERE is_ref GROUP BY 1,2,3),
+        bi  AS (SELECT w1, w2, COUNT(*) AS c2 FROM grams WHERE is_ref GROUP BY 1,2),
+        uni AS (SELECT w1, COUNT(*) AS c1 FROM grams WHERE is_ref GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n_tot FROM uni)
+        SELECT g.doc_id,
+               COUNT(*) AS n_trigrams,
+               any_value(g.is_ref) AS in_ref,
+               floor(AVG(
+                 CASE
+                   WHEN tri.c3 IS NOT NULL THEN ln(tri.c3 / (bi.c2 * 1.0))
+                   WHEN bo.c2 IS NOT NULL THEN ln(0.4 * bo.c2 / (bu.c1 * 1.0))
+                   ELSE ln(0.4 * 0.4 * coalesce(u3.c1, 0.5) / tot.n_tot)
+                 END) * 10000.0 + 0.5) / 10000.0 AS avg_logscore
+        FROM grams g
+        LEFT JOIN tri ON g.w1 = tri.w1 AND g.w2 = tri.w2 AND g.w3 = tri.w3
+        LEFT JOIN bi  ON g.w1 = bi.w1 AND g.w2 = bi.w2
+        LEFT JOIN bi bo ON g.w2 = bo.w1 AND g.w3 = bo.w2
+        LEFT JOIN uni bu ON g.w2 = bu.w1
+        LEFT JOIN uni u3 ON g.w3 = u3.w1
+        CROSS JOIN tot
+        GROUP BY g.doc_id""",
+)
+def ext_lm_stupid_backoff(spark, sf_dir):
+    """Trigram Stupid-Backoff LM: trained on the even-doc_id half of
+    the corpus, scoring every document (odd docs exercise the real
+    backoff paths). Oracle mirrors the full three-level CASE."""
+    d = sources.table(spark, "documents", sf_dir)
+    return stupid_backoff_scores(d)

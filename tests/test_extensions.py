@@ -2023,3 +2023,32 @@ def test_c4_rules_closed_form(spark):
     r2 = rows[2]
     assert r2.has_lorem and r2.has_brace and not r2.has_js
     assert not r2.keep
+
+
+def test_stupid_backoff_closed_form(spark):
+    """Hand-computed three-level backoff: doc 0 (the reference half)
+    scores pure trigram ratios; doc 1 mixes one trigram hit with two
+    OOV unigram floors; doc 3 exercises the middle (bigram-backoff)
+    level exactly once. Model counts follow the context convention
+    (bi/uni from trigram (w1,w2)/(w1) positions)."""
+    import math
+
+    from smartpipeline_spark.functions.curation import stupid_backoff_scores
+
+    df = spark.createDataFrame(
+        [(0, "a b c a b d"), (1, "a b c x y"), (3, "x a b")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in stupid_backoff_scores(df).collect()}
+    r4 = lambda x: math.floor(x * 10000.0 + 0.5) / 10000.0
+    # doc 0: ln(1/2), 0, 0, ln(1/2) over 4 trigrams
+    assert rows[0].in_ref and rows[0].n_trigrams == 4
+    assert rows[0].avg_logscore == r4(2 * math.log(0.5) / 4) == -0.3466
+    # doc 1: trigram hit ln(1/2); (b,c,x),(c,x,y) fall through to the
+    # OOV unigram floor ln(0.4^2 * 0.5 / 4)
+    exp1 = (math.log(0.5) + 2 * math.log(0.16 * 0.5 / 4)) / 3
+    assert not rows[1].in_ref and rows[1].n_trigrams == 3
+    assert rows[1].avg_logscore == r4(exp1) == -2.8391
+    # doc 3: (x,a,b) missing as trigram, backs off to bigram (a,b):
+    # ln(alpha * c(a,b)/c(a)) = ln(0.4 * 2/2)
+    assert rows[3].avg_logscore == r4(math.log(0.4)) == -0.9163
