@@ -100,6 +100,14 @@ BENCH_QUERIES = [
     "ext_score_auc",
     "ext_unimax_budget",
     "q36b_asof_forward_tolerance",
+    # round-6 additions (late): the C4/FineWeb rule battery (pure
+    # codegen row-local map — the cheapest operator class, benched to
+    # prove it), the MAD robust-outlier report (two broadcast-band
+    # percentile passes), and the trigram Stupid-Backoff LM (count
+    # model build + five-way scoring join in one persisted scan).
+    "ext_c4_rules",
+    "ext_mad_outliers",
+    "ext_lm_stupid_backoff",
 ]
 
 

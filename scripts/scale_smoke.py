@@ -70,7 +70,7 @@ def main() -> None:
     # same guard the TPC-H and ANN blocks get; --ops exists exactly to
     # avoid paying for unselected work)
     n_docs = 0
-    if want("exact_dedup_groups", "minhash_candidate_pairs", "jaccard_verified_pairs", "exactsubstr_spans", "dsir_selected", "cdc_chunk_fps", "classifier_train_5it", "jaccard_pairs_capped2", "minhash_candidates_capped2"):
+    if want("exact_dedup_groups", "minhash_candidate_pairs", "jaccard_verified_pairs", "exactsubstr_spans", "dsir_selected", "cdc_chunk_fps", "classifier_train_5it", "jaccard_pairs_capped2", "minhash_candidates_capped2", "c4_rules_report", "lm_stupid_backoff_scored"):
         base = sources.table(spark, "documents", sf_dir).select("doc_id", "text")
         docs = base.select(
             F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("r"),
@@ -251,6 +251,35 @@ def main() -> None:
         return len(train_text_classifier(labeled, iters=5)["weights"])
 
     timed("classifier_train_5it", _clf)
+
+    # round-6 ops: the C4 rule battery must scale as pure map
+    # throughput (zero exchanges — exponent ~1 in replicas with a
+    # flat per-row cost), and the Stupid-Backoff LM as gram-keyed
+    # counts + scoring joins (the corpus-sized explode dominates;
+    # model tables stay vocabulary-bounded as replicas grow because
+    # replica tags only add n new types per base word).
+    if want("c4_rules_report", "lm_stupid_backoff_scored"):
+        from smartpipeline_spark.functions.curation import (
+            c4_quality_rules,
+            stupid_backoff_scores,
+        )
+
+        # line-ify the replicated corpus in-plan (wrap every 6 words)
+        # so the battery judges real multi-line pages, not 1-line rows
+        paged = docs.select(
+            "doc_id",
+            F.regexp_replace(
+                "text", r"(\S+ \S+ \S+ \S+ \S+ \S+) ", "$1\n"
+            ).alias("text"),
+        )
+        timed(
+            "c4_rules_report",
+            lambda: c4_quality_rules(paged).filter("keep").count(),
+        )
+        timed(
+            "lm_stupid_backoff_scored",
+            lambda: stupid_backoff_scores(docs).count(),
+        )
 
     # --- TPC-H fact-replication block: the same join/agg plans the
     # suite pins (one fact-fact exchange, broadcast dims) must hold
