@@ -269,7 +269,7 @@ def main() -> None:
         paged = docs.select(
             "doc_id",
             F.regexp_replace(
-                "text", r"(\S+ \S+ \S+ \S+ \S+ \S+) ", "$1\n"
+                "text", r"(\S+ \S+ \S+ \S+ \S+ \S+) ", "$1.\n"
             ).alias("text"),
         )
         timed(
