@@ -2980,3 +2980,142 @@ def ext_lm_stupid_backoff(spark, sf_dir):
     backoff paths). Oracle mirrors the full three-level CASE."""
     d = sources.table(spark, "documents", sf_dir)
     return stupid_backoff_scores(d)
+
+
+# --------------------------------------------- PSI drift report
+
+def psi_drift(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index per group: how far each group's
+    distribution of ``metric_col`` drifts from the corpus-wide
+    distribution — the standard production drift monitor
+    (PSI = Σ_b (q_b − p_b)·ln(q_b / p_b) over equal-width bins;
+    <0.1 stable, 0.1–0.25 moderate, >0.25 major drift). Run it
+    per-source to catch a crawl snapshot whose length/quality profile
+    shifted, or per-shard to catch skewed ingestion.
+
+    Empty bins take a deterministic Laplace 0.5 pseudo-count on BOTH
+    sides (p and q), keeping every log finite and the DuckDB oracle
+    exact.
+
+    100 TB design: the corpus is touched by exactly TWO jobs — a
+    min/max aggregate whose 2-scalar result comes back as a bounded,
+    documented driver transfer (the DSIR/IVF-codebook collect
+    contract; bin edges then ride as plan literals, so no scalar
+    crossJoin replicates through downstream lineage), and ONE
+    bucket-keyed groupBy whose output is bounded by groups×``bins``
+    rows (map-side partial aggregation; the exchange carries bin
+    counts, not rows). That tiny count frame persists and every
+    remaining aggregate (global bin profile, group totals, corpus
+    total, group grid) derives from it, so the PSI assembly runs on
+    bounded data. The corpus is never sorted, never re-shuffled,
+    never collected."""
+    mcol = F.col(metric_col)
+    mn, mx = df.agg(F.min(mcol), F.max(mcol)).first()
+    if mn is None:
+        mn = mx = 0
+    if mx == mn:
+        bucket = F.lit(0)
+    else:
+        bucket = F.least(
+            F.lit(bins - 1),
+            F.floor(
+                (mcol - F.lit(mn)) * F.lit(bins) / F.lit(mx - mn)
+            ),
+        ).cast("int")
+    # localCheckpoint, not persist: the returned lazy frame keeps
+    # reading this (so an unpersist could never run and a
+    # CacheManager entry would leak per call — the
+    # contamination-bloom precedent above), and the frame is BOUNDED
+    # (groups x bins count rows), so the eager materialization is one
+    # corpus groupBy job with a tiny result — nothing like the
+    # corpus-sized checkpoint the round-5 dsir regression removed.
+    q = (
+        df.select(F.col(group_col).alias("g"), bucket.alias("b"))
+        .groupBy("g", "b")
+        .agg(F.count("*").alias("cq"))
+        .localCheckpoint(eager=True)
+    )
+    p = q.groupBy("b").agg(F.sum("cq").alias("cp"))
+    n_tot = q.agg(F.sum("cq").alias("n_tot"))
+    ng = q.groupBy("g").agg(F.sum("cq").alias("n_g"))
+    grid = (
+        q.select("g")
+        .distinct()
+        .select(
+            "g",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(bins - 1))
+            ).alias("b"),
+        )
+    )
+    half = F.lit(0.5)
+    denom_pad = F.lit(bins * 0.5)
+    joined = (
+        grid.join(q, ["g", "b"], "left")
+        .join(p, ["b"], "left")
+        .join(F.broadcast(ng), ["g"])
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "g",
+            (
+                (F.coalesce(F.col("cq"), F.lit(0)) + half)
+                / (F.col("n_g") + denom_pad)
+            ).alias("qb"),
+            (
+                (F.coalesce(F.col("cp"), F.lit(0)) + half)
+                / (F.col("n_tot") + denom_pad)
+            ).alias("pb"),
+        )
+    )
+    term = (F.col("qb") - F.col("pb")) * F.log(F.col("qb") / F.col("pb"))
+    return (
+        joined.groupBy("g")
+        .agg(
+            (
+                F.floor(F.sum(term) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+            ).alias("psi")
+        )
+        .select(F.col("g").alias(group_col), "psi")
+    )
+
+
+@ext_query(
+    "ext_psi_drift",
+    """WITH stats AS (
+         SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+       bk AS (
+         SELECT lang AS g,
+                CAST(CASE WHEN s.mx = s.mn THEN 0
+                     ELSE least(9, floor((n_chars - s.mn) * 10.0 / (s.mx - s.mn)))
+                END AS INT) AS b
+         FROM documents, stats s),
+       p AS (SELECT b, COUNT(*) AS cp FROM bk GROUP BY b),
+       q AS (SELECT g, b, COUNT(*) AS cq FROM bk GROUP BY g, b),
+       ng AS (SELECT g, COUNT(*) AS n_g FROM bk GROUP BY g),
+       tot AS (SELECT COUNT(*) AS n_tot FROM bk),
+       grid AS (
+         SELECT DISTINCT bk.g, r.range AS b
+         FROM bk, range(0, 10) r),
+       terms AS (
+         SELECT grid.g,
+                (COALESCE(q.cq, 0) + 0.5) / (ng.n_g + 5.0) AS qb,
+                (COALESCE(p.cp, 0) + 0.5) / (tot.n_tot + 5.0) AS pb
+         FROM grid
+         LEFT JOIN q ON grid.g = q.g AND grid.b = q.b
+         LEFT JOIN p ON grid.b = p.b
+         JOIN ng ON grid.g = ng.g
+         CROSS JOIN tot)
+       SELECT g AS lang,
+              floor(SUM((qb - pb) * ln(qb / pb)) * 1e6 + 0.5) / 1e6 AS psi
+       FROM terms GROUP BY g""",
+)
+def ext_psi_drift(spark, sf_dir):
+    """Per-language PSI of the document-length distribution against
+    the corpus-wide profile (10 equal-width bins, Laplace 0.5)."""
+    d = sources.table(spark, "documents", sf_dir)
+    return psi_drift(d, "n_chars", "lang")

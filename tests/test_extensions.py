@@ -2052,3 +2052,22 @@ def test_stupid_backoff_closed_form(spark):
     # doc 3: (x,a,b) missing as trigram, backs off to bigram (a,b):
     # ln(alpha * c(a,b)/c(a)) = ln(0.4 * 2/2)
     assert rows[3].avg_logscore == r4(math.log(0.4)) == -0.9163
+
+
+def test_psi_drift_closed_form(spark):
+    """bins=2 hand computation with Laplace 0.5: group a=[0,0,10],
+    b=[10] against the pooled distribution; includes an empty-bin
+    pseudo-count path (group b, bucket 0)."""
+    import math
+
+    from smartpipeline_spark.functions.curation import psi_drift
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("a", 10), ("b", 10)], "g string, v long"
+    )
+    rows = {r.g: r.psi for r in psi_drift(df, "v", "g", bins=2).collect()}
+    psi_a = 0.125 * (math.log(1.25) - math.log(0.75))
+    psi_b = -0.25 * math.log(0.5) + 0.25 * math.log(1.5)
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    assert rows["a"] == r6(psi_a) == 0.063853
+    assert rows["b"] == r6(psi_b) == 0.274653
