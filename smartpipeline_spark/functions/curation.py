@@ -3119,3 +3119,126 @@ def ext_psi_drift(spark, sf_dir):
     the corpus-wide profile (10 equal-width bins, Laplace 0.5)."""
     d = sources.table(spark, "documents", sf_dir)
     return psi_drift(d, "n_chars", "lang")
+
+
+# ----------------------------------------------- KS drift statistic
+
+def ks_drift(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per group: for each
+    group, sup_v |ECDF_group(v) − ECDF_rest(v)| of ``metric_col``
+    against the REST of the corpus — the bin-free companion to
+    :func:`psi_drift` (PSI needs bin edges; KS is distribution-free
+    and catches shape drift PSI's 10 bins can smear out).
+
+    100 TB design: the same histogram-decomposition contract as the
+    AUC evaluator (`binary_auc`) — the only corpus-sized work is ONE
+    (group, value) count aggregate whose exchange is bounded by
+    groups × distinct metric values (for continuous metrics,
+    pre-bucket with ``F.round``/``width_bucket``; for the length/
+    score/count metrics this targets, the value domain is bounded by
+    construction). The sup runs as cumsum windows over that bounded
+    frame (the documented bounded-window exception class), the value
+    axis rides as ONE collect_set array in a 1-row broadcast (the
+    declared scalar-attach), and the corpus is never sorted or
+    re-shuffled. Degenerate groups (the whole corpus in one group —
+    empty rest side) return NULL ks rather than dividing by zero."""
+    from pyspark.sql import Window
+
+    mcol = F.col(metric_col)
+    counts = (
+        df.select(F.col(group_col).alias("g"), mcol.alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count("*").alias("cg"))
+    )
+    tot = counts.groupBy("v").agg(F.sum("cg").alias("ct"))
+    ng = counts.groupBy("g").agg(F.sum("cg").alias("n_g"))
+    n_tot = counts.agg(F.sum("cg").alias("n_tot"))
+    vals = df.agg(F.sort_array(F.collect_set(mcol)).alias("_vs"))
+    grid = (
+        counts.select("g")
+        .distinct()
+        .crossJoin(F.broadcast(vals))
+        .select("g", F.explode("_vs").alias("v"))
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = (
+        grid.join(counts, ["g", "v"], "left")
+        .join(tot, ["v"])
+        .join(F.broadcast(ng), ["g"])
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "g",
+            "v",
+            "n_g",
+            "n_tot",
+            F.coalesce(F.col("cg"), F.lit(0)).alias("cg"),
+            "ct",
+        )
+    )
+    cum_g = F.sum("cg").over(w) / F.col("n_g")
+    cum_r = F.when(
+        F.col("n_tot") > F.col("n_g"),
+        F.sum(F.col("ct") - F.col("cg")).over(w)
+        / (F.col("n_tot") - F.col("n_g")),
+    )
+    gap = F.abs(cum_g - cum_r)
+    return (
+        j.select("g", F.col("n_g"), gap.alias("gap"))
+        .groupBy("g")
+        .agg(
+            F.first("n_g").alias("n_rows"),
+            (
+                F.floor(F.max("gap") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+            ).alias("ks"),
+        )
+        .select(F.col("g").alias(group_col), "n_rows", "ks")
+    )
+
+
+@ext_query(
+    "ext_ks_drift",
+    """WITH counts AS (
+         SELECT lang AS g, n_chars AS v, COUNT(*) AS cg
+         FROM documents GROUP BY 1, 2),
+       tot AS (SELECT v, SUM(cg) AS ct FROM counts GROUP BY v),
+       ng AS (SELECT g, SUM(cg) AS n_g FROM counts GROUP BY g),
+       n_tot AS (SELECT SUM(cg) AS n_tot FROM counts),
+       grid AS (
+         SELECT DISTINCT counts.g, tot.v FROM counts, tot),
+       j AS (
+         SELECT grid.g, grid.v, ng.n_g, n_tot.n_tot,
+                COALESCE(counts.cg, 0) AS cg, tot.ct
+         FROM grid
+         LEFT JOIN counts ON grid.g = counts.g AND grid.v = counts.v
+         JOIN tot ON grid.v = tot.v
+         JOIN ng ON grid.g = ng.g
+         CROSS JOIN n_tot),
+       gaps AS (
+         SELECT g, n_g,
+                abs(
+                  SUM(cg) OVER (PARTITION BY g ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) * 1.0 / n_g
+                  - CASE WHEN n_tot > n_g THEN
+                      SUM(ct - cg) OVER (PARTITION BY g ORDER BY v
+                                         ROWS UNBOUNDED PRECEDING) * 1.0
+                      / (n_tot - n_g)
+                    END) AS gap
+         FROM j)
+       SELECT g AS lang,
+              CAST(any_value(n_g) AS BIGINT) AS n_rows,
+              floor(MAX(gap) * 1e6 + 0.5) / 1e6 AS ks
+       FROM gaps GROUP BY g""",
+)
+def ext_ks_drift(spark, sf_dir):
+    """Per-language two-sample KS statistic of the document-length
+    distribution against the rest of the corpus."""
+    d = sources.table(spark, "documents", sf_dir)
+    return ks_drift(d, "n_chars", "lang")

@@ -2071,3 +2071,21 @@ def test_psi_drift_closed_form(spark):
     r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
     assert rows["a"] == r6(psi_a) == 0.063853
     assert rows["b"] == r6(psi_b) == 0.274653
+
+
+def test_ks_drift_closed_form(spark):
+    """a=[1,2,3] vs b=[2,3,4]: both ECDFs differ by exactly 1/3 at
+    every interior jump -> ks 0.333333 each; a single-group corpus
+    has an empty rest side and returns NULL ks, not a zero-division."""
+    from smartpipeline_spark.functions.curation import ks_drift
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 2), ("b", 3), ("b", 4)],
+        "g string, v long",
+    )
+    rows = {r.g: r for r in ks_drift(df, "v", "g").collect()}
+    assert rows["a"].n_rows == 3 and rows["a"].ks == 0.333333
+    assert rows["b"].n_rows == 3 and rows["b"].ks == 0.333333
+    one = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
+    r = ks_drift(one, "v", "g").collect()[0]
+    assert r.n_rows == 2 and r.ks is None
