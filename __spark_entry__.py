@@ -143,6 +143,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # ext_ewma_user (time-decayed aggregation) takes q62_table_profile's
 # slot (profile union graded green r05); ext_winsorize takes
 # ext_fuzzy_match's slot (blocked-Levenshtein graded green r05).
+# Final round-6 swaps admit the session's two drift monitors, both
+# driver-sim-green: ext_psi_drift takes ext_zipf_spectrum's slot and
+# ext_ks_drift takes ext_winnow_pairs' slot (both outgoing keys
+# earned green r05 driver rows; zipf's bounded-window rank-cumsum
+# shape stays in-window via ext_score_auc/ext_pr_curve's histogram
+# cumsums, and winnowing's fingerprint algebra stays via
+# ext_chunk_dedup + the jaccard leg of ext_dedup_clusters).
 # Every swapped-out key stays in the full sf0.1 sweep and
 # driver_sim --all rehearsal.
 _WINDOW = (
@@ -153,7 +160,7 @@ _WINDOW = (
     "q70_tpch_q14", "ext_ewma_user",
     "q58_merge_upsert", "q46_recursive_cte",
     "q72_tpch_q17", "ext_substring_dedup", "ext_stream_sliding",
-    "ext_zipf_spectrum", "q41_gapfill",
+    "ext_psi_drift", "q41_gapfill",
     "q60_scd2", "q77_tpch_q19", "q80_tpch_q9",
     "ext_stream_upsert", "ext_pack_emit", "ext_mixture_temperature",
     "ext_dsir_select", "ext_stream_tumbling",
@@ -162,7 +169,7 @@ _WINDOW = (
     "q79_tpch_q2", "q36b_asof_forward_tolerance",
     "ext_stream_dedup", "ext_score_auc", "ext_dedup_embedding",
     "ext_dedup_clusters", "ext_chunk_dedup",
-    "ext_pr_curve", "ext_winnow_pairs", "ext_winsorize",
+    "ext_pr_curve", "ext_ks_drift", "ext_winsorize",
     "ext_knn_bruteforce", "ext_embedding_centroids", "ext_hybrid_search",
     "ext_contamination_bloom", "ext_c4_rules", "ext_mad_outliers",
     "ext_html_extract",
