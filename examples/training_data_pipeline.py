@@ -92,6 +92,20 @@ def curate(spark, sf_dir: str):
     # 5. within-document repetition gate (Gopher dup-3gram + top-word)
     rep = repetition_metrics(docs).select("doc_id", F.col("keep").alias("rep_ok"))
 
+    # 5b. C4/FineWeb rule battery — on raw extracted pages this is the
+    #     FIRST gate (line stats + kill flags, one codegen span, fuses
+    #     behind the scan); this fixture corpus is already clean
+    #     single-line text, so only the content kill-flags bind here
+    #     (the line-ratio gates are for multi-line pages).
+    from smartpipeline_spark.functions.curation import c4_quality_rules
+
+    c4_ok = c4_quality_rules(docs).filter(
+        ~F.col("has_lorem")
+        & ~F.col("has_brace")
+        & ~F.col("has_js")
+        & (F.col("max_word_len") <= 1000)
+    ).select("doc_id")
+
     # 6. token accounting for the data card
     tokens = EXT_QUERIES["ext_token_count"](spark, sf_dir).select(
         "doc_id", "n_ws_tokens"
@@ -143,6 +157,7 @@ def curate(spark, sf_dir: str):
 
     curated = (
         docs.join(keep_exact, "doc_id", "left_semi")
+        .join(c4_ok, "doc_id", "left_semi")
         .join(non_canonical, "doc_id", "left_anti")
         .join(contaminated, "doc_id", "left_anti")
         .join(selected, "doc_id", "left_semi")
@@ -223,6 +238,19 @@ def main():
     )
     print("UniMax allocation (doc-epochs per language):")
     alloc.show()
+
+    # 11b. drift self-check: the md5 split is supposed to be unbiased,
+    #      so the token-length distribution of each split vs the rest
+    #      should show PSI ~0 / small KS — a cheap regression alarm a
+    #      production job runs per snapshot (both monitors ride
+    #      bin/value-bounded exchanges, never a corpus sort).
+    from smartpipeline_spark.functions.curation import ks_drift, psi_drift
+
+    drift = psi_drift(back, "n_ws_tokens", "split").join(
+        ks_drift(back, "n_ws_tokens", "split"), "split"
+    )
+    print("split balance drift (PSI / two-sample KS of token counts):")
+    drift.orderBy("split").show()
 
     # 12. materialize split-partitioned with a disk-attested manifest
     from smartpipeline_spark.functions.curation import export_dataset
