@@ -150,6 +150,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # shape stays in-window via ext_score_auc/ext_pr_curve's histogram
 # cumsums, and winnowing's fingerprint algebra stays via
 # ext_chunk_dedup + the jaccard leg of ext_dedup_clusters).
+# The seventh streaming class closes the rotation: the LEFT-OUTER
+# stream-stream interval join ext_stream_outer_join (state-expiry
+# semantics + a watermark-advancing sentinel drain) takes
+# ext_stream_join's slot — the outer join CONTAINS the inner join's
+# match routing and additionally attests eviction-driven NULL
+# emission, so the inner key is now the window's last strict-subset
+# member (it keeps its green r05 row, sweep, and sim coverage).
 # Every swapped-out key stays in the full sf0.1 sweep and
 # driver_sim --all rehearsal.
 _WINDOW = (
@@ -174,7 +181,7 @@ _WINDOW = (
     "ext_contamination_bloom", "ext_c4_rules", "ext_mad_outliers",
     "ext_html_extract",
     "ext_multimodal_decode", "ext_heavy_hitters",
-    "ext_sample_per_group", "ext_stream_join", "ext_top_terms",
+    "ext_sample_per_group", "ext_stream_outer_join", "ext_top_terms",
 )
 
 

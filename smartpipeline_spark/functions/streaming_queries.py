@@ -375,3 +375,157 @@ def ext_stream_upsert(spark, sf_dir) -> DataFrame:
     return spark.read.parquet(out).select(
         "bucket", "event_type", "n_events", "sum_value"
     )
+
+
+_OUTER_JOIN_SINK = "_ext_stream_outer_join_sink"
+
+
+def _staged_outer_stream_dir(sf_dir: str) -> str:
+    """Stage directory for the LEFT-OUTER stream-stream join: the
+    events fixture (symlink) plus a one-row SENTINEL parquet whose
+    event time sits 1 day past the corpus maximum. Outer joins emit
+    their NULL-padded rows only when the watermark passes a row's
+    eviction horizon, and a drained availableNow run stops with the
+    watermark ``delay`` behind the last REAL event — holding back
+    every unmatched row near the stream tail. The sentinel (filtered
+    out of both join legs by its event_type) advances the final
+    watermark past every real row's horizon, so the drain emits
+    exactly the batch LEFT JOIN — which is what lets this key carry
+    a DuckDB oracle at all. Content is deterministic per fixture, so
+    the stage is written once and reused (no per-pid litter — the
+    round-5 stale-dir advisory)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        "/tmp",
+        "spark_graft_stream_outer",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if os.path.lexists(link):
+        if os.path.realpath(link) != os.path.realpath(path):
+            os.unlink(link)
+            os.symlink(path, link)
+    else:
+        os.symlink(path, link)
+    sentinel = os.path.join(stage, "sentinel.parquet")
+    if not os.path.exists(sentinel):
+        t = pq.read_table(path)
+        one_day = {
+            "s": 86_400,
+            "ms": 86_400_000,
+            "us": 86_400_000_000,
+            "ns": 86_400_000_000_000,
+        }
+        arrays = []
+        for field in t.schema:
+            if field.name == "ts":
+                mx = pc.max(t.column("ts"))
+                if pa.types.is_timestamp(field.type):
+                    val = mx.cast(pa.int64()).as_py() + one_day[field.type.unit]
+                    arr = pa.array([val], pa.int64()).cast(field.type)
+                else:  # legacy nanosAsLong bigint layout
+                    arr = pa.array([mx.as_py() + one_day["ns"]], field.type)
+            elif field.name == "event_type":
+                arr = pa.array(["sentinel"], field.type)
+            elif field.name in ("event_id", "user_id"):
+                arr = pa.array([-1], field.type)
+            else:
+                arr = pa.nulls(1, field.type)
+            arrays.append(arr)
+        pq.write_table(
+            pa.table(arrays, schema=pa.schema(list(t.schema))), sentinel
+        )
+    return stage
+
+
+@ext_query(
+    "ext_stream_outer_join",
+    """SELECT l.event_id AS click_id, r.event_id AS view_id
+       FROM events l LEFT JOIN events r
+         ON l.user_id = r.user_id
+        AND r.event_type = 'view'
+        AND CAST(r.ts AS TIMESTAMP)
+            BETWEEN CAST(l.ts AS TIMESTAMP) - INTERVAL 10 MINUTE
+                AND CAST(l.ts AS TIMESTAMP)
+       WHERE l.event_type = 'click'""",
+)
+def ext_stream_outer_join(spark, sf_dir) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join — the
+    state-EXPIRY streaming class beside the inner join
+    (ext_stream_join): an unmatched click emits its NULL-padded row
+    only when the watermark proves no matching view can still
+    arrive, so correctness depends on the eviction machinery, not
+    just match routing. Both sides watermarked; drained with
+    availableNow in append mode over a staged directory that adds a
+    watermark-advancing sentinel event (see
+    :func:`_staged_outer_stream_dir`), making the drained output
+    exactly the batch LEFT JOIN the DuckDB oracle runs."""
+    from smartpipeline_spark import sources
+
+    stage = _staged_outer_stream_dir(sf_dir)
+    sources.table(spark, "events", sf_dir)  # nanos conf side effect
+    batch_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    stream = spark.readStream.schema(batch_schema).parquet(stage)
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts div 1000 AS LONG))")
+        )
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # the sentinel rides INSIDE both legs (not filtered out before
+    # them): the watermark advances from rows that flow through each
+    # leg's EventTimeWatermark operator, so a pre-leg filter would
+    # silently exclude the sentinel from the very statistic it exists
+    # to advance — which holds back the LAST unmatched click (the one
+    # whose ts IS the leg maximum). The sentinel's own rows carry
+    # user_id = -1 and are dropped after the join.
+    clicks = (
+        stream.filter(F.col("event_type").isin("click", "sentinel"))
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+        .withWatermark("ts", "1 hour")
+        .alias("l")
+    )
+    views = (
+        stream.filter(F.col("event_type").isin("view", "sentinel"))
+        .select("user_id", "ts", F.col("event_id").alias("view_id"))
+        .withWatermark("ts", "1 hour")
+        .alias("r")
+    )
+    # NOTE the sentinel filter is NOT part of the streaming plan: a
+    # deterministic predicate that doesn't reference the event-time
+    # column pushes THROUGH EventTimeWatermark
+    # (PushPredicateThroughNonJoin), which would silently re-exclude
+    # the sentinel from the watermark statistic — measured exactly so
+    # (final watermark regressed to max-real-click − 1h and the last
+    # unmatched click stayed in state). The sentinel pair instead
+    # inner-matches itself (user −1, equal ts), emits in batch 0, and
+    # is dropped from the SINK table below, where pushdown is
+    # harmless.
+    joined = clicks.join(
+        views,
+        F.expr(
+            "l.user_id = r.user_id AND "
+            "r.ts BETWEEN l.ts - INTERVAL 10 MINUTES AND l.ts"
+        ),
+        "leftOuter",
+    ).select("l.click_id", "r.view_id")
+    for q in spark.streams.active:
+        if q.name == _OUTER_JOIN_SINK:
+            q.stop()
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(_OUTER_JOIN_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_OUTER_JOIN_SINK).filter(F.col("click_id") >= 0)

@@ -641,3 +641,46 @@ def test_ingestion_showcase_classifier_scoring_restart(spark, tmp_path):
     for r in rows:
         assert (r.prob, r.pred) == batch[r.doc_id], r.doc_id
     assert any(r.pred in (0, 1) for r in rows)
+
+
+def test_stream_outer_join_equals_batch_left_join(spark):
+    """The LEFT-OUTER stream-stream interval join key drains (with
+    its watermark-advancing sentinel) to exactly the batch LEFT JOIN:
+    NULL-padded rows present, including the one for the maximum-ts
+    unmatched click — the row an un-adviced watermark holds back —
+    and no sentinel artifacts (negative ids) in the output."""
+    from smartpipeline_spark.functions.streaming_queries import (
+        ext_stream_outer_join,
+    )
+    from smartpipeline_spark import sources
+
+    sf = "/root/testdata/sf0.001"
+    got = ext_stream_outer_join(spark, sf)
+    rows = {(r.click_id, r.view_id) for r in got.collect()}
+    assert all(c >= 0 for c, _ in rows)
+
+    ev = sources.table(spark, "events", sf)
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    ).alias("l")
+    views = ev.filter("event_type = 'view'").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    ).alias("r")
+    batch = clicks.join(
+        views,
+        F.expr(
+            "l.user_id = r.user_id AND "
+            "r.ts BETWEEN l.ts - INTERVAL 10 MINUTES AND l.ts"
+        ),
+        "leftOuter",
+    ).select("l.click_id", "r.view_id")
+    expected = {(r.click_id, r.view_id) for r in batch.collect()}
+    assert rows == expected
+    # the class-defining evidence: unmatched clicks DID emit NULLs,
+    # and the latest click (whose ts is the leg maximum — the state
+    # the sentinel exists to expire) is among them
+    nulls = {c for c, v in expected if v is None}
+    assert nulls and nulls <= {c for c, v in rows if v is None}
+    last_click = clicks.orderBy(F.col("ts").desc()).first().click_id
+    if last_click in nulls:
+        assert (last_click, None) in rows
