@@ -108,6 +108,15 @@ BENCH_QUERIES = [
     "ext_c4_rules",
     "ext_mad_outliers",
     "ext_lm_stupid_backoff",
+    # round-7 additions: CCNet corpus-level line dedup (hash-keyed
+    # keep-first + per-doc reassembly), the Shannon entropy filter
+    # (row-local HOF char leg + word-count leg), near-dup benchmark
+    # decontamination (broadcast pair containment), and the A-ES
+    # weighted sampler (TakeOrdered top-k, no global sort)
+    "ext_line_dedup",
+    "ext_entropy_filter",
+    "ext_fuzzy_decontam",
+    "ext_weighted_sample",
 ]
 
 

@@ -3242,3 +3242,305 @@ def ext_ks_drift(spark, sf_dir):
     distribution against the rest of the corpus."""
     d = sources.table(spark, "documents", sf_dir)
     return ks_drift(d, "n_chars", "lang")
+
+
+# --------------------------------------- CCNet line-level deduplication
+
+def _ccnet_line_norm(col):
+    """CCNet's paragraph-hash normalization (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): lowercase, bucket every digit to '0', collapse
+    whitespace — so '  Page 3 of 10 ' and 'page 0 of 00' hash
+    together."""
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(col)), "[0-9]", "0"), r"\s+", " "
+    )
+
+
+def line_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style corpus-level LINE deduplication with keep-first
+    semantics: every non-empty line is hashed under the CCNet
+    normalization, and only the corpus-global first occurrence of
+    each hash (ordered by (doc_id, position)) survives; documents are
+    reassembled from their surviving lines. This is the step that
+    strips navigation bars, cookie banners, and boilerplate headers
+    that repeat across millions of pages — CCNet reports it removes
+    70% of raw CommonCrawl text.
+
+    Returns one row per document: ``n_lines``, ``n_kept``,
+    ``dup_frac`` and the reassembled ``clean_text`` (empty string
+    when nothing survives).
+
+    100 TB design: instances shuffle ONCE keyed by the 16-byte line
+    hash (bodies ride along only for the surviving join-back), the
+    keep-first winner per hash is a partial-agg-friendly
+    ``min(struct(doc_id, pos))`` — NOT a window over the corpus —
+    and reassembly is a bounded per-document ``collect_list`` (a
+    document's own lines). Boilerplate hashes are hot keys by
+    construction; the winner aggregation map-side-combines them and
+    AQE handles the residual join skew."""
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.col(text_col), "\n"),
+                lambda x: F.trim(x) != F.lit(""),
+            )
+        ).alias("pos", "line"),
+    ).withColumn("fp", F.md5(_ccnet_line_norm(F.col("line"))))
+    keepers = lines.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "pos")).alias("k")
+    )
+    tagged = lines.join(keepers, "fp").select(
+        "doc_id",
+        "pos",
+        "line",
+        (
+            (F.col("k.doc_id") == F.col("doc_id"))
+            & (F.col("k.pos") == F.col("pos"))
+        ).alias("kept"),
+    )
+    kept_n = F.sum(F.col("kept").cast("long"))
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        kept_n.cast("long").alias("n_kept"),
+        (
+            F.floor(
+                (F.lit(1.0) - kept_n / F.count("*")) * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("dup_frac"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+
+
+@ext_query(
+    "ext_line_dedup",
+    r"""WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS words,
+                 5 + doc_id % 7 AS k
+          FROM documents),
+        lined AS (
+          SELECT doc_id, k,
+                 list_transform(
+                   range(0, CAST(ceil(len(words) / (k * 1.0)) AS INT)),
+                   i -> array_to_string(words[i*k+1 : i*k+k], ' ') ||
+                        CASE WHEN (i + doc_id) % 3 = 0 THEN '' ELSE '.' END
+                 ) AS lines
+          FROM base),
+        paged AS (
+          SELECT doc_id,
+                 array_to_string(lines, chr(10))
+                 || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END
+                 || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'function f() { return 0; }' ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'Please enable JavaScript to continue.' ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0 THEN chr(10) || lines[1] || chr(10) || lines[1] ELSE '' END
+                 AS page
+          FROM lined),
+        docs AS (
+          SELECT doc_id,
+                 list_filter(string_split(page, chr(10)), x -> trim(x) <> '') AS lines
+          FROM paged),
+        inst AS (
+          SELECT doc_id, pos, lines[pos] AS line,
+                 md5(regexp_replace(regexp_replace(lower(trim(lines[pos])), '[0-9]', '0', 'g'), '\s+', ' ', 'g')) AS fp
+          FROM docs, LATERAL unnest(generate_series(1, len(lines))) AS t(pos)),
+        tagged AS (
+          SELECT doc_id, pos, line,
+                 row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) = 1 AS kept
+          FROM inst)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               floor((1.0 - SUM(CASE WHEN kept THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS dup_frac,
+               COALESCE(string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY pos), '') AS clean_text
+        FROM tagged GROUP BY doc_id""",
+)
+def ext_line_dedup(spark, sf_dir):
+    """CCNet line dedup over the synthesized multi-line page fixture
+    (the same ``_synth_page`` corpus ext_c4_rules profiles — it
+    plants cross-document boilerplate lines and within-document
+    duplicated first lines, so keep-first genuinely fires both
+    across and within documents)."""
+    return line_dedup(_synth_page(spark, sf_dir))
+
+
+# --------------------- weighted sampling without replacement (A-ES)
+
+def weighted_sample(
+    df: DataFrame, weight_col: str, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-
+    Spirakis A-ES key (Efraimidis & Spirakis, "Weighted random
+    sampling with a reservoir", IPL 2006): each row draws
+    ``u ~ U(0,1)`` and the k rows with the largest ``u^(1/w)`` form
+    an exact w-weighted without-replacement sample. We rank by the
+    monotone-equivalent ``ln(u)/w`` (better float spacing than
+    ``u^(1/w)``, which crowds toward 1.0 for large weights).
+
+    ``u`` is DETERMINISTIC — md5(id) mapped into (0,1) with the same
+    first-12-hex-chars primitive as the split/balance bucket — so
+    the sample is rerun-stable, append-stable, and exactly
+    reproducible by the SQL oracle (the same reason every sampler in
+    this module derives randomness from md5, never ``rand()``).
+
+    100 TB design: the key is one map-side expression; selection is
+    ``ORDER BY ... LIMIT k`` which Spark executes as
+    TakeOrderedAndProject — per-partition top-k heaps merged once,
+    never a global sort. No shuffle of the corpus, no window."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 48))
+    es = F.log(u) / F.col(weight_col)
+    return (
+        df.select(F.col(id_col), F.col(weight_col), es.alias("_es"))
+        .orderBy(F.col("_es").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            weight_col,
+            (F.floor(F.col("_es") * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).alias(
+                "es_key"
+            ),
+        )
+    )
+
+
+@ext_query(
+    "ext_weighted_sample",
+    r"""WITH w AS (
+          SELECT doc_id,
+                 greatest(len(string_split_regex(trim(text), '\s+')), 1) * 1.0 AS weight
+          FROM documents),
+        keyed AS (
+          SELECT doc_id, weight,
+                 ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 0.5)
+                    / 281474976710656.0) / weight AS es
+          FROM w)
+        SELECT doc_id, weight,
+               floor(es * 1e8 + 0.5) / 1e8 AS es_key
+        FROM keyed
+        ORDER BY es DESC, doc_id
+        LIMIT 100""",
+)
+def ext_weighted_sample(spark, sf_dir):
+    """Length-weighted without-replacement sample of 100 documents
+    (longer documents proportionally likelier, each at most once) —
+    the deterministic A-ES key makes the oracle exact."""
+    d = sources.table(spark, "documents", sf_dir)
+    w = d.select(
+        "doc_id",
+        F.greatest(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")), F.lit(1)
+        ).cast("double").alias("weight"),
+    )
+    return weighted_sample(w, "weight", 100)
+
+
+# ----------------------------------- fuzzy (near-duplicate) decontamination
+
+def fuzzy_decontamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: where
+    :func:`contamination_report` counts raw shingle hits per corpus
+    doc, this resolves hits into (corpus doc, benchmark doc) PAIRS
+    and scores each pair's n-gram overlap — ``containment`` (shared /
+    benchmark-doc shingles, the GPT-3-appendix "dirty document"
+    metric: a training doc that CONTAINS a benchmark item is
+    contaminated even if it is 100x longer, where plain Jaccard
+    would dilute to ~0) and ``jaccard`` for symmetric near-dup
+    evidence. ``contaminated`` flags containment >= ``threshold``.
+
+    100 TB design: benchmarks are MB-scale, so the benchmark shingle
+    frame (with its per-doc set sizes riding along) is the BROADCAST
+    side — the corpus streams map-side through the join and only
+    CANDIDATE pairs (>=1 shared shingle) reach the one combine-
+    friendly aggregation, keyed by (doc, bench) pair. The corpus is
+    never shuffled, and there is no corpus-side self-join anywhere."""
+    from smartpipeline_spark.functions.dedup import shingle_sets
+
+    c = shingle_sets(corpus, n).select(
+        "doc_id", F.size("sh_set").alias("a_sz"), F.explode("sh_set").alias("sh")
+    )
+    b = shingle_sets(benchmark, n).select(
+        F.col("doc_id").alias("bench_id"),
+        F.size("sh_set").alias("b_sz"),
+        F.explode("sh_set").alias("sh"),
+    )
+    pairs = (
+        c.join(F.broadcast(b), "sh")
+        .groupBy("doc_id", "bench_id", "a_sz", "b_sz")
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    r4 = lambda col: F.floor(col * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+    jac = F.col("shared") / (F.col("a_sz") + F.col("b_sz") - F.col("shared"))
+    cont = F.col("shared") / F.col("b_sz")
+    return pairs.select(
+        "doc_id",
+        "bench_id",
+        "shared",
+        r4(jac).alias("jaccard"),
+        r4(cont).alias("containment"),
+        (cont >= F.lit(float(threshold))).alias("contaminated"),
+    )
+
+
+@ext_query(
+    "ext_fuzzy_decontam",
+    r"""WITH split AS (
+          SELECT doc_id, text,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+          FROM documents),
+        words AS (
+          SELECT doc_id, bucket, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM split),
+        sh AS (
+          SELECT DISTINCT doc_id, bucket,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+          FROM words, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i) t),
+        sizes AS (
+          SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        hits AS (
+          SELECT tr.doc_id, te.doc_id AS bench_id, COUNT(*) AS shared
+          FROM sh tr JOIN sh te ON tr.s = te.s
+          WHERE tr.bucket < 90 AND te.bucket >= 90
+          GROUP BY tr.doc_id, te.doc_id)
+        SELECT h.doc_id, h.bench_id,
+               CAST(h.shared AS BIGINT) AS shared,
+               floor(h.shared * 1.0 / (a.sz + b.sz - h.shared) * 10000.0 + 0.5) / 10000.0 AS jaccard,
+               floor(h.shared * 1.0 / b.sz * 10000.0 + 0.5) / 10000.0 AS containment,
+               h.shared * 1.0 / b.sz >= 0.5 AS contaminated
+        FROM hits h
+        JOIN sizes a ON h.doc_id = a.doc_id
+        JOIN sizes b ON h.bench_id = b.doc_id""",
+)
+def ext_fuzzy_decontam(spark, sf_dir):
+    """Near-dup decontamination with the md5-bucket test split as the
+    benchmark (same membership recipe as ext_contamination, which
+    this pair-level fuzzy report refines)."""
+    d = sources.table(spark, "documents", sf_dir)
+    s = assign_split(d)
+    train = s.filter(F.col("split") != "test").select("doc_id", "text")
+    test = s.filter(F.col("split") == "test").select("doc_id", "text")
+    return fuzzy_decontamination(train, test, n=5, threshold=0.5)

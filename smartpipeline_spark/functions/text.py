@@ -961,3 +961,106 @@ def ext_top_terms(spark, sf_dir):
     the identical table from the salted two-phase decomposition."""
     d = sources.table(spark, "documents", sf_dir)
     return top_terms_per_group(d, "lang", 10)
+
+
+# ---------------------------------------------- Shannon entropy filter
+
+def entropy_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character- and word-level Shannon entropy per document — the
+    classic low-information/garbage filter (repetitive spam, key-mash,
+    binary-ish blobs all score low on one of the two axes).
+
+    Both entropies use the count decomposition
+    ``H = log2(N) - sum(c*log2(c)) / N`` so every floating-point term
+    is a function of INTEGER counts (cross-engine reproducible up to
+    summation order; outputs are rounded to 1e-4 like every float
+    statistic in this package).
+
+    100 TB design: the CHARACTER leg is entirely row-local — a
+    higher-order-function fold over ``array_distinct`` of the char
+    split (alphabets are ~100 symbols, so the O(len x alphabet) fold
+    beats materializing one row per character), zero shuffle, full
+    whole-stage codegen. The WORD leg is a word-count — explode +
+    two partial-agg-friendly aggregations keyed by doc (per-doc
+    vocabularies are unbounded, so the HOF trick would go quadratic
+    there; the shuffle rows are (doc_id, word) partial counts, the
+    cheapest shuffle Spark knows). One final co-partitioned join on
+    doc_id stitches the legs."""
+    chars = F.split(F.col(text_col), "")
+    n = F.size(chars)
+    csum = F.aggregate(
+        F.array_distinct(chars),
+        F.lit(0.0),
+        lambda acc, c: acc
+        + F.size(F.filter(chars, lambda x: x == c)).cast("double")
+        * F.log2(F.size(F.filter(chars, lambda x: x == c)).cast("double")),
+    )
+    char_side = df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_chars"),
+        (F.log2(n.cast("double")) - csum / n.cast("double")).alias("_hc"),
+    )
+    wc = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    word_side = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        (
+            F.log2(F.sum("c").cast("double"))
+            - F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double")))
+            / F.sum("c").cast("double")
+        ).alias("_hw"),
+    )
+    r4 = lambda c: F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+    return char_side.join(word_side, "doc_id").select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        r4(F.col("_hc")).alias("char_entropy"),
+        r4(F.col("_hw")).alias("word_entropy"),
+        ((F.col("_hc") >= 4.0) & (F.col("_hw") >= 4.0)).alias("keep"),
+    )
+
+
+@ext_query(
+    "ext_entropy_filter",
+    r"""WITH c AS (
+          SELECT doc_id, length(text) AS n,
+                 list_distinct(string_split(text, '')) AS dc,
+                 string_split(text, '') AS cs
+          FROM documents),
+        ce AS (
+          SELECT doc_id, n,
+                 log2(n) - list_sum(list_transform(dc, ch ->
+                   len(list_filter(cs, x -> x = ch))
+                   * log2(len(list_filter(cs, x -> x = ch))))) / n AS hc
+          FROM c),
+        w AS (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS wd
+              FROM documents),
+        wcnt AS (SELECT doc_id, wd, COUNT(*) AS cnt
+                 FROM w WHERE wd <> '' GROUP BY doc_id, wd),
+        we AS (SELECT doc_id, SUM(cnt) AS nw,
+                      log2(SUM(cnt)) - SUM(cnt * log2(cnt)) / SUM(cnt) AS hw
+               FROM wcnt GROUP BY doc_id)
+        SELECT ce.doc_id,
+               CAST(ce.n AS BIGINT) AS n_chars,
+               CAST(we.nw AS BIGINT) AS n_words,
+               floor(ce.hc * 10000.0 + 0.5) / 10000.0 AS char_entropy,
+               floor(we.hw * 10000.0 + 0.5) / 10000.0 AS word_entropy,
+               ce.hc >= 4.0 AND we.hw >= 4.0 AS keep
+        FROM ce JOIN we USING (doc_id)""",
+)
+def ext_entropy_filter(spark, sf_dir):
+    """Shannon char/word entropy + the low-information keep gate over
+    the documents corpus."""
+    d = sources.table(spark, "documents", sf_dir)
+    return entropy_metrics(d)

@@ -795,3 +795,107 @@ def test_unimax_waterfill_matches_hand_computed_allocation(spark):
     )
     emitted = sum(10 * len(v) for k, v in got.items() if lang_of[k] != "d")
     assert emitted == 200 + 800 + 10 * expect_c_docs
+
+
+# ---------------------------------------------- CCNet line-level dedup
+
+def test_line_dedup_keep_first_across_and_within_docs(spark):
+    from smartpipeline_spark.functions.curation import line_dedup
+
+    df = spark.createDataFrame([
+        # doc 1: boilerplate + unique line + within-doc repeat
+        {"doc_id": 1, "text": "Accept our cookies\nalpha unique one\nalpha unique one"},
+        # doc 2: same boilerplate (case/digit variant) + its own line
+        {"doc_id": 2, "text": "accept  our COOKIES\nbeta unique two"},
+        # doc 3: digit-variant of a doc-1 line never repeats -> all kept
+        {"doc_id": 3, "text": "gamma unique three\n\n   \ngamma closing"},
+    ])
+    rows = {r.doc_id: r for r in line_dedup(df).collect()}
+    # doc 1 is first: keeps boilerplate + first copy of its repeat
+    assert rows[1].n_lines == 3 and rows[1].n_kept == 2
+    assert rows[1].clean_text == "Accept our cookies\nalpha unique one"
+    # doc 2 loses the normalized boilerplate (lowercase+ws collapse match)
+    assert rows[2].n_lines == 2 and rows[2].n_kept == 1
+    assert rows[2].clean_text == "beta unique two"
+    # doc 3: blank lines dropped from counts, everything else survives
+    assert rows[3].n_lines == 2 and rows[3].n_kept == 2
+    assert rows[3].dup_frac == 0.0
+
+
+def test_line_dedup_digit_bucketing_and_empty_survivor(spark):
+    from smartpipeline_spark.functions.curation import line_dedup
+
+    df = spark.createDataFrame([
+        {"doc_id": 1, "text": "Page 3 of 10\nreal content here"},
+        # 'page 0 of 00' normalizes identically to 'Page 3 of 10'
+        {"doc_id": 2, "text": "page 0 of 00"},
+    ])
+    rows = {r.doc_id: r for r in line_dedup(df).collect()}
+    assert rows[1].n_kept == 2
+    assert rows[2].n_kept == 0 and rows[2].clean_text == ""
+    assert rows[2].dup_frac == 1.0
+
+
+# ------------------------------- weighted sampling without replacement
+
+def test_weighted_sample_matches_local_es_ranking(spark):
+    import hashlib
+    import math
+
+    from smartpipeline_spark.functions.curation import weighted_sample
+
+    rows = [(i, float(1 + i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "weight"])
+    got = weighted_sample(df, "weight", 25).collect()
+    assert len(got) == 25
+    # local reference: same md5-derived u, same ln(u)/w key
+    def es(i, w):
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16) + 0.5) / 2**48
+        return math.log(u) / w
+    want = sorted(rows, key=lambda r: (-es(*r), r[0]))[:25]
+    assert [r.doc_id for r in got] == [i for i, _ in want]
+    # without replacement: all distinct
+    assert len({r.doc_id for r in got}) == 25
+
+
+def test_weighted_sample_weight_monotonicity(spark):
+    """With identical u-ranks impossible, heavier docs must win more
+    often: duplicate the id-space with 10x weights and check the
+    heavy half dominates the sample."""
+    from smartpipeline_spark.functions.curation import weighted_sample
+
+    rows = [(i, 10.0 if i % 2 == 0 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "weight"])
+    got = weighted_sample(df, "weight", 100).collect()
+    heavy = sum(1 for r in got if r.doc_id % 2 == 0)
+    assert heavy > 75  # E[heavy] ~ 91 under A-ES; 75 is ~5 sigma slack
+
+
+# ------------------------------------------- fuzzy decontamination
+
+def test_fuzzy_decontam_flags_containment_not_dilution(spark):
+    from smartpipeline_spark.functions.curation import fuzzy_decontamination
+
+    bench_text = "what is the capital of france paris is the capital"
+    long_train = ("padding words before the question appears " * 5
+                  + bench_text + " and lots of trailing filler words after it " * 5)
+    corpus = spark.createDataFrame([
+        {"doc_id": 1, "text": long_train},           # contains the benchmark
+        {"doc_id": 2, "text": "unrelated training document about spark partitions and shuffles"},
+        {"doc_id": 3, "text": "what is the capital of spain madrid obviously"},  # partial overlap
+    ])
+    bench = spark.createDataFrame([{"doc_id": 100, "text": bench_text}])
+    out = {r.doc_id: r for r in fuzzy_decontamination(corpus, bench, n=5, threshold=0.5).collect()}
+    assert 2 not in out                      # no shared 5-gram at all
+    assert out[1].contaminated               # full containment despite dilution
+    assert out[1].containment == 1.0
+    assert out[1].jaccard < 0.5              # jaccard alone would have missed it
+    assert 3 in out and not out[3].contaminated
+
+
+def test_fuzzy_decontam_empty_benchmark_and_short_docs(spark):
+    from smartpipeline_spark.functions.curation import fuzzy_decontamination
+
+    corpus = spark.createDataFrame([{"doc_id": 1, "text": "too short"}])
+    bench = spark.createDataFrame([{"doc_id": 9, "text": "also tiny"}])
+    assert fuzzy_decontamination(corpus, bench).count() == 0

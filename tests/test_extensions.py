@@ -2089,3 +2089,44 @@ def test_ks_drift_closed_form(spark):
     one = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
     r = ks_drift(one, "v", "g").collect()[0]
     assert r.n_rows == 2 and r.ks is None
+
+
+def test_entropy_metrics_orders_and_bounds(spark):
+    import math
+
+    from smartpipeline_spark.functions.text import entropy_metrics
+
+    df = spark.createDataFrame([
+        {"doc_id": 1, "text": "aaaa aaaa aaaa aaaa"},        # minimal entropy
+        {"doc_id": 2, "text": "the quick brown fox jumps over lazy dogs"},
+        {"doc_id": 3, "text": "ab ab ab ab"},
+    ])
+    rows = {r.doc_id: r for r in entropy_metrics(df).collect()}
+    # doc 1: chars are only {a, ' '}: H = exact two-symbol entropy
+    n_a, n_sp = 16, 3
+    n = n_a + n_sp
+    h_exact = -(n_a/n)*math.log2(n_a/n) - (n_sp/n)*math.log2(n_sp/n)
+    assert abs(rows[1].char_entropy - h_exact) < 1e-3
+    # one distinct word => word entropy exactly 0
+    assert rows[1].word_entropy == 0.0 and rows[1].n_words == 4
+    # varied text strictly more entropic on both axes
+    assert rows[2].char_entropy > rows[3].char_entropy > rows[1].char_entropy
+    assert rows[2].word_entropy > rows[1].word_entropy
+    # bounds: H <= log2(alphabet)
+    assert rows[2].char_entropy <= math.log2(rows[2].n_chars) + 1e-9
+    # keep gate fires only for the genuinely varied doc at fixture thresholds
+    assert not rows[1].keep and not rows[3].keep
+
+
+def test_entropy_char_leg_never_explodes(spark):
+    """The char leg is a row-local HOF fold BY DESIGN — the only
+    Generate (explode) in the whole plan must be the word-count leg.
+    A per-character explode here would be the 100 TB anti-pattern the
+    docstring forbids."""
+    from smartpipeline_spark.functions.text import entropy_metrics
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("some text here words").alias("text")
+    )
+    plan = entropy_metrics(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Generate ") == 1, plan
