@@ -20,13 +20,22 @@ host variance if the key is genuinely code- and plan-unchanged, and
 history shows that claim is exactly where adjudication goes wrong by
 hand. When ``--plans-old/--plans-new`` are given, each regression is
 joined against its per-key plan-fingerprint line in both files; when
-``--git-since`` is given, the key's defining source file (resolved
-through the live query registry) is checked for commits in
-``REV..HEAD``. If either differs, the tool prints an explicit
-REFUSAL of the "unchanged/host variance" adjudication, naming the
-commits and the fingerprint diff — the r05 dsir case, replayed
-through this path, is auto-flagged as "code changed (de8f398), plan
-changed" (pinned by tests/test_extensions.py).
+``--git-since`` is given, the key's defining FUNCTION SPAN (resolved
+through the live query registry, tracked through edits with ``git log
+-L``) is checked for commits in ``REV..HEAD``. If either differs, the
+tool prints an explicit REFUSAL of the "unchanged/host variance"
+adjudication, naming the commits and the fingerprint diff — the r05
+dsir case, replayed through this path, is auto-flagged as "code
+changed (de8f398), plan changed" (pinned by tests/test_extensions.py).
+
+Granularity (round-7 refinement): the git leg intersects commits with
+the key's function span, not the whole file — round 6 refused the
+q06/q09 adjudications because an UNRELATED query (q36b) had been added
+to relational.py (file-level false positive; both plans unchanged,
+both keys sub-second). A commit touching only other functions now
+reports "file changed elsewhere — function span untouched" and stays
+eligible; changes that route around the function body (shared helpers,
+session confs) are still caught by the plan-fingerprint leg.
 """
 
 from __future__ import annotations
@@ -64,10 +73,30 @@ def load_plan_fingerprints(path: str) -> dict[str, str]:
     return fps
 
 
-def defining_file(key: str) -> str | None:
-    """Resolve a query key to the repo-relative source file of its
-    registered callable (unwrapping decorator layers). Imports the
-    registry lazily — no Spark session is started."""
+def _fn_span(fn) -> tuple[str, int, int] | None:
+    import inspect
+
+    try:
+        src = inspect.getsourcefile(fn)
+        if not src or not os.path.abspath(src).startswith(REPO + os.sep):
+            return None
+        lines, start = inspect.getsourcelines(fn)
+        return os.path.relpath(src, REPO), start, start + len(lines) - 1
+    except Exception:
+        return None
+
+
+def defining_spans(
+    key: str, depth: int = 2
+) -> list[tuple[str, int, int]] | None:
+    """Resolve a query key to the CURRENT source spans of its
+    registered callable PLUS the repo-local functions it references,
+    followed ``depth`` levels through each function's global names —
+    registered query keys are usually thin wrappers over a library
+    function (the r05 dsir regression lived in ``dsir_select``, not in
+    the 10-line ``ext_dsir_select`` wrapper), so the wrapper span
+    alone would miss most real changes. Imports the registry lazily —
+    no Spark session is started."""
     import inspect
 
     sys.path.insert(0, REPO)
@@ -79,10 +108,40 @@ def defining_file(key: str) -> str | None:
             return None
         while hasattr(fn, "__wrapped__"):
             fn = fn.__wrapped__
-        src = inspect.getsourcefile(fn)
-        return os.path.relpath(src, REPO) if src else None
+        seen: set = set()
+        spans: dict[tuple[str, int, int], None] = {}
+        frontier = [(fn, 0)]
+        while frontier:
+            f, d = frontier.pop()
+            if f in seen or not inspect.isfunction(f):
+                continue
+            seen.add(f)
+            span = _fn_span(f)
+            if span is None:
+                continue
+            spans[span] = None
+            if d >= depth:
+                continue
+            for name in f.__code__.co_names:
+                g = f.__globals__.get(name)
+                if inspect.isfunction(g):
+                    frontier.append((g, d + 1))
+        return list(spans) or None
     except Exception:
         return None
+
+
+def defining_file(key: str) -> str | None:
+    spans = defining_spans(key)
+    return spans[0][0] if spans else None
+
+
+def _onelines(out: str) -> list[str]:
+    import re
+
+    return [
+        l for l in out.splitlines() if re.match(r"^[0-9a-f]{7,40} ", l)
+    ]
 
 
 def commits_touching(path: str, since: str) -> list[str]:
@@ -93,6 +152,37 @@ def commits_touching(path: str, since: str) -> list[str]:
         text=True,
     )
     return [l for l in out.stdout.splitlines() if l.strip()]
+
+
+def commits_touching_spans(
+    spans: list[tuple[str, int, int]], since: str
+) -> list[str] | None:
+    """Commits in ``since..HEAD`` whose diff intersects ANY of the
+    given (file, start, end) line spans (``git log -L`` follows each
+    range through edits; one invocation per file carries all of that
+    file's ranges). Returns None when git cannot track a range (file
+    renamed away, span outside the committed blob) — callers fall
+    back to file-level evidence. NOTE the deliberate granularity: a
+    commit that only touches UNRELATED functions in the same file no
+    longer refuses adjudication (the round-6 q06/q09 false positives —
+    an unrelated query ADDED to relational.py); changes that route
+    around the tracked call graph (session confs, deeper helpers) are
+    still caught by the plan-fingerprint leg."""
+    by_file: dict[str, list[tuple[int, int]]] = {}
+    for path, start, end in spans:
+        by_file.setdefault(path, []).append((start, end))
+    commits: dict[str, None] = {}
+    for path, ranges in by_file.items():
+        args = ["git", "log", "--oneline"]
+        for start, end in ranges:
+            args.append(f"-L{start},{end}:{path}")
+        args.append(f"{since}..HEAD")
+        out = subprocess.run(args, cwd=REPO, capture_output=True, text=True)
+        if out.returncode != 0:
+            return None
+        for line in _onelines(out.stdout):
+            commits[line] = None
+    return list(commits)
 
 
 def adjudicate(
@@ -117,18 +207,41 @@ def adjudicate(
             else:
                 facts.append("plan fingerprint unchanged")
         if git_since:
-            src = defining_file(name)
-            if src:
-                commits = commits_touching(src, git_since)
+            spans = defining_spans(name)
+            if spans:
+                files = sorted({s[0] for s in spans})
+                commits = commits_touching_spans(spans, git_since)
+                if commits is None:
+                    # a range was untrackable -> conservative file-level
+                    commits = []
+                    for f in files:
+                        commits += commits_touching(f, git_since)
+                    scope = ", ".join(files)
+                else:
+                    scope = (
+                        f"{len(spans)} call-graph span(s) in "
+                        + ", ".join(files)
+                    )
                 if commits:
                     changed = True
                     shas = ", ".join(c.split()[0] for c in commits[:5])
                     more = f" +{len(commits) - 5} more" if len(commits) > 5 else ""
                     facts.append(
-                        f"code changed ({shas}{more}) in {src}"
+                        f"code changed ({shas}{more}) in {scope}"
                     )
                 else:
-                    facts.append(f"no commits touched {src} since {git_since}")
+                    facts.append(
+                        f"no commits touched {scope} since {git_since}"
+                    )
+                    file_commits = []
+                    for f in files:
+                        file_commits += commits_touching(f, git_since)
+                    if file_commits:
+                        facts.append(
+                            f"(file(s) changed elsewhere: "
+                            f"{', '.join(sorted({c.split()[0] for c in file_commits})[:3])}"
+                            f" — tracked spans untouched)"
+                        )
             else:
                 facts.append("defining file unresolved")
         verdict = (

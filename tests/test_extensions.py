@@ -1673,6 +1673,37 @@ def test_bench_compare_refuses_falsified_unchanged_adjudication():
     assert "eligible for host-variance" in ok[0]
 
 
+def test_bench_compare_git_leg_is_call_graph_scoped():
+    """Replays the round-6 q06/q09 FALSE positives: 34a139b only ADDED
+    an unrelated query (q36b) to relational.py, so file-level evidence
+    refused a legitimate host-variance adjudication. The call-graph
+    span leg must stay eligible there while still catching the r05
+    dsir change (de8f398), which lived in the dsir_select library
+    function BEHIND the registered 10-line wrapper."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare", os.path.join(repo, "scripts", "bench_compare.py")
+    )
+    bc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bc)
+    ok = bc.adjudicate(
+        [("q06_join_broadcast", 0.848, 1.062, 0.25)],
+        os.path.join(repo, "PLANS_r05.txt"),
+        os.path.join(repo, "PLANS_r06.txt"),
+        "f5ec894",  # round-5 verdict commit: 34a139b is inside the range
+    )
+    assert "eligible for host-variance" in ok[0]
+    assert "tracked spans untouched" in ok[0] and "34a139b" in ok[0]
+    # the wrapper-only blind spot is closed: de8f398 touched
+    # dsir_select (not the registered wrapper) and must still be found
+    spans = bc.defining_spans("ext_dsir_select")
+    got = bc.commits_touching_spans(spans, "906b544")
+    assert any(c.startswith("de8f398") for c in got)
+
+
 def test_html_extraction_drops_planted_boilerplate(spark):
     """Planted-boilerplate attestation for ext_html_boilerplate: chrome
     subtrees (head/nav/header/footer, script/style bodies) and
