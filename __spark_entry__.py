@@ -159,29 +159,53 @@ def entry(spark: SparkSession) -> DataFrame:
 # member (it keeps its green r05 row, sweep, and sim coverage).
 # Every swapped-out key stays in the full sf0.1 sweep and
 # driver_sim --all rehearsal.
+# Round 7 drains the REMAINING oracled attestation debt wholesale:
+# after six rounds, exactly 40 oracled keys had never received a real
+# driver row (the q37-q57 relational band, the last nine TPC-H
+# members q65/q66/q69/q71/q74/q76/q81/q82/q83, and fifteen ext_*
+# curation/text/scale keys). All 40 rotate in at once, plus the four
+# round-7 flagships born this session (CCNet line dedup, the Shannon
+# entropy filter, A-ES weighted sampling, fuzzy pair-level
+# decontamination) — after this window is graded, EVERY oracled key
+# in the registry holds at least one green driver row. The remaining
+# six slots are family anchors chosen for never-attested or
+# hardest-path coverage: the two newest streaming classes keep the
+# streaming engine under the driver (ext_stream_outer_join — 1 row,
+# eviction-driven NULL emission; ext_stream_upsert — the foreachBatch
+# sink), ext_multimodal_decode keeps the one oracled multimodal
+# surface, and three rows-only flagships that have NEVER run under
+# the driver take their first rows-only driver rows (ext_knn_ivfpq —
+# the persisted coarse+PQ ANN scale path; ext_cdc_chunk_stats —
+# gear-hash content-defined chunking; ext_quality_classifier — the
+# GD-trained CCNet-style quality filter). Every outgoing key holds
+# >=1 green driver row (most hold 3-6) and remains sweep- and
+# sim-verified; the streaming classes rotated out (tumbling/sliding/
+# session/dedup) each hold 2-3 green rows.
 _WINDOW = (
-    "ext_dedup_incremental",
-    "q67_tpch_q8", "q75_interval_join",
-    "q63_tpch_q3", "q73_tpch_q18",
-    "q64_tpch_q4", "q68_tpch_q10",
-    "q70_tpch_q14", "ext_ewma_user",
-    "q58_merge_upsert", "q46_recursive_cte",
-    "q72_tpch_q17", "ext_substring_dedup", "ext_stream_sliding",
-    "ext_psi_drift", "q41_gapfill",
-    "q60_scd2", "q77_tpch_q19", "q80_tpch_q9",
-    "ext_stream_upsert", "ext_pack_emit", "ext_mixture_temperature",
-    "ext_dsir_select", "ext_stream_tumbling",
-    "q53_funnel", "ext_stream_session",
-    "q24b_udf_chain_throughput", "q78_tpch_q21",
-    "q79_tpch_q2", "q36b_asof_forward_tolerance",
-    "ext_stream_dedup", "ext_score_auc", "ext_dedup_embedding",
-    "ext_dedup_clusters", "ext_chunk_dedup",
-    "ext_pr_curve", "ext_ks_drift", "ext_winsorize",
-    "ext_knn_bruteforce", "ext_embedding_centroids", "ext_hybrid_search",
-    "ext_contamination_bloom", "ext_c4_rules", "ext_mad_outliers",
-    "ext_html_extract",
-    "ext_multimodal_decode", "ext_heavy_hitters",
-    "ext_sample_per_group", "ext_stream_outer_join", "ext_top_terms",
+    # round-7 flagships
+    "ext_line_dedup", "ext_entropy_filter",
+    "ext_weighted_sample", "ext_fuzzy_decontam",
+    # TPC-H debt (the last nine never-graded members)
+    "q65_tpch_q6", "q66_tpch_q7", "q69_tpch_q13", "q71_tpch_q15",
+    "q74_tpch_q22", "q76_tpch_q12", "q81_tpch_q11", "q82_tpch_q16",
+    "q83_tpch_q20",
+    # relational-band debt
+    "q37_udtf_sentences", "q39_stat_moments", "q40_variant",
+    "q42_udaf_geomean", "q43_join_full_outer", "q45_unpivot",
+    "q47_try_arith", "q48_sql_udf", "q49_cross_join",
+    "q50_not_in_semantics", "q51_grouping_flags", "q52_histogram",
+    "q54_retention", "q55_transitions", "q56_union_by_name",
+    "q57_grouped_map",
+    # ext_* debt
+    "ext_chunk_docs", "ext_data_card", "ext_decay_trend",
+    "ext_lm_score", "ext_lm_stupid_backoff", "ext_ngram_stats",
+    "ext_pmi", "ext_redact", "ext_rollup_reuse", "ext_salted_join",
+    "ext_skew_report", "ext_split", "ext_substring_strip",
+    "ext_unimax_budget", "ext_url_stats",
+    # family anchors
+    "ext_stream_outer_join", "ext_stream_upsert",
+    "ext_multimodal_decode", "ext_knn_ivfpq", "ext_cdc_chunk_stats",
+    "ext_quality_classifier",
 )
 
 
