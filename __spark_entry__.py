@@ -169,18 +169,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # decontamination) — after this window is graded, EVERY oracled key
 # in the registry holds at least one green driver row. The remaining
 # six slots are family anchors chosen for never-attested or
-# hardest-path coverage: the two newest streaming classes keep the
-# streaming engine under the driver (ext_stream_outer_join — 1 row,
-# eviction-driven NULL emission; ext_stream_upsert — the foreachBatch
-# sink), ext_multimodal_decode keeps the one oracled multimodal
-# surface, and three rows-only flagships that have NEVER run under
-# the driver take their first rows-only driver rows (ext_knn_ivfpq —
-# the persisted coarse+PQ ANN scale path; ext_cdc_chunk_stats —
-# gear-hash content-defined chunking; ext_quality_classifier — the
-# GD-trained CCNet-style quality filter). Every outgoing key holds
-# >=1 green driver row (most hold 3-6) and remains sweep- and
-# sim-verified; the streaming classes rotated out (tumbling/sliding/
-# session/dedup) each hold 2-3 green rows.
+# hardest-path coverage: the TWO BRAND-NEW streaming classes born
+# this round take their first rows (ext_stream_enrich — the
+# stream-static broadcast enrichment join, attested at row level;
+# ext_stream_stateful — the applyInPandasWithState custom-state
+# class, exactly oracled through the monotone max of its update
+# stream), ext_stream_upsert keeps the foreachBatch sink class under
+# the driver, and three rows-only flagships that have NEVER run
+# under the driver take their first rows-only driver rows
+# (ext_knn_ivfpq — the persisted coarse+PQ ANN scale path;
+# ext_cdc_chunk_stats — gear-hash content-defined chunking;
+# ext_quality_classifier — the GD-trained CCNet-style quality
+# filter). Every outgoing key holds >=1 green driver row (most hold
+# 3-6) and remains sweep- and sim-verified; the streaming classes
+# rotated out (tumbling/sliding/session/dedup/inner- and outer-
+# interval-join) each hold 1-3 green rows, and ext_multimodal_decode
+# (5 rows) yields the multimodal anchor slot to the new classes.
 _WINDOW = (
     # round-7 flagships
     "ext_line_dedup", "ext_entropy_filter",
@@ -203,8 +207,8 @@ _WINDOW = (
     "ext_skew_report", "ext_split", "ext_substring_strip",
     "ext_unimax_budget", "ext_url_stats",
     # family anchors
-    "ext_stream_outer_join", "ext_stream_upsert",
-    "ext_multimodal_decode", "ext_knn_ivfpq", "ext_cdc_chunk_stats",
+    "ext_stream_enrich", "ext_stream_stateful", "ext_stream_upsert",
+    "ext_knn_ivfpq", "ext_cdc_chunk_stats",
     "ext_quality_classifier",
 )
 

@@ -529,3 +529,107 @@ def ext_stream_outer_join(spark, sf_dir) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(_OUTER_JOIN_SINK).filter(F.col("click_id") >= 0)
+
+
+# ------------------------------- stream-static enrichment join (class 8)
+
+_ENRICH_SINK = "_ext_stream_enrich_sink"
+
+
+@ext_query(
+    "ext_stream_enrich",
+    """SELECT e.event_id, e.user_id, e.event_type,
+              c.c_mktsegment AS mktsegment, c.c_name AS cust_name
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
+)
+def ext_stream_enrich(spark, sf_dir) -> DataFrame:
+    """STREAM-STATIC enrichment join — the eighth attested streaming
+    class and the bread-and-butter production pattern (enrich an
+    event stream with a dimension table). The static side is re-read
+    per micro-batch and BROADCAST (it is a dim, not a stream), the
+    join is STATELESS — no watermark, no state store, append mode —
+    so unlike the stream-stream classes there is nothing to evict:
+    every enriched row is emitted exactly once. Attested at ROW level
+    (the joined rows themselves, not an aggregate) against the batch
+    join oracle.
+
+    100 TB design: at scale the dim broadcast is per-executor, the
+    stream never shuffles (map-side hash join inside each
+    micro-batch), and dim updates are picked up batch-by-batch — the
+    documented Spark pattern for slowly-changing enrichment."""
+    from smartpipeline_spark import sources
+
+    stream = _staged_event_stream(spark, sf_dir)
+    dim = sources.table(spark, "customer", sf_dir).select(
+        F.col("c_custkey"), F.col("c_mktsegment"), F.col("c_name")
+    )
+    joined = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_name").alias("cust_name"),
+    )
+    for q in spark.streams.active:
+        if q.name == _ENRICH_SINK:
+            q.stop()
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(_ENRICH_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_ENRICH_SINK)
+
+
+# ----------------------- custom stateful operator (class 9, arbitrary state)
+
+_STATEFUL_SINK = "_ext_stream_stateful_sink"
+
+
+@ext_query(
+    "ext_stream_stateful",
+    """SELECT user_id, COUNT(*) AS n_events
+       FROM events GROUP BY user_id""",
+)
+def ext_stream_stateful(spark, sf_dir) -> DataFrame:
+    """CUSTOM stateful operator — the ninth streaming class:
+    ``applyInPandasWithState`` per-key running counts (the template
+    for arbitrary user state machines: custom sessionization,
+    per-entity CDC folds, online feature accumulation — state Spark's
+    built-in stateful operators cannot express). Update mode emits
+    the refreshed count for every key seen in each micro-batch; the
+    count per key is MONOTONE, so ``max`` over the update stream is
+    the final total regardless of how the source splits into
+    micro-batches — which makes the class EXACTLY oracle-able against
+    the batch ``GROUP BY`` (most custom-state demos settle for
+    rows-only).
+
+    100 TB design: state is one row per key partitioned by the
+    grouping key, checkpointed per batch — bounded by distinct keys,
+    not stream length; the pandas kernel sees each key's batch slice
+    via Arrow."""
+    from smartpipeline_spark.streaming import stateful_user_counts
+
+    stream = _staged_event_stream(spark, sf_dir)
+    counts = stateful_user_counts(stream, key="user_id")
+    for q in spark.streams.active:
+        if q.name == _STATEFUL_SINK:
+            q.stop()
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(_STATEFUL_SINK)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(_STATEFUL_SINK)
+        .groupBy("user_id")
+        .agg(F.max("n_events").cast("long").alias("n_events"))
+    )
