@@ -3544,3 +3544,82 @@ def ext_fuzzy_decontam(spark, sf_dir):
     train = s.filter(F.col("split") != "test").select("doc_id", "text")
     test = s.filter(F.col("split") == "test").select("doc_id", "text")
     return fuzzy_decontamination(train, test, n=5, threshold=0.5)
+
+
+# ------------------------------ CCNet perplexity buckets (head/middle/tail)
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet's signature output structure (Wenzek et al.): per
+    language, split the corpus into HEAD / MIDDLE / TAIL terciles by
+    language-model score — head = lowest perplexity (highest mean
+    bigram log-prob), the slice CCNet ships as its highest-quality
+    cut. Completes the CCNet story beside :func:`line_dedup` (its
+    dedup stage) and the LM scorers (its perplexity stage).
+
+    100 TB design: scoring is :func:`bigram_lm_scores` (one persisted
+    bigram scan); the tercile thresholds reuse the quality-gate
+    pattern — a constant-size ``percentile`` aggregate (two doubles
+    per language, map-side partial state) broadcast back as a
+    labeler. DELIBERATELY not a per-language ``ntile`` window:
+    ``en`` is >50% of web text, so a per-language window sort is
+    maximal skew. Bucket comparisons run on the rounded 1e-4 score
+    grid, so interpolated thresholds falling strictly between grid
+    points are engine-stable."""
+    scores = bigram_lm_scores(df, id_col, text_col)
+    scored = df.select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+    ).join(scores, "doc_id")
+    th = scored.groupBy("lang").agg(
+        F.percentile("avg_logprob", 1.0 / 3).alias("t_low"),
+        F.percentile("avg_logprob", 2.0 / 3).alias("t_high"),
+    )
+    return scored.join(F.broadcast(th), "lang").select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        F.when(F.col("avg_logprob") >= F.col("t_high"), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("t_low"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+@ext_query(
+    "ext_ccnet_buckets",
+    r"""WITH words AS (
+          SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+          FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                FROM documents),
+               LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-1, 0))) AS i) t),
+        uni AS (SELECT w1, COUNT(*) AS cu FROM words GROUP BY w1),
+        bi AS (SELECT w1, w2, COUNT(*) AS cb FROM words GROUP BY w1, w2),
+        v AS (SELECT COUNT(*) AS vocab FROM uni),
+        scored AS (
+          SELECT doc_id,
+                 FLOOR(AVG(ln((cb + 1.0) / (cu + vocab))) * 10000.0 + 0.5) / 10000.0 AS avg_logprob
+          FROM words JOIN bi USING (w1, w2) JOIN uni USING (w1), v
+          GROUP BY doc_id),
+        langd AS (
+          SELECT s.doc_id, d.lang, s.avg_logprob
+          FROM scored s JOIN documents d USING (doc_id)),
+        th AS (
+          SELECT lang,
+                 quantile_cont(avg_logprob, 1.0/3) AS t_low,
+                 quantile_cont(avg_logprob, 2.0/3) AS t_high
+          FROM langd GROUP BY lang)
+        SELECT l.doc_id, l.lang, l.avg_logprob,
+               CASE WHEN l.avg_logprob >= th.t_high THEN 'head'
+                    WHEN l.avg_logprob >= th.t_low THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM langd l JOIN th USING (lang)""",
+)
+def ext_ccnet_buckets(spark, sf_dir):
+    """Per-language head/middle/tail perplexity terciles over the
+    documents corpus, scored by the self-trained bigram LM."""
+    d = sources.table(spark, "documents", sf_dir)
+    return ccnet_perplexity_buckets(d)

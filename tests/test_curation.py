@@ -899,3 +899,54 @@ def test_fuzzy_decontam_empty_benchmark_and_short_docs(spark):
     corpus = spark.createDataFrame([{"doc_id": 1, "text": "too short"}])
     bench = spark.createDataFrame([{"doc_id": 9, "text": "also tiny"}])
     assert fuzzy_decontamination(corpus, bench).count() == 0
+
+
+# ------------------------------------- CCNet perplexity buckets
+
+def test_ccnet_buckets_tercile_assignment(spark):
+    from smartpipeline_spark.functions.curation import ccnet_perplexity_buckets
+
+    # one language, clearly ordered LM scores: repeated common bigrams
+    # score high (head), unique-vocabulary docs score low (tail)
+    common = "the cat sat on the mat " * 5
+    df = spark.createDataFrame([
+        {"doc_id": 1, "lang": "en", "text": common},
+        {"doc_id": 2, "lang": "en", "text": common},
+        {"doc_id": 3, "lang": "en", "text": common + "slightly different tail"},
+        {"doc_id": 4, "lang": "en", "text": "zx qv wk jn bp md unique gibberish tokens here"},
+        {"doc_id": 5, "lang": "en", "text": "entirely novel words appear once each never repeated anywhere"},
+        {"doc_id": 6, "lang": "en", "text": common + "another mild variation"},
+    ])
+    out = {r.doc_id: r for r in ccnet_perplexity_buckets(df).collect()}
+    assert len(out) == 6
+    # the two pure-common docs must be head; the two gibberish docs tail
+    assert out[1].bucket == "head" and out[2].bucket == "head"
+    assert out[4].bucket == "tail" and out[5].bucket == "tail"
+    # scores order consistently with buckets
+    order = {"head": 2, "middle": 1, "tail": 0}
+    rows = sorted(out.values(), key=lambda r: r.avg_logprob)
+    assert all(
+        order[a.bucket] <= order[b.bucket]
+        for a, b in zip(rows, rows[1:])
+    )
+
+
+def test_ccnet_buckets_are_per_language_terciles(spark):
+    """Each language's corpus splits ~1/3 per bucket independently —
+    a global split would let a low-perplexity language swallow
+    another's head slots."""
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.functions.curation import ccnet_perplexity_buckets
+
+    d = sources.table(spark, "documents", "/root/testdata/sf0.001")
+    counts = {
+        (r.lang, r.bucket): r["count"]
+        for r in ccnet_perplexity_buckets(d).groupBy("lang", "bucket").count().collect()
+    }
+    langs = {lang for lang, _ in counts}
+    assert len(langs) >= 2
+    for lang in langs:
+        n = sum(v for (l, _), v in counts.items() if l == lang)
+        for bucket in ("head", "middle", "tail"):
+            frac = counts.get((lang, bucket), 0) / n
+            assert 0.2 <= frac <= 0.47, (lang, bucket, frac)
