@@ -70,7 +70,7 @@ def main() -> None:
     # same guard the TPC-H and ANN blocks get; --ops exists exactly to
     # avoid paying for unselected work)
     n_docs = 0
-    if want("exact_dedup_groups", "minhash_candidate_pairs", "jaccard_verified_pairs", "exactsubstr_spans", "dsir_selected", "cdc_chunk_fps", "classifier_train_5it", "jaccard_pairs_capped2", "minhash_candidates_capped2", "c4_rules_report", "lm_stupid_backoff_scored"):
+    if want("exact_dedup_groups", "minhash_candidate_pairs", "jaccard_verified_pairs", "exactsubstr_spans", "dsir_selected", "cdc_chunk_fps", "classifier_train_5it", "jaccard_pairs_capped2", "minhash_candidates_capped2", "c4_rules_report", "lm_stupid_backoff_scored", "line_dedup_kept_lines"):
         base = sources.table(spark, "documents", sf_dir).select("doc_id", "text")
         docs = base.select(
             F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("r"),
@@ -109,6 +109,38 @@ def main() -> None:
     )
     timed("jaccard_verified_pairs", lambda: jaccard_pairs(docs, threshold=0.8).count())
     timed("exactsubstr_spans", lambda: duplicate_spans(docs).count())
+
+    # --- CCNet line dedup (round-7): every replica page carries TWO
+    # corpus-GLOBAL boilerplate lines (one line hash holding n_docs
+    # instances — the maximal hot key the keep-first min(struct)
+    # partial-agg and AQE join-skew handling are claimed to absorb)
+    # plus a per-cluster prefix line duplicated N ways. The CCNet
+    # digit-bucketing normalization ('rtagR' -> 'rtag0') additionally
+    # collapses every replica cluster's BODY lines to one fp, so
+    # kept-line volume is ~CONSTANT in replicas (~2 lines per base
+    # doc + the 2 global lines) while instance volume grows linearly
+    # — the exponent measures pure compute, and every fp is a
+    # replica-degree hot key.
+    if want("line_dedup_kept_lines"):
+        from smartpipeline_spark.functions.curation import line_dedup
+
+        def _line_dedup():
+            pages = docs.select(
+                "doc_id",
+                F.concat(
+                    F.col("text"),
+                    F.lit("\nPlease accept cookies to continue."),
+                    F.lit("\nCopyright footer boilerplate line."),
+                    F.lit("\n"),
+                    F.substring("text", 1, 40),
+                ).alias("text"),
+            )
+            out = line_dedup(pages)
+            return int(
+                out.agg(F.sum("n_kept").cast("long").alias("k")).collect()[0]["k"]
+            )
+
+        timed("line_dedup_kept_lines", _line_dedup)
 
     # --- capped-OUTPUT pair probes (round-6): the full pair-emitters
     # above are bounded below by their OUTPUT volume, which grows
