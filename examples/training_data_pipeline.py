@@ -2,10 +2,13 @@
 composition: raw documents -> exact dedup -> near-dup clustering
 (MinHash+LSH pairs resolved to one canonical doc per connected
 component) -> ExactSubstr repeated-span removal -> quality / language /
-LM-perplexity / repetition gates -> repeated-passage accounting ->
-benchmark decontamination -> DSIR importance selection -> PII
+LM-perplexity / entropy / repetition gates -> CCNet perplexity
+bucketing -> repeated-passage accounting -> benchmark decontamination
+(exact n-gram + fuzzy pair-level) -> DSIR importance selection -> PII
 redaction -> token accounting -> deterministic train/val/test split ->
-curated parquet. (For multilingual runs, swap the en-only gate for
+curated parquet. (On raw multi-line crawl pages, ``line_dedup`` — the
+CCNet corpus-level boilerplate-line remover — runs FIRST, before any
+per-document gate; this fixture corpus is already single-line.) (For multilingual runs, swap the en-only gate for
 ``stratified_sample`` / ``quality_gate`` — same broadcast-filter
 shapes, no new shuffles.) Everything
 except the cluster fixpoint is one lazy DataFrame program; the
@@ -92,6 +95,14 @@ def curate(spark, sf_dir: str):
     # 5. within-document repetition gate (Gopher dup-3gram + top-word)
     rep = repetition_metrics(docs).select("doc_id", F.col("keep").alias("rep_ok"))
 
+    # 5a. Shannon entropy gate: low char entropy = key-mash/binary-ish,
+    #     low word entropy = repetitive spam; the char leg is a
+    #     row-local fold (fuses behind the scan), the word leg shares
+    #     the word-count shuffle shape with `tokens` below
+    from smartpipeline_spark.functions.text import entropy_metrics
+
+    ent = entropy_metrics(docs).select("doc_id", F.col("keep").alias("ent_ok"))
+
     # 5b. C4/FineWeb rule battery — on raw extracted pages this is the
     #     FIRST gate (line stats + kill flags, one codegen span, fuses
     #     behind the scan); this fixture corpus is already clean
@@ -116,6 +127,21 @@ def curate(spark, sf_dir: str):
     #    is MBs — its shingles broadcast; the corpus never shuffles)
     bench = assign_split(docs).filter(F.col("split") == "test").select("doc_id", "text")
     contaminated = contamination_report(docs, bench, n=5).select("doc_id")
+
+    # 7a. fuzzy pair-level decontamination: exact shingle hits above
+    #     catch verbatim leakage; the containment metric additionally
+    #     flags training docs that CONTAIN a benchmark item inside
+    #     much longer text (where Jaccard dilutes to ~0) — union both
+    #     into the drop set
+    from smartpipeline_spark.functions.curation import fuzzy_decontamination
+
+    fuzzy_dirty = (
+        fuzzy_decontamination(docs, bench, n=5, threshold=0.5)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+        .distinct()
+    )
+    contaminated = contaminated.unionByName(fuzzy_dirty).distinct()
 
     # 7b. DSIR importance selection: prefer raw docs whose hashed
     #     n-gram profile matches the held-out target distribution —
@@ -167,6 +193,7 @@ def curate(spark, sf_dir: str):
         .join(lm, "doc_id")
         .join(chunks, "doc_id")
         .join(rep, "doc_id")
+        .join(ent, "doc_id")
         .join(clf_scores, "doc_id")
         .join(tokens, "doc_id")
         .filter(
@@ -176,8 +203,19 @@ def curate(spark, sf_dir: str):
             & (F.col("novelty") >= 0.2)      # mostly-duplicated-content floor
             & (F.col("span_novelty") >= 0.2)  # ExactSubstr removal floor
             & F.col("rep_ok")                # boilerplate/spam repetition gate
+            & F.col("ent_ok")                # low-information entropy gate
         )
     )
+
+    # 7d. CCNet perplexity bucket label (head/middle/tail per language)
+    #     rides along as a column — downstream mixing typically weights
+    #     head > middle > tail rather than hard-dropping
+    from smartpipeline_spark.functions.curation import ccnet_perplexity_buckets
+
+    buckets = ccnet_perplexity_buckets(docs).select(
+        "doc_id", F.col("bucket").alias("ppl_bucket")
+    )
+    curated = curated.join(buckets, "doc_id")
 
     # 8. PII scrub (on the span-stripped text) + 9. deterministic
     #    split, both pure projections
@@ -188,6 +226,7 @@ def curate(spark, sf_dir: str):
         "pred_lang",
         "quality",
         "avg_logprob",
+        "ppl_bucket",
         "clf_prob",
         "novelty",
         "n_ws_tokens",
