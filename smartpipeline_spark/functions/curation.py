@@ -3623,3 +3623,109 @@ def ext_ccnet_buckets(spark, sf_dir):
     documents corpus, scored by the self-trained bigram LM."""
     d = sources.table(spark, "documents", sf_dir)
     return ccnet_perplexity_buckets(d)
+
+
+# ------------------------------------ leakage-safe (cluster-aware) split
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    train: int = 80,
+    val: int = 10,
+) -> DataFrame:
+    """Train/val/test assignment by NEAR-DUP CLUSTER, not by document:
+    the classic eval-leakage hole in md5-per-doc splitting is that a
+    document and its near-duplicate land in different splits, so the
+    test set silently overlaps training data (Lee et al. report
+    >1% of C4's validation set duplicated in its train split).
+    Here every connected component of the near-dup graph is assigned
+    as a UNIT — ``split = md5-bucket(cluster_id)``, the same
+    deterministic bucket primitive as :func:`assign_split`, applied
+    to the cluster's canonical id. Singleton documents keep
+    ``cluster_id = doc_id``, so a pair-free corpus degrades to
+    exactly ``assign_split``.
+
+    ``pairs`` defaults to the exact n-gram Jaccard similarity join;
+    pass MinHash candidate pairs (verified or not) to trade exactness
+    for scale — the split contract only needs edges, not scores.
+
+    100 TB design: components come from bounded min-label propagation
+    (never a recursive driver loop); the label join is one shuffle on
+    doc_id; bucketing is a map-side expression on the label. Nothing
+    new beyond the dedup machinery the corpus already runs."""
+    from smartpipeline_spark.functions.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+
+    if pairs is None:
+        pairs = jaccard_pairs(df)
+    cc = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    lab = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    bucket = _keep_bucket("cluster_id", 100)
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < train, F.lit("train"))
+        .when(bucket < train + val, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@ext_query(
+    "ext_leakage_safe_split",
+    r"""WITH RECURSIVE
+          words AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+            FROM documents),
+          sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+            FROM words, LATERAL (
+              SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          common AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT d1, d2 FROM common
+            JOIN sizes sa ON sa.doc_id = d1
+            JOIN sizes sb ON sb.doc_id = d2
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.2),
+          edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                    UNION SELECT d2, d1 FROM pairs),
+          reach(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+          comp AS (
+            SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+            FROM reach GROUP BY src),
+          lab AS (
+            SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c USING (doc_id))
+        SELECT doc_id, cluster_id,
+               CASE WHEN ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                    WHEN ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM lab""",
+)
+def ext_leakage_safe_split(spark, sf_dir):
+    """Cluster-aware split over the documents corpus: near-dup
+    components (exact Jaccard pairs -> connected components) assigned
+    to splits as units."""
+    d = sources.table(spark, "documents", sf_dir)
+    return leakage_safe_split(d)

@@ -950,3 +950,46 @@ def test_ccnet_buckets_are_per_language_terciles(spark):
         for bucket in ("head", "middle", "tail"):
             frac = counts.get((lang, bucket), 0) / n
             assert 0.2 <= frac <= 0.47, (lang, bucket, frac)
+
+
+# ------------------------------------- leakage-safe split
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from smartpipeline_spark.functions.curation import (
+        assign_split,
+        leakage_safe_split,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame([
+        {"doc_id": 1, "text": shared},
+        {"doc_id": 2, "text": shared + " tiny tail"},          # near-dup of 1
+        {"doc_id": 3, "text": shared + " other small suffix"}, # near-dup of 1
+        {"doc_id": 4, "text": "completely unrelated document about spark shuffles and joins"},
+    ])
+    out = {r.doc_id: r for r in leakage_safe_split(df).collect()}
+    # the whole near-dup chain shares one cluster and ONE split
+    assert out[1].cluster_id == out[2].cluster_id == out[3].cluster_id == 1
+    assert out[1].split == out[2].split == out[3].split
+    # singleton degrades to the per-doc md5 split exactly
+    single = {r.doc_id: r.split for r in assign_split(df).collect()}
+    assert out[4].cluster_id == 4 and out[4].split == single[4]
+    # rerun-stable
+    again = {r.doc_id: (r.cluster_id, r.split)
+             for r in leakage_safe_split(df).collect()}
+    assert again == {k: (v.cluster_id, v.split) for k, v in out.items()}
+
+
+def test_leakage_safe_split_accepts_external_pairs(spark):
+    """The split contract needs EDGES, not scores — MinHash candidate
+    pairs (the scale path) slot in for the exact Jaccard join."""
+    from smartpipeline_spark.functions.curation import leakage_safe_split
+
+    df = spark.createDataFrame(
+        [{"doc_id": i, "text": f"unique words only here {i}"} for i in range(1, 6)]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["d1", "d2"])
+    out = {r.doc_id: r for r in leakage_safe_split(df, pairs=pairs).collect()}
+    assert out[1].cluster_id == out[2].cluster_id == out[3].cluster_id == 1
+    assert out[1].split == out[2].split == out[3].split
+    assert out[4].cluster_id == 4 and out[5].cluster_id == 5
