@@ -328,3 +328,37 @@ def test_no_undeclared_nested_loop_joins_in_relational_inventory(spark, queries)
                 f"{key} plans a BroadcastNestedLoopJoin with no scalar "
                 "aggregate side"
             )
+
+
+def test_weighted_sample_is_take_ordered_not_global_sort(spark, queries):
+    """A-ES selection must compile to TakeOrderedAndProject (per-
+    partition heaps) — a global Sort+Limit would shuffle the corpus."""
+    plan = _plan(queries["ext_weighted_sample"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_line_dedup_no_corpus_window_and_bounded_exchanges(spark, queries):
+    """Keep-first must be the partial-agg min(struct) + join-back, not
+    a window over the corpus: no Window node anywhere, and exchanges
+    only for the fp agg/join and the per-doc reassembly."""
+    plan = _plan(queries["ext_line_dedup"](spark, SF_SMOKE))
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") <= 6, plan
+
+
+def test_fuzzy_decontam_broadcasts_benchmark_only(spark, queries):
+    """The benchmark side must broadcast; the corpus side must never
+    appear under a sort-merge join (it would shuffle terabytes)."""
+    plan = _plan(queries["ext_fuzzy_decontam"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ccnet_buckets_thresholds_broadcast_no_ntile(spark, queries):
+    """Tercile labeling must be the broadcast percentile-gate shape —
+    a per-language ntile/percent_rank window would sort >50% of a web
+    corpus in one partition."""
+    plan = _plan(queries["ext_ccnet_buckets"](spark, SF_SMOKE))
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
