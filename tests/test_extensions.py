@@ -2161,3 +2161,26 @@ def test_entropy_char_leg_never_explodes(spark):
     )
     plan = entropy_metrics(df)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Generate ") == 1, plan
+
+
+def test_readability_flesch_exact_and_banded(spark):
+    from smartpipeline_spark.functions.text import readability_scores
+
+    df = spark.createDataFrame([
+        # "the cat sat." -> 3 words, 1 sentence, 3 syllables
+        {"doc_id": 1, "text": "the cat sat."},
+        # polysyllabic academic prose scores much lower
+        {"doc_id": 2, "text": "Incomprehensibility characterizes institutional bureaucratization."},
+    ])
+    rows = {r.doc_id: r for r in readability_scores(df).collect()}
+    r1 = rows[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (3, 1, 3)
+    want = 206.835 - 1.015 * 3 - 84.6 * 1.0
+    assert abs(r1.flesch - round(want, 2)) < 1e-9
+    assert r1.band == "easy"
+    assert rows[2].flesch < rows[1].flesch and rows[2].band == "very_difficult"
+    # degenerate doc: empty text floors at 1 word / 1 sentence / 1 syllable
+    e = readability_scores(
+        spark.createDataFrame([{"doc_id": 3, "text": ""}])
+    ).collect()[0]
+    assert (e.n_words, e.n_sentences, e.n_syllables) == (1, 1, 1)
