@@ -18,8 +18,8 @@ WITH words AS (
           FROM scored s JOIN documents d USING (doc_id)),
         th AS (
           SELECT lang,
-                 quantile_cont(avg_logprob, 1.0/3) AS t_low,
-                 quantile_cont(avg_logprob, 2.0/3) AS t_high
+                 floor(quantile_cont(avg_logprob, 1.0/3) * 10000.0 + 0.5) / 10000.0 AS t_low,
+                 floor(quantile_cont(avg_logprob, 2.0/3) * 10000.0 + 0.5) / 10000.0 AS t_high
           FROM langd GROUP BY lang)
         SELECT l.doc_id, l.lang, l.avg_logprob,
                CASE WHEN l.avg_logprob >= th.t_high THEN 'head'

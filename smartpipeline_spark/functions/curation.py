@@ -3574,9 +3574,18 @@ def ccnet_perplexity_buckets(
     scored = df.select(
         F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
     ).join(scores, "doc_id")
+    # SNAP the interpolated thresholds to the same 1e-4 grid the
+    # scores live on: engines lerp differently (DuckDB returns
+    # -3.4052999999999995 between two -3.4053 neighbors — a
+    # two-product lerp; Spark returns -3.4053), and a doc whose score
+    # EQUALS the threshold would flip buckets on that ulp. Tercile
+    # interpolants land on thirds of the grid (frac in {0, 1/3,
+    # 2/3}), so after *1e4 + 0.5 they sit >= 1/6 grid unit from every
+    # floor boundary — the snap is provably immune to lerp noise.
+    snap = lambda c: F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
     th = scored.groupBy("lang").agg(
-        F.percentile("avg_logprob", 1.0 / 3).alias("t_low"),
-        F.percentile("avg_logprob", 2.0 / 3).alias("t_high"),
+        snap(F.percentile("avg_logprob", 1.0 / 3)).alias("t_low"),
+        snap(F.percentile("avg_logprob", 2.0 / 3)).alias("t_high"),
     )
     return scored.join(F.broadcast(th), "lang").select(
         "doc_id",
@@ -3609,8 +3618,8 @@ def ccnet_perplexity_buckets(
           FROM scored s JOIN documents d USING (doc_id)),
         th AS (
           SELECT lang,
-                 quantile_cont(avg_logprob, 1.0/3) AS t_low,
-                 quantile_cont(avg_logprob, 2.0/3) AS t_high
+                 floor(quantile_cont(avg_logprob, 1.0/3) * 10000.0 + 0.5) / 10000.0 AS t_low,
+                 floor(quantile_cont(avg_logprob, 2.0/3) * 10000.0 + 0.5) / 10000.0 AS t_high
           FROM langd GROUP BY lang)
         SELECT l.doc_id, l.lang, l.avg_logprob,
                CASE WHEN l.avg_logprob >= th.t_high THEN 'head'
