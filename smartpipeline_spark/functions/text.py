@@ -990,12 +990,21 @@ def entropy_metrics(
     doc_id stitches the legs."""
     chars = F.split(F.col(text_col), "")
     n = F.size(chars)
-    csum = F.aggregate(
-        F.array_distinct(chars),
-        F.lit(0.0),
-        lambda acc, c: acc
-        + F.size(F.filter(chars, lambda x: x == c)).cast("double")
-        * F.log2(F.size(F.filter(chars, lambda x: x == c)).cast("double")),
+    # the char split is bound ONCE per row to a lambda variable (the
+    # dedup shingler's transform(array(..))[0] trick) and each
+    # distinct char's count is computed ONCE into a counts array
+    # before the fold — inlining the split/count into the fold body
+    # would re-run the regex per distinct char per reference
+    # (measured 4.9x slower at sf0.1)
+    csum = F.expr(
+        f"""transform(array(split({text_col}, '')), cs ->
+              aggregate(
+                transform(array_distinct(cs),
+                          c -> cast(size(filter(cs, x -> x = c)) AS double)),
+                cast(0.0 AS double),
+                (acc, m) -> acc + m * log2(m)
+              )
+            )[0]"""
     )
     char_side = df.select(
         F.col(id_col).alias("doc_id"),
