@@ -117,6 +117,13 @@ BENCH_QUERIES = [
     "ext_entropy_filter",
     "ext_fuzzy_decontam",
     "ext_weighted_sample",
+    # round-7 additions (late): Flesch readability (row-local regexp
+    # projection) and CCNet perplexity terciles (persisted bigram-LM
+    # scan + broadcast percentile labeler). ext_leakage_safe_split
+    # stays OUT: its cost IS the jaccard-pairs + label-propagation
+    # machinery already benched through the dedup keys.
+    "ext_readability",
+    "ext_ccnet_buckets",
 ]
 
 
