@@ -122,10 +122,24 @@ def defining_spans(
             spans[span] = None
             if d >= depth:
                 continue
-            for name in f.__code__.co_names:
+            co_names = f.__code__.co_names
+            for name in co_names:
                 g = f.__globals__.get(name)
                 if inspect.isfunction(g):
                     frontier.append((g, d + 1))
+                elif inspect.ismodule(g) and getattr(
+                    g, "__file__", ""
+                ).startswith(REPO + os.sep):
+                    # module-attribute call style (`sources.table(...)`):
+                    # the attribute name also appears in co_names, so any
+                    # repo-local function reached as <module>.<attr> joins
+                    # the frontier — without this the common
+                    # `from ... import module` idiom was invisible to the
+                    # git-evidence leg.
+                    for attr in co_names:
+                        m = getattr(g, attr, None)
+                        if inspect.isfunction(m):
+                            frontier.append((m, d + 1))
         return list(spans) or None
     except Exception:
         return None
@@ -171,6 +185,19 @@ def commits_touching_spans(
     by_file: dict[str, list[tuple[int, int]]] = {}
     for path, start, end in spans:
         by_file.setdefault(path, []).append((start, end))
+    # spans carry WORKING-TREE line numbers (inspect.getsourcelines),
+    # but `git log -L` resolves ranges against the HEAD blob —
+    # uncommitted edits that shift lines would silently mis-scope the
+    # evidence. A dirty defining file disqualifies span tracking;
+    # returning None routes the caller to file-level commits_touching.
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain", "--", *by_file],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    if dirty.returncode != 0 or dirty.stdout.strip():
+        return None
     commits: dict[str, None] = {}
     for path, ranges in by_file.items():
         args = ["git", "log", "--oneline"]

@@ -250,10 +250,16 @@ def ext_chunk_dedup(spark, sf_dir):
           words AS (
             SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
             FROM documents),
-          sh AS (
+          sh_raw AS (
             SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
             FROM words, LATERAL (
               SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t),
+          -- mirror the Spark leg's MAX_SHINGLE_DF=1000 hot-shingle cap
+          -- (dedup.drop_hot_keys): shingles in >1000 docs leave the
+          -- shingle universe BEFORE sizing and pairing
+          sh AS (
+            SELECT doc_id, s FROM sh_raw
+            WHERE s IN (SELECT s FROM sh_raw GROUP BY s HAVING COUNT(*) <= 1000)),
           sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
           common AS (
             SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
@@ -3409,7 +3415,11 @@ def weighted_sample(
     ) / F.lit(float(1 << 48))
     es = F.log(u) / F.col(weight_col)
     return (
-        df.select(F.col(id_col), F.col(weight_col), es.alias("_es"))
+        # A-ES precondition is w > 0: w=0 makes ln(u)/w -inf/NaN and
+        # w<0 flips the key's sign, silently ranking those rows FIRST.
+        # Zero/negative weight means "never sample" — exclude up front.
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col), es.alias("_es"))
         .orderBy(F.col("_es").desc(), F.col(id_col))
         .limit(k)
         .select(
@@ -3700,10 +3710,16 @@ def leakage_safe_split(
           words AS (
             SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
             FROM documents),
-          sh AS (
+          sh_raw AS (
             SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
             FROM words, LATERAL (
               SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t),
+          -- mirror the Spark leg's MAX_SHINGLE_DF=1000 hot-shingle cap
+          -- (dedup.drop_hot_keys): shingles in >1000 docs leave the
+          -- shingle universe BEFORE sizing and pairing
+          sh AS (
+            SELECT doc_id, s FROM sh_raw
+            WHERE s IN (SELECT s FROM sh_raw GROUP BY s HAVING COUNT(*) <= 1000)),
           sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
           common AS (
             SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c

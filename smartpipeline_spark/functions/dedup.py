@@ -535,6 +535,7 @@ def connected_components(
         F.col("a").alias("id"), F.col("a").alias("label")
     ).localCheckpoint(eager=True)
 
+    changed = False
     for _ in range(max_iters):
         neighbor = edges.join(labels, edges.b == labels.id).select(
             F.col("a").alias("id"), F.col("label")
@@ -558,6 +559,17 @@ def connected_components(
         if not changed:
             break
     edges.unpersist()
+    if changed:
+        # Partial labels would split a connected component across the
+        # caller's downstream decision (e.g. a train/test boundary) —
+        # EXACTLY the failure this operator exists to prevent. Refuse
+        # loudly rather than return silently-unconverged labels.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "label-propagation rounds (graph diameter exceeds "
+            "max_iters); raise max_iters or use a star-contraction "
+            "variant for adversarially deep graphs"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

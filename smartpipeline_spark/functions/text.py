@@ -966,11 +966,24 @@ def ext_top_terms(spark, sf_dir):
 # ---------------------------------------------- Shannon entropy filter
 
 def entropy_metrics(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_char_entropy: float = 4.0,
+    min_word_entropy: float = 4.0,
 ) -> DataFrame:
     """Character- and word-level Shannon entropy per document — the
     classic low-information/garbage filter (repetitive spam, key-mash,
     binary-ish blobs all score low on one of the two axes).
+
+    The keep gate is length-sensitive BY CONSTRUCTION: word entropy is
+    bounded by log2(n_words), so at the default ``min_word_entropy=4``
+    a document under 16 distinct words can never pass — callers
+    filtering short-form text should length-condition the thresholds
+    (that is why they are parameters, not constants). Zero-word
+    documents (whitespace-only text) are KEPT in the output via a left
+    join — ``n_words=0``, ``word_entropy`` NULL, ``keep`` false —
+    rather than silently vanishing.
 
     Both entropies use the count decomposition
     ``H = log2(N) - sum(c*log2(c)) / N`` so every floating-point term
@@ -1029,13 +1042,18 @@ def entropy_metrics(
         ).alias("_hw"),
     )
     r4 = lambda c: F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
-    return char_side.join(word_side, "doc_id").select(
+    return char_side.join(word_side, "doc_id", "left").select(
         "doc_id",
         "n_chars",
-        "n_words",
+        F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"),
         r4(F.col("_hc")).alias("char_entropy"),
         r4(F.col("_hw")).alias("word_entropy"),
-        ((F.col("_hc") >= 4.0) & (F.col("_hw") >= 4.0)).alias("keep"),
+        (
+            (F.col("_hc") >= F.lit(float(min_char_entropy)))
+            & F.coalesce(
+                F.col("_hw") >= F.lit(float(min_word_entropy)), F.lit(False)
+            )
+        ).alias("keep"),
     )
 
 
@@ -1062,11 +1080,11 @@ def entropy_metrics(
                FROM wcnt GROUP BY doc_id)
         SELECT ce.doc_id,
                CAST(ce.n AS BIGINT) AS n_chars,
-               CAST(we.nw AS BIGINT) AS n_words,
+               CAST(COALESCE(we.nw, 0) AS BIGINT) AS n_words,
                floor(ce.hc * 10000.0 + 0.5) / 10000.0 AS char_entropy,
                floor(we.hw * 10000.0 + 0.5) / 10000.0 AS word_entropy,
-               ce.hc >= 4.0 AND we.hw >= 4.0 AS keep
-        FROM ce JOIN we USING (doc_id)""",
+               ce.hc >= 4.0 AND COALESCE(we.hw >= 4.0, FALSE) AS keep
+        FROM ce LEFT JOIN we USING (doc_id)""",
 )
 def ext_entropy_filter(spark, sf_dir):
     """Shannon char/word entropy + the low-information keep gate over

@@ -1698,10 +1698,23 @@ def test_bench_compare_git_leg_is_call_graph_scoped():
     assert "eligible for host-variance" in ok[0]
     assert "tracked spans untouched" in ok[0] and "34a139b" in ok[0]
     # the wrapper-only blind spot is closed: de8f398 touched
-    # dsir_select (not the registered wrapper) and must still be found
+    # dsir_select (not the registered wrapper) and must still be found.
+    # CONTRACT: span tracking only runs against a clean defining file —
+    # working-tree line numbers don't match the HEAD blob otherwise —
+    # so a dirty file must yield None (conservative file-level route).
+    import subprocess
+
     spans = bc.defining_spans("ext_dsir_select")
+    files = sorted({s[0] for s in spans})
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain", "--", *files],
+        cwd=repo, capture_output=True, text=True,
+    ).stdout.strip()
     got = bc.commits_touching_spans(spans, "906b544")
-    assert any(c.startswith("de8f398") for c in got)
+    if dirty:
+        assert got is None, "dirty defining file must disable -L tracking"
+    else:
+        assert any(c.startswith("de8f398") for c in got)
 
 
 def test_html_extraction_drops_planted_boilerplate(spark):
@@ -2147,6 +2160,33 @@ def test_entropy_metrics_orders_and_bounds(spark):
     assert rows[2].char_entropy <= math.log2(rows[2].n_chars) + 1e-9
     # keep gate fires only for the genuinely varied doc at fixture thresholds
     assert not rows[1].keep and not rows[3].keep
+
+
+def test_entropy_zero_word_docs_survive_and_thresholds_bind(spark):
+    """Whitespace-only documents must NOT vanish (the word leg is a
+    LEFT join): they surface with n_words=0, NULL word_entropy and
+    keep=false. And the gate thresholds are parameters — a short doc
+    that can never clear word entropy 4.0 (bounded by log2(n_words))
+    passes once the caller length-conditions the threshold."""
+    from smartpipeline_spark.functions.text import entropy_metrics
+
+    df = spark.createDataFrame([
+        {"doc_id": 1, "text": "   "},                        # zero words
+        {"doc_id": 2, "text": "the quick brown fox jumps"},  # 5 words
+    ])
+    rows = {r.doc_id: r for r in entropy_metrics(df).collect()}
+    assert set(rows) == {1, 2}, "zero-word doc dropped by the join"
+    assert rows[1].n_words == 0 and rows[1].word_entropy is None
+    assert not rows[1].keep
+    # 5 distinct words => word entropy log2(5) ~ 2.32 < default 4.0
+    assert not rows[2].keep
+    relaxed = {
+        r.doc_id: r
+        for r in entropy_metrics(
+            df, min_char_entropy=2.0, min_word_entropy=2.0
+        ).collect()
+    }
+    assert relaxed[2].keep and not relaxed[1].keep
 
 
 def test_entropy_char_leg_never_explodes(spark):
