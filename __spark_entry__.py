@@ -225,7 +225,6 @@ ROWS_ONLY_ATTESTATIONS = {
         "test_minhash_recall_against_exact_jaccard",
         "test_minhash_verified_output_has_no_false_positives",
     ],
-    "ext_dedup_simhash": ["test_simhash_pairs_are_symmetric_and_bounded"],
     "ext_dedup_semantic": ["test_semantic_dedup_recall_against_brute"],
     "ext_knn_lsh": ["test_lsh_ann_recall_against_bruteforce"],
     "ext_knn_ivf": [

@@ -21,8 +21,8 @@ WITH c AS (
                FROM wcnt GROUP BY doc_id)
         SELECT ce.doc_id,
                CAST(ce.n AS BIGINT) AS n_chars,
-               CAST(we.nw AS BIGINT) AS n_words,
+               CAST(COALESCE(we.nw, 0) AS BIGINT) AS n_words,
                floor(ce.hc * 10000.0 + 0.5) / 10000.0 AS char_entropy,
                floor(we.hw * 10000.0 + 0.5) / 10000.0 AS word_entropy,
-               ce.hc >= 4.0 AND we.hw >= 4.0 AS keep
-        FROM ce JOIN we USING (doc_id)
+               ce.hc >= 4.0 AND COALESCE(we.hw >= 4.0, FALSE) AS keep
+        FROM ce LEFT JOIN we USING (doc_id)

@@ -4,10 +4,16 @@ WITH RECURSIVE
           words AS (
             SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
             FROM documents),
-          sh AS (
+          sh_raw AS (
             SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
             FROM words, LATERAL (
               SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t),
+          -- mirror the Spark leg's MAX_SHINGLE_DF=1000 hot-shingle cap
+          -- (dedup.drop_hot_keys): shingles in >1000 docs leave the
+          -- shingle universe BEFORE sizing and pairing
+          sh AS (
+            SELECT doc_id, s FROM sh_raw
+            WHERE s IN (SELECT s FROM sh_raw GROUP BY s HAVING COUNT(*) <= 1000)),
           sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
           common AS (
             SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c

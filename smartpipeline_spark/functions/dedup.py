@@ -314,20 +314,90 @@ def ext_dedup_minhash(spark, sf_dir):
     )
 
 
-@ext_query("ext_dedup_simhash")  # hash-specific: rows-only + pytest tests
+# SimHash oracle: the same 64 bit-sums / threshold / chunk / pigeonhole
+# pipeline the Spark leg runs, over the SAME md5-derived word hash —
+# the low/high 32-bit halves of md5(w) parse identically in both
+# engines, so every downstream integer op is engine-exact. Bit 63 adds
+# the -2^63 literal (a 1<<63 shift overflows DuckDB's checked shift;
+# two's-complement addition is equivalent and in-range because bits
+# 0-62 sum to at most 2^63-1).
+_SIMHASH_BIT = lambda j: (
+    f"((hl >> {j}) & 1)" if j < 32 else f"((hh >> {j - 32}) & 1)"
+)
+_SIMHASH_ORACLE = (
+    r"""WITH words AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5(w), 1, 8))::BIGINT AS hh,
+                 ('0x' || substring(md5(w), 9, 8))::BIGINT AS hl
+          FROM words),
+        bits AS (
+          SELECT doc_id, """
+    + ", ".join(
+        f"SUM(CASE WHEN {_SIMHASH_BIT(j)} = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(64)
+    )
+    + """
+          FROM h GROUP BY doc_id),
+        sh AS (
+          SELECT doc_id, """
+    + " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(63)
+    )
+    + """
+            + (CASE WHEN b63 > 0 THEN (-9223372036854775807 - 1)::BIGINT ELSE 0 END)
+            AS simhash
+          FROM bits),
+        chunks AS (
+          SELECT doc_id, simhash, j AS chunk_id,
+                 (simhash >> (j * 16)) & 65535 AS chunk_val
+          FROM sh, UNNEST([0, 1, 2, 3]) AS t(j)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                          a.simhash AS sh1, b.simhash AS sh2
+          FROM chunks a
+          JOIN chunks b ON a.chunk_id = b.chunk_id
+                       AND a.chunk_val = b.chunk_val
+                       AND a.doc_id < b.doc_id)
+        SELECT d1, d2,
+               CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh1, sh2)) <= 3"""
+)
+
+
+@ext_query("ext_dedup_simhash", _SIMHASH_ORACLE)
 def ext_dedup_simhash(spark, sf_dir):
     """64-bit SimHash from word unigrams; near-dup candidates = equal
     16-bit chunk in any of 4 chunks (≈ Hamming distance ≤ 3 recall).
-    All bit math is JVM-side integer ops — no UDFs."""
+    All bit math is JVM-side integer ops — no UDFs. The word hash is
+    the two 32-bit halves of md5(w) (NOT xxhash64): a few ns slower
+    per word, but engine-portable, which upgrades this key from
+    rows-only to exactly DuckDB-oracled — the same md5-determinism
+    contract every sampler in curation.py follows."""
     d = sources.table(spark, "documents", sf_dir)
     words = d.select(
         "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("w")
     )
-    hashed = words.select("doc_id", F.expr("xxhash64(w)").alias("h"))
+    hashed = words.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hh"),
+        F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long").alias("hl"),
+    )
     bit_sums = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftrightunsigned(
+                        F.col("hl" if j < 32 else "hh"), j if j < 32 else j - 32
+                    ).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"b{j}")
             for j in range(64)
         ]
@@ -378,7 +448,7 @@ def ext_dedup_simhash(spark, sf_dir):
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("long")
     return cand.select("d1", "d2", hamming.alias("hamming")).filter(F.col("hamming") <= 3)
 
 
