@@ -221,10 +221,6 @@ _WINDOW = (
 # window rotation can never silently de-attest an operator.
 ROWS_ONLY_ATTESTATIONS = {
     "q12b_approx_distinct": ["test_approx_distinct_within_rsd_bound"],
-    "ext_dedup_minhash": [
-        "test_minhash_recall_against_exact_jaccard",
-        "test_minhash_verified_output_has_no_false_positives",
-    ],
     "ext_dedup_semantic": ["test_semantic_dedup_recall_against_brute"],
     "ext_knn_lsh": ["test_lsh_ann_recall_against_bruteforce"],
     "ext_knn_ivf": [

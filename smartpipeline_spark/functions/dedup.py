@@ -229,7 +229,12 @@ def minhash_signatures_from_sets(sets_: DataFrame) -> DataFrame:
         ]
     )
     init = F.array_repeat(F.lit(_P + 1).cast("long"), _N_HASHES)
-    base_arr = F.expr("transform(sh_set, s -> xxhash64(s) & 4294967295)")
+    # 32-bit base from the first md5 half (NOT xxhash64): engine-
+    # portable, which lets the ext_dedup_minhash key carry an exact
+    # DuckDB oracle — same md5-determinism contract as every sampler
+    base_arr = F.expr(
+        "transform(sh_set, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) AS bigint))"
+    )
     sig_arr = F.aggregate(
         base_arr,
         init,
@@ -244,23 +249,28 @@ def minhash_signatures_from_sets(sets_: DataFrame) -> DataFrame:
 
 
 def minhash_candidates(sigs: DataFrame) -> DataFrame:
-    """LSH banding: signature → (band_id, band_hash) keys → bucket join.
-    Pairs sharing any band are candidates. The band join shuffles on
-    (band_id, band_hash) — uniformly distributed by construction."""
+    """LSH banding: signature → (band_id, band_key) → bucket join.
+    Pairs sharing any band are candidates. The band key is the RAW
+    4-long tuple, not a recompacted hash: 32 bytes of shuffle key
+    (uniform by construction) buys an exactly-specified candidate set
+    — no band-hash collisions — so the key's output is reproducible
+    by the DuckDB oracle down to the value hash. (The persisted
+    incremental index keeps its compact murmur band_hash: a collision
+    there only adds verify work, never output.)"""
     rows_per_band = _N_HASHES // _N_BANDS
     bands = F.array(
         *[
             F.struct(
                 F.lit(j).alias("band_id"),
-                F.hash(*[F.col(f"h{j * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-                    "band_hash"
-                ),
+                F.array(
+                    *[F.col(f"h{j * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_key"),
             )
             for j in range(_N_BANDS)
         ]
     )
     keyed = sigs.select("doc_id", F.explode(bands).alias("band")).select(
-        "doc_id", "band.band_id", "band.band_hash"
+        "doc_id", "band.band_id", "band.band_key"
     )
     a = keyed.alias("a")
     b = keyed.alias("b")
@@ -268,7 +278,7 @@ def minhash_candidates(sigs: DataFrame) -> DataFrame:
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
@@ -276,7 +286,57 @@ def minhash_candidates(sigs: DataFrame) -> DataFrame:
     )
 
 
-@ext_query("ext_dedup_minhash")  # hash-seed-specific: rows-only + pytest recall test
+# MinHash oracle: same fixed (a_i, b_i, P) universal-hash family over
+# the same md5-derived 32-bit shingle base, per-band exact tuple
+# equality for candidates, exact Jaccard verification — every step the
+# Spark leg runs, integer-exact (a < 2^30, x < 2^32 so a*x+b < 2^62
+# fits BIGINT in both engines).
+_MINHASH_SIG_COLS = ", ".join(
+    f"MIN(({_A[i]} * x + {_B[i]}) % {_P}) AS h{i}" for i in range(_N_HASHES)
+)
+_MINHASH_BAND_EQ = " OR ".join(
+    "("
+    + " AND ".join(
+        f"a.h{j * (_N_HASHES // _N_BANDS) + r} = b.h{j * (_N_HASHES // _N_BANDS) + r}"
+        for r in range(_N_HASHES // _N_BANDS)
+    )
+    + ")"
+    for j in range(_N_BANDS)
+)
+_MINHASH_ORACLE = rf"""WITH words AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM words, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t),
+        hx AS (
+          SELECT doc_id, ('0x' || substring(md5(s), 1, 8))::BIGINT AS x
+          FROM sh),
+        sig AS (
+          SELECT doc_id, {_MINHASH_SIG_COLS}
+          FROM hx GROUP BY doc_id),
+        cand AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2
+          FROM sig a JOIN sig b
+            ON a.doc_id < b.doc_id AND ({_MINHASH_BAND_EQ})),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT c.d1, c.d2, COUNT(*) AS cnt
+          FROM cand c
+          JOIN sh s1 ON s1.doc_id = c.d1
+          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+          GROUP BY c.d1, c.d2)
+        SELECT d1, d2,
+               FLOOR(cnt * 1.0 / (sa.n + sb.n - cnt) * 10000.0 + 0.5) / 10000.0
+                 AS jaccard_verified
+        FROM common
+        JOIN sizes sa ON sa.doc_id = d1
+        JOIN sizes sb ON sb.doc_id = d2
+        WHERE cnt * 1.0 / (sa.n + sb.n - cnt) >= {JACCARD_THRESHOLD}"""
+
+
+@ext_query("ext_dedup_minhash", _MINHASH_ORACLE)
 def ext_dedup_minhash(spark, sf_dir):
     """MinHash+LSH near-dup: candidates from banding, then exact
     Jaccard verification of the CANDIDATE PAIRS ONLY — the whole point
