@@ -185,12 +185,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotated out (tumbling/sliding/session/dedup/inner- and outer-
 # interval-join) each hold 1-3 green rows, and ext_multimodal_decode
 # (5 rows) yields the multimodal anchor slot to the new classes.
+# Round 8 restores the ALL-ORACLED window invariant (the r7 rows-only
+# anchors returned err:no_oracle — attested operators, but rows the
+# driver cannot grade waste window slots): the three anchors rotate
+# OUT (their pytest attestations remain the manifest's contract), and
+# IN come the six oracled keys with no green driver row yet — the
+# four born after r7's window froze (ext_ccnet_buckets,
+# ext_readability, ext_leakage_safe_split, q22b_sliding_window) and
+# the two NEWLY CONVERTED rows-only->oracled keys taking their first
+# hash-checked rows (ext_dedup_simhash, ext_dedup_minhash — their
+# word/shingle hashes moved to md5 halves so DuckDB replays the
+# pipeline integer-exactly). Three green TPC-H members (q65/q66/q69,
+# each graded green in r7; the simplest single-table agg and two
+# join shapes, fully covered by the seven TPC-H keys that stay)
+# yield the extra slots. After this window is graded, every oracled
+# key in the registry holds >=1 green driver row.
 _WINDOW = (
     # round-7 flagships
     "ext_line_dedup", "ext_entropy_filter",
     "ext_weighted_sample", "ext_fuzzy_decontam",
-    # TPC-H debt (the last nine never-graded members)
-    "q65_tpch_q6", "q66_tpch_q7", "q69_tpch_q13", "q71_tpch_q15",
+    # round-8 attestation debt: born-r7 keys + rows-only conversions
+    "ext_ccnet_buckets", "ext_readability", "ext_leakage_safe_split",
+    "q22b_sliding_window", "ext_dedup_simhash", "ext_dedup_minhash",
+    # TPC-H members retained from the r7 debt drain
+    "q71_tpch_q15",
     "q74_tpch_q22", "q76_tpch_q12", "q81_tpch_q11", "q82_tpch_q16",
     "q83_tpch_q20",
     # relational-band debt
@@ -208,8 +226,6 @@ _WINDOW = (
     "ext_unimax_budget", "ext_url_stats",
     # family anchors
     "ext_stream_enrich", "ext_stream_stateful", "ext_stream_upsert",
-    "ext_knn_ivfpq", "ext_cdc_chunk_stats",
-    "ext_quality_classifier",
 )
 
 
