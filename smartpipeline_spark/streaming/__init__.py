@@ -251,6 +251,14 @@ def continuous_rollup(
     )
 
     def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        # availableNow drains end with a finalization micro-batch that
+        # carries no updated groups (the watermark-advance batch); a
+        # dynamic-overwrite of an empty frame still pays a full write
+        # job + commit-protocol pass over the partition tree. With
+        # dynamic overwrite an empty write is a NO-OP by definition
+        # (no partitions to replace), so skip it outright.
+        if batch_df.isEmpty():
+            return
         (
             batch_df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
