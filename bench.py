@@ -192,20 +192,37 @@ def main() -> None:
                 "documents", "embeddings"):
         sources.table(spark, tbl, sf_dir).count()
     spark.range(64).mapInPandas(lambda it: it, schema="id long").count()
-    # median of N reps per query: single-shot timings on a shared box
-    # moved ±40% run-to-run (round-2 finding); the median of 3 is
-    # stable enough to make round-over-round diffs meaningful
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # min-of-N + median-of-N per query (round-8 protocol): single-shot
+    # timings on a shared box moved ±40% run-to-run (round-2 finding)
+    # and the r07 adjudication burned ~30 report lines separating host
+    # contention from real regressions. The artifact now carries, per
+    # key: the MEDIAN (the longitudinal headline, comparable with
+    # every earlier round), the MIN (the contention-robust floor), and
+    # the PLAN FINGERPRINT (same line format as PLANS_r{N}.txt, from
+    # the shared scripts/planfp.py primitive) — so one JSON line holds
+    # both the timing and the evidence bench_compare needs to
+    # adjudicate a swing as plan-change vs host-variance.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+    from scripts.planfp import fingerprint
+
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    plan_fp: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = registry[name]
         samples = []
+        df = None
         for _ in range(reps):
             t0 = time.monotonic()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.monotonic() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        mins[name] = round(min(samples), 3)
+        try:
+            plan_fp[name] = " ".join(fingerprint(df).split())
+        except Exception:  # a fingerprint must never sink the bench
+            pass
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -214,6 +231,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": mins,
+                "plan_fp": plan_fp,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

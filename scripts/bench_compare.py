@@ -48,13 +48,35 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def load(path: str) -> dict[str, float]:
+def _parse(path: str) -> dict:
     with open(path) as fh:
-        text = fh.read()
-    data = json.loads(text)
+        data = json.loads(fh.read())
     if "parsed" in data:
         data = data["parsed"]
-    return data["queries"]
+    return data
+
+
+def load(path: str) -> dict[str, float]:
+    return _parse(path)["queries"]
+
+
+def load_pair(old_path: str, new_path: str) -> tuple[dict, dict, str]:
+    """Per-key timings from two bench artifacts. When BOTH carry the
+    round-8 ``queries_min`` field, compare the min-of-N floors — the
+    contention-robust statistic — and say so; otherwise fall back to
+    the longitudinal medians (comparing one file's median against the
+    other's min would bias every delta)."""
+    o, n = _parse(old_path), _parse(new_path)
+    if "queries_min" in o and "queries_min" in n:
+        return o["queries_min"], n["queries_min"], "min-of-N"
+    return o["queries"], n["queries"], "median"
+
+
+def load_embedded_fingerprints(path: str) -> dict[str, str]:
+    """Round-8 bench artifacts embed per-key plan fingerprints
+    (``plan_fp``); normalize exactly like the PLANS_r{N}.txt loader."""
+    fps = _parse(path).get("plan_fp", {})
+    return {k: " ".join(v.split()) for k, v in fps.items()}
 
 
 def load_plan_fingerprints(path: str) -> dict[str, str]:
@@ -214,14 +236,25 @@ def commits_touching_spans(
 
 def adjudicate(
     regressions: list[tuple[str, float, float, float]],
-    plans_old: str | None,
-    plans_new: str | None,
+    plans_old: str | dict | None,
+    plans_new: str | dict | None,
     git_since: str | None,
 ) -> list[str]:
     """For each flagged regression, gather the mechanical evidence and
-    emit a verdict line. Returns the lines (also printed)."""
-    fps_old = load_plan_fingerprints(plans_old) if plans_old else {}
-    fps_new = load_plan_fingerprints(plans_new) if plans_new else {}
+    emit a verdict line. Returns the lines (also printed). The plans
+    arguments accept either a PLANS_r{N}.txt path or an
+    already-loaded {key: fingerprint} dict (the round-8 bench
+    artifacts embed fingerprints directly)."""
+    fps_old = (
+        plans_old
+        if isinstance(plans_old, dict)
+        else load_plan_fingerprints(plans_old) if plans_old else {}
+    )
+    fps_new = (
+        plans_new
+        if isinstance(plans_new, dict)
+        else load_plan_fingerprints(plans_new) if plans_new else {}
+    )
     lines: list[str] = []
     for name, o, n, pct in regressions:
         facts = []
@@ -297,10 +330,11 @@ def main() -> int:
     if len(args) < 2:
         print(__doc__)
         return 2
-    old, new = load(args[0]), load(args[1])
+    old, new, stat = load_pair(args[0], args[1])
     threshold = float(args[2]) if len(args) > 2 else 0.25
     abs_floor = 0.2
     regressions = []
+    print(f"comparing per-key {stat} timings")
     print(f"{'query':<32} {'old':>8} {'new':>8} {'delta':>8}")
     for name in sorted(set(old) | set(new)):
         o, n = old.get(name), new.get(name)
@@ -320,10 +354,18 @@ def main() -> int:
         for name, o, n, pct in regressions:
             print(f"  {name}: {o:.3f}s -> {n:.3f}s ({pct:+.0%})")
         print("\nper-key adjudication evidence:")
+        # explicit PLANS files win; otherwise use the fingerprints the
+        # round-8 bench artifacts embed (one-artifact adjudication)
+        plans_old = opts.get("plans-old") or (
+            load_embedded_fingerprints(args[0]) or None
+        )
+        plans_new = opts.get("plans-new") or (
+            load_embedded_fingerprints(args[1]) or None
+        )
         adjudicate(
             regressions,
-            opts.get("plans-old"),
-            opts.get("plans-new"),
+            plans_old,
+            plans_new,
             opts.get("git-since"),
         )
         return 1

@@ -42,11 +42,7 @@ NESTED_LOOP_ALLOWED = {
 }
 
 
-def plan_of(df) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+from scripts.planfp import fingerprint_of_plan, plan_of  # noqa: E402
 
 
 def main():
@@ -68,16 +64,11 @@ def main():
             print(f"{key}: ERROR {e}")
             violations.append(f"{key}: plan build error: {e}")
             continue
-        n_exchange = len(re.findall(r"\bExchange\b", p))
-        n_reused = len(re.findall(r"ReusedExchange", p))
-        n_bhj = len(re.findall(r"BroadcastHashJoin", p))
-        n_smj = len(re.findall(r"SortMergeJoin", p))
         # count OPERATORS, not mentions: formatted explain prints each
         # operator in the tree view AND as a numbered detail block, so
         # a bare substring count double-counts every join
         n_cart = len(set(re.findall(r"\((\d+)\) CartesianProduct", p)))
         n_bnlj = len(set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", p)))
-        n_nlj = n_cart + n_bnlj
         # scalar-attach justification: keyless FINAL aggregates.
         # Counted per logical frame, not boolean and not per line — a
         # plan-global boolean would let ONE legitimate scalar frame
@@ -96,18 +87,10 @@ def main():
                 if "partial_" not in m
             ]
         )
-        # formatted mode tags codegen'd operators "[codegen id : N]";
-        # count distinct stage ids = number of fused codegen spans
-        n_wsc = len(set(re.findall(r"codegen id : (\d+)", p)))
-        pushed = re.findall(r"PushedFilters: \[(.*?)\]", p)
-        pushed_n = sum(1 for x in pushed if x.strip())
         scans = re.findall(r"ReadSchema: (.*)", p)
-        nlj_note = f" NESTEDLOOP={n_nlj}" if n_nlj else ""
-        print(
-            f"{key:28s} exch={n_exchange:2d} (reused={n_reused}) bhj={n_bhj} "
-            f"smj={n_smj} codegen={n_wsc:2d} "
-            f"pushedFilterScans={pushed_n}/{len(pushed)}{nlj_note}"
-        )
+        # the printed line IS the adjudication fingerprint bench.py
+        # embeds and bench_compare joins on — one shared primitive
+        print(f"{key:28s} {fingerprint_of_plan(p)}")
         if key not in NESTED_LOOP_ALLOWED:
             if n_cart:
                 violations.append(
