@@ -200,6 +200,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # join shapes, fully covered by the seven TPC-H keys that stay)
 # yield the extra slots. After this window is graded, every oracled
 # key in the registry holds >=1 green driver row.
+# Late r8 swap: the TENTH streaming class ext_stream_stateful_tws
+# (transformWithStateInPandas on the RocksDB state store, unlocked by
+# the vendored protobuf wire-format runtime in
+# smartpipeline_spark/vendor) takes the slot of ext_stream_stateful —
+# the same monotone-count oracle through the SUCCESSOR custom-state
+# API, so the outgoing key (green r7, sweep + sim retained) is the
+# window's strict-semantic-twin member.
 _WINDOW = (
     # round-7 flagships
     "ext_line_dedup", "ext_entropy_filter",
@@ -225,7 +232,7 @@ _WINDOW = (
     "ext_skew_report", "ext_split", "ext_substring_strip",
     "ext_unimax_budget", "ext_url_stats",
     # family anchors
-    "ext_stream_enrich", "ext_stream_stateful", "ext_stream_upsert",
+    "ext_stream_enrich", "ext_stream_stateful_tws", "ext_stream_upsert",
 )
 
 

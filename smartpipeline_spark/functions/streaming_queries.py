@@ -633,3 +633,72 @@ def ext_stream_stateful(spark, sf_dir) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("n_events").cast("long").alias("n_events"))
     )
+
+
+_STATEFUL_TWS_SINK = "_ext_stream_stateful_tws_sink"
+
+
+@ext_query(
+    "ext_stream_stateful_tws",
+    """SELECT user_id, COUNT(*) AS n_events
+       FROM events GROUP BY user_id""",
+)
+def ext_stream_stateful_tws(spark, sf_dir) -> DataFrame:
+    """``transformWithStateInPandas`` per-key running counts — the
+    TENTH streaming class, and the Spark-4 successor to the
+    applyInPandasWithState class above: state lives in the RocksDB
+    state store (spills to local disk instead of capping at executor
+    heap; named state variables, TTL, timers). Same monotone-count
+    trick as ext_stream_stateful, so the update stream's per-key max
+    is EXACTLY the batch GROUP BY — a full value-hash oracle for a
+    custom-state streaming operator.
+
+    The JVM<->Python state protocol needs a protobuf runtime;
+    session.ensure_protobuf() provides the vendored minimal runtime
+    where none is installed (vendor/google/protobuf — wire format
+    from the public spec). TWS requires the RocksDB provider, which
+    is set for the duration of the drain and restored after (stream
+    confs bind at query start, so concurrent keys are unaffected)."""
+    from smartpipeline_spark.streaming import stateful_user_counts_tws
+
+    stream = _staged_event_stream(spark, sf_dir)
+    counts = stateful_user_counts_tws(stream, key="user_id")
+    for q in spark.streams.active:
+        if q.name == _STATEFUL_TWS_SINK:
+            q.stop()
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    shuf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(prov_key, None)
+    prev_shuf = spark.conf.get(shuf_key)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    # each state partition spins its own RocksDB instance per trigger;
+    # at fixture key-cardinality (150) 8 partitions cut the drain from
+    # ~57s to the instance-setup floor without changing semantics. At
+    # production cardinality the state partition count is the real
+    # parallelism knob and binds FOREVER at first checkpoint — size it
+    # to keys/cores there, not to this fixture constant.
+    spark.conf.set(shuf_key, "8")
+    try:
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(_STATEFUL_TWS_SINK)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(shuf_key, prev_shuf)
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    return (
+        spark.table(_STATEFUL_TWS_SINK)
+        .groupBy("user_id")
+        .agg(F.max("n_events").cast("long").alias("n_events"))
+    )

@@ -40,6 +40,40 @@ _ENGINE_CONF: dict[str, str] = {
 }
 
 
+def ensure_protobuf() -> bool:
+    """Make ``google.protobuf`` importable on driver AND Python
+    workers, preferring a real installation.
+
+    Spark 4's ``transformWithStateInPandas`` state-server protocol
+    imports the generated ``StateMessage_pb2``, which needs a protobuf
+    runtime. Where none is installed, the vendored minimal runtime
+    (``smartpipeline_spark/vendor`` — wire format implemented from the
+    public spec, scoped to the state protocol's field types) is added
+    to ``sys.path`` and prepended to ``$PYTHONPATH`` so forked Python
+    workers inherit it. A real protobuf anywhere on the path wins:
+    the vendor dir is only appended when the import fails outright.
+
+    Returns True when google.protobuf is importable afterwards."""
+    import importlib.util
+    import sys
+
+    try:
+        if importlib.util.find_spec("google.protobuf") is not None:
+            return True
+    except (ImportError, ModuleNotFoundError, ValueError):
+        pass
+    vendor = os.path.join(os.path.dirname(os.path.abspath(__file__)), "vendor")
+    if vendor not in sys.path:
+        sys.path.append(vendor)
+    pp = os.environ.get("PYTHONPATH", "")
+    if vendor not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (pp + os.pathsep + vendor) if pp else vendor
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except (ImportError, ModuleNotFoundError, ValueError):
+        return False
+
+
 def default_parallelism() -> int:
     """CPU budget: $SPARK_GRAFT_CPUS if set, else os.cpu_count()."""
     env = os.environ.get("SPARK_GRAFT_CPUS")
@@ -65,6 +99,7 @@ def get_spark(
     value sized to input volume (rule of thumb: ~128MB post-shuffle
     per partition at 100 TB scale).
     """
+    ensure_protobuf()  # before the JVM forks Python workers
     cpus = default_parallelism()
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or f"local[{cpus}]")

@@ -286,7 +286,10 @@ def stateful_user_counts_tws(df: DataFrame, key: str = "user_id") -> DataFrame:
     100 TB ingest with hundreds of millions of live keys, this is the
     one to use; the applyInPandasWithState twin remains the
     compatibility path. Runtime dependency: the TWS wire protocol
-    needs the ``protobuf`` package on driver and executors."""
+    needs a protobuf runtime on driver and executors —
+    ``session.ensure_protobuf()`` provides the vendored minimal
+    wire-format runtime (vendor/google/protobuf) where the real
+    package is not installed."""
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 

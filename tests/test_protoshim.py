@@ -1,0 +1,150 @@
+"""Wire-format tests for the vendored minimal protobuf runtime
+(smartpipeline_spark/vendor/google/protobuf) — the shim that lets the
+Spark-4 transformWithStateInPandas state protocol run where protobuf
+is not installed. The end-to-end attestation is
+test_streaming.test_transform_with_state_matches_batch_counts (a real
+JVM round-trip through the RocksDB state server); these tests pin the
+codec primitives the JVM validates implicitly there.
+"""
+
+import os
+import sys
+
+VENDOR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "smartpipeline_spark",
+    "vendor",
+)
+
+
+def _pb2():
+    from smartpipeline_spark.session import ensure_protobuf
+
+    assert ensure_protobuf()
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    return sm
+
+
+def test_pb2_builds_and_exposes_enums():
+    sm = _pb2()
+    assert sm.PRE_INIT == 0 and sm.CLOSED == 5
+    for name in (
+        "StateRequest",
+        "StateResponse",
+        "StateCallCommand",
+        "ValueStateCall",
+        "ListStateCall",
+        "MapStateCall",
+        "KeyAndValuePair",
+        "TimerInfo",
+    ):
+        assert hasattr(sm, name), name
+
+
+def test_request_wire_bytes_are_canonical_proto3():
+    """Hand-computed wire bytes for the exact message shape the
+    pyspark client sends on getValueState: field numbers and nesting
+    from the public StateMessage.proto schema."""
+    sm = _pb2()
+    cmd = sm.StateCallCommand()
+    cmd.stateName = "n"
+    call = sm.StatefulProcessorCall(getValueState=cmd)
+    req = sm.StateRequest(statefulProcessorCall=call)
+    # StateRequest.statefulProcessorCall = field 2 (LEN)
+    #   StatefulProcessorCall.getValueState = field 2 (LEN)
+    #     StateCallCommand.stateName = field 1 (LEN) "n"
+    assert req.SerializeToString() == bytes.fromhex("120512030a016e")
+    # proto3: unset scalar fields are absent from the wire
+    assert sm.StateRequest().SerializeToString() == b""
+    assert sm.StateRequest(version=0).SerializeToString() == b""
+    assert sm.StateRequest(version=1).SerializeToString() == bytes.fromhex("0801")
+
+
+def test_negative_int64_roundtrip():
+    sm = _pb2()
+    m = sm.RegisterTimer(expiryTimestampMs=-1)
+    data = m.SerializeToString()
+    # -1 as 10-byte two's-complement varint on field 1
+    assert data == bytes.fromhex("08ffffffffffffffffff01")
+    back = sm.RegisterTimer()
+    back.ParseFromString(data)
+    assert back.expiryTimestampMs == -1
+    big = sm.RegisterTimer(expiryTimestampMs=(1 << 62))
+    back2 = sm.RegisterTimer()
+    back2.ParseFromString(big.SerializeToString())
+    assert back2.expiryTimestampMs == 1 << 62
+
+
+def test_repeated_bytes_preserves_empty_elements_and_order():
+    sm = _pb2()
+    m = sm.StateResponseWithListGet()
+    m.ParseFromString(
+        # statusCode=0 absent; value=[b'ab', b'', b'c']; requireNextFetch=true
+        bytes.fromhex("1a026162" + "1a00" + "1a0163" + "2001")
+    )
+    assert list(m.value) == [b"ab", b"", b"c"]
+    assert m.requireNextFetch is True
+    assert m.statusCode == 0 and m.errorMessage == ""
+
+
+def test_nested_repeated_message_parse():
+    sm = _pb2()
+    kv = sm.KeyAndValuePair(key=b"k1", value=b"v1")
+    kv2 = sm.KeyAndValuePair(key=b"k2")
+    resp = sm.StateResponseWithMapIterator()
+    payload = bytearray()
+    for item in (kv, kv2):
+        inner = item.SerializeToString()
+        payload += bytes([0x1A, len(inner)]) + inner  # field 3 LEN
+    resp.ParseFromString(bytes(payload))
+    assert [(p.key, p.value) for p in resp.kvPair] == [
+        (b"k1", b"v1"),
+        (b"k2", b""),
+    ]
+
+
+def test_unknown_fields_are_skipped():
+    sm = _pb2()
+    resp = sm.StateResponse()
+    # field 99 varint, field 98 LEN, then errorMessage="x"
+    resp.ParseFromString(
+        bytes.fromhex("98067b" + "920403616263" + "120178")
+    )
+    assert resp.errorMessage == "x"
+
+
+def test_submessage_autovivify_marks_presence():
+    """Scoped deviation from full protobuf semantics, relied on by the
+    pyspark client (`cmd.ttl.durationMs = 5`): touching a submessage
+    attribute creates and ATTACHES it."""
+    sm = _pb2()
+    cmd = sm.StateCallCommand()
+    cmd.ttl.durationMs = 5
+    data = cmd.SerializeToString()
+    back = sm.StateCallCommand()
+    back.ParseFromString(data)
+    assert back.HasField("ttl") and back.ttl.durationMs == 5
+
+
+def test_real_protobuf_wins_when_installed():
+    """ensure_protobuf must not shadow a genuine installation: the
+    vendor path is appended only when google.protobuf is missing."""
+    import importlib.util
+
+    from smartpipeline_spark.session import ensure_protobuf
+
+    ensure_protobuf()
+    spec = importlib.util.find_spec("google.protobuf")
+    assert spec is not None
+    origin = spec.origin or ""
+    if VENDOR in origin:
+        # vendored shim active => no real installation outside vendor
+        clean_path = [p for p in sys.path if VENDOR not in p]
+        real = None
+        for p in clean_path:
+            cand = os.path.join(p, "google", "protobuf", "__init__.py")
+            if os.path.exists(cand):
+                real = cand
+                break
+        assert real is None, f"shim shadows a real protobuf at {real}"

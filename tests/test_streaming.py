@@ -241,10 +241,14 @@ def test_continuous_rollup_matches_batch(spark, events_stream_dir, tmp_path):
 def test_transform_with_state_matches_batch_counts(spark, events_stream_dir, tmp_path):
     """Spark-4 transformWithStateInPandas twin of the stateful-count
     test: same semantics, RocksDB-backed state store. The TWS protocol
-    speaks protobuf between JVM and the Python state server, so the
-    test skips where protobuf isn't installed (this container) — the
-    applyInPandasWithState twin above covers the semantics there."""
-    pytest.importorskip("google.protobuf")
+    speaks protobuf between JVM and the Python state server;
+    session.ensure_protobuf() supplies the vendored wire-format
+    runtime where the real package is absent (this container), so the
+    skip only fires if neither is available."""
+    from smartpipeline_spark.session import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime available")
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
