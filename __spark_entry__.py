@@ -246,6 +246,10 @@ ROWS_ONLY_ATTESTATIONS = {
     "q12b_approx_distinct": ["test_approx_distinct_within_rsd_bound"],
     "ext_dedup_semantic": ["test_semantic_dedup_recall_against_brute"],
     "ext_knn_lsh": ["test_lsh_ann_recall_against_bruteforce"],
+    "ext_knn_hnsw": [
+        "test_hnsw_ann_recall_against_bruteforce",
+        "test_hnsw_graph_local_search_matches_exhaustive",
+    ],
     "ext_knn_ivf": [
         "test_ivf_ann_recall_against_bruteforce",
         "test_ivf_saved_index_matches_inline_and_prunes_partitions",

@@ -1171,3 +1171,220 @@ def ext_dedup_semantic(spark, sf_dir):
         )
         .distinct()
     )
+
+
+# ------------------------------------------------- per-partition HNSW
+
+_HNSW_M = 8  # max neighbors per node above level 0 (2M at level 0)
+_HNSW_EF_CONSTRUCTION = 64
+_HNSW_EF_SEARCH = 48
+
+
+def _hnsw_build(vecs: "np.ndarray", m: int = _HNSW_M, ef: int = _HNSW_EF_CONSTRUCTION, seed: int = 0):
+    """Hierarchical Navigable Small World graph over L2-normalized
+    row vectors (Malkov & Yashunin 2016, public algorithm): nodes get
+    geometric levels, each inserted by greedy-descending from the top
+    entry point, then ef-searching and linking the best ``m``
+    neighbors per level (2m at level 0), pruning back-links to the
+    cap. Pure numpy, similarity = dot (vectors pre-normalized).
+
+    Returns (levels, adjacency, entry_point, max_level) where
+    adjacency[level][node] -> list of neighbor ids (local indices)."""
+    import math
+
+    rng = np.random.default_rng(seed)
+    n = vecs.shape[0]
+    ml = 1.0 / math.log(m)
+    levels = np.minimum(
+        (-np.log(rng.random(n)) * ml).astype(np.int64), 32
+    )
+    adj: list[dict[int, list[int]]] = [dict() for _ in range(int(levels.max()) + 1)]
+    entry, max_level = 0, int(levels[0])
+
+    def select_diverse(tgt, cand, cap):
+        """Malkov Algorithm 4 (select-neighbors heuristic): walk the
+        candidates best-first and keep e only if it is closer to the
+        target than to every already-kept neighbor — this is what
+        preserves BRIDGES between clusters (a plain top-cap keeps an
+        intra-cluster clique and greedy search can never cross),
+        then backfill remaining slots with the best pruned ones."""
+        selected: list[tuple[float, int]] = []
+        for sim, e in cand:
+            if len(selected) == cap:
+                break
+            if all(float(vecs[e] @ vecs[s]) <= sim for _x, s in selected):
+                selected.append((sim, e))
+        if len(selected) < cap:
+            chosen = {s for _x, s in selected}
+            for sim, e in cand:
+                if len(selected) == cap:
+                    break
+                if e not in chosen:
+                    selected.append((sim, e))
+                    chosen.add(e)
+        return [e for _x, e in selected]
+
+    def search_layer(q, eps, ef_cap, level):
+        gr = adj[level]
+        visited = set(eps)
+        cand = [(float(vecs[e] @ q), e) for e in eps]
+        best = list(cand)
+        while cand:
+            cand.sort(reverse=True)
+            sim, node = cand.pop(0)
+            worst = min(best)[0] if len(best) >= ef_cap else -2.0
+            if sim < worst:
+                break
+            for nb in gr.get(node, ()):
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                s = float(vecs[nb] @ q)
+                if len(best) < ef_cap or s > min(best)[0]:
+                    cand.append((s, nb))
+                    best.append((s, nb))
+                    if len(best) > ef_cap:
+                        best.remove(min(best))
+        return sorted(best, reverse=True)
+
+    for i in range(1, n):
+        li = int(levels[i])
+        q = vecs[i]
+        ep = [entry]
+        for level in range(max_level, li, -1):
+            ep = [search_layer(q, ep, 1, level)[0][1]]
+        for level in range(min(li, max_level), -1, -1):
+            found = search_layer(q, ep, ef, level)
+            cap = m if level > 0 else 2 * m
+            neigh = select_diverse(i, found, cap)
+            adj[level][i] = neigh
+            for nb in neigh:
+                back = adj[level].setdefault(nb, [])
+                back.append(i)
+                if len(back) > cap:
+                    sims = vecs[back] @ vecs[nb]
+                    cand = sorted(
+                        ((float(sims[j]), back[j]) for j in range(len(back))),
+                        reverse=True,
+                    )
+                    adj[level][nb] = select_diverse(nb, cand, cap)
+            ep = [node for _s, node in found] or ep
+        if li > max_level:
+            max_level, entry = li, i
+    return levels, adj, entry, max_level
+
+
+def _hnsw_search(vecs, adj, entry, max_level, q, k, ef=_HNSW_EF_SEARCH):
+    """Top-k (similarity, local_id) for one normalized query vector."""
+    def search_layer(qv, eps, ef_cap, level):
+        gr = adj[level]
+        visited = set(eps)
+        cand = [(float(vecs[e] @ qv), e) for e in eps]
+        best = list(cand)
+        while cand:
+            cand.sort(reverse=True)
+            sim, node = cand.pop(0)
+            worst = min(best)[0] if len(best) >= ef_cap else -2.0
+            if sim < worst:
+                break
+            for nb in gr.get(node, ()):
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                s = float(vecs[nb] @ qv)
+                if len(best) < ef_cap or s > min(best)[0]:
+                    cand.append((s, nb))
+                    best.append((s, nb))
+                    if len(best) > ef_cap:
+                        best.remove(min(best))
+        return sorted(best, reverse=True)
+
+    ep = [entry]
+    for level in range(max_level, 0, -1):
+        ep = [search_layer(q, ep, 1, level)[0][1]]
+    found = search_layer(q, ep, max(ef, k), 0)
+    return found[:k]
+
+
+@ext_query("ext_knn_hnsw")  # recall-tested in pytest against brute force
+def ext_knn_hnsw(spark, sf_dir):
+    """Graph-ANN member of the index family: per-partition HNSW.
+    A graph index is insert-sequential, so the Spark-idiomatic layout
+    is one graph PER PARTITION (the sharded-HNSW pattern): each task
+    builds an in-memory graph over its shard and answers the
+    broadcast query batch locally; per-shard top-k candidates union
+    and the family's shared exact re-score tail picks the global
+    top-k (false candidates cost recall nothing — same contract as
+    IVF/PQ/LSH).
+
+    100 TB design: shard = partition, graphs never leave their task,
+    candidates are nparts x k rows per query — the only shuffle is
+    the candidate join-back. Graph build is O(shard x ef x log n)
+    ONCE per shard and amortizes across query batches; Spark's
+    scheduling keeps shards independent, so the structure scales out
+    by partition count, exactly like the coarse-cell indexes. The
+    kernel sorts its shard by vec_id and seeds level draws from the
+    shard's min id, so the graph (and the candidate set) is
+    deterministic under any row arrival order."""
+    import pandas as pd
+
+    e = _emb(spark, sf_dir)
+    q_rows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "emb")
+        .collect()  # bounded BY CONTRACT: the query batch only
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["emb"] for r in q_rows], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def kernel(batches):
+        ids_parts, vec_parts = [], []
+        for pdf in batches:
+            if len(pdf):
+                ids_parts.append(pdf["vec_id"].to_numpy(dtype=np.int64))
+                vec_parts.append(np.array(list(pdf["emb"]), dtype=np.float64))
+        if not ids_parts:
+            return
+        ids = np.concatenate(ids_parts)
+        vecs = np.concatenate(vec_parts)
+        order = np.argsort(ids)
+        ids, vecs = ids[order], vecs[order]
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        nvecs = vecs / norms
+        levels, adj, entry, max_level = _hnsw_build(
+            nvecs, seed=int(ids[0])
+        )
+        out_q, out_n = [], []
+        for qi in range(qm.shape[0]):
+            # k+1: the query vector itself lives in some shard and is
+            # excluded below — without the spare slot that query would
+            # surface only k-1 global candidates from its home shard
+            found = _hnsw_search(
+                nvecs, adj, entry, max_level, qm[qi], K_NEIGHBORS + 1
+            )
+            for _sim, local in found:
+                nid = int(ids[local])
+                if nid == int(q_ids[qi]):
+                    continue  # self-match, excluded like every ANN key
+                out_q.append(int(q_ids[qi]))
+                out_n.append(nid)
+        yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    cand_pairs = e.select("vec_id", "emb").mapInPandas(
+        kernel, "query_id long, neighbor_id long"
+    )
+    q = spark.createDataFrame(
+        [(int(i),) for i in q_ids], "query_id long"
+    ).join(
+        e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")),
+        "query_id",
+    )
+    cands = (
+        cand_pairs.join(
+            e.select(F.col("vec_id").alias("neighbor_id"), "emb"), "neighbor_id"
+        )
+        .join(F.broadcast(q), "query_id")
+    )
+    return _exact_topk(cands)
