@@ -50,7 +50,11 @@ def main() -> None:
         "SPARK_GRAFT_DRIVER_MEM",
         "48g" if n >= 256 else ("32g" if n >= 32 else "8g"),
     )
-    spark = get_spark("scale-smoke")
+    shuf = next((a for a in sys.argv[1:] if a.startswith("--shuffle=")), None)
+    spark = get_spark(
+        "scale-smoke",
+        shuffle_partitions=int(shuf.split("=", 1)[1]) if shuf else None,
+    )
 
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
