@@ -51,9 +51,21 @@ def main() -> None:
         "48g" if n >= 256 else ("32g" if n >= 32 else "8g"),
     )
     shuf = next((a for a in sys.argv[1:] if a.startswith("--shuffle=")), None)
+    # Shuffle partitions SCALE WITH THE RUNG unless overridden — the
+    # production rule (~128MB post-shuffle per partition), which a
+    # fixed local default silently violates as replicas multiply: at
+    # 256x the 64-partition default put the capped-jaccard probe's
+    # whole shingle join through 64 oversized aggregations (measured:
+    # 105.8 GB memory spill, 548s GC, 17.9k executor-CPU-sec; at 512
+    # partitions the SAME probe ran 83 GB / 296s / 10.6k — identical
+    # output). AQE only coalesces DOWN, so the initial cap binds.
+    from smartpipeline_spark.session import default_parallelism
+
+    cpus = default_parallelism()
+    auto_shuffle = max(2 * cpus, 2 * cpus * n // 32)
     spark = get_spark(
         "scale-smoke",
-        shuffle_partitions=int(shuf.split("=", 1)[1]) if shuf else None,
+        shuffle_partitions=int(shuf.split("=", 1)[1]) if shuf else auto_shuffle,
     )
 
     timings: dict[str, float] = {}
