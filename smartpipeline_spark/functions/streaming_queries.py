@@ -363,15 +363,29 @@ def ext_stream_upsert(spark, sf_dir) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
     # the fixture replay can arrive in any file order, so the late
     # horizon must span the corpus (same reasoning as the pytest twin)
-    q = streaming.continuous_rollup(
-        stream,
-        out,
-        ckpt,
-        window="1 day",
-        watermark="365 days",
-        available_now=True,
-    )
-    q.awaitTermination()
+    #
+    # State-partition count binds FOREVER at the stream's first
+    # checkpoint and every trigger pays per-partition state-store
+    # file I/O + a write task; at the fixture's ~150-group
+    # cardinality, 8 partitions cut the drain's floor from 5.8s to
+    # 3.9s (min-of-5, idle) with identical output. Scoped to this
+    # drain and restored — at production cardinality size it to
+    # groups/cores, same rule as the TWS class.
+    shuf_key = "spark.sql.shuffle.partitions"
+    prev_shuf = spark.conf.get(shuf_key)
+    spark.conf.set(shuf_key, "8")
+    try:
+        q = streaming.continuous_rollup(
+            stream,
+            out,
+            ckpt,
+            window="1 day",
+            watermark="365 days",
+            available_now=True,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(shuf_key, prev_shuf)
     return spark.read.parquet(out).select(
         "bucket", "event_type", "n_events", "sum_value"
     )
