@@ -249,6 +249,8 @@ ROWS_ONLY_ATTESTATIONS = {
     "ext_knn_hnsw": [
         "test_hnsw_ann_recall_against_bruteforce",
         "test_hnsw_graph_local_search_matches_exhaustive",
+        "test_hnsw_saved_index_matches_inline",
+        "test_hnsw_append_adds_disjoint_shards_and_finds_planted_twin",
     ],
     "ext_knn_ivf": [
         "test_ivf_ann_recall_against_bruteforce",

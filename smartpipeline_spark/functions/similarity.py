@@ -1308,24 +1308,27 @@ def _hnsw_search(vecs, adj, entry, max_level, q, k, ef=_HNSW_EF_SEARCH):
 
 @ext_query("ext_knn_hnsw")  # recall-tested in pytest against brute force
 def ext_knn_hnsw(spark, sf_dir):
-    """Graph-ANN member of the index family: per-partition HNSW.
+    """Graph-ANN member of the index family: sharded HNSW.
     A graph index is insert-sequential, so the Spark-idiomatic layout
-    is one graph PER PARTITION (the sharded-HNSW pattern): each task
-    builds an in-memory graph over its shard and answers the
-    broadcast query batch locally; per-shard top-k candidates union
-    and the family's shared exact re-score tail picks the global
-    top-k (false candidates cost recall nothing — same contract as
-    IVF/PQ/LSH).
+    is one graph PER SHARD (pmod(vec_id) — deterministic membership,
+    independent of physical partitioning): each task builds an
+    in-memory graph over its shard group and answers the broadcast
+    query batch locally; per-shard top-k candidates union and the
+    family's shared exact re-score tail picks the global top-k
+    (false candidates cost recall nothing — same contract as
+    IVF/PQ/LSH). build_hnsw_index persists the SAME shard layout, so
+    saved-vs-inline equality is structural (pinned in pytest like the
+    IVF/PQ saved indexes).
 
-    100 TB design: shard = partition, graphs never leave their task,
-    candidates are nparts x k rows per query — the only shuffle is
-    the candidate join-back. Graph build is O(shard x ef x log n)
-    ONCE per shard and amortizes across query batches; Spark's
-    scheduling keeps shards independent, so the structure scales out
-    by partition count, exactly like the coarse-cell indexes. The
-    kernel sorts its shard by vec_id and seeds level draws from the
-    shard's min id, so the graph (and the candidate set) is
-    deterministic under any row arrival order."""
+    100 TB design: graphs never leave their task, candidates are
+    nshards x k rows per query — the only shuffle is the shard
+    groupBy + candidate join-back. Graph build is O(shard·ef·log n)
+    ONCE per shard and amortizes across query batches (or once EVER
+    via the persisted layout); shards are independent, so the
+    structure scales out by shard count, exactly like the
+    coarse-cell indexes. The kernel sorts its shard by vec_id and
+    seeds level draws from the shard's min id, so the graph (and the
+    candidate set) is deterministic under any row arrival order."""
     import pandas as pd
 
     e = _emb(spark, sf_dir)
@@ -1338,22 +1341,15 @@ def ext_knn_hnsw(spark, sf_dir):
     qm = np.array([r["emb"] for r in q_rows], dtype=np.float64)
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
 
-    def kernel(batches):
-        ids_parts, vec_parts = [], []
-        for pdf in batches:
-            if len(pdf):
-                ids_parts.append(pdf["vec_id"].to_numpy(dtype=np.int64))
-                vec_parts.append(np.array(list(pdf["emb"]), dtype=np.float64))
-        if not ids_parts:
-            return
-        ids = np.concatenate(ids_parts)
-        vecs = np.concatenate(vec_parts)
+    def kernel(_key, pdf):
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        vecs = np.array(list(pdf["emb"]), dtype=np.float64)
         order = np.argsort(ids)
         ids, vecs = ids[order], vecs[order]
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
         nvecs = vecs / norms
-        levels, adj, entry, max_level = _hnsw_build(
+        _levels, adj, entry, max_level = _hnsw_build(
             nvecs, seed=int(ids[0])
         )
         out_q, out_n = [], []
@@ -1370,10 +1366,15 @@ def ext_knn_hnsw(spark, sf_dir):
                     continue  # self-match, excluded like every ANN key
                 out_q.append(int(q_ids[qi]))
                 out_n.append(nid)
-        yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
 
-    cand_pairs = e.select("vec_id", "emb").mapInPandas(
-        kernel, "query_id long, neighbor_id long"
+    # deterministic pmod sharding (not physical partitions): the SAME
+    # shard layout the persisted index writes, so the saved-vs-inline
+    # equality the family pins for IVF/PQ holds structurally here too
+    cand_pairs = (
+        _hnsw_sharded(e, _hnsw_n_shards(e))
+        .groupBy("shard")
+        .applyInPandas(kernel, "query_id long, neighbor_id long")
     )
     q = spark.createDataFrame(
         [(int(i),) for i in q_ids], "query_id long"
@@ -1388,3 +1389,171 @@ def ext_knn_hnsw(spark, sf_dir):
         .join(F.broadcast(q), "query_id")
     )
     return _exact_topk(cands)
+
+
+# -------------------------------------------- persisted HNSW index
+
+_HNSW_SHARD_TARGET = 500  # ~vectors per shard graph
+
+_HNSW_GRAPH_SCHEMA = (
+    "shard int, ids array<long>, vecs array<array<double>>, "
+    "entry int, max_level int, adj array<array<array<int>>>"
+)
+
+
+def _hnsw_shard_kernel(key, pdf):
+    """groupBy('shard').applyInPandas kernel: build one graph per
+    shard and serialize it as ONE ROW (ids, normalized vectors,
+    entry point, per-level adjacency as nested arrays)."""
+    import pandas as pd
+
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    vecs = np.array(list(pdf["emb"]), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, vecs = ids[order], vecs[order]
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    nvecs = vecs / norms
+    _levels, adj, entry, max_level = _hnsw_build(nvecs, seed=int(ids[0]))
+    n = len(ids)
+    adj_ser = [
+        [list(map(int, level.get(i, []))) for i in range(n)] for level in adj
+    ]
+    return pd.DataFrame(
+        {
+            "shard": [int(key[0])],
+            "ids": [ids.tolist()],
+            "vecs": [nvecs.tolist()],
+            "entry": [int(entry)],
+            "max_level": [int(max_level)],
+            "adj": [adj_ser],
+        }
+    )
+
+
+def _hnsw_sharded(e: DataFrame, n_shards: int, base: int = 0) -> DataFrame:
+    """Deterministic shard assignment: pmod(vec_id) — independent of
+    physical partitioning, so saved and inline layouts agree exactly
+    and an appended batch lands in its own disjoint shard-id range."""
+    return e.select(
+        "vec_id",
+        "emb",
+        (F.pmod(F.col("vec_id"), F.lit(n_shards)) + F.lit(base)).cast("int").alias("shard"),
+    )
+
+
+def _hnsw_n_shards(e: DataFrame) -> int:
+    return max(1, e.count() // _HNSW_SHARD_TARGET)
+
+
+def build_hnsw_index(e: DataFrame, path: str) -> None:
+    """Materialize the sharded-HNSW layout: ``path/graphs`` holds one
+    row per shard graph (ids + normalized vectors + adjacency —
+    self-contained, a query batch never touches the raw corpus),
+    ``path/vectors`` the (vec_id, emb) table the exact re-score tail
+    joins back to. Write-once: graphs are immutable; growth appends
+    NEW shards (append_to_hnsw_index), never mutates built ones —
+    the same never-mutate contract as the IVF/PQ indexes."""
+    import os
+
+    n_shards = _hnsw_n_shards(e)
+    graphs = _hnsw_sharded(e, n_shards).groupBy("shard").applyInPandas(
+        _hnsw_shard_kernel, _HNSW_GRAPH_SCHEMA
+    )
+    graphs.write.mode("overwrite").parquet(os.path.join(path, "graphs"))
+    e.select("vec_id", "emb").write.mode("overwrite").parquet(
+        os.path.join(path, "vectors")
+    )
+
+
+def append_to_hnsw_index(spark, path: str, new_vectors: DataFrame) -> dict:
+    """Incremental growth: the batch becomes its own disjoint shard-id
+    range (graphs are insert-sequential, so cross-batch merging would
+    mean a rebuild — new shards preserve the write-once contract; a
+    compaction that rebuilds many small shards into fewer large ones
+    is the maintenance move, same as parquet small-file compaction).
+    Returns {"new_shards": n, "n_appended": rows}."""
+    import os
+
+    graphs_path = os.path.join(path, "graphs")
+    base = (
+        spark.read.parquet(graphs_path)
+        .agg(F.max("shard").alias("m"))
+        .collect()[0]["m"]
+        + 1
+    )
+    n_shards = _hnsw_n_shards(new_vectors)
+    n_rows = new_vectors.count()
+    graphs = (
+        _hnsw_sharded(new_vectors, n_shards, base=base)
+        .groupBy("shard")
+        .applyInPandas(_hnsw_shard_kernel, _HNSW_GRAPH_SCHEMA)
+    )
+    graphs.write.mode("append").parquet(graphs_path)
+    new_vectors.select("vec_id", "emb").write.mode("append").parquet(
+        os.path.join(path, "vectors")
+    )
+    return {"new_shards": n_shards, "n_appended": n_rows}
+
+
+def query_hnsw_index(spark, path: str, q: DataFrame, k: int = K_NEIGHBORS) -> DataFrame:
+    """Query the saved layout: each graph row searches the broadcast
+    query batch locally (one kernel call per shard — no graph ever
+    crosses an executor boundary), candidates join back to
+    ``path/vectors`` for the family's shared exact re-score top-k.
+    ``q``: (query_id, q_emb) — the query batch, bounded by contract."""
+    import os
+
+    import pandas as pd
+
+    q_rows = q.collect()  # bounded BY CONTRACT: the query batch only
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["q_emb"] for r in q_rows], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def kernel(batches):
+        for pdf in batches:
+            out_q, out_n = [], []
+            for _i, row in pdf.iterrows():
+                ids = np.array(row["ids"], dtype=np.int64)
+                nvecs = np.array(list(row["vecs"]), dtype=np.float64)
+                adj = [
+                    {i: list(nb) for i, nb in enumerate(level) if len(nb)}
+                    for level in row["adj"]
+                ]
+                entry, max_level = int(row["entry"]), int(row["max_level"])
+                for qi in range(qm.shape[0]):
+                    found = _hnsw_search(
+                        nvecs, adj, entry, max_level, qm[qi], k + 1
+                    )
+                    for _sim, local in found:
+                        nid = int(ids[local])
+                        if nid == int(q_ids[qi]):
+                            continue
+                        out_q.append(int(q_ids[qi]))
+                        out_n.append(nid)
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    graphs = spark.read.parquet(os.path.join(path, "graphs"))
+    cand_pairs = graphs.mapInPandas(kernel, "query_id long, neighbor_id long")
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    qdf = q.select("query_id", F.col("q_emb").cast("array<double>").alias("q_emb"))
+    cands = cand_pairs.join(
+        vectors.select(F.col("vec_id").alias("neighbor_id"), "emb"),
+        "neighbor_id",
+    ).join(F.broadcast(qdf), "query_id")
+    from pyspark.sql.window import Window
+
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        round4(cosine_expr(F.col("q_emb"), F.col("emb"))).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

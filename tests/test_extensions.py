@@ -138,6 +138,94 @@ def test_hnsw_graph_local_search_matches_exhaustive():
         assert got == want, (qi, got, want)
 
 
+def test_hnsw_saved_index_matches_inline(spark, tmp_path):
+    """build_hnsw_index persists the same pmod shard layout and the
+    same per-shard graphs the inline key builds (sorted ids, min-id
+    seed), so querying the saved index must reproduce the inline
+    output EXACTLY — the saved-vs-inline contract the IVF/PQ indexes
+    pin, extended to the graph member."""
+    from smartpipeline_spark.functions import EXT_QUERIES
+    from smartpipeline_spark.functions.similarity import (
+        N_QUERIES,
+        _emb,
+        build_hnsw_index,
+        query_hnsw_index,
+    )
+
+    e = _emb(spark, SF_SMOKE)
+    path = str(tmp_path / "hnsw_idx")
+    build_hnsw_index(e, path)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    saved = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["score"])
+        for r in query_hnsw_index(spark, path, q).collect()
+    }
+    inline = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["score"])
+        for r in EXT_QUERIES["ext_knn_hnsw"](spark, SF_SMOKE).collect()
+    }
+    assert saved == inline and saved
+
+
+def test_hnsw_append_adds_disjoint_shards_and_finds_planted_twin(
+    spark, tmp_path
+):
+    """Appending writes NEW shard graphs (disjoint id range, built
+    ones immutable byte-for-byte) and appended vectors are findable:
+    a planted near-duplicate of query 0 lands at rank 1."""
+    import os
+
+    from smartpipeline_spark.functions.similarity import (
+        N_QUERIES,
+        _emb,
+        append_to_hnsw_index,
+        build_hnsw_index,
+        query_hnsw_index,
+    )
+
+    e = _emb(spark, SF_SMOKE)
+    path = str(tmp_path / "hnsw_idx")
+    build_hnsw_index(e, path)
+    graphs_before = {
+        r["shard"]: (r["entry"], tuple(r["ids"]))
+        for r in spark.read.parquet(os.path.join(path, "graphs")).collect()
+    }
+    q0 = e.filter(F.col("vec_id") == 0).collect()[0]["emb"]
+    twin = [v + (0.001 if i == 0 else 0.0) for i, v in enumerate(q0)]
+    # fillers are DISTINCT deterministic vectors: a batch of exact
+    # duplicates is outside the graph's contract (exact dedup runs
+    # before ANN indexing in this package's own pipeline ordering)
+    new = spark.createDataFrame(
+        [
+            (
+                10_000 + i,
+                twin
+                if i == 0
+                else [float((i * 7 + j * 3) % 13) - 6.0 for j in range(len(q0))],
+            )
+            for i in range(40)
+        ],
+        "vec_id long, emb array<double>",
+    )
+    rep = append_to_hnsw_index(spark, path, new)
+    assert rep["n_appended"] == 40 and rep["new_shards"] >= 1
+    after = {
+        r["shard"]: (r["entry"], tuple(r["ids"]))
+        for r in spark.read.parquet(os.path.join(path, "graphs")).collect()
+    }
+    for shard, sig in graphs_before.items():
+        assert after[shard] == sig, "built shards must be immutable"
+    assert set(after) - set(graphs_before), "append must add new shards"
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    got = query_hnsw_index(spark, path, q).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+    assert top1[0] == 10_000, "planted near-dup twin must outrank everything"
+
+
 def test_pq_ann_recall_against_bruteforce(spark):
     """PQ (8x256 codebooks) with ADC + exact re-rank of the top 100
     candidates: measured recall ~0.89-0.91 on the i.i.d. gaussian
