@@ -209,8 +209,11 @@ def minhash_signatures_from_sets(sets_: DataFrame) -> DataFrame:
     shingle the corpus ONCE and reuse the same (persisted) frame for
     both signature construction and candidate verification.
 
-    base = xxhash64(shingle) & 0xFFFFFFFF, then k universal-hash
-    permutations (a*base + b) mod p minimized per doc — all computed
+    base = int(md5(shingle)[:8], 16) — the first md5 half, an
+    engine-portable 32-bit value DuckDB reproduces bit-for-bit (the
+    ext_dedup_minhash oracle replays the integer pipeline exactly) —
+    then k universal-hash permutations (a*base + b) mod p minimized
+    per doc — all computed
     row-local over the shingle ARRAY with transform + array_min:
     signature construction costs ZERO shuffles (the naive
     explode→groupBy(min) formulation shuffles every shingle)."""

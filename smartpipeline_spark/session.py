@@ -40,6 +40,112 @@ _ENGINE_CONF: dict[str, str] = {
 }
 
 
+# Marker file identifying a site-packages google/protobuf as OUR
+# provisioned shim copy (never a real installation): safe to refresh
+# or remove. A real protobuf ships no such file.
+SHIM_MARKER = "_VENDORED_BY_SMARTPIPELINE_SPARK"
+
+
+def _protobuf_importable() -> bool:
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except (ImportError, ModuleNotFoundError, ValueError):
+        return False
+
+
+def provision_protobuf() -> str | None:
+    """Install the vendored ``google.protobuf`` shim into a writable
+    site-packages as a PEP-420 namespace portion (``google/`` with NO
+    ``__init__.py``), so that Python workers forked by a JVM *this
+    engine did not launch* can still import it.
+
+    The PYTHONPATH mechanism in :func:`ensure_protobuf` only reaches
+    workers when it runs before the JVM starts; an external driver
+    that owns its SparkSession (the round-8 `ext_stream_stateful_tws`
+    crash) forks the transformWithStateInPandas state-server worker
+    from an environment we never touched. site-packages is on every
+    fresh interpreter's path, so a copy there is launch-order-proof.
+
+    Safety: provisions only when ``google.protobuf`` is unimportable;
+    never touches an existing ``google/protobuf`` that lacks our
+    marker file; installs atomically (temp dir + rename) so
+    concurrent imports cannot observe a half-copied package; a later
+    real installation overwrites the same path and wins.
+
+    Returns the directory provisioned into, or None (already
+    importable, or nowhere writable)."""
+    import importlib
+    import shutil
+    import site
+    import sysconfig
+    import tempfile
+
+    if _protobuf_importable():
+        return None
+    vendor_pb = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "vendor", "google", "protobuf"
+    )
+    candidates: list[str] = []
+    try:
+        candidates.append(sysconfig.get_paths()["purelib"])
+    except (KeyError, OSError):
+        pass
+    try:
+        candidates.extend(site.getsitepackages())
+    except (AttributeError, OSError):
+        pass
+    try:
+        candidates.append(site.getusersitepackages())
+    except (AttributeError, OSError):
+        pass
+    for sp in dict.fromkeys(candidates):
+        try:
+            os.makedirs(sp, exist_ok=True)
+        except OSError:
+            continue
+        if not os.access(sp, os.W_OK):
+            continue
+        target_google = os.path.join(sp, "google")
+        target_pb = os.path.join(target_google, "protobuf")
+        if os.path.exists(os.path.join(target_google, "__init__.py")):
+            # a regular (non-namespace) google package owns the name
+            # here; adding a portion beside it would be invisible.
+            continue
+        refresh = os.path.isdir(target_pb) and os.path.exists(
+            os.path.join(target_pb, SHIM_MARKER)
+        )
+        if os.path.exists(target_pb) and not refresh:
+            continue  # unmarked => not ours; leave it alone
+        try:
+            os.makedirs(target_google, exist_ok=True)
+            tmp = tempfile.mkdtemp(prefix=".protobuf_shim_", dir=target_google)
+            staged = os.path.join(tmp, "protobuf")
+            shutil.copytree(vendor_pb, staged)
+            with open(os.path.join(staged, SHIM_MARKER), "w") as f:
+                f.write(
+                    "Vendored minimal protobuf shim provisioned by "
+                    "smartpipeline_spark.session.provision_protobuf().\n"
+                    "Safe to delete; `pip install protobuf` replaces it.\n"
+                )
+            if refresh:
+                shutil.rmtree(target_pb, ignore_errors=True)
+            try:
+                os.rename(staged, target_pb)
+            except OSError:
+                # concurrent provisioner won the rename — that's fine
+                pass
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            importlib.invalidate_caches()
+            if _protobuf_importable():
+                return sp
+        except OSError:
+            continue
+    return None
+
+
 def ensure_protobuf() -> bool:
     """Make ``google.protobuf`` importable on driver AND Python
     workers, preferring a real installation.
@@ -48,30 +154,29 @@ def ensure_protobuf() -> bool:
     imports the generated ``StateMessage_pb2``, which needs a protobuf
     runtime. Where none is installed, the vendored minimal runtime
     (``smartpipeline_spark/vendor`` — wire format implemented from the
-    public spec, scoped to the state protocol's field types) is added
-    to ``sys.path`` and prepended to ``$PYTHONPATH`` so forked Python
-    workers inherit it. A real protobuf anywhere on the path wins:
-    the vendor dir is only appended when the import fails outright.
+    public spec, scoped to the state protocol's field types) is first
+    provisioned into a writable site-packages (see
+    :func:`provision_protobuf` — reaches workers forked by ANY JVM),
+    falling back to adding the vendor dir to ``sys.path`` and
+    appending it to ``$PYTHONPATH`` so workers forked by a JVM
+    launched *after* this call inherit it. A real protobuf anywhere
+    earlier on the path wins: the vendor portion is namespace-style
+    and only consulted when the import fails elsewhere.
 
     Returns True when google.protobuf is importable afterwards."""
-    import importlib.util
     import sys
 
-    try:
-        if importlib.util.find_spec("google.protobuf") is not None:
-            return True
-    except (ImportError, ModuleNotFoundError, ValueError):
-        pass
+    if _protobuf_importable():
+        return True
+    if provision_protobuf() is not None:
+        return True
     vendor = os.path.join(os.path.dirname(os.path.abspath(__file__)), "vendor")
     if vendor not in sys.path:
         sys.path.append(vendor)
     pp = os.environ.get("PYTHONPATH", "")
     if vendor not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = (pp + os.pathsep + vendor) if pp else vendor
-    try:
-        return importlib.util.find_spec("google.protobuf") is not None
-    except (ImportError, ModuleNotFoundError, ValueError):
-        return False
+    return _protobuf_importable()
 
 
 def default_parallelism() -> int:

@@ -127,9 +127,16 @@ def test_submessage_autovivify_marks_presence():
     assert back.HasField("ttl") and back.ttl.durationMs == 5
 
 
+def _is_shim(pb_dir: str) -> bool:
+    from smartpipeline_spark.session import SHIM_MARKER
+
+    return VENDOR in pb_dir or os.path.exists(os.path.join(pb_dir, SHIM_MARKER))
+
+
 def test_real_protobuf_wins_when_installed():
     """ensure_protobuf must not shadow a genuine installation: the
-    vendor path is appended only when google.protobuf is missing."""
+    shim (vendor dir or a marker-bearing provisioned copy) is only
+    active when no real protobuf exists anywhere on the path."""
     import importlib.util
 
     from smartpipeline_spark.session import ensure_protobuf
@@ -138,13 +145,42 @@ def test_real_protobuf_wins_when_installed():
     spec = importlib.util.find_spec("google.protobuf")
     assert spec is not None
     origin = spec.origin or ""
-    if VENDOR in origin:
-        # vendored shim active => no real installation outside vendor
-        clean_path = [p for p in sys.path if VENDOR not in p]
-        real = None
-        for p in clean_path:
-            cand = os.path.join(p, "google", "protobuf", "__init__.py")
-            if os.path.exists(cand):
-                real = cand
-                break
-        assert real is None, f"shim shadows a real protobuf at {real}"
+    if _is_shim(os.path.dirname(origin)):
+        # shim active => no real installation anywhere on the path
+        for p in sys.path:
+            cand = os.path.join(p, "google", "protobuf")
+            if os.path.exists(os.path.join(cand, "__init__.py")) and not _is_shim(
+                cand
+            ):
+                raise AssertionError(f"shim shadows a real protobuf at {cand}")
+
+
+def test_provisioned_shim_reaches_a_fresh_interpreter():
+    """The round-8 driver crash: a JVM the engine did not launch
+    forks Python workers that must still import google.protobuf.
+    Package import provisions the shim into site-packages as a
+    namespace portion, so a FRESH interpreter with no sys.path edits
+    and no $PYTHONPATH sees it."""
+    import importlib.util
+    import subprocess
+
+    import smartpipeline_spark  # noqa: F401  (import-time provisioning)
+
+    spec = importlib.util.find_spec("google.protobuf")
+    assert spec is not None
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [sys.executable, "-c", "import google.protobuf; print('ok')"],
+        capture_output=True,
+        text=True,
+        env=env,
+    )
+    assert out.returncode == 0 and "ok" in out.stdout, out.stderr
+
+
+def test_vendor_google_is_a_namespace_portion():
+    """vendor/google must NOT be a regular package: a regular package
+    on sys.path would claim the whole 'google' name and hide other
+    namespace portions (google.auth, google.cloud, a real
+    google.protobuf earlier on the path)."""
+    assert not os.path.exists(os.path.join(VENDOR, "google", "__init__.py"))
