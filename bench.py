@@ -224,15 +224,35 @@ def main() -> None:
         except Exception:  # a fingerprint must never sink the bench
             pass
     total = round(sum(timings.values()), 3)
+    # Three stdout lines, headline LAST and small (round-8 lesson):
+    # the external driver keeps only the last 2000 chars of stdout
+    # and parses the final JSON line, so BENCH_r08.json lost its
+    # timings when the one-line artifact grew past the capture limit
+    # (queries_min + plan_fp pushed it to ~9KB and the captured tail
+    # started mid-JSON). The fingerprint and full-precision evidence
+    # now ride earlier, sacrificial lines — truncation can orphan
+    # them, never the headline timings. The final line carries the
+    # full driver contract (metric/value/unit/queries/sf) with
+    # 2-decimal medians: 63 keys ≈ 1.76KB, headroom to ~85 keys.
+    # bench_compare._parse merges whichever lines survive.
+    print(json.dumps({"artifact": "plan_fp", "plan_fp": plan_fp}))
+    print(
+        json.dumps(
+            {
+                "artifact": "detail",
+                "queries": timings,
+                "queries_min": mins,
+                "reps": reps,
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_inventory_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_min": mins,
-                "plan_fp": plan_fp,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -48,11 +48,58 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _scan_lines(text: str) -> dict:
+    """Round-9 bench layout: stdout carries sacrificial
+    ``{"artifact": "plan_fp"|"detail", ...}`` lines followed by a
+    small headline JSON line (the driver's 2000-char tail capture
+    can orphan the evidence lines, never the timings). Merge whatever
+    JSON lines survive; the detail line's full-precision timings win
+    over the headline's rounded ones when both are present."""
+    headline: dict = {}
+    extras: dict = {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not (line.startswith("{") and line.endswith("}")):
+            continue
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "metric" in obj:
+            headline = obj
+        elif obj.get("artifact") == "plan_fp":
+            extras["plan_fp"] = obj.get("plan_fp", {})
+        elif obj.get("artifact") == "detail":
+            for k in ("queries", "queries_min", "reps"):
+                if k in obj:
+                    extras[k] = obj[k]
+    return {**headline, **extras} if headline else {}
+
+
 def _parse(path: str) -> dict:
     with open(path) as fh:
-        data = json.loads(fh.read())
+        text = fh.read()
+    try:
+        data = json.loads(text)
+    except json.JSONDecodeError:
+        # raw multi-line bench stdout (round-9 two-line layout)
+        data = _scan_lines(text)
+        if not data:
+            raise
+        return data
     if "parsed" in data:
-        data = data["parsed"]
+        parsed = data["parsed"]
+        # driver envelope: parsed is the final JSON line only; pull
+        # whatever evidence lines (plan_fp, full-precision detail)
+        # survived truncation out of the captured tail
+        tail = _scan_lines(data.get("tail", "") or "")
+        if parsed is None:
+            parsed = tail
+        elif tail:
+            parsed = {**parsed, **tail}
+        data = parsed
+    elif "metric" not in data and "queries" not in data:
+        data = _scan_lines(text) or data
     return data
 
 
@@ -68,7 +115,17 @@ def load_pair(old_path: str, new_path: str) -> tuple[dict, dict, str]:
     other's min would bias every delta)."""
     o, n = _parse(old_path), _parse(new_path)
     if "queries_min" in o and "queries_min" in n:
-        return o["queries_min"], n["queries_min"], "min-of-N"
+        # min-of-N is only comparable at equal N: a min-of-5 floor is
+        # systematically lower than a min-of-3 one, which would bias
+        # every delta the tool then adjudicates (a reps override via
+        # SPARK_GRAFT_BENCH_REPS between rounds must not read as a
+        # regression/improvement).
+        if o.get("reps") == n.get("reps"):
+            return o["queries_min"], n["queries_min"], "min-of-N"
+        print(
+            f"note: reps differ ({o.get('reps')} vs {n.get('reps')}) — "
+            "min-of-N floors are not comparable; using medians"
+        )
     return o["queries"], n["queries"], "median"
 
 
