@@ -256,15 +256,22 @@ def continuous_rollup(
         # dynamic-overwrite of an empty frame still pays a full write
         # job + commit-protocol pass over the partition tree. With
         # dynamic overwrite an empty write is a NO-OP by definition
-        # (no partitions to replace), so skip it outright.
-        if batch_df.isEmpty():
-            return
-        (
-            batch_df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket", *keys)
-            .parquet(path)
-        )
+        # (no partitions to replace), so skip it outright. foreachBatch
+        # frames re-execute their plan per action, so persist around
+        # the probe + write — otherwise every NON-empty batch pays the
+        # rollup twice to save one no-op write at the end.
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            (
+                batch_df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket", *keys)
+                .parquet(path)
+            )
+        finally:
+            batch_df.unpersist()
 
     writer = (
         agg.writeStream.foreachBatch(upsert)
