@@ -267,10 +267,11 @@ ROWS_ONLY_ATTESTATIONS = {
         "test_pq_saved_index_matches_inline_and_prunes_partitions",
     ],
     "ext_bpe_train": ["test_bpe_training_matches_reference_implementation"],
-    "ext_bpe_encode": ["test_bpe_tokenize_applies_merges_in_rank_order"],
-    "ext_compression_ratio": [
-        "test_compression_ratio_exact_and_ordering",
-    ],
+    # ext_bpe_encode and ext_compression_ratio converted rows-only ->
+    # oracled in round 9 (pinned merge table replayed via wrapped-
+    # symbol replaces; zlib reference outputs per doc_id%64 residue
+    # embedded as an in-oracle CTE) — their original attestation
+    # pytests remain in the suite.
     "ext_quality_classifier": [
         "test_classifier_matches_local_reference",
         "test_classifier_learns_planted_concept",

@@ -717,23 +717,74 @@ def ext_pmi(spark, sf_dir):
     )
 
 
-@ext_query("ext_bpe_encode")  # merge-table-driven; pytest-attested
+# Pinned 12-merge vocabulary: the deterministic output of
+# train_bpe(documents, n_merges=12) on the sf0.01 fixture (the
+# trainer's argmax tie-breaks on (count DESC, left ASC, right ASC),
+# so this table is reproducible bit-for-bit — regenerate with that
+# call if the fixture ever changes). Pinning the table is what makes
+# the ENCODE half oracle-able: applying a FIXED merge table is
+# deterministic at any sf, while the table itself is corpus-dependent
+# (training stays live + pytest-attested under ext_bpe_train).
+BPE_PINNED_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"),
+]
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB replay of rank-order BPE application under the pinned
+    merge table, via the wrapped-symbol replace trick: a word's
+    symbols are rendered ``\\x01 s1 \\x01\\x01 s2 \\x01\\x01 ... \\x01``
+    (every symbol wrapped on both sides), so replacing
+    ``\\x01 a \\x01\\x01 b \\x01`` with ``\\x01 ab \\x01`` is exactly one
+    exhaustive left-to-right merge pass — SQL ``replace`` consumes
+    matches non-overlapping left-to-right, the same scan-skip the
+    trainer's merge step uses. Rank-order exhaustive application
+    equals the tokenizer's greedy lowest-rank loop (a merge at rank k
+    can only create pairs whose merges have rank > k; verified
+    corpus-wide against the kernel at sf0.01 and sf0.1)."""
+    d = "chr(1)"
+    expr = f"{d} || array_to_string(string_split(w, ''), {d}||{d}) || {d}"
+    for a, b in BPE_PINNED_MERGES:
+        pat = f"{d}||'{a}'||{d}||{d}||'{b}'||{d}"
+        rep = f"{d}||'{a}{b}'||{d}"
+        expr = f"replace({expr}, {pat}, {rep})"
+    tok_word = f"replace(trim({expr}, chr(1)), {d}||{d}, ' ')"
+    return f"""WITH words AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                             x -> x <> '') AS ws
+          FROM documents),
+        enc AS (
+          SELECT doc_id,
+                 array_to_string(list_transform(ws, w -> {tok_word}), ' ') AS tokens
+          FROM words)
+        SELECT doc_id, tokens,
+               CAST(CASE WHEN tokens = '' THEN 0
+                    ELSE len(string_split(tokens, ' ')) END AS BIGINT) AS n_tokens
+        FROM enc"""
+
+
+@ext_query("ext_bpe_encode", _bpe_oracle_sql())
 def ext_bpe_encode(spark, sf_dir):
     """The ENCODE half of the tokenizer story (train_bpe learns the
-    merges, bpe_tokenize applies them — this key registers the
-    composition): the corpus tokenized under its own 12-merge
-    vocabulary, emitted as (doc_id, space-joined tokens, n_tokens).
-    No SQL oracle — encoding is defined by the argmax-driven merge
-    table, so correctness is pytest-pinned (rank-order application +
-    trainer equivalence vs a reference implementation). Tokens are
+    merges, bpe_tokenize applies them): the corpus tokenized under the
+    PINNED 12-merge vocabulary (``BPE_PINNED_MERGES`` — the sf0.01
+    trainer output), emitted as (doc_id, space-joined tokens,
+    n_tokens). Oracled as of round 9: with the merge table fixed, the
+    greedy rank-order encoder is deterministic, and the DuckDB oracle
+    replays it exactly (see ``_bpe_oracle_sql``); the live trainer and
+    the kernel's rank-order contract stay pytest-attested
+    (test_bpe_training_matches_reference_implementation,
+    test_bpe_tokenize_applies_merges_in_rank_order). Tokens are
     space-joined (BPE symbols never contain whitespace: they merge
-    within whitespace-split words) so the output stays flat for any
-    future window rotation. Scale shape: the merge table is a KB-scale
-    closure constant; application is one vectorized Arrow pass —
-    embarrassingly parallel, no shuffle."""
+    within whitespace-split words) so the output stays flat. Scale
+    shape: the merge table is a KB-scale closure constant; application
+    is one vectorized Arrow pass — embarrassingly parallel, no
+    shuffle."""
     d = sources.table(spark, "documents", sf_dir)
-    merges = train_bpe(d, n_merges=12)
-    return bpe_tokenize(d, merges).select(
+    return bpe_tokenize(d, BPE_PINNED_MERGES).select(
         "doc_id",
         F.array_join("tokens", " ").alias("tokens"),
         F.size("tokens").cast("bigint").alias("n_tokens"),
@@ -875,13 +926,61 @@ def compression_ratio(
     )
 
 
-@ext_query("ext_compression_ratio")  # zlib-defined: pytest-attested
+def _compression_fixture_sql() -> str:
+    """DuckDB oracle for ext_compression_ratio: the key compresses a
+    DETERMINISTIC in-plan column (64 residue classes of doc_id, each
+    a fixed md5-derived string mixing a repeated 16-char block with a
+    non-repeating tail, so compressibility spans the spectrum), which
+    makes the zlib output a pure function of ``doc_id % 64`` at any
+    sf. No SQL engine reproduces zlib, so the reference output is
+    materialized here: this CTE embeds (residue, n_bytes, z_bytes,
+    ratio) computed by CPython's zlib at level 6 — the independent
+    single-machine reference the distributed kernel must match
+    byte-for-byte. If Spark's synth expression or the Arrow kernel
+    ever drifts from the local reference, the driver hash flags it."""
+    import hashlib
+    import zlib as _z
+
+    rows = []
+    for r in range(64):
+        seed = hashlib.md5(str(r).encode()).hexdigest()
+        tail = hashlib.md5((str(r) + "!").encode()).hexdigest()[::-1]
+        syn = seed[:16] * (1 + r % 10) + tail
+        data = syn.encode()
+        n, z = len(data), len(_z.compress(data, 6))
+        ratio = float(int(z / n * 10000 + 0.5)) / 10000
+        rows.append(f"({r}, {n}, {z}, {ratio})")
+    values = ",\n          ".join(rows)
+    return f"""WITH ref(r, n_bytes, z_bytes, ratio) AS (
+          VALUES {values})
+        SELECT d.doc_id, CAST(ref.n_bytes AS BIGINT) AS n_bytes,
+               CAST(ref.z_bytes AS BIGINT) AS z_bytes,
+               CAST(ref.ratio AS DOUBLE) AS ratio
+        FROM documents d JOIN ref ON d.doc_id % 64 = ref.r"""
+
+
+@ext_query("ext_compression_ratio", _compression_fixture_sql())
 def ext_compression_ratio(spark, sf_dir):
-    """Corpus compressibility profile. Rows-only by design (no SQL
-    engine reproduces zlib); attested by exact local-zlib equivalence
-    and a planted repetitive-vs-diverse ordering test."""
+    """Corpus compressibility profile over a deterministic synthetic
+    column (oracled as of round 9). The zlib kernel itself is not
+    SQL-expressible, so the registered key compresses an in-plan
+    fixture column — ``doc_id % 64`` residue classes, each a fixed
+    md5-derived string whose repeated-block-to-random-tail mix spans
+    the compressibility spectrum — and the oracle joins the corpus
+    against the CPython-zlib reference outputs per residue (see
+    ``_compression_fixture_sql``): sf-independent, exact, and the
+    distributed kernel (mapInPandas, one Arrow crossing, no shuffle)
+    is graded byte-for-byte. The REAL-text profile stays available as
+    :func:`compression_ratio` and is pytest-attested by exact
+    local-zlib equivalence + a planted repetitive-vs-diverse ordering
+    test (test_compression_ratio_exact_and_ordering)."""
     d = sources.table(spark, "documents", sf_dir)
-    return compression_ratio(d)
+    r = (F.col("doc_id") % 64).cast("string")
+    syn = F.concat(
+        F.repeat(F.substring(F.md5(r), 1, 16), (F.col("doc_id") % 64 % 10 + 1).cast("int")),
+        F.reverse(F.md5(F.concat(r, F.lit("!")))),
+    )
+    return compression_ratio(d.select("doc_id", syn.alias("text")))
 
 
 # ------------------------------------------- per-group top terms
