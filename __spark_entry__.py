@@ -246,12 +246,11 @@ ROWS_ONLY_ATTESTATIONS = {
     "q12b_approx_distinct": ["test_approx_distinct_within_rsd_bound"],
     "ext_dedup_semantic": ["test_semantic_dedup_recall_against_brute"],
     "ext_knn_lsh": ["test_lsh_ann_recall_against_bruteforce"],
-    "ext_knn_hnsw": [
-        "test_hnsw_ann_recall_against_bruteforce",
-        "test_hnsw_graph_local_search_matches_exhaustive",
-        "test_hnsw_saved_index_matches_inline",
-        "test_hnsw_append_adds_disjoint_shards_and_finds_planted_twin",
-    ],
+    # ext_knn_hnsw converted rows-only -> oracled in round 9: the
+    # deterministic sharded graph's candidate union contains the true
+    # top-k on the fixture ladder (bit-exact vs brute at
+    # sf0.001/0.01/0.1), so it carries the exact brute-force oracle;
+    # its four graph-lifecycle pytests remain in the suite.
     "ext_knn_ivf": [
         "test_ivf_ann_recall_against_bruteforce",
         "test_ivf_saved_index_matches_inline_and_prunes_partitions",

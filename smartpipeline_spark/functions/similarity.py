@@ -97,9 +97,14 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
-@ext_query(
-    "ext_knn_bruteforce",
-    f"""WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+# Exact top-k oracle, shared by ext_knn_bruteforce AND (round 9)
+# ext_knn_hnsw: on the fixture ladder the sharded-HNSW candidate union
+# contains the true top-k for every query (verified bit-exact
+# including rounded scores at sf0.001/0.01/0.1), so the exact ranking
+# is the correct — and regression-sensitive — oracle for both. If the
+# HNSW build parameters or the embeddings fixture ever change, re-run
+# that equality check before trusting a red row as a semantics bug.
+_KNN_TOPK_ORACLE = f"""WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
                   WHERE vec_id < {N_QUERIES}),
         c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         scored AS (
@@ -113,8 +118,10 @@ def cosine_expr(a: Column, b: Column) -> Column:
                                     ORDER BY score DESC, neighbor_id) AS rank
           FROM scored)
         SELECT query_id, neighbor_id, rank, score
-        FROM ranked WHERE rank <= {K_NEIGHBORS}""",
-)
+        FROM ranked WHERE rank <= {K_NEIGHBORS}"""
+
+
+@ext_query("ext_knn_bruteforce", _KNN_TOPK_ORACLE)
 def ext_knn_bruteforce(spark, sf_dir):
     """Exact ANN baseline: broadcast the query set against the corpus,
     rank per query with a window over (rounded score, neighbor_id) so
@@ -1306,7 +1313,7 @@ def _hnsw_search(vecs, adj, entry, max_level, q, k, ef=_HNSW_EF_SEARCH):
     return found[:k]
 
 
-@ext_query("ext_knn_hnsw")  # recall-tested in pytest against brute force
+@ext_query("ext_knn_hnsw", _KNN_TOPK_ORACLE)
 def ext_knn_hnsw(spark, sf_dir):
     """Graph-ANN member of the index family: sharded HNSW.
     A graph index is insert-sequential, so the Spark-idiomatic layout
@@ -1328,7 +1335,16 @@ def ext_knn_hnsw(spark, sf_dir):
     structure scales out by shard count, exactly like the
     coarse-cell indexes. The kernel sorts its shard by vec_id and
     seeds level draws from the shard's min id, so the graph (and the
-    candidate set) is deterministic under any row arrival order."""
+    candidate set) is deterministic under any row arrival order.
+
+    Oracled as of round 9 with the exact brute-force ranking
+    (``_KNN_TOPK_ORACLE``): determinism + the fixture-scale shard/ef
+    geometry make the candidate union contain the true top-k for
+    every query (verified bit-exact, rounded scores included, at
+    sf0.001/0.01/0.1) — so the driver grades graph search end-to-end
+    and any recall regression turns the row red. The graph-structural
+    properties (local search ≡ exhaustive, saved ≡ inline, append
+    lifecycle) stay pinned by the four HNSW pytests."""
     import pandas as pd
 
     e = _emb(spark, sf_dir)
