@@ -124,6 +124,19 @@ BENCH_QUERIES = [
     # machinery already benched through the dedup keys.
     "ext_readability",
     "ext_ccnet_buckets",
+    # round-9 additions: the graph-ANN member (per-shard HNSW build +
+    # broadcast query batch + exact re-score — build cost dominates,
+    # benched to keep it honest), int8 embedding quantization (pure
+    # codegen row-local audit, the cheapest class), the 256-bucket
+    # epoch-shuffle rank decomposition (one bucket shuffle + bounded
+    # cumsum), and pinned-vocabulary BPE encoding (one vectorized
+    # Arrow pass). ext_compression_ratio stays OUT: its registered
+    # form compresses a synthetic 64-class column, so its timing
+    # would measure the fixture synth, not a corpus-shaped cost.
+    "ext_knn_hnsw",
+    "ext_emb_quantize",
+    "ext_epoch_shuffle",
+    "ext_bpe_encode",
 ]
 
 

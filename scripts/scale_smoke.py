@@ -86,7 +86,7 @@ def main() -> None:
     # same guard the TPC-H and ANN blocks get; --ops exists exactly to
     # avoid paying for unselected work)
     n_docs = 0
-    if want("exact_dedup_groups", "minhash_candidate_pairs", "jaccard_verified_pairs", "exactsubstr_spans", "dsir_selected", "cdc_chunk_fps", "classifier_train_5it", "jaccard_pairs_capped2", "minhash_candidates_capped2", "c4_rules_report", "lm_stupid_backoff_scored", "line_dedup_kept_lines"):
+    if want("exact_dedup_groups", "minhash_candidate_pairs", "jaccard_verified_pairs", "exactsubstr_spans", "dsir_selected", "cdc_chunk_fps", "classifier_train_5it", "jaccard_pairs_capped2", "minhash_candidates_capped2", "c4_rules_report", "lm_stupid_backoff_scored", "line_dedup_kept_lines", "batch_inference_scored"):
         base = sources.table(spark, "documents", sf_dir).select("doc_id", "text")
         docs = base.select(
             F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("r"),
@@ -473,11 +473,92 @@ def main() -> None:
 
         timed("ann_ivf_topk", ann_ivf_topk)
 
-    print(
-        json.dumps(
-            {"n_docs": n_docs, "replicas": n, "timings": timings, "counts": counts}
-        )
-    )
+    # --- batched model inference (the reference's flagship BatchStage
+    # use case, README.rst:102-113) at rung scale: a deterministic
+    # numpy "embedding model" (byte-histogram features x a fixed
+    # 64x32 MLP) loads ONCE per executor Python worker via on_start
+    # and scores Arrow-sized batches inside the Pipeline-compiled
+    # mapInPandas — the throughput number is docs/sec through the
+    # full Stage surface (item wrap, error channels, timing columns),
+    # not a bare UDF. Scale expectation: pure map work, exponent ~1.
+    if want("batch_inference_scored"):
+        from smartpipeline_spark import BatchStage, Pipeline
+
+        class _EmbMLP(BatchStage):
+            output_fields = {"score": "double"}
+
+            def __init__(self):
+                super().__init__(size=1024)
+                self._w = None
+
+            def on_start(self):
+                import numpy as _np
+
+                rng = _np.random.default_rng(7)
+                self._w1 = rng.standard_normal((64, 32))
+                self._w2 = rng.standard_normal((32, 1))
+
+            def process_batch(self, items):
+                import numpy as _np
+
+                feats = _np.zeros((len(items), 64), dtype=_np.float64)
+                for i, it in enumerate(items):
+                    b = (it.data["text"] or "").encode()[:4096]
+                    if b:
+                        hist = _np.bincount(
+                            _np.frombuffer(b, dtype=_np.uint8) % 64, minlength=64
+                        )
+                        feats[i] = hist / len(b)
+                out = _np.tanh(feats @ self._w1) @ self._w2
+                for it, s in zip(items, out[:, 0]):
+                    it.data["score"] = float(s)
+                return items
+
+        def _infer():
+            pipe = Pipeline(spark).set_source(docs).append("emb_mlp", _EmbMLP())
+            return pipe.dataframe().filter(F.col("score").isNotNull()).count()
+
+        timed("batch_inference_scored", _infer)
+        if "batch_inference_scored" in timings and timings["batch_inference_scored"]:
+            counts["batch_inference_docs_per_sec"] = int(
+                counts["batch_inference_scored"] / timings["batch_inference_scored"]
+            )
+
+    out = {"n_docs": n_docs, "replicas": n, "timings": timings, "counts": counts}
+    if "--metrics" in sys.argv:
+        # load-independent adjudication evidence (the r8 lesson: on a
+        # bursty shared host, wall-clock exponents are judged against
+        # executor CPU time and spill volume from the status API,
+        # which survive contention)
+        try:
+            import urllib.request
+
+            base = spark.sparkContext.uiWebUrl
+            app_id = spark.sparkContext.applicationId
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app_id}/stages"
+            ) as resp:
+                stages = json.load(resp)
+            out["metrics"] = {
+                "executorCpuSec": round(
+                    sum(s.get("executorCpuTime", 0) for s in stages) / 1e9, 1
+                ),
+                "executorRunSec": round(
+                    sum(s.get("executorRunTime", 0) for s in stages) / 1e3, 1
+                ),
+                "memSpillGB": round(
+                    sum(s.get("memoryBytesSpilled", 0) for s in stages) / 2**30, 2
+                ),
+                "diskSpillGB": round(
+                    sum(s.get("diskBytesSpilled", 0) for s in stages) / 2**30, 2
+                ),
+                "shuffleWriteGB": round(
+                    sum(s.get("shuffleWriteBytes", 0) for s in stages) / 2**30, 2
+                ),
+            }
+        except Exception as exc:  # metrics must never sink the smoke
+            out["metrics_error"] = str(exc)
+    print(json.dumps(out))
     spark.stop()
 
 

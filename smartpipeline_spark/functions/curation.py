@@ -3754,3 +3754,77 @@ def ext_leakage_safe_split(spark, sf_dir):
     to splits as units."""
     d = sources.table(spark, "documents", sf_dir)
     return leakage_safe_split(d)
+
+
+# ---------------------------------------------- epoch shuffle ordering
+
+def epoch_shuffle(docs: DataFrame, epochs: int = 2, salt: str = "epoch") -> DataFrame:
+    """Deterministic per-epoch training order: every epoch gets an
+    independent seeded permutation of the corpus (pos = the document's
+    1-based position in that epoch's stream), the op every trainer
+    runs between curation and packing.
+
+    Scale shape — a global rank WITHOUT a global sort: the order key
+    is md5(salt‖epoch‖':'‖doc_id), and because the key IS a hex
+    string, its first two characters are a 256-way RANGE partition of
+    the total order (every key in bucket '00' sorts before every key
+    in '01'). So the global position decomposes into a per-bucket
+    row_number (shuffle on (epoch, bucket) — each bucket ~n/256 rows,
+    no single-partition window, no RangePartitioner sampling
+    nondeterminism) plus a bucket-offset cumsum over a 256-row-per-
+    epoch aggregate (bounded by construction — the same bounded-grid
+    cumsum pattern the packing ops use), broadcast back. Determinism
+    is exact at any parallelism and any input layout; both engines
+    replay the identical md5 order, so the oracle is the naive global
+    window."""
+    from pyspark.sql.window import Window
+
+    eps = F.explode(F.array(*[F.lit(i) for i in range(1, epochs + 1)])).alias("epoch")
+    d = docs.select("doc_id", eps)
+    key = F.md5(
+        F.concat(
+            F.lit(salt),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    keyed = d.select(F.col("epoch").cast("bigint").alias("epoch"), "doc_id", key.alias("k"))
+    keyed = keyed.withColumn("bucket", F.substring("k", 1, 2))
+    w_in = Window.partitionBy("epoch", "bucket").orderBy("k", "doc_id")
+    ranked = keyed.withColumn("intra", F.row_number().over(w_in))
+    counts = keyed.groupBy("epoch", "bucket").agg(F.count("*").alias("n"))
+    w_off = (
+        Window.partitionBy("epoch")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "epoch", "bucket", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), ["epoch", "bucket"])
+        .select(
+            "epoch",
+            "doc_id",
+            (F.col("off") + F.col("intra")).cast("bigint").alias("pos"),
+        )
+    )
+
+
+@ext_query(
+    "ext_epoch_shuffle",
+    """WITH e AS (SELECT doc_id, epoch FROM documents, (VALUES (1), (2)) t(epoch)),
+      k AS (SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+                   md5('epoch' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS key
+            FROM e)
+     SELECT epoch, doc_id,
+            CAST(row_number() OVER (PARTITION BY epoch ORDER BY key, doc_id) AS BIGINT) AS pos
+     FROM k""",
+)
+def ext_epoch_shuffle(spark, sf_dir):
+    """Two seeded epoch permutations of the documents corpus; the
+    oracle runs the naive global window, Spark runs the 256-bucket
+    decomposition — positions must match exactly."""
+    d = sources.table(spark, "documents", sf_dir)
+    return epoch_shuffle(d, epochs=2)

@@ -1573,3 +1573,79 @@ def query_hnsw_index(spark, path: str, q: DataFrame, k: int = K_NEIGHBORS) -> Da
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+# ------------------------------------------- int8 embedding quantization
+
+def quantize_embeddings_int8(vectors: DataFrame, emb_col: str = "emb") -> DataFrame:
+    """Per-vector min/max int8 quantization — the embedding-compression
+    stage that precedes index build at scale (4x memory cut before
+    IVF/PQ/HNSW shards ever materialize a float matrix): code_i =
+    round((x_i - min) / scale) with scale = (max - min)/255, plus the
+    reconstruction audit columns a pipeline needs to decide whether
+    lossy storage is safe (max absolute reconstruction error and a
+    deterministic md5 checksum of the code stream for cross-snapshot
+    integrity checks).
+
+    Scale shape: row-local expression tree — one pass, zero shuffles,
+    whole-stage-codegen'd end to end; nothing leaves the row, so it
+    runs at scan speed on 100 TB. Degenerate constant vectors take
+    scale=1 so codes are all zero and the error is exactly 0. All
+    arithmetic is a fixed double-precision expression tree, so DuckDB
+    reproduces every value bit-for-bit (same contract as ext_pmi)."""
+    x = F.col(emb_col)
+    mn, mx = F.array_min(x), F.array_max(x)
+    d = vectors.select(
+        "vec_id",
+        x.alias("x"),
+        mn.alias("mn"),
+        mx.alias("mx"),
+        F.when(mx > mn, (mx - mn) / F.lit(255.0)).otherwise(F.lit(1.0)).alias("scale"),
+    )
+    d = d.withColumn(
+        "codes",
+        F.expr("transform(x, v -> CAST(floor((v - mn) / scale + 0.5d) AS INT))"),
+    )
+    err = F.array_max(
+        F.expr("zip_with(x, codes, (v, c) -> abs(v - (mn + CAST(c AS DOUBLE) * scale)))")
+    )
+    return d.select(
+        "vec_id",
+        F.size("x").cast("bigint").alias("n_dims"),
+        F.col("mn").alias("v_min"),
+        F.col("mx").alias("v_max"),
+        F.expr("aggregate(codes, 0L, (a, c) -> a + c)").alias("code_sum"),
+        F.md5(F.expr("array_join(transform(codes, c -> CAST(c AS STRING)), ',')")).alias(
+            "code_md5"
+        ),
+        err.alias("max_abs_err"),
+    )
+
+
+@ext_query(
+    "ext_emb_quantize",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+      s AS (SELECT vec_id, x, list_min(x) AS mn, list_max(x) AS mx,
+                   CASE WHEN list_max(x) > list_min(x)
+                        THEN (list_max(x) - list_min(x)) / 255.0
+                        ELSE 1.0 END AS scale
+            FROM v),
+      c AS (SELECT vec_id, x, mn, mx, scale,
+                   list_transform(x, e -> CAST(floor((e - mn) / scale + 0.5) AS INT)) AS codes
+            FROM s)
+     SELECT vec_id, CAST(len(x) AS BIGINT) AS n_dims, mn AS v_min, mx AS v_max,
+            CAST(list_sum(codes) AS BIGINT) AS code_sum,
+            md5(array_to_string(list_transform(codes, e -> CAST(e AS VARCHAR)), ',')) AS code_md5,
+            list_max(list_transform(range(1, len(x) + 1),
+                     i -> abs(x[i] - (mn + codes[i] * scale)))) AS max_abs_err
+     FROM c""",
+)
+def ext_emb_quantize(spark, sf_dir):
+    """int8 quantization + reconstruction audit over the embeddings
+    table — exact cross-engine: codes, checksums, and every double in
+    the audit are fixed expression trees both engines evaluate
+    bit-identically."""
+    e = sources.table(spark, "embeddings", sf_dir)
+    return quantize_embeddings_int8(
+        e.select("vec_id", F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("emb"))
+    )

@@ -2368,3 +2368,51 @@ def test_readability_flesch_exact_and_banded(spark):
         spark.createDataFrame([{"doc_id": 3, "text": ""}])
     ).collect()[0]
     assert (e.n_words, e.n_sentences, e.n_syllables) == (1, 1, 1)
+
+
+def test_epoch_shuffle_emits_exact_permutations_that_differ(spark):
+    """Each epoch's pos column is exactly 1..n (a permutation), the
+    two epochs order the corpus differently, and the 256-bucket
+    decomposition is parallelism-invariant (1-partition run == 32)."""
+    from smartpipeline_spark.functions.curation import epoch_shuffle
+
+    docs = spark.createDataFrame([{"doc_id": i} for i in range(311)])
+    out = epoch_shuffle(docs, epochs=2).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = r.pos
+    assert sorted(by_epoch) == [1, 2]
+    for ep, m in by_epoch.items():
+        assert sorted(m.values()) == list(range(1, 312)), ep
+    order1 = sorted(by_epoch[1], key=by_epoch[1].get)
+    order2 = sorted(by_epoch[2], key=by_epoch[2].get)
+    assert order1 != order2
+    # layout invariance: a serial layout must yield identical positions
+    solo = epoch_shuffle(docs.coalesce(1), epochs=2).collect()
+    assert {(r.epoch, r.doc_id, r.pos) for r in solo} == {
+        (r.epoch, r.doc_id, r.pos) for r in out
+    }
+
+
+def test_emb_quantize_codes_bounded_and_reconstruction_within_half_step(spark):
+    """int8 quantization invariants: code_sum consistent with 0..255
+    codes, max reconstruction error <= scale/2 (+1 ulp), degenerate
+    constant vectors quantize losslessly to zero codes."""
+    from smartpipeline_spark.functions.similarity import quantize_embeddings_int8
+
+    rows = [
+        {"vec_id": 1, "emb": [0.0, 1.0, 0.25, 0.75]},
+        {"vec_id": 2, "emb": [-3.5, 2.0, 0.0, 1.1]},
+        {"vec_id": 3, "emb": [0.42, 0.42, 0.42, 0.42]},  # degenerate
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    out = {r.vec_id: r for r in quantize_embeddings_int8(df).collect()}
+    for vid, r in out.items():
+        assert 0 <= r.code_sum <= 255 * r.n_dims, vid
+        scale = (r.v_max - r.v_min) / 255.0 if r.v_max > r.v_min else 1.0
+        assert r.max_abs_err <= scale / 2 + 1e-12, (vid, r.max_abs_err, scale)
+    deg = out[3]
+    assert deg.code_sum == 0 and deg.max_abs_err == 0.0
+    # exact endpoints: min maps to code 0, max to 255 -> both recoverable
+    r1 = out[1]
+    assert r1.v_min == 0.0 and r1.v_max == 1.0

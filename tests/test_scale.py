@@ -823,3 +823,46 @@ def test_binned_interval_join_rejects_runaway_spans(spark):
     )
     with _pytest.raises(Exception, match="max_bins_per_interval"):
         binned_interval_join(a, b, bin_seconds=60, max_bins_per_interval=3).collect()
+
+
+def test_zorder_on_multimodal_binary_table_prunes_metadata_scans(spark, tmp_path):
+    """The binary-table layout claim (pruning evidence beyond text
+    columns): cluster the media table by its TYPED METADATA
+    (doc_id, n_bytes) and point predicates on either column must rule
+    out whole files from their footers — so metadata-routed scans
+    (size-based sharding, id lookups) skip the heavy binary payloads
+    entirely. Payload bytes must survive the rewrite bit-for-bit."""
+    from smartpipeline_spark.functions.multimodal import synth_media
+    from smartpipeline_spark.operators.scale import write_zordered
+
+    media = synth_media(spark, SF_SMOKE).select(
+        "doc_id", F.octet_length("payload").alias("n_bytes"), "payload"
+    )
+    before = {
+        (r.doc_id, r.h) for r in media.select("doc_id", F.md5("payload").alias("h")).collect()
+    }
+    zpath = str(tmp_path / "z_media")
+    write_zordered(media, zpath, ["doc_id", "n_bytes"], num_files=8)
+
+    back = spark.read.parquet(zpath)
+    after = {
+        (r.doc_id, r.h) for r in back.select("doc_id", F.md5("payload").alias("h")).collect()
+    }
+    assert after == before  # binary payloads intact through the rewrite
+
+    probes = {
+        "doc_id": [r.doc_id for r in media.select("doc_id").limit(10).collect()],
+        "n_bytes": [r.n_bytes for r in media.select("n_bytes").distinct().limit(10).collect()],
+    }
+
+    def eligible_frac(col):
+        ranges = _footer_ranges(zpath, col)
+        fracs = [
+            sum(1 for lo, hi in ranges if lo <= v <= hi) / len(ranges)
+            for v in probes[col]
+        ]
+        return sum(fracs) / len(fracs)
+
+    z_id, z_bytes = eligible_frac("doc_id"), eligible_frac("n_bytes")
+    assert z_id < 0.8, z_id
+    assert z_bytes < 0.8, z_bytes
