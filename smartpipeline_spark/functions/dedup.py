@@ -1614,18 +1614,97 @@ def cdc_chunks(
     )
 
 
-@ext_query("ext_cdc_chunk_stats")  # gear-hash-driven: pytest-attested
+def _cdc_synth_py(r: int) -> str:
+    """Pure-python twin of the in-plan synth expression in
+    ext_cdc_chunk_stats: class ``r``'s document is 6..10 segments,
+    each a 320-char md5-block chosen from a 16-passage shared pool
+    (selection hashed from (r, i)), so classes genuinely SHARE
+    passages and the chunk-duplication profile is non-degenerate."""
+    import hashlib as _h
+
+    n_seg = 6 + r % 5
+    parts = []
+    for i in range(n_seg):
+        sel = int(_h.md5(f"{r}:{i}".encode()).hexdigest()[:4], 16) % 16
+        parts.append(_h.md5(str(sel).encode()).hexdigest() * 10)
+    return "".join(parts)
+
+
+# the same derivation as a Spark expression over doc_id (kept beside
+# its python twin — these two MUST stay in lockstep, the oracle pins it)
+_CDC_SYNTH_EXPR = (
+    "array_join(transform(sequence(0, 5 + CAST(doc_id % 64 AS INT) % 5), i -> "
+    "repeat(md5(CAST(CAST(conv(substring(md5(concat("
+    "CAST(doc_id % 64 AS STRING), ':', CAST(i AS STRING))), 1, 4), 16, 10) "
+    "AS BIGINT) % 16 AS STRING)), 10)), '')"
+)
+
+
+def _cdc_fixture_sql() -> str:
+    """DuckDB oracle for ext_cdc_chunk_stats: the key chunks a
+    DETERMINISTIC in-plan column (64 ``doc_id`` residue classes built
+    from a shared passage pool), so each class's chunk list is a pure
+    function of the residue at any sf. The per-class reference chunks
+    are materialized here by running :func:`cdc_chunk_offsets` — the
+    same pure-python chunker the executor kernel uses (its
+    equivalence to an independent reference implementation, boundary
+    resynchronization, and planted-sharing behavior are pinned by the
+    CDC pytests) — so this oracle grades the DISTRIBUTED half
+    end-to-end: the in-plan synth expression, the Arrow kernel, the
+    fingerprint groupBy, and the duplication arithmetic, across
+    whatever class mix the sf's corpus has."""
+    import hashlib as _h
+    from collections import Counter
+
+    rows = []
+    for r in range(64):
+        data = _cdc_synth_py(r).encode()
+        occ = Counter(
+            _h.md5(data[off : off + ln]).hexdigest()
+            for off, ln in cdc_chunk_offsets(data)
+        )
+        lengths = {
+            _h.md5(data[off : off + ln]).hexdigest(): ln
+            for off, ln in cdc_chunk_offsets(data)
+        }
+        for fp, n in sorted(occ.items()):
+            rows.append(f"({r}, '{fp}', {n}, {lengths[fp]})")
+    values = ",\n          ".join(rows)
+    return f"""WITH cls AS (
+          SELECT doc_id % 64 AS r, COUNT(*) AS n
+          FROM documents GROUP BY doc_id % 64),
+        ref(r, fp, occ, bytes) AS (VALUES {values}),
+        agg AS (
+          SELECT fp,
+                 SUM(cls.n * ref.occ) AS n_occurrences,
+                 SUM(cls.n) AS n_docs,
+                 MIN(ref.bytes) AS chunk_bytes
+          FROM ref JOIN cls USING (r) GROUP BY fp)
+        SELECT fp, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(chunk_bytes AS BIGINT) AS chunk_bytes,
+               CAST((n_occurrences - 1) * chunk_bytes AS BIGINT) AS dup_bytes
+        FROM agg WHERE n_occurrences >= 2"""
+
+
+@ext_query("ext_cdc_chunk_stats", _cdc_fixture_sql())
 def ext_cdc_chunk_stats(spark, sf_dir):
     """Corpus chunk-duplication profile from CDC fingerprints: per
     duplicated chunk, how many documents and occurrences share it and
     how many bytes each extra occurrence costs — the table a
     storage-dedup layer (or a byte-level corpus diff) reads to decide
-    what single-instancing buys. No SQL oracle (the gear hash defines
-    the chunking); the chunker itself is pytest-pinned: reference
-    equivalence, boundary-shift robustness under prefix edits, and
-    planted cross-document chunk sharing."""
+    what single-instancing buys. Oracled as of round 9 over a
+    deterministic in-plan fixture column (64 residue classes sharing
+    a 16-passage pool — see ``_cdc_synth_py``): the reference chunk
+    lists ride the oracle as a VALUES CTE, so the driver hash-grades
+    the synth expression, the Arrow chunker kernel, the fp groupBy,
+    and the duplication arithmetic at any sf. The gear chunker's own
+    semantics stay pytest-pinned (reference equivalence,
+    boundary-shift robustness under prefix edits, planted
+    cross-document sharing), and the real-text profile remains one
+    ``cdc_chunks(docs).groupBy("fp")`` away."""
     d = sources.table(spark, "documents", sf_dir)
-    ch = cdc_chunks(d.select("doc_id", "text"))
+    ch = cdc_chunks(d.select("doc_id", F.expr(_CDC_SYNTH_EXPR).alias("text")))
     return (
         ch.groupBy("fp")
         .agg(
