@@ -1215,43 +1215,65 @@ def _hnsw_build(vecs: "np.ndarray", m: int = _HNSW_M, ef: int = _HNSW_EF_CONSTRU
         preserves BRIDGES between clusters (a plain top-cap keeps an
         intra-cluster clique and greedy search can never cross),
         then backfill remaining slots with the best pruned ones."""
-        selected: list[tuple[float, int]] = []
-        for sim, e in cand:
+        # round-9 perf: ONE pairwise gemm over the candidate set
+        # (c x c, c <= ef) replaces up to cap scalar numpy dots per
+        # candidate; .tolist() makes the inner comparisons pure-python
+        # floats (identical float64 values, identical selections)
+        ids = [e for _x, e in cand]
+        pair = (vecs[ids] @ vecs[ids].T).tolist() if ids else []
+        selected: list[int] = []
+        for j, (sim, _e) in enumerate(cand):
             if len(selected) == cap:
                 break
-            if all(float(vecs[e] @ vecs[s]) <= sim for _x, s in selected):
-                selected.append((sim, e))
+            row = pair[j]
+            if all(row[k] <= sim for k in selected):
+                selected.append(j)
         if len(selected) < cap:
-            chosen = {s for _x, s in selected}
-            for sim, e in cand:
+            chosen = {cand[j][1] for j in selected}
+            for j, (_sim, e) in enumerate(cand):
                 if len(selected) == cap:
                     break
                 if e not in chosen:
-                    selected.append((sim, e))
+                    selected.append(j)
                     chosen.add(e)
-        return [e for _x, e in selected]
+        return [cand[j][1] for j in selected]
 
     def search_layer(q, eps, ef_cap, level):
+        # heap-based rewrite of the canonical ef-search (round-9 perf:
+        # the original re-sorted the whole frontier per pop and
+        # re-scanned best for its min per insert — O(ef) each — and
+        # did one scalar dot per neighbor; this does O(log ef) heap
+        # ops and ONE batched gemv per node expansion, with identical
+        # traversal order incl. ties: cand keys (-sim, -node) pop the
+        # largest node among equal sims, exactly like the old
+        # sort(reverse=True) pop, and best is a min-heap of
+        # (sim, node) whose root is the old min(best)).
+        import heapq
+
         gr = adj[level]
         visited = set(eps)
-        cand = [(float(vecs[e] @ q), e) for e in eps]
-        best = list(cand)
+        best = [(float(vecs[e] @ q), e) for e in eps]
+        cand = [(-s, -e) for s, e in best]
+        heapq.heapify(best)
+        heapq.heapify(cand)
         while cand:
-            cand.sort(reverse=True)
-            sim, node = cand.pop(0)
-            worst = min(best)[0] if len(best) >= ef_cap else -2.0
-            if sim < worst:
+            nsim, nnode = heapq.heappop(cand)
+            sim, node = -nsim, -nnode
+            if len(best) >= ef_cap and sim < best[0][0]:
                 break
-            for nb in gr.get(node, ()):
-                if nb in visited:
-                    continue
-                visited.add(nb)
-                s = float(vecs[nb] @ q)
-                if len(best) < ef_cap or s > min(best)[0]:
-                    cand.append((s, nb))
-                    best.append((s, nb))
-                    if len(best) > ef_cap:
-                        best.remove(min(best))
+            nbs = [nb for nb in gr.get(node, ()) if nb not in visited]
+            if not nbs:
+                continue
+            visited.update(nbs)
+            sims = vecs[nbs] @ q
+            for s, nb in zip(sims, nbs):
+                s = float(s)
+                if len(best) < ef_cap:
+                    heapq.heappush(best, (s, nb))
+                    heapq.heappush(cand, (-s, -nb))
+                elif s > best[0][0]:
+                    heapq.heapreplace(best, (s, nb))
+                    heapq.heappush(cand, (-s, -nb))
         return sorted(best, reverse=True)
 
     for i in range(1, n):
@@ -1284,26 +1306,34 @@ def _hnsw_build(vecs: "np.ndarray", m: int = _HNSW_M, ef: int = _HNSW_EF_CONSTRU
 def _hnsw_search(vecs, adj, entry, max_level, q, k, ef=_HNSW_EF_SEARCH):
     """Top-k (similarity, local_id) for one normalized query vector."""
     def search_layer(qv, eps, ef_cap, level):
+        # same heap/batched-gemv form as the build-side search_layer
+        # (round-9 perf), identical traversal order incl. ties
+        import heapq
+
         gr = adj[level]
         visited = set(eps)
-        cand = [(float(vecs[e] @ qv), e) for e in eps]
-        best = list(cand)
+        best = [(float(vecs[e] @ qv), e) for e in eps]
+        cand = [(-s, -e) for s, e in best]
+        heapq.heapify(best)
+        heapq.heapify(cand)
         while cand:
-            cand.sort(reverse=True)
-            sim, node = cand.pop(0)
-            worst = min(best)[0] if len(best) >= ef_cap else -2.0
-            if sim < worst:
+            nsim, nnode = heapq.heappop(cand)
+            sim, node = -nsim, -nnode
+            if len(best) >= ef_cap and sim < best[0][0]:
                 break
-            for nb in gr.get(node, ()):
-                if nb in visited:
-                    continue
-                visited.add(nb)
-                s = float(vecs[nb] @ qv)
-                if len(best) < ef_cap or s > min(best)[0]:
-                    cand.append((s, nb))
-                    best.append((s, nb))
-                    if len(best) > ef_cap:
-                        best.remove(min(best))
+            nbs = [nb for nb in gr.get(node, ()) if nb not in visited]
+            if not nbs:
+                continue
+            visited.update(nbs)
+            sims = vecs[nbs] @ qv
+            for s, nb in zip(sims, nbs):
+                s = float(s)
+                if len(best) < ef_cap:
+                    heapq.heappush(best, (s, nb))
+                    heapq.heappush(cand, (-s, -nb))
+                elif s > best[0][0]:
+                    heapq.heapreplace(best, (s, nb))
+                    heapq.heappush(cand, (-s, -nb))
         return sorted(best, reverse=True)
 
     ep = [entry]
