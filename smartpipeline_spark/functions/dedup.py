@@ -1550,10 +1550,12 @@ def _to_bytes(value) -> bytes:
 
 def cdc_chunk_offsets(data: bytes, min_size: int = _CDC_MIN,
                       max_size: int = _CDC_MAX, bits: int = _CDC_BITS):
-    """Pure-python reference chunker (also the executor kernel): yields
-    (offset, length) per chunk. Gear hash: h = (h << 1 + gear[byte])
-    mod 2^64; boundary when the low ``bits`` bits are zero and the
-    chunk has reached ``min_size``; forced boundary at ``max_size``."""
+    """Pure-python reference chunker: yields (offset, length) per
+    chunk. Gear hash: h = (h << 1 + gear[byte]) mod 2^64; boundary
+    when the low ``bits`` bits are zero and the chunk has reached
+    ``min_size``; forced boundary at ``max_size``. The executor kernel
+    (:func:`_cdc_offsets_batch`) is a vectorized twin pinned byte-
+    equal to this function by ``tests/test_extensions.py``."""
     gear = _gear_table()
     mask = (1 << bits) - 1
     out = []
@@ -1569,6 +1571,90 @@ def cdc_chunk_offsets(data: bytes, min_size: int = _CDC_MIN,
             h = 0
     if start < n:
         out.append((start, n - start))
+    return out
+
+
+_CDC_GEAR_NP = {}
+
+
+def _gear_table_np(dtype_name="uint64"):
+    """Gear table as numpy, truncated to ``dtype_name``. Truncation is
+    exact for the boundary test: ``(h64 & mask) == ((h64 mod 2^w) &
+    mask)`` whenever ``mask < 2^w``, and ``h mod 2^w`` follows the
+    same recurrence over the truncated table."""
+    if dtype_name not in _CDC_GEAR_NP:
+        import numpy as _np
+
+        _CDC_GEAR_NP[dtype_name] = _np.asarray(
+            _gear_table(), dtype=_np.uint64
+        ).astype(getattr(_np, dtype_name))
+    return _CDC_GEAR_NP[dtype_name]
+
+
+def _cdc_offsets_batch(datas, min_size=_CDC_MIN, max_size=_CDC_MAX,
+                       bits=_CDC_BITS):
+    """Vectorized batch chunker: one numpy pass over ALL documents'
+    bytes, returning ``[chunk_list_per_doc]`` byte-identical to
+    running :func:`cdc_chunk_offsets` per document.
+
+    Why the per-cut hash reset can be dropped: ``h = (h<<1 + g) mod
+    2^w`` forgets any byte w shifts back, so the windowed (reset-
+    free) hash at position i equals the reset hash whenever the
+    running chunk already holds >= w bytes — and with ``min_size >=
+    w`` the boundary predicate is only ever consulted there. The
+    same argument makes doc concatenation safe: a position less than
+    w bytes into a doc reads the previous doc's bytes through the
+    window, but its chunk length is < min_size so it is never
+    eligible. ``w`` is the narrowest power-of-two word that still
+    covers the boundary mask (``(h64 & mask) == (h64 mod 2^w) &
+    mask`` for ``mask < 2^w``) — uint16 for the default bits=8, a
+    quarter of the uint64 memory traffic and log2(w) doubling passes
+    instead of 64 shifted adds. Falls back to the scalar reference
+    when ``min_size < w`` (reset would be observable)."""
+    import numpy as _np
+
+    width = 16 if bits <= 16 else (32 if bits <= 32 else 64)
+    if min_size < width:  # reset observable — scalar semantics
+        return [cdc_chunk_offsets(d, min_size, max_size, bits)
+                for d in datas]
+    big = _np.frombuffer(b"".join(datas), dtype=_np.uint8)
+    if big.size == 0:
+        return [[] for _ in datas]
+    dt = getattr(_np, f"uint{width}")
+    h = _gear_table_np(f"uint{width}")[big]
+    s = 1
+    while s < width:
+        h[s:] += h[:-s] << dt(s)
+        s <<= 1
+    cand = _np.flatnonzero((h & dt((1 << bits) - 1)) == 0)
+    out = []
+    from bisect import bisect_left as _bl
+
+    pos = 0
+    for data in datas:
+        n = len(data)
+        lo = _np.searchsorted(cand, pos)
+        hi = _np.searchsorted(cand, pos + n)
+        local = (cand[lo:hi] - pos).tolist()
+        n_local = len(local)
+        chunks = []
+        start = 0
+        j = 0
+        while True:
+            forced = start + max_size - 1
+            j = _bl(local, start + min_size - 1, j)
+            if j < n_local and local[j] <= forced:
+                cut = local[j]
+            else:
+                cut = forced
+            if cut > n - 1:
+                break
+            chunks.append((start, cut - start + 1))
+            start = cut + 1
+        if start < n:
+            chunks.append((start, n - start))
+        out.append(chunks)
+        pos += n
     return out
 
 
@@ -1595,11 +1681,10 @@ def cdc_chunks(
     def chunk(batches):
         for pdf in batches:
             rows = {"doc_id": [], "off": [], "length": [], "fp": []}
-            for did, text in zip(pdf["doc_id"], pdf[text_col]):
-                data = _to_bytes(text)
-                for off, ln in cdc_chunk_offsets(
-                    data, min_size, max_size, bits
-                ):
+            datas = [_to_bytes(t) for t in pdf[text_col]]
+            per_doc = _cdc_offsets_batch(datas, min_size, max_size, bits)
+            for did, data, chunks in zip(pdf["doc_id"], datas, per_doc):
+                for off, ln in chunks:
                     rows["doc_id"].append(did)
                     rows["off"].append(off)
                     rows["length"].append(ln)

@@ -1176,6 +1176,43 @@ def test_cdc_spark_matches_reference_chunker(spark):
     assert got == want and want
 
 
+def test_cdc_vectorized_batch_kernel_equals_scalar_reference():
+    """The numpy batch kernel (`_cdc_offsets_batch`) must be byte-
+    identical to the pure-python reference on an adversarial corpus —
+    empty/tiny docs, window-boundary lengths, zero runs that force
+    max_size cuts, random binary, the oracle fixture classes — across
+    the parameter grid, including the uint16/uint32 word-width switch
+    at bits=16/17 and the scalar fallback when min_size < the hash
+    window width."""
+    import random
+
+    from smartpipeline_spark.functions.dedup import (
+        _cdc_offsets_batch,
+        _cdc_synth_py,
+        cdc_chunk_offsets,
+    )
+
+    rng = random.Random(7)
+    docs = [b"", b"a", bytes(63), bytes(64), bytes(65), bytes(5000)]
+    docs += [
+        bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 9000)))
+        for _ in range(40)
+    ]
+    docs += [_cdc_synth_py(r).encode() for r in range(64)]
+    docs += [bytes([rng.getrandbits(8)]) * rng.randint(60, 300) for _ in range(20)]
+    grid = [
+        (64, 4096, 8),   # defaults: uint16 path
+        (64, 1024, 6), (128, 4096, 10), (64, 65, 8), (200, 256, 4),
+        (64, 4096, 16),  # widest mask still on the uint16 path
+        (64, 4096, 17),  # first uint32-path mask
+        (33, 4096, 16),  # min_size below 64 but >= the uint16 window
+        (16, 4096, 8),   # below every window -> scalar fallback
+    ]
+    for mn, mx, bits in grid:
+        want = [cdc_chunk_offsets(d, mn, mx, bits) for d in docs]
+        assert _cdc_offsets_batch(docs, mn, mx, bits) == want, (mn, mx, bits)
+
+
 def test_cdc_boundaries_survive_prefix_edit(spark):
     """THE content-defined property: inserting bytes at the head of a
     copy shifts every fixed-size block, but CDC boundaries downstream
