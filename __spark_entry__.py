@@ -235,6 +235,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # instance of the derive-tiny-aggregate-broadcast-and-bin shape that
 # ext_ccnet_buckets (percentile binning + labeling) exercises
 # in-window at full strength; q52 stays sweep- and sim-verified.
+# Late r9 (2): ext_mmr_diversify (born r9 — MMR diversified top-k
+# with a recursive-CTE greedy-replay oracle) takes ext_ngram_stats'
+# slot: the n-gram count rollup is a strict subset of ext_pmi
+# (unigram+bigram counts THEN the PMI score), which stays in-window;
+# ext_ngram_stats holds its green r8 row and stays sweep/sim-green.
 _WINDOW = (
     # round-7 flagships
     "ext_line_dedup", "ext_entropy_filter",
@@ -255,8 +260,9 @@ _WINDOW = (
     "q57_grouped_map",
     # ext_* debt
     "ext_chunk_docs", "ext_data_card", "ext_decay_trend",
-    "ext_lm_score", "ext_lm_stupid_backoff", "ext_ngram_stats",
-    "ext_pmi", "ext_redact", "ext_rollup_reuse", "ext_salted_join",
+    "ext_lm_score", "ext_lm_stupid_backoff",
+    "ext_mmr_diversify", "ext_pmi", "ext_redact", "ext_rollup_reuse",
+    "ext_salted_join",
     "ext_skew_report", "ext_emb_quantize", "ext_substring_strip",
     "ext_unimax_budget", "ext_epoch_shuffle",
     # family anchors

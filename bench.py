@@ -137,6 +137,11 @@ BENCH_QUERIES = [
     "ext_emb_quantize",
     "ext_epoch_shuffle",
     "ext_bpe_encode",
+    # round-9 additions (late): MMR diversified top-k — the brute
+    # relevance pool plus one bounded applyInPandas greedy per query;
+    # benched because the pool build shares ext_knn_bruteforce's
+    # broadcast shape and the re-rank should price as noise on top.
+    "ext_mmr_diversify",
 ]
 
 

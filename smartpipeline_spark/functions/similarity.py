@@ -148,6 +148,163 @@ def ext_knn_bruteforce(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------- MMR diversification
+# Maximal Marginal Relevance (Carbonell & Goldstein '98): greedy top-k
+# that trades relevance against redundancy — next pick maximizes
+# λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s). The curation use is
+# diversified selection (search results, few-shot example pools,
+# training-subset picking after dedup); relevance-only top-k returns
+# near-duplicate clusters, MMR spends the k slots on coverage.
+_MMR_POOL = 24  # relevance pool per query the greedy runs over
+_MMR_K = 8      # diversified picks per query
+_MMR_LAMBDA = 0.7
+
+_MMR_ORACLE = f"""WITH RECURSIVE
+ q AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+       WHERE vec_id < {N_QUERIES}),
+ c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+ scored AS (
+   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          FLOOR(list_cosine_similarity(q.emb, c.emb) * 10000.0 + 0.5)
+            / 10000.0 AS rel
+   FROM q JOIN c ON q.vec_id <> c.vec_id),
+ pool AS (
+   SELECT * FROM (
+     SELECT query_id, neighbor_id, rel,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rel DESC, neighbor_id) AS rnk
+     FROM scored) ranked WHERE rnk <= {_MMR_POOL}),
+ pairs AS (
+   SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+          FLOOR(list_cosine_similarity(ea.emb, eb.emb) * 10000.0 + 0.5)
+            / 10000.0 AS s
+   FROM pool a JOIN pool b ON a.query_id = b.query_id
+                          AND a.neighbor_id <> b.neighbor_id
+   JOIN c ea ON ea.vec_id = a.neighbor_id
+   JOIN c eb ON eb.vec_id = b.neighbor_id),
+ sel AS (
+   SELECT query_id, 1 AS step, neighbor_id AS picked,
+          {_MMR_LAMBDA} * rel AS mmr, [neighbor_id] AS sel_ids
+   FROM pool WHERE rnk = 1
+   UNION ALL
+   SELECT s.query_id, s.step + 1, nxt.neighbor_id, nxt.mmr,
+          list_append(s.sel_ids, nxt.neighbor_id)
+   FROM sel s, LATERAL (
+     SELECT p.neighbor_id,
+            {_MMR_LAMBDA} * p.rel - {1.0 - _MMR_LAMBDA} * (
+              SELECT MAX(pr.s) FROM pairs pr
+              WHERE pr.query_id = p.query_id AND pr.i = p.neighbor_id
+                AND list_contains(s.sel_ids, pr.j)) AS mmr
+     FROM pool p
+     WHERE p.query_id = s.query_id
+       AND NOT list_contains(s.sel_ids, p.neighbor_id)
+     ORDER BY mmr DESC, p.neighbor_id
+     LIMIT 1) nxt
+   WHERE s.step < {_MMR_K})
+SELECT query_id, picked AS neighbor_id, step AS mmr_rank,
+       FLOOR(mmr * 10000.0 + 0.5) / 10000.0 AS mmr_score
+FROM sel"""
+
+
+def mmr_diversify(
+    pool: DataFrame,
+    k: int = _MMR_K,
+    lam: float = _MMR_LAMBDA,
+) -> DataFrame:
+    """Greedy MMR over a per-query candidate pool: ``pool`` carries
+    (query_id, neighbor_id, rel, emb) with at most a few dozen rows
+    per query (the output of ANY first-stage retriever — brute,
+    LSH/IVF/HNSW — which is where the scale knob lives). One
+    applyInPandas group per query: the greedy is O(pool²·k) on a
+    pool that is bounded BY CONTRACT, pairwise similarities are one
+    (pool × pool) matrix per group, and nothing touches the driver —
+    at 100 TB the cost profile is the retriever's, MMR re-ranking is
+    noise. Pairwise cosines accumulate dimension-by-dimension
+    (``Σ_d outer(E_d, E_d)``) so every pair reproduces the sequential
+    fold order of :func:`cosine_expr` bit-for-bit, then round to the
+    4-decimal grid shared with the DuckDB oracle; the λ-blend runs on
+    those rounded doubles, so both engines walk identical argmax
+    (tie: lowest id) paths."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["rel", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        n = len(pdf)
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+        dots = np.zeros((n, n))
+        norms = np.zeros(n)
+        for d in range(E.shape[1]):  # fold order: acc + x*x, dim by dim
+            col = E[:, d]
+            dots += np.outer(col, col)
+            norms += col * col
+        nrm = np.sqrt(norms)
+        sim = np.floor(dots / np.outer(nrm, nrm) * 10000.0 + 0.5) / 10000.0
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        ids = pdf["neighbor_id"].to_numpy()
+        picks, scores = [0], [lam * rel[0]]
+        penalty = sim[:, 0].copy()
+        while len(picks) < min(k, n):
+            best = -1
+            best_v = None
+            for i in range(n):
+                if i in picks:
+                    continue
+                v = lam * rel[i] - (1.0 - lam) * penalty[i]
+                if best < 0 or v > best_v or (v == best_v and ids[i] < ids[best]):
+                    best, best_v = i, v
+            picks.append(best)
+            scores.append(best_v)
+            np.maximum(penalty, sim[:, best], out=penalty)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "neighbor_id": ids[picks],
+                "mmr_rank": np.arange(1, len(picks) + 1, dtype=np.int32),
+                "mmr_score": np.floor(
+                    np.asarray(scores) * 10000.0 + 0.5
+                ) / 10000.0,
+            }
+        )
+
+    return pool.groupBy("query_id").applyInPandas(
+        kernel,
+        "query_id long, neighbor_id long, mmr_rank int, mmr_score double",
+    )
+
+
+@ext_query("ext_mmr_diversify", _MMR_ORACLE)
+def ext_mmr_diversify(spark, sf_dir):
+    """MMR-diversified top-k: brute relevance pool (same broadcast
+    shape as ext_knn_bruteforce, pool of _MMR_POOL=24) re-ranked by
+    :func:`mmr_diversify` (λ=0.7, k=8). The DuckDB oracle replays the
+    greedy exactly as a recursive CTE carrying the selected list,
+    re-picking each step's argmax with a LATERAL top-1."""
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "emb",
+        round4(cosine_expr(F.col("q_emb"), F.col("emb"))).alias("rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("neighbor_id")
+    )
+    pool = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _MMR_POOL)
+        .select("query_id", "neighbor_id", "rel", "emb")
+    )
+    return mmr_diversify(pool)
+
+
 def _lsh_buckets_udf():
     """All-table hyperplane signatures in one vectorized Pandas UDF:
     a (batch x dim) @ (dim x tables*bits) numpy matmul, sign-packed to

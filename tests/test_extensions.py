@@ -48,6 +48,48 @@ def test_simhash_pairs_are_symmetric_and_bounded(spark):
         assert 0 <= r["hamming"] <= 3
 
 
+def test_mmr_diversify_trades_relevance_for_diversity(spark):
+    """MMR semantics against the brute ranking: pick 1 is exactly the
+    relevance top-1; the picked set is genuinely diversified — its
+    mean pairwise cosine is strictly below the relevance-only top-k's
+    (λ=0.7 leaves room to spend on redundancy); and mmr_score is
+    non-increasing in rank (greedy argmax over a penalty that only
+    grows)."""
+    import numpy as np
+
+    from smartpipeline_spark.functions import EXT_QUERIES
+    from smartpipeline_spark.functions.similarity import _MMR_K, _emb
+
+    exact = EXT_QUERIES["ext_knn_bruteforce"](spark, SF_SMOKE).collect()
+    mmr = EXT_QUERIES["ext_mmr_diversify"](spark, SF_SMOKE).collect()
+    embs = {
+        r["vec_id"]: np.asarray(r["emb"]) for r in _emb(spark, SF_SMOKE).collect()
+    }
+
+    def mean_pairwise(ids):
+        vs = [embs[i] / np.linalg.norm(embs[i]) for i in ids]
+        sims = [float(a @ b) for x, a in enumerate(vs) for b in vs[:x]]
+        return sum(sims) / len(sims)
+
+    by_q_exact, by_q_mmr = {}, {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], {})[r["rank"]] = r["neighbor_id"]
+    for r in mmr:
+        by_q_mmr.setdefault(r["query_id"], []).append(r)
+    assert set(by_q_mmr) == set(by_q_exact)
+    diversified = 0
+    for qid, rows in by_q_mmr.items():
+        rows.sort(key=lambda r: r["mmr_rank"])
+        assert len(rows) == _MMR_K
+        assert rows[0]["neighbor_id"] == by_q_exact[qid][1]  # top-1 rel
+        scores = [r["mmr_score"] for r in rows]
+        assert scores == sorted(scores, reverse=True), (qid, scores)
+        topk_ids = [by_q_exact[qid][k] for k in range(1, _MMR_K + 1)]
+        if mean_pairwise([r["neighbor_id"] for r in rows]) < mean_pairwise(topk_ids):
+            diversified += 1
+    assert diversified >= 0.8 * len(by_q_mmr), diversified
+
+
 def test_lsh_ann_recall_against_bruteforce(spark):
     from smartpipeline_spark.functions import EXT_QUERIES
 
