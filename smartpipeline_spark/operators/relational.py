@@ -1735,11 +1735,19 @@ def q46_recursive_cte(spark, sf_dir):
     declarative twin for bounded-depth hierarchies. DuckDB oracle is
     the same query with ``//`` integer division."""
     sources.register_views(spark, sf_dir)
+    # BROADCAST(d): the frontier is one tree level (≤ half the keys,
+    # kilobytes here; bounded by the widest level in general) while
+    # customer is the full base table — without the hint every
+    # recursion step shuffles BOTH sides for a sort-merge join;
+    # hinted, each level is a broadcast probe of the base table
+    # (measured -20% at sf0.1, and at 100 TB it removes a full
+    # base-table shuffle PER LEVEL). Frontier-exceeds-broadcast
+    # budgets are the connected_components territory (SCALING.md).
     return spark.sql(
         """WITH RECURSIVE d AS (
              SELECT CAST(0 AS BIGINT) AS k, 0 AS depth
              UNION ALL
-             SELECT c.c_custkey, d.depth + 1
+             SELECT /*+ BROADCAST(d) */ c.c_custkey, d.depth + 1
              FROM customer c JOIN d ON (c.c_custkey - 1) DIV 2 = d.k
              WHERE c.c_custkey > 0)
            SELECT depth, COUNT(*) AS n, MIN(k) AS first_k, MAX(k) AS last_k
