@@ -39,6 +39,11 @@ NESTED_LOOP_ALLOWED = {
     "q49_cross_join",  # declared tiny-side cartesian demo
     "ext_dedup_embedding",  # O(N^2) exact baseline for semantic dedup
     "ext_knn_bruteforce",  # O(N*Q) exact baseline for the ANN ladder
+    # MMR's registered first stage IS the brute baseline retriever
+    # (same O(N*Q) broadcast pool as ext_knn_bruteforce, by contract
+    # swappable for any ANN member); the MMR re-rank itself is the
+    # bounded applyInPandas group that follows.
+    "ext_mmr_diversify",
 }
 
 
