@@ -341,3 +341,23 @@ def test_cdc_offsets_partition_the_bytes_exactly(data, bits):
         pos = off + ln
     assert pos == len(data)
     assert (len(chunks) == 0) == (len(data) == 0)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    datas=st.lists(st.binary(min_size=0, max_size=4_000), max_size=8),
+    bits=st.sampled_from([4, 8, 12]),
+)
+def test_cdc_vectorized_batch_equals_scalar_under_hypothesis(datas, bits):
+    """For ANY batch of byte strings: the numpy batch kernel emits
+    byte-identical chunk lists to the pure-python reference — the
+    reset-free windowed-hash equivalence holds at every doc boundary
+    and mask width (the doc-concat contamination window and the
+    min-size eligibility rule are exactly complementary)."""
+    from smartpipeline_spark.functions.dedup import (
+        _cdc_offsets_batch,
+        cdc_chunk_offsets,
+    )
+
+    want = [cdc_chunk_offsets(d, bits=bits) for d in datas]
+    assert _cdc_offsets_batch(datas, bits=bits) == want
