@@ -56,6 +56,15 @@ def main():
     print("top fused hits (lexical rank, vector rank, rrf):")
     for r in hits.orderBy(F.desc("rrf"), "doc_id").limit(10).collect():
         print(f"  doc {r.doc_id:>6}  lex={r.r_lex} vec={r.r_vec} rrf={r.rrf:.6f} [{r.lang}] {r.snippet!r}")
+
+    # final stage: MMR re-rank — the fused list is relevance-ordered,
+    # so near-duplicate passages crowd the context window; the greedy
+    # λ-blend spends the k slots on coverage instead. Pool is bounded
+    # (the fused candidates), so this re-rank prices as noise.
+    diversified = EXT_QUERIES["ext_mmr_diversify"](spark, sf_dir)
+    print("MMR-diversified context set (rank, score):")
+    for r in diversified.filter("query_id = 0").orderBy("mmr_rank").collect():
+        print(f"  #{r.mmr_rank}  vec {r.neighbor_id:>6}  mmr={r.mmr_score:.4f}")
     spark.stop()
 
 
