@@ -240,6 +240,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # slot: the n-gram count rollup is a strict subset of ext_pmi
 # (unigram+bigram counts THEN the PMI score), which stays in-window;
 # ext_ngram_stats holds its green r8 row and stays sweep/sim-green.
+# Born late-r9 OUT of window (attestation debt for the r10 rotation):
+# ext_pagerank (DECIMAL-exact power iteration, chained-CTE oracle) —
+# sweep/sim/pytest-green this round, takes its first driver row when
+# a slot frees up next round.
 _WINDOW = (
     # round-7 flagships
     "ext_line_dedup", "ext_entropy_filter",

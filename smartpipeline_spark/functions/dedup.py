@@ -991,6 +991,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 10,
     damping: float = 0.85,
+    deterministic_sums: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list — the second iterative graph
     primitive beside :func:`connected_components` (authority scoring
@@ -1004,7 +1005,25 @@ def pagerank(
     crossJoin (in-plan, no driver round-trip per iteration — the
     driver only coordinates the loop). Lineage localCheckpoints every
     4 rounds (same contract as connected_components: without it the
-    plan doubles per iteration)."""
+    plan doubles per iteration).
+
+    ``deterministic_sums`` routes the two per-iteration double sums
+    (edge contributions, dangling mass) through DECIMAL(28,14) — an
+    exact, order-independent accumulator — so every iteration's rank
+    vector is REPRODUCIBLE bit-for-bit across shuffles, retries, AND
+    engines (the dsum2 trick from operators/relational.py applied
+    iteratively; every other op in the update is pointwise IEEE on
+    identical inputs). The DuckDB oracle of the registered key
+    depends on it; default off to keep the plain-double fast path."""
+    _d14 = "decimal(28,14)"
+
+    def _s(col):
+        return (
+            F.sum(col.cast(_d14)).cast("double")
+            if deterministic_sums
+            else F.sum(col)
+        )
+
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("id"))
@@ -1020,12 +1039,12 @@ def pagerank(
             .join(e, "src")
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("id")
-            .agg(F.sum("c").alias("inflow"))
+            .agg(_s(F.col("c")).alias("inflow"))
         )
         # dangling mass: rank held by nodes with no out-edges, spread evenly
         dangling = (
             ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+            .agg(F.coalesce(_s(F.col("rank")), F.lit(0.0)).alias("dmass"))
         )
         ranks = (
             nodes.join(contribs, "id", "left")
@@ -1042,6 +1061,67 @@ def pagerank(
         if (i + 1) % 4 == 0:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def _pagerank_oracle(iters: int = 4) -> str:
+    """DuckDB oracle for ext_pagerank: the power iteration UNROLLED as
+    chained (non-recursive) CTEs r0..r{iters} — fixed iteration count
+    needs no recursion, and chaining sidesteps the no-aggregates-over-
+    the-recursive-reference rule entirely. Engine-portability is the
+    deterministic_sums contract: both engines accumulate the two
+    per-iteration sums in DECIMAL(28,14) (exact, order-free), so each
+    iteration's rank vector is bit-identical and only the final
+    output rounds (1e-6 grid)."""
+    steps = []
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        steps.append(f""" r{k} AS (
+   SELECT n.id,
+          0.15 + 0.85 * (COALESCE(inf.s, 0.0) + dm.m / nn.n) AS rank
+   FROM nodes n
+   CROSS JOIN nn
+   CROSS JOIN (SELECT COALESCE(CAST(SUM(CAST(r.rank AS DECIMAL(28,14))) AS DOUBLE), 0.0) AS m
+               FROM {p} r LEFT JOIN deg d ON r.id = d.src
+               WHERE d.src IS NULL) dm
+   LEFT JOIN (SELECT e.dst AS id,
+                     CAST(SUM(CAST(r.rank / d.deg AS DECIMAL(28,14))) AS DOUBLE) AS s
+              FROM {p} r JOIN deg d ON r.id = d.src JOIN e ON e.src = r.id
+              GROUP BY e.dst) inf ON inf.id = n.id)""")
+    return f"""WITH e AS (SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+ nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+ deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+ nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+ r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+{",".join(steps)}
+SELECT id, FLOOR(rank * 1000000.0 + 0.5) / 1000000.0 AS rank
+FROM r{iters}"""
+
+
+@ext_query("ext_pagerank", _pagerank_oracle())
+def ext_pagerank(spark, sf_dir):
+    """PageRank authority scores over the supplier→customer delivery
+    graph (distinct (l_suppkey, o_custkey) edges — 'who supplies
+    whom'), 4 damped power iterations with dangling-mass
+    redistribution, via the library :func:`pagerank` in its
+    deterministic_sums mode. Per iteration: one edge join + one
+    partial-agg'd groupBy + a 1-row dangling aggregate attached
+    in-plan — the corpus-scale posture is the edge join's, and the
+    iteration count (not graph size) sets the job count. The oracle
+    unrolls the same 4 iterations as chained CTEs on the identical
+    DECIMAL-exact accumulators."""
+    li = sources.table(spark, "lineitem", sf_dir)
+    o = sources.table(spark, "orders", sf_dir)
+    e = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst")
+    )
+    pr = pagerank(e, iters=4, deterministic_sums=True)
+    return pr.select(
+        "id",
+        (F.floor(F.col("rank") * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "rank"
+        ),
+    )
 
 
 # ------------------------------------------------ incremental corpus dedup

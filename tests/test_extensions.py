@@ -678,6 +678,15 @@ def test_pagerank_matches_reference_power_iteration(spark):
         assert abs(got[n] - ranks[n]) < 1e-9, (n, got[n], ranks[n])
     assert got[3] == max(got.values())  # the authority wins
 
+    # deterministic_sums (the oracle-portable DECIMAL accumulator)
+    # agrees with the plain-double path to quantization error and is
+    # rerun-identical bit-for-bit
+    det1 = {r.id: r.rank for r in pagerank(df, iters=20, deterministic_sums=True).collect()}
+    det2 = {r.id: r.rank for r in pagerank(df, iters=20, deterministic_sums=True).collect()}
+    assert det1 == det2
+    for n in nodes:
+        assert abs(det1[n] - got[n]) < 1e-9, (n, det1[n], got[n])
+
 
 def test_ivf_saved_index_matches_inline_and_prunes_partitions(spark, tmp_path):
     import io
