@@ -141,6 +141,11 @@ BENCH_QUERIES = [
     # relevance pool plus one bounded applyInPandas greedy per query;
     # benched because the pool build shares ext_knn_bruteforce's
     # broadcast shape and the re-rank should price as noise on top.
+    # ext_pagerank stays OUT for the ext_quality_classifier reason:
+    # 4 sequential power iterations are ~15 jobs of fixed overhead at
+    # fixture scale (6.4s, job-count-bound, not data-bound) and would
+    # mask the headline set; its scale posture is one edge join + one
+    # partial-agg groupBy per iteration, measured via the sweep.
     "ext_mmr_diversify",
 ]
 

@@ -1024,14 +1024,24 @@ def pagerank(
             else F.sum(col)
         )
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # checkpoint the edge list: every iteration's contribution join
+    # reads it (and out_deg derives from it again) — without this the
+    # upstream edge derivation (often a join + distinct) re-executes
+    # per use per iteration, 2k+ times for k iterations
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
     ).localCheckpoint()
     n_nodes = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    out_deg = (
+        e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+    )
     ranks = nodes.select("id", F.lit(1.0).alias("rank")).localCheckpoint()
     for i in range(iters):
         contribs = (
