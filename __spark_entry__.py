@@ -317,9 +317,10 @@ ROWS_ONLY_ATTESTATIONS = {
     # ext_cdc_chunk_stats converted rows-only -> oracled in round 9
     # (deterministic residue-class fixture; reference chunk lists ride
     # the oracle as a VALUES CTE) — its three chunker pytests remain.
-    "ext_html_boilerplate": [
-        "test_html_extraction_drops_planted_boilerplate",
-    ],
+    # ext_html_boilerplate converted rows-only -> oracled late r9: on
+    # the fixed synth template the parser result is a closed form of
+    # (lang, text); the planted-boilerplate pytest remains for the
+    # general parser semantics.
     "ext_lang_id_trained": [
         "test_trained_langid_beats_heuristic_on_signal_corpus",
         "test_trained_langid_key_holds_heuristic_floor_on_fixture",

@@ -238,14 +238,31 @@ def ext_html_extract(spark, sf_dir):
     ).select("doc_id", "text")
 
 
-@ext_query("ext_html_boilerplate")  # parser semantics: pytest-attested
+@ext_query(
+    "ext_html_boilerplate",
+    r"""SELECT doc_id,
+               CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = ''
+                    THEN lang
+                    ELSE lang || chr(10)
+                         || trim(regexp_replace(text, '\s+', ' ', 'g'))
+               END AS text
+        FROM documents""",
+)
 def ext_html_boilerplate(spark, sf_dir):
     """Boilerplate-mode extraction over the same synthesized markup:
     nav/footer chrome and link-dense blocks are REMOVED, so the output
     is title-free, menu-free article text (here: the h1 lang heading +
-    the document body). Rows-only by design — chrome subtree removal
-    and the link-density gate are not SQL-expressible; attested by the
-    planted-boilerplate pytest (manifest-enforced)."""
+    the document body). Oracled as of r9 via the fixture-closed-form
+    recipe: chrome subtree removal and the link-density gate are not
+    SQL-expressible in general, but on the FIXED synth template the
+    parser's result is a pure function of (lang, text) — nav, title
+    and footer always drop, the h1 block is the lang, the content
+    block is the whitespace-collapsed text, blocks join with \n — so
+    the oracle grades the full distributed chain (synth expression,
+    Arrow parser pass, chrome/link-density decisions, block join)
+    end-to-end. GENERAL parser semantics (nested chrome, link-dense
+    block suppression on real markup) remain pinned by the planted-
+    boilerplate pytest."""
     return extract_html_text(
         _synth_html(spark, sf_dir), mode="boilerplate"
     ).select("doc_id", "text")
