@@ -206,6 +206,25 @@ SELECT query_id, picked AS neighbor_id, step AS mmr_rank,
 FROM sel"""
 
 
+def _spread_groups(df: DataFrame, n_groups: int, col: str) -> DataFrame:
+    """One partition per group ahead of a CPU-heavy applyInPandas.
+
+    AQE's small-shuffle coalescing sees a few KB behind the groupBy
+    exchange and merges everything into ONE reduce partition, which
+    serializes every per-group kernel into a single Python worker
+    (measured: 4 one-second graph builds ran in 4.9s). An explicit
+    repartition is exempt from coalescing, and RANGE partitioning
+    (not hash) is what guarantees distinct groups land in distinct
+    partitions — the group labels are small consecutive ints whose
+    murmur3 values collide at practical partition counts (ids 0 and 1
+    collide mod 16/32/64). Catalyst accepts the range layout as
+    satisfying the groupBy clustering, so no second exchange appears;
+    the range sampling pass costs one cheap job on the tiny keyed
+    frame. Only worth it when per-group kernel CPU dominates — plain
+    data-bound groupBys should keep letting AQE coalesce."""
+    return df.repartitionByRange(max(1, n_groups), col)
+
+
 def mmr_diversify(
     pool: DataFrame,
     k: int = _MMR_K,
@@ -269,6 +288,10 @@ def mmr_diversify(
             }
         )
 
+    # NO _spread_groups here: the greedy kernel is ~20ms/group, so the
+    # range-sampling job costs more than AQE's coalesced single task
+    # (measured 0.68s -> 0.93s) — the helper's own "only when kernel
+    # CPU dominates" rule, applied.
     return pool.groupBy("query_id").applyInPandas(
         kernel,
         "query_id long, neighbor_id long, mmr_rank int, mmr_score double",
@@ -1574,8 +1597,9 @@ def ext_knn_hnsw(spark, sf_dir):
     # deterministic pmod sharding (not physical partitions): the SAME
     # shard layout the persisted index writes, so the saved-vs-inline
     # equality the family pins for IVF/PQ holds structurally here too
+    n_shards = _hnsw_n_shards(e)
     cand_pairs = (
-        _hnsw_sharded(e, _hnsw_n_shards(e))
+        _spread_groups(_hnsw_sharded(e, n_shards), n_shards, "shard")
         .groupBy("shard")
         .applyInPandas(kernel, "query_id long, neighbor_id long")
     )
@@ -1660,8 +1684,10 @@ def build_hnsw_index(e: DataFrame, path: str) -> None:
     import os
 
     n_shards = _hnsw_n_shards(e)
-    graphs = _hnsw_sharded(e, n_shards).groupBy("shard").applyInPandas(
-        _hnsw_shard_kernel, _HNSW_GRAPH_SCHEMA
+    graphs = (
+        _spread_groups(_hnsw_sharded(e, n_shards), n_shards, "shard")
+        .groupBy("shard")
+        .applyInPandas(_hnsw_shard_kernel, _HNSW_GRAPH_SCHEMA)
     )
     graphs.write.mode("overwrite").parquet(os.path.join(path, "graphs"))
     e.select("vec_id", "emb").write.mode("overwrite").parquet(
@@ -1688,7 +1714,9 @@ def append_to_hnsw_index(spark, path: str, new_vectors: DataFrame) -> dict:
     n_shards = _hnsw_n_shards(new_vectors)
     n_rows = new_vectors.count()
     graphs = (
-        _hnsw_sharded(new_vectors, n_shards, base=base)
+        _spread_groups(
+            _hnsw_sharded(new_vectors, n_shards, base=base), n_shards, "shard"
+        )
         .groupBy("shard")
         .applyInPandas(_hnsw_shard_kernel, _HNSW_GRAPH_SCHEMA)
     )
