@@ -124,6 +124,39 @@ def test_ivf_ann_recall_against_bruteforce(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_spread_groups_one_range_exchange_one_partition_per_group(spark):
+    """The AQE-coalescing countermeasure's two load-bearing claims:
+    (1) the explicit range repartition is the ONLY exchange — Catalyst
+    accepts the range layout as satisfying the groupBy clustering, so
+    no hash exchange re-appears (which would both re-coalesce under
+    AQE and re-collide the small-int labels); (2) distinct groups
+    land in distinct partitions — the property hash partitioning
+    lacks (consecutive small ints collide under murmur3)."""
+    from pyspark.sql import functions as F
+
+    from smartpipeline_spark.functions.similarity import _spread_groups
+
+    df = spark.range(0, 400).select((F.col("id") % 4).alias("g"), "id")
+    spread = _spread_groups(df, 4, "g")
+    applied = spread.groupBy("g").applyInPandas(
+        lambda _k, p: p[["id"]], "id long"
+    )
+    plan = applied._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan
+    assert plan.count("Exchange") == 1, plan
+    pids = (
+        spread.withColumn("p", F.spark_partition_id())
+        .select("g", "p")
+        .distinct()
+        .collect()
+    )
+    by_group = {}
+    for r in pids:
+        by_group.setdefault(r.g, set()).add(r.p)
+    assert all(len(v) == 1 for v in by_group.values()), by_group
+    assert len({next(iter(v)) for v in by_group.values()}) == 4, by_group
+
+
 def test_hnsw_ann_recall_against_bruteforce(spark):
     """Per-partition HNSW (M=8, efC=64, efS=48): measured recall 1.0
     on the 500-vector fixture (shards are small enough that the graph
