@@ -8,7 +8,7 @@ WITH e AS (SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
  r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
  r1 AS (
    SELECT n.id,
-          0.15 + 0.85 * (COALESCE(inf.s, 0.0) + dm.m / nn.n) AS rank
+          0.15000000000000002 + 0.85 * (COALESCE(inf.s, 0.0) + dm.m / nn.n) AS rank
    FROM nodes n
    CROSS JOIN nn
    CROSS JOIN (SELECT COALESCE(CAST(SUM(CAST(r.rank AS DECIMAL(28,14))) AS DOUBLE), 0.0) AS m
@@ -19,7 +19,7 @@ WITH e AS (SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
               FROM r0 r JOIN deg d ON r.id = d.src JOIN e ON e.src = r.id
               GROUP BY e.dst) inf ON inf.id = n.id), r2 AS (
    SELECT n.id,
-          0.15 + 0.85 * (COALESCE(inf.s, 0.0) + dm.m / nn.n) AS rank
+          0.15000000000000002 + 0.85 * (COALESCE(inf.s, 0.0) + dm.m / nn.n) AS rank
    FROM nodes n
    CROSS JOIN nn
    CROSS JOIN (SELECT COALESCE(CAST(SUM(CAST(r.rank AS DECIMAL(28,14))) AS DOUBLE), 0.0) AS m
@@ -30,7 +30,7 @@ WITH e AS (SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
               FROM r1 r JOIN deg d ON r.id = d.src JOIN e ON e.src = r.id
               GROUP BY e.dst) inf ON inf.id = n.id), r3 AS (
    SELECT n.id,
-          0.15 + 0.85 * (COALESCE(inf.s, 0.0) + dm.m / nn.n) AS rank
+          0.15000000000000002 + 0.85 * (COALESCE(inf.s, 0.0) + dm.m / nn.n) AS rank
    FROM nodes n
    CROSS JOIN nn
    CROSS JOIN (SELECT COALESCE(CAST(SUM(CAST(r.rank AS DECIMAL(28,14))) AS DOUBLE), 0.0) AS m
@@ -41,7 +41,7 @@ WITH e AS (SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
               FROM r2 r JOIN deg d ON r.id = d.src JOIN e ON e.src = r.id
               GROUP BY e.dst) inf ON inf.id = n.id), r4 AS (
    SELECT n.id,
-          0.15 + 0.85 * (COALESCE(inf.s, 0.0) + dm.m / nn.n) AS rank
+          0.15000000000000002 + 0.85 * (COALESCE(inf.s, 0.0) + dm.m / nn.n) AS rank
    FROM nodes n
    CROSS JOIN nn
    CROSS JOIN (SELECT COALESCE(CAST(SUM(CAST(r.rank AS DECIMAL(28,14))) AS DOUBLE), 0.0) AS m

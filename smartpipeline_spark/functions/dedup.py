@@ -1073,7 +1073,7 @@ def pagerank(
     return ranks
 
 
-def _pagerank_oracle(iters: int = 4) -> str:
+def _pagerank_oracle(iters: int = 4, damping: float = 0.85) -> str:
     """DuckDB oracle for ext_pagerank: the power iteration UNROLLED as
     chained (non-recursive) CTEs r0..r{iters} — fixed iteration count
     needs no recursion, and chaining sidesteps the no-aggregates-over-
@@ -1081,13 +1081,21 @@ def _pagerank_oracle(iters: int = 4) -> str:
     deterministic_sums contract: both engines accumulate the two
     per-iteration sums in DECIMAL(28,14) (exact, order-free), so each
     iteration's rank vector is bit-identical and only the final
-    output rounds (1e-6 grid)."""
+    output rounds (1e-6 grid). The teleport constant is emitted as
+    ``repr(1.0 - damping)`` — the SAME float the Spark side computes
+    via ``F.lit(1.0 - damping)`` (0.15000000000000002 for the default,
+    one ulp off the literal 0.15) — so the pointwise update is
+    bit-identical too, not merely within the rounding grid; both
+    constants derive from the single ``damping`` parameter shared with
+    the library call."""
+    teleport = repr(1.0 - damping)
+    damp = repr(damping)
     steps = []
     for k in range(1, iters + 1):
         p = f"r{k - 1}"
         steps.append(f""" r{k} AS (
    SELECT n.id,
-          0.15 + 0.85 * (COALESCE(inf.s, 0.0) + dm.m / nn.n) AS rank
+          {teleport} + {damp} * (COALESCE(inf.s, 0.0) + dm.m / nn.n) AS rank
    FROM nodes n
    CROSS JOIN nn
    CROSS JOIN (SELECT COALESCE(CAST(SUM(CAST(r.rank AS DECIMAL(28,14))) AS DOUBLE), 0.0) AS m

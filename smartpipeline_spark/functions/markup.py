@@ -196,6 +196,17 @@ def extract_html_text(
 # collapse — the DuckDB-expressible subset oracle. The boilerplate
 # mode (chrome + link-density removal) is NOT SQL-expressible and is
 # attested by the planted-fixture pytest behind ext_html_boilerplate.
+#
+# CORPUS WHITESPACE ASSUMPTION (both oracles below): DuckDB/RE2
+# '\s+' collapses only ASCII [\t\n\f\r ], while the Spark-side parser
+# collapses via Python str.split(), which additionally splits on
+# \x0b, \x1c-\x1f, \x85 and Unicode space separators. The closed
+# forms therefore hold only because documents.text / documents.lang
+# in the fixture corpus contain ASCII whitespace exclusively (and are
+# <,>,&-free; lang is additionally never empty/whitespace-only, which
+# the boilerplate CASE relies on). test_manifest.py pins these corpus
+# properties so a fixture change fails loudly instead of silently
+# diverging the engines.
 _HTML_PREFIX = (
     '<html><head><title>doc</title></head><body>'
     '<nav><a href="/">home</a> <a href="/about">about</a></nav><h1>'

@@ -115,3 +115,31 @@ def test_registry_is_the_full_union_no_key_dropped():
     assert set(entrymod.queries()) == set(QUERIES) | set(EXT_QUERIES)
     # and the window is a strict prefix of it (driver contract)
     assert tuple(entrymod.queries())[: len(entrymod._WINDOW)] == entrymod._WINDOW
+
+
+def test_html_oracle_corpus_assumptions_hold():
+    """The ext_html_extract / ext_html_boilerplate closed-form oracles
+    assume the fixture corpus: (a) documents.text and documents.lang
+    contain ONLY ASCII whitespace [\\t\\n\\f\\r ] (DuckDB/RE2 '\\s+'
+    vs Python str.split() diverge on \\x0b, \\x1c-\\x1f, \\x85 and
+    Unicode spaces), (b) both are <,>,&-free (the synth HTML embeds
+    them raw), (c) lang is never empty/whitespace-only (the
+    boilerplate CASE relies on it). This test turns a silent
+    engine-divergence on a fixture change into a loud failure."""
+    import duckdb
+
+    con = duckdb.connect()
+    bad = con.sql(
+        f"""
+        SELECT count(*) FROM read_parquet('{SF_SMOKE}/documents.parquet')
+        WHERE regexp_matches(text, '[<>&\\x0b\\x1c-\\x1f\\x{{85}}\\x{{a0}}\\x{{1680}}\\x{{2000}}-\\x{{200a}}\\x{{2028}}\\x{{2029}}\\x{{202f}}\\x{{205f}}\\x{{3000}}]')
+           OR regexp_matches(lang, '[<>&\\x0b\\x1c-\\x1f\\x{{85}}\\x{{a0}}\\x{{1680}}\\x{{2000}}-\\x{{200a}}\\x{{2028}}\\x{{2029}}\\x{{202f}}\\x{{205f}}\\x{{3000}}]')
+           OR trim(lang, E' \\t\\n\\f\\r') = ''
+           OR lang IS NULL
+        """
+    ).fetchone()[0]
+    assert bad == 0, (
+        f"{bad} documents rows violate the html-oracle corpus "
+        "assumptions (exotic whitespace, <>&, or empty lang) — the "
+        "closed-form oracles in functions/markup.py no longer hold"
+    )
