@@ -308,7 +308,13 @@ ROWS_ONLY_ATTESTATIONS = {
         "test_ivfpq_scans_only_probed_cells",
         "test_pq_saved_index_matches_inline_and_prunes_partitions",
     ],
-    "ext_bpe_train": ["test_bpe_training_matches_reference_implementation"],
+    # ext_bpe_train converted rows-only -> oracled in round 10: the
+    # merge list is a pinned pure function of the frozen corpus, so
+    # independently computed reference lists ride the oracle as a
+    # VALUES CTE keyed by corpus fingerprint (the cdc/compression
+    # fixture-closed-form recipe); the toy-corpus reference pytest and
+    # the new pin-honesty pytest (test_bpe_train_oracle_pins_match_
+    # reference) remain in the suite.
     # ext_bpe_encode and ext_compression_ratio converted rows-only ->
     # oracled in round 9 (pinned merge table replayed via wrapped-
     # symbol replaces; zlib reference outputs per doc_id%64 residue

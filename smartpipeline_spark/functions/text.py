@@ -594,12 +594,66 @@ def train_bpe(docs: DataFrame, n_merges: int = 30) -> list[tuple[str, str]]:
     return merges
 
 
-@ext_query("ext_bpe_train")  # iterative/argmax-driven: pytest-verified
+# Reference 12-merge lists per frozen fixture, keyed by the corpus
+# fingerprint COUNT(*):SUM(length(text)) — computed by the PURE-PYTHON
+# textbook BPE (the same reference test_bpe_training_matches_reference_
+# implementation pins on a toy corpus) run over each testdata dir, NOT
+# by the Spark trainer, so the oracle grades the distributed trainer
+# against an independent implementation. A fixture change makes the
+# fingerprint miss every pin -> 0 oracle rows -> loud red row; and
+# test_bpe_train_oracle_pins_match_reference re-derives these lists
+# from the parquet on every suite run, so the pins cannot rot.
+BPE_TRAIN_REFERENCE_PINS: dict[str, list[tuple[str, str]]] = {
+    "500:153156": [  # sf0.001
+        ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+        ("l", "u"), ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"),
+        ("a", "n"), ("c", "an"),
+    ],
+    "500:149174": [  # sf0.01 (== BPE_PINNED_MERGES, the encode table)
+        ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+        ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+        ("j", "o"), ("jo", "in"),
+    ],
+    "5000:1485576": [  # sf0.1
+        ("e", "r"), ("i", "n"), ("o", "r"), ("s", "t"), ("o", "w"),
+        ("t", "a"), ("l", "u"), ("m", "er"), ("a", "r"), ("p", "ar"),
+        ("u", "p"), ("par", "k"),
+    ],
+}
+
+
+def _bpe_train_oracle() -> str:
+    """Oracle for ext_bpe_train via the fixture-closed-form recipe
+    (the one that graduated ext_cdc_chunk_stats and
+    ext_compression_ratio in r9): the trainer's merge list is a pure
+    deterministic function of the frozen corpus (integer frequencies,
+    total (freq DESC, left, right) tie-break), so the independently
+    computed reference lists ride the oracle as a VALUES CTE selected
+    by the live corpus fingerprint. The iteration itself stays
+    Spark-side; the oracle grades its 12-step argmax trajectory
+    end-to-end at every ladder sf."""
+    rows = []
+    for fp, merges in BPE_TRAIN_REFERENCE_PINS.items():
+        for i, (a, b) in enumerate(merges):
+            rows.append(f"('{fp}',{i + 1},'{a}','{b}')")
+    values = ",".join(rows)
+    return f"""WITH fp AS (SELECT CAST(COUNT(*) AS VARCHAR) || ':' ||
+                    CAST(SUM(length(text)) AS VARCHAR) AS v FROM documents),
+ pins(corpus_fp, rank, "left", "right") AS (VALUES {values})
+SELECT rank, "left", "right" FROM pins, fp WHERE pins.corpus_fp = fp.v"""
+
+
+@ext_query("ext_bpe_train", _bpe_train_oracle())
 def ext_bpe_train(spark, sf_dir):
     """Driver-facing wrapper: the learned merge table (rank, left,
-    right) over the documents corpus. No SQL oracle — the argmax-
-    dependent iteration isn't expressible as one query; equivalence
-    against a reference single-machine BPE is pytest-enforced."""
+    right) over the documents corpus. Oracled as of r10 via the
+    fixture-closed-form recipe (:func:`_bpe_train_oracle`): the
+    argmax-dependent iteration isn't expressible as one query, but
+    its output on the frozen fixture is a pinned pure function of the
+    corpus, independently recomputed by the textbook reference both
+    offline (the pins) and in pytest. Equivalence against the
+    reference single-machine BPE on a toy corpus stays
+    pytest-enforced on top."""
     d = sources.table(spark, "documents", sf_dir)
     merges = train_bpe(d, n_merges=12)
     return spark.createDataFrame(

@@ -632,6 +632,66 @@ def test_bpe_training_matches_reference_implementation(spark):
     assert got == want, (got, want)
 
 
+def test_bpe_train_oracle_pins_match_reference():
+    """The BPE_TRAIN_REFERENCE_PINS behind the ext_bpe_train oracle
+    must stay re-derivable from the frozen fixtures by the pure-python
+    textbook BPE — this re-runs that reference over every ladder dir
+    so a fixture or pin drift fails here before it reddens a driver
+    row. (No Spark involved: the pins' whole point is independence
+    from the distributed trainer.)"""
+    from collections import Counter
+
+    import duckdb
+
+    from smartpipeline_spark.functions.text import BPE_TRAIN_REFERENCE_PINS
+
+    def reference(texts, n_merges=12):
+        wordfreq = Counter(w for t in texts for w in t.lower().split())
+        vocab = {tuple(w): f for w, f in wordfreq.items()}
+        out = []
+        for _ in range(n_merges):
+            pairs = Counter()
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += f
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            if best[1] < 2:
+                break
+            a, b = best[0]
+            out.append((a, b))
+            nv = {}
+            for syms, f in vocab.items():
+                o, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        o.append(a + b)
+                        i += 2
+                    else:
+                        o.append(syms[i])
+                        i += 1
+                nv[tuple(o)] = nv.get(tuple(o), 0) + f
+            vocab = nv
+        return out
+
+    con = duckdb.connect()
+    seen = {}
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        texts = [
+            r[0]
+            for r in con.sql(
+                f"SELECT text FROM read_parquet('/root/testdata/{sf}/documents.parquet')"
+            ).fetchall()
+        ]
+        fp = f"{len(texts)}:{sum(len(t) for t in texts)}"
+        seen[fp] = reference(texts)
+    assert seen == BPE_TRAIN_REFERENCE_PINS, (
+        "fixture-derived reference merges diverge from the pinned oracle "
+        f"table: {seen} != {BPE_TRAIN_REFERENCE_PINS}"
+    )
+
+
 def test_bpe_tokenize_applies_merges_in_rank_order(spark):
     from smartpipeline_spark.functions.text import bpe_tokenize, train_bpe
 
