@@ -512,8 +512,14 @@ def _ivf_centroids(e: DataFrame) -> np.ndarray:
         .select("emb")
         .collect()
     )
-    m = np.array([r["emb"] for r in sample], dtype=np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-12
+    return _ivf_kmeans(np.array([r["emb"] for r in sample], dtype=np.float64))
+
+
+def _ivf_kmeans(m: np.ndarray) -> np.ndarray:
+    """The pure-numpy k-means core of :func:`_ivf_centroids`, split out
+    so the oracle pin-honesty pytest can re-derive the pinned centroids
+    from the raw fixture sample without a SparkSession."""
+    m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
     cents = m[:: max(1, len(m) // _IVF_K)][:_IVF_K].copy()
     for _ in range(_IVF_ITERS):
         assign = (m @ cents.T).argmax(axis=1)  # cosine on normalized rows
@@ -560,7 +566,139 @@ def _exact_topk(cands: DataFrame) -> DataFrame:
     )
 
 
-@ext_query("ext_knn_ivf")  # recall-tested in pytest against brute force
+# Reference coarse-quantizer centroids per frozen fixture, keyed by the
+# embeddings fingerprint COUNT(*):SUM(DECIMAL(28,14) of embedding[1])
+# (exact order-free accumulator, so the key is engine- and
+# parallelism-stable; it distinguishes sf0.001 from sf0.01, which share
+# a row count). Derived by _ivf_kmeans over the same deterministic
+# vec_id%7 sample _ivf_centroids collects — re-derived from the parquet
+# on every suite run by test_ivf_oracle_pins_match_reference, so the
+# pins cannot rot. Emitted into the oracle via repr: both engines see
+# the identical doubles.
+_IVF_CENTROID_PINS = {
+    # sf0.001
+    '500:-1.46395296278528': [
+        [-0.18607139273376905,0.03198709877049546,-0.01856729344427942,-0.011394165242238125,-0.10348029187071266,-0.3001081996639446,-0.08182406820302876,-0.045488012490229164,0.0006878684316908207,0.02215447579528612,-0.12718324814357385,-0.16634438313446262,0.17424534564363175,0.17498072806911857,-0.06129813697001879,0.18173994145520245,0.03356294485384691,-0.06287260186007151,0.04653576913346206,-0.043534574240942855,-0.01947380748476992,-0.0761574870908638,0.14679686586648802,-0.08700502272341851,-0.0832547835724836,0.2362918264775162,-0.15389938321611882,0.05213816925901496,0.10524639884243561,0.06618694127020475,-0.26506112112862806,0.052784960298016666,-0.006653290292134194,-0.13213860441677833,-0.2507957349468945,0.18403942522826117,0.17612665216565082,-0.051330264600514264,-0.07241202023049786,0.09032112992346221,-0.031026556274345318,-0.1119509251547219,-0.045129517022054574,-0.02473884847204603,0.045851679764092025,-0.08479212511031099,-0.11739013108713928,0.023971111013634073,0.003769298532845044,0.11854056269556913,-0.07619310644936836,-0.008772128027087137,-0.15476229919608495,-0.26063088704281445,0.13741431806520799,0.039971342437664766,-0.0009133653969777239,0.13721133664659177,-0.13832633655294932,0.11390194246250877,0.024894975090811806,-0.029590707625249547,-0.2708481650373398,0.1758107499459375],
+        [0.07997496088895273,-0.07341319432939393,0.25078485403045214,-0.07789257366444215,0.18535443708782812,0.01184067381359987,0.10092969731247463,0.04992160894869237,-0.03320934114195999,-0.14098513770877633,0.1419377337896372,0.058868573602675965,-0.06480999716532461,0.005567775929313887,-0.06844793776116198,-0.06377352881024201,-0.19901902483369363,-0.15735706521558313,0.04349790071699728,0.2186217447890735,0.142308885237438,-0.03107239233447891,0.1274030000014048,-0.15550567874562676,0.026376485505935993,0.009227115429469534,-0.0451592359397854,0.1940242546067236,-0.20654028742802585,-0.0023580664855712523,-0.043986909203211244,-0.059221599236465625,0.06569584141273722,0.12710584960808782,-0.2418070332874535,-0.10392406069929401,0.32654141278203075,0.16919172468583077,0.1995897510010696,0.05631540941553506,-0.012316192705635883,-0.1166934914377157,0.08011849475542829,-0.08063802614080097,-0.16094551952692232,0.014646986411565525,0.1397882853641347,0.3448558191154218,0.05998816917460865,-0.013537980024169184,0.0714440198629202,-0.10508414114870389,-0.016362309232666097,-0.0022616601192370902,0.05556948233847128,-0.0015716660668403473,-0.008703383305124514,-0.023960420209372946,-0.01271875844447687,0.02035937256524703,0.18064906438675943,0.06029280351705447,-0.08103210979412424,0.15365414292139723],
+        [0.018961033832998145,0.005379334569596354,0.013255133625255777,0.08095120703452129,-0.04645942831572271,-0.24419721293866153,-0.09041681663227176,0.048007921197801465,-0.18085813641972498,-0.025220265610939537,-0.1890223827542956,-0.13046424714025276,0.1810262434299493,-0.22724244674836433,0.03370537196030126,-0.04489216819525204,0.1655535728040181,0.03144032362351209,-0.04239247618414237,-0.07999719609978818,-0.04597350612854526,-0.05387983055878378,0.06666799855762583,0.1730612990214052,-0.023765803494828774,-0.25905613539329747,0.12462906812161739,0.06150245609216911,0.20846362854129427,0.008202273357508694,-0.00534647326811347,-0.07239202222120786,0.09414509877310172,0.14984591692563584,0.06869659067778758,-0.18180662550122217,-0.10374223149561738,-0.004655984024544116,-0.040056511910922715,0.016045332562704864,-0.04283377600693473,-0.05129437398218316,0.020265506499867154,0.0920240112227175,0.0064339613975076685,-0.3121378227830718,-0.25480179251372326,0.08968437717862685,0.0351527014222056,0.02990153411958094,-0.07627279965369428,0.1498152599343149,-0.02943552972195709,0.07691232317753473,0.16526955370549143,-0.259828091014136,0.10267691658725754,-0.02718878276678424,-0.007304912683659533,-0.13603152915961694,0.09362543154062218,0.16971468376479198,-0.1965988405754615,0.17773308920261036],
+        [-0.09100820356330505,-0.0125061709429721,-0.03279957100234683,-0.04050052352422719,0.1423013729590797,0.06100307789486421,0.2323891572577731,-0.029147605696804798,0.053151003455022626,-0.10493555158291125,-0.07037646610103845,-0.13605297793631174,-0.11595168244736785,0.07815099266240895,-0.01974913716485043,-0.012455434436968352,-0.20712137859227128,0.23813579871094154,0.15216354867283582,-0.16870804240840487,0.19865528957526757,-0.12252094424718699,0.0508068077344197,0.17825290065030097,0.16259572348503779,-0.044141911952499814,-0.10090737543697897,-0.022348389943864542,0.04661692093404343,-0.028153388976483847,0.06614902142686511,-0.03437986648103669,-0.0497214556910014,-0.050951214772262554,-0.0952148525935344,0.2622834237435116,0.06505716319898783,-0.031826110839685756,0.10534459940221987,0.10632572797032387,0.12656450262916671,-0.2625610966446817,0.0503781104674337,-0.08282711033542384,-0.3342866117601001,0.1396587084580245,0.19181786521875346,-0.24554881378941223,0.11657787565258801,-0.07786323423630491,-0.0527169303259006,0.03660815563280086,0.00023312504150497612,0.05329149012429428,-5.344672897734936e-05,-0.13880006571134992,-0.03802956392265111,-0.1956703533502654,0.09105971391006151,-0.02413497765555127,-0.12632222135856422,-0.12991012013799186,-0.0003476337676333139,0.06623308535698086],
+        [0.11105572158799872,0.2479075625198526,-0.07357757235196206,0.18632349057991265,0.205293004259832,-0.16313553267507216,-0.20623408557869716,-0.061940841062886776,0.11716473781203869,0.09637870751013235,-0.0192882416191438,0.08641222888413207,-0.07443009757069306,-0.07717842527751786,-0.10789318172509063,0.03096091875669044,0.08078019440831721,-0.18244602535963927,-0.038395381300324265,-0.20902659087581504,0.13899158610747653,-0.03389259198014885,-0.12440185661720193,-0.006212602157114937,0.046910681728106966,-0.1513980281994133,0.10387043436849601,-0.08427149324927874,0.11098836401426339,-0.07757733432428467,-0.07160672094094879,-0.04815226381050771,0.2057028133177086,-0.26194166038185795,0.008008501732375467,0.13639658039404082,-0.001362709946606494,-0.21321089992161404,0.07128702702074466,-0.143152074282601,-0.05710626458446613,-0.15583239563135132,0.008253471421917938,0.1691127988030279,0.223942270594072,-0.05312504452631778,0.08058118131198924,0.12713570718486278,-0.03185919673635916,0.03157119476654728,-0.21070876430386742,-0.21246208957549692,0.12131912361799366,-0.08812660418206117,0.06030847452247632,0.042051957533015015,0.15026092584437006,-0.157765353083658,-0.0616594141304217,-0.026592497453418018,0.004513165664126431,0.0052504358174027856,0.07663972250739277,0.128191162030319],
+        [0.2390212978293749,-0.17701297814606418,-0.032149390143422815,0.026066452873556356,-0.08833176932048471,0.04487745365701866,-0.019485862518474336,-0.1599035572416035,0.23895908140353148,0.0641806847803184,0.007212095399685025,0.05428084463443514,-0.03154763425621076,0.17703729588787426,-0.11028581664228718,-0.052702981618002624,-0.07282402744459643,-0.05022855574427484,0.07656911236610943,0.04494261809256374,-0.14233367766463553,0.05878837642018523,0.18986970127486968,-0.024990868930075728,-0.06636666823344302,0.02193970997370493,0.039589212041895194,-0.14493928469417797,0.10876197758062606,0.10200459421212353,0.008556365393498997,0.03273131980745787,0.0854433389154257,0.09405403301724853,0.1876785695114847,-0.009219723098508614,-0.17163421109831412,0.06838533272556051,0.03058241464426275,0.056634315934862595,-0.15142623734546723,0.038217985712447396,-0.2612247288920781,0.12719189484338592,-0.12024546999605662,-0.18912472376630754,-0.029685076141264036,-0.24482300189462544,-0.03636271956770099,-0.05832196230246572,0.09129537800240273,0.2687996596729178,-0.08990041006838054,-0.12169985568351258,0.040161864692966016,0.22080782257130732,-0.11255184989130135,-0.18041806230909788,0.16012020651685227,0.011500917722993113,0.1679348316516153,0.1367827275452014,0.16432888505900642,0.15018995902466906],
+        [-0.08966177356733869,-0.09417543231216648,0.0458901885631298,0.1757754775117179,-0.011471996141254269,-0.00836747346328288,0.18359353696347205,0.18901392140359957,0.09270394548445764,-0.03514578482488671,-0.05002084570354744,-0.060408460338230434,-0.03940806249663048,-0.08111154095155786,0.21149545145551385,0.13673175588414185,0.11432948454869031,0.07501381459031267,-0.21936546918470204,0.10938696606413262,-0.1901934520979608,-0.17859741997583353,0.006066935259570416,-0.20656935535835505,0.044591182568441134,-0.027979423915006008,-0.10572078052155617,0.20263572129191962,0.20036412953654262,-0.004123017853551383,-0.1561915498469428,0.03904530643151573,-0.034238213271887336,-0.14617629117068975,-0.11593557346803121,-0.09614468284632446,-0.048491330357459395,0.14296753417154504,0.17180442970354984,-0.11256734390729227,-0.16149879533978387,0.15069690666561814,-0.13630196051397694,0.28277878020375175,-0.08958430714910445,0.0349915170479912,-0.15155221117349263,-0.03802207233891684,-0.2038486667115165,0.02167870240679764,0.052204108598963725,-0.1310811154721396,0.012342718564881939,-0.08622912337420903,0.2278247573758284,0.12802352349585439,-0.0030431356075069985,0.17066215858995182,0.10827361615259991,0.020051520867177274,-0.010222582892819961,0.020199603289281685,-0.03290482388269021,-0.10193205111218816],
+        [0.2697813449225595,-0.005214125913388831,-0.26871874273662094,0.007715021077467181,0.029849068196762633,0.27568420218975004,-0.01658619159891707,0.13086714862975085,0.16784062036472644,-0.14194931293445856,-0.04245708037247018,0.1467606426783588,0.10704443437173637,0.024500629150234328,0.1859648543943174,-0.004534316721134781,-0.06083762395132258,0.2763884286650529,-0.2832132895693805,-0.16196469171537833,-0.1385250371398051,0.13512417700992074,0.06301135762503839,-0.060349161501467054,0.10259731231626643,-0.10508123492045475,-0.18087224967826782,0.192065269351967,-0.02785010547012988,-0.11067367345729846,0.059932222552677765,-0.08025007166054132,-0.13253790887176317,-0.04146139003720203,0.05375308103681457,0.019225828533585437,-0.12191821463999296,0.15003481188712314,-0.001385261989206618,0.04883881246726355,0.0793769383852796,0.001290260596104663,0.05540978637318058,-0.06542757626763662,0.17791861402408038,-0.010263589609399689,0.11091862503649148,0.13415583674417428,-0.1668329059470003,0.17070308024460035,0.011831704474974393,0.08236317794055709,0.06959424605469174,-0.12910245447884278,-0.13708270868063097,0.017523203743199763,-0.08572139573763604,-0.12229466660024733,0.009454010923275587,-0.14065787308865377,0.0009404429336767465,0.06169703067487801,-0.07389635218361887,0.05008490886649353],
+        [-0.034258554022062945,0.01587979753542403,-0.1013490167540467,0.023756604762504237,0.09029462051601336,0.09545864323847261,0.15996577798538966,-0.1083369213528103,0.022727106089781103,-0.05007236999367067,-0.035221764045198355,-0.2016889434270769,-0.1340245189435493,0.1573270444636981,-0.039354145589361456,-0.10215126768888019,-0.054184809681376525,-0.16813072825786535,0.036939561061563375,-0.10031651407720249,-0.10157252458174547,0.09990997865761077,-0.2661398471277927,-0.09566686280315165,-0.07498876202093864,-0.07959412414630093,0.16179637412501474,0.0002018447933274487,0.16247265644040476,-0.26860921794297676,-0.04487184582614421,0.13818059180717748,-0.21778396857180574,-0.06100306091218757,-0.33070631246860804,-0.13967258883650802,-0.2258827218306737,0.07253892930461615,-0.09804379697272424,0.027576228174136144,0.1078333052123408,-0.05607268403512186,0.0441544076086144,-0.07908554237281082,-0.18380361839462817,-0.04156203432195991,-0.02569747837807428,0.07711476944803508,-0.04504234944410953,0.011764953867043274,-0.19049092780571836,-0.1441095692950068,-0.00843264676497541,0.0649186837099781,-0.09182506406836276,-0.22356818890955882,-0.042694303886348296,0.08305743635979364,-0.06228745639780059,0.1441970314662699,-0.010964088397704911,0.08273075440821127,-0.01966836842892116,-0.24156681306668562],
+        [0.04333917319463279,0.0008321622054668956,0.04578492408140957,0.030400238008289074,-0.02381943070948801,-0.057449341869808275,-0.01745601279237627,-0.13578691783967023,0.009093150695584825,0.04391364138235878,0.12417896659251296,0.07832473720954951,-0.17304542333771142,0.05318413419117561,0.15295507959789537,0.046653239709642774,0.0014994087007445596,-0.021515406948698773,0.053918136480039486,-0.17944234654959174,0.2599020691150187,0.021586608463332817,-0.2508916259237662,0.028809136004813506,-0.21691873824420968,-0.10706299243542297,0.15829641599373112,0.03606763580620427,-0.055669960702557794,0.34451934047163685,-0.07402049896613985,0.0519178353146266,0.16964812236404195,-0.12460366630093135,-0.021796562568486694,-0.04939462765771927,-0.05317796251164742,0.04189570778732197,-0.12473363854548368,-0.11950656209108339,-0.011248694888319399,-0.15835464036858293,-0.01768080568953624,-0.07829707676556756,-0.21421803594082575,0.09071318106986212,-0.36346528735579586,-0.03576054591801629,0.0784312380959962,0.11016978128251795,-0.23653543154343074,-0.05646662609669206,0.04009282269316175,0.0929909930767482,0.09132762453712191,0.07395860341567348,-0.08628711308667422,0.016821020574706504,0.13119475934870556,0.03946896963878993,0.22685599805112666,-0.0034079902529430043,-0.12575147728107763,-0.11090373988474257],
+        [0.1597918595679895,0.009361996847823602,-0.022137703037954357,-0.018515650125981883,0.0243558768008553,-0.12366189998231412,-0.06483310989333937,0.08619553149793134,0.042121020869259666,0.06571585829575959,-0.27915114698388344,-0.0033641219526131237,-0.01743897023531341,0.1097235786135318,-0.01106170944121999,0.020646074526637977,0.14513914611654405,-0.07934107229886192,-0.11333068771838971,-0.15487794836619537,0.10402940899079717,-0.020502564147558862,0.17284382116712435,-0.005120275306623487,-0.10832492802195041,0.14514422007909192,-0.04398320960593708,-0.024023687072416016,0.14273237610191458,-0.2090376678918953,0.02264464328090545,0.2288738238342999,-0.06633866099486958,0.13125095131231262,0.012405599556587531,0.06809827968939951,0.15148885094563164,0.16963191329060603,-0.0562888332006776,0.017591847599638787,-0.2827038760511022,0.005520256601380792,0.013387504880284291,0.031304356250824214,0.25182930974239787,0.15661718818711085,-0.0034317686964593767,0.1955077684453466,0.25552999795149284,0.07549131326051821,-0.05196605045756276,0.07477032969058289,0.011428043052348163,0.1496626274888231,0.2482813668270704,0.11836745174489977,0.19870813092289177,0.08751154744485515,-0.016657779836254015,0.18488663649578194,0.03055579693278642,-0.01336158503554656,0.19051043132344034,0.07809850113972722],
+        [-0.019541261177677526,-0.09067873810647549,-0.12408076575180528,-0.07744543359188026,0.15731116913729518,0.11160880668626603,0.32767825227202124,0.12089763351184528,-0.15022922899252042,-0.07119582236214306,0.04757071528018382,-0.16915834412725253,0.2713945268871399,0.0259184314453074,-0.14615724016314333,0.07319920031860999,-0.1331392907502808,-0.002188901081909143,-0.1144756814887829,-0.15705703846263477,-0.09760514474742399,-0.1445093580327898,-0.011606028747552686,-0.15024112649236862,-0.17851939202391556,0.03352010001849585,-0.15696823604640123,-0.055176929969110056,0.05127721096976937,0.03822513286340935,0.07065177664044071,-0.23275790742005903,-0.008726917314658798,0.1491013181383394,0.17695976778250885,-0.0657275911607108,-0.07291839296500088,-0.06042766942373081,0.034093443080326365,-0.11027042031749604,-0.001739917778446521,-0.10620820438640816,0.06947100467339846,-0.1391419531168005,0.08944679163751112,0.148781333066716,0.10054134035031244,-0.18695992746314954,0.10832672306470587,-0.10499590014085011,0.1309296329152809,-0.04379625647315692,-0.10655368441394994,-0.05990466337199181,-0.05532639854075607,-0.04084221239548614,0.03745400520176206,-0.03617027055921662,-0.10543060928762137,-0.20001284545845943,0.18339166932204584,0.051673903062108714,0.2584581668206964,0.0967739426710158],
+        [-0.12505522706707436,0.09188651319875432,-0.05258265687270217,-0.083831896797094,-0.028246828219004535,0.009814337813587185,-0.1612747606916994,0.041830570820015345,0.08254870299103564,-0.02280506949714321,0.2138913830477316,-0.0036997630085213755,-0.100422622765262,-0.1542974353575383,-0.07294905628584662,-0.19357905624479846,0.007615901383598022,-0.004769683773999463,0.06224091495757639,0.0342395974375451,-0.18109288379057373,0.0798824696034011,-0.00551353898660968,0.26496451190430526,-0.02893971926113204,0.019935217764010475,0.17535160614722362,0.15986333862201374,0.01404370828964657,0.09119657403161091,0.2134345601248666,-0.001097176853568643,-0.16129233871653473,-0.06441326482367594,-0.07850490216301241,0.0027778424205896464,0.18189215632373254,0.03510501304935744,0.05174275845613692,0.0157416770409332,0.18656448202253018,0.13890978175208707,0.03441996596499793,-0.04934269965514286,0.11949721794643492,0.12032842351607514,-0.04928727366656851,-0.012650259634682403,0.12536661920302702,-0.06494270062029318,0.31346440392759306,0.2552620943355298,0.14187742648504545,0.11051043504068735,-0.058854579398805534,-0.06828666645420639,0.1869968217821764,-0.12074607913187292,-0.2090098848485955,-0.08538018743249103,-0.29227452912973323,-0.024168525954967737,0.09090054773210302,-0.01663764959754127],
+        [-0.025586678054944956,-0.15356090718705975,0.07476372137321431,0.006403090332123045,-0.016634911707282672,0.048959781488569436,0.04499137377401583,-0.0596228111807514,0.04068870042846603,0.14063032955851046,0.024954531009252007,-0.09922908318634432,0.09745076430925464,0.004070629912738705,-0.14349481178530912,-0.18469888826308167,-0.09431591171915137,-0.0271034107342932,0.01073171918006702,0.23141180824583282,-0.09787954485089156,-0.26685466707912636,0.3350605819863213,0.021343774786609933,-0.201448091132079,0.12262881503857463,0.20826358002228962,0.006307357306354769,-0.025702327854130715,-0.22278533531037095,0.030191399077310773,-0.06793242267766143,-0.17792429998802872,-0.15924552868792471,0.11303685150231611,-0.05456990632523202,0.11766398482142691,0.034762393074657574,-0.08239728044477447,0.010565048446394673,0.1692138033456455,0.24452266323448113,-0.06202239987945528,0.054079264038696104,-0.04631524516189795,-0.03185242559783717,0.10876478109287761,-0.24607155497581368,-0.16614246734734664,-0.09977548344358217,-0.10033218823111266,0.022133982363868505,-0.09157241089751122,0.14356719548039448,0.07054994281183531,-0.059708994287106264,0.06547722968916263,-0.18930423253873935,-0.019873539519006257,-0.0815039321103831,0.11546533835915333,-0.03950044181004761,-0.1911547071754472,0.06624600643329258],
+        [-0.007095926597059397,-0.2574086504493583,0.1823051688209289,0.21901545105049322,-0.13558461069766703,0.07940663298482449,0.2016130927806415,-0.1078720717820396,-0.03393765204959792,-0.07019581269956796,0.02742454807424279,0.10416111193448592,-0.014182879442032012,-0.02416805787951603,0.026499467823219665,-0.07319622972758749,0.12124580618512551,-0.0575037726215514,0.024958627102854805,0.011714833699409788,-0.14889553566715735,0.11608220095733655,0.009415651324328266,-0.1693325273556126,-0.10248915657225924,-0.04146958955529726,0.09152318590402643,-0.048689384079263834,-0.14009207795327774,-0.06434270274041098,0.18386994322216033,0.04239832582572005,0.19249315042967416,-0.17532703098375507,-0.10262475530809696,0.12108840937208211,0.005506519942112073,-0.019381183045546407,-0.012670044700348517,0.04719944221246122,-0.029926447192251012,0.022284799606308192,-0.005717962840396482,-0.1533187259927858,0.018220657433986553,0.1274823965266568,0.1121073269882698,0.10268917785555483,0.08949878345501451,-0.056259297670288616,-0.17731053626943513,-0.16887916515978346,-0.22626427035367375,0.2801671548267572,0.22990422521470485,0.04720665828255093,-0.15462771791093927,0.07368448966294232,0.18112871269371061,-0.2170773354525083,-0.12908882341418912,-0.06217670349178185,0.11981537348308663,0.1581099687309815],
+        [-0.004821962263630638,-0.10134886193849561,-0.14011330235123534,0.2599210645592258,-0.13085241745427206,-0.06680971059885729,0.07374008898813823,-0.06485422938282144,-0.4262933820498713,0.026440070712595593,0.06750890742497058,-0.0015099664616405803,-0.07678433516036667,-0.0054241270017634695,0.012352623500926177,0.054171050280441974,0.013044477016153955,-0.013666925565814579,0.1620791167258366,0.001755125301273426,-0.11434354030424342,-0.15856082636506996,0.15386132176436712,0.03376016641964486,0.01509988829007997,-0.0951551048002062,-0.011229704024299727,-0.0947465884420447,-0.17209991952544199,0.06433470741994038,-0.26930375987199195,0.034508860859114684,-0.1841358179803199,0.008166407718641364,0.034483052972335816,0.12709800994279288,0.013657470285136869,-0.2070762787679123,-0.04089315484985125,0.06141315517802937,0.01694423691898211,0.1864730719664723,0.10683234090023674,-0.00968298542539105,0.04455847146852455,0.14613522123928355,-0.06029731870320955,-0.07439988625833964,0.17581858182436352,0.10648808115643438,-0.19321736421385793,-0.1658963910439129,0.20183021307510823,0.17589631020114102,0.07357314190454557,0.13521999219173417,0.003467554194279246,-0.21802662600244596,0.0061662102251704935,-0.03313649381734003,0.044004471745701705,0.14301793403570456,-0.06871048250206797,-0.05090841629064523],
+    ],
+    # sf0.01
+    '500:1.08235486072832': [
+        [0.08940833837187304,0.10594589385253578,-0.0571239402569961,-0.11405203626442395,0.17250246383187054,-0.11062238577771442,-0.12972754250054497,0.10087749968197085,-0.02045206095315987,0.050863064630283394,0.06340875292960022,-0.06015142564858003,-0.1610943664697581,-0.05381950982366744,0.03338498179132757,-0.15813981174264286,0.00931674950693191,0.08043619971020083,-0.0035876934082257747,0.09247782652389731,-0.20771869735756787,0.032556953757277206,0.2601573588352219,-0.034442213264239616,0.022992068797455287,0.21302162733552052,-0.18649451121748672,-0.03163630647548127,-0.04907940696617746,0.20201833576264785,0.09838351818612964,0.1520573006608,-0.007842491162394749,-0.16590789129497713,-0.11592786393328637,-0.08538755860421929,-0.0221050704984656,0.05007683489890161,0.05059703149963702,0.2804044386461531,-0.050148779417024024,-0.07498845665192574,-0.10541123469931307,0.024402300008589745,0.0016430677140570364,0.0463211252046267,0.1220187513172749,0.02068301722351072,0.08064812104018569,-0.062261738152662074,0.05011617523384408,0.27642106596316646,0.05312982509238568,-0.13478257723350182,-0.055061765470137226,0.10817835015743812,-0.018608889141357603,0.06982566187338873,-0.31151137628187986,0.035576038250263155,0.10642764904446905,0.10295745309000248,0.10926461937693736,-0.33430939050879505],
+        [0.2189641540700778,-0.1370024892880878,-0.09728687133469581,0.03856620323587642,0.15284833960077024,0.1583974690962782,0.01579072549979377,0.18269916849851706,-0.12558121575575565,0.14576465618560155,0.24770004128789855,0.32893926117727285,-0.013510818762859422,0.023533868143554373,-0.049518068315868885,-0.2277604881522708,-0.02872366960611756,-0.09656110765635875,0.009398328960544466,-0.02720419978057526,-0.05182677073640429,0.12052272076667501,-0.04257479943188261,-0.22056318007988296,0.11578553582197676,-0.006396579665908512,-0.09730949315843146,-0.02252514263761916,0.11217183734717737,0.10115604231811318,-0.0006639125461539686,-0.04308546303890627,-0.04775271601548467,0.1859962640269702,-0.15776169730212747,0.033682752687385256,-0.24944961737455826,-0.020518991273988756,0.05653035282176475,0.06801132016252444,0.2170010635871664,-0.11566418518661041,-0.17014095462633916,-0.06769817639985681,0.02959921451136692,-0.1979503395110572,0.004104014948870107,-0.053328097777889064,-0.041343200346737635,-0.03532086822808232,0.01803163591191356,-0.15230840994135741,-0.03620054554264272,0.1945210149635447,-0.10191759718087093,-0.12663818793061069,0.01873466049014268,-0.14792523379898445,0.007885942881396676,0.07586917185980349,0.15389643696196076,0.11039881099972931,-0.1340449962910614,-0.08740293487102949],
+        [-0.21509716047172336,0.10967295907836797,0.18398983153701642,-0.23258948869812257,-0.018440102685265778,-0.04804379691469035,0.01310067230191154,0.18558388362120293,0.11379004675038072,0.17743229865743493,0.015137349355172837,0.015972765264118033,0.02070776360587562,-0.1913782136652858,0.024144191755957473,0.07288506558818993,0.015121453210286623,0.06793859084915209,0.050744041092665906,0.06936395879814795,-0.022575075107369853,-0.08849135923483396,0.035221741684225934,-0.11630827453658522,-0.1396457685559351,-0.02783079627601993,0.010790722507321817,0.08469385925662458,-0.2628646436855305,0.009534941544146327,-0.22482426836306318,0.036516477352024276,0.11844890907903975,0.1948920381174837,0.17351079867367372,0.1631162657298865,0.12213540145557447,-0.1738915067114917,-0.019727495858963558,0.03772043720711345,-0.012120331889583095,0.014030227172805282,0.23030729887699763,0.04654754203783542,-0.14997562651295326,-0.06755563349551828,0.0061851498008742185,0.025674674979809832,-0.08434807238613656,-0.17132856235084473,0.08846676551401389,0.21707534680966398,0.1906903958986718,0.039613232500486,0.05979630541960996,0.0847442615206648,-0.11178338178260701,0.08887581250468815,-0.28438868828999064,0.09877179463076524,-0.14716835362073602,-0.14866183666168709,0.05175780084452654,0.08993177208756087],
+        [0.05209939177666439,-0.08204950195834639,-0.11514031766229073,-0.09142304541483041,-0.04370585564068226,0.009344991544566793,-0.17784251883335805,0.02542852942036957,0.07238541867169232,-0.1650776085012868,-0.0822187051443288,0.15257430898968433,-0.16198490695388593,0.17740522703255623,-0.25583364909030415,0.11173608473558388,-0.07905523312025586,-0.18279926026391183,0.0916114753164478,-0.13189947899771357,-0.14482812694631375,0.13192130730416313,-0.03959774053268341,0.11846787827728711,0.05633792921542601,0.09355142338512543,0.3072841954408145,-0.06223970795433615,-0.03443053149149549,-0.01390100201651781,-0.02050703621052032,0.1941791986527605,-0.17211671054064057,0.0651580377578537,0.06022140384220081,-0.11515553167163929,-0.033477915265005424,-0.24339988941899518,-0.13644371347177722,-0.08129050465455331,0.06820858005548382,-0.015743116920741443,-0.05444988547600744,-0.045492491833854835,0.10346223647950448,0.08875409388414864,-0.14403166138530787,0.07233336866395225,0.01277512702159215,-0.1887868189562523,0.004005529502530903,0.050064916513238605,0.182393022819554,-0.08814832552828858,-0.09557490152420882,0.18237906162619608,-0.05366746468686953,-0.048997689570169686,0.05312474490525462,0.1359857989698672,-0.16875831541045472,0.30351030482498575,-0.06403628665962584,-0.05857254367648792],
+        [0.11144786896523118,0.04160197915137928,0.17991997062917056,0.12896689520131258,0.10558534884342125,-0.12646532358873488,-0.1193869954914732,-0.21367084827200333,-0.06472654629022385,-0.10866955722861622,-0.19320327050068553,0.05543818536990416,-0.09573719036603774,0.04539009506035769,0.2686251145142581,0.1465450170196876,0.18125094170355655,-0.24454973369872768,-0.31411419618900205,0.024330657903829753,-0.007449051272576043,-0.011835833984001698,0.2076114637589753,-0.002210078205564763,-0.05724160929037948,-0.043414529832916576,-0.04557841612352393,-0.2164810397738622,-0.13873073838926997,-0.023172582892900497,-0.04358544233347862,0.058299483389266805,-0.010732577979399902,0.026963406387425694,-0.017968653770915863,0.007819379497693194,0.05969052581288518,-0.07165920255831355,0.23774784657355322,-0.09626607624397385,-0.043952354721743046,0.07858424274488814,0.04310833841641987,-0.054892513310374876,-0.0362910634622694,-0.1501522925834229,-0.15023116846594764,0.027973321576642517,0.11896967016444449,0.16555334199853933,0.09046865141860898,-0.04693598213296235,-0.07702821204719561,-0.000810851680991041,-0.10413677268129251,-0.02386878396833061,0.2592588578439833,-0.03423790768372353,0.007151142069128236,0.02186034195016096,0.14643215678542892,-0.07645923741369416,0.23504288274991916,0.13219108281388198],
+        [-0.03032759521532716,-0.0861953497280684,0.03942204288936752,-0.053660295230073506,0.05321455345496313,0.20966268649471465,-0.02395069585656992,-0.349673843956992,-0.19914989646933692,0.030308873009497365,-0.1642231402974253,-0.25693508444726454,0.1324088141042349,0.11302728063476276,0.04620850443681717,0.16743541746609944,-0.0697610794376054,-0.15888710706114748,0.08988158417044351,-0.13074057706047307,0.16114051186804598,-0.06961095103412215,-0.12341404808154545,0.04783151662932997,-0.07860770851585908,0.040172275060176274,-0.10663156444938479,-0.0016114798238134613,0.02458966604147689,0.042035912286651725,0.1576627515161217,0.06360132465955166,-0.014672226946033413,-0.27118077347806013,-0.06924404544072321,-0.18269633212671538,-0.1634551747312838,-0.09241410559825354,-0.004913000565437917,0.040362994093888584,0.06936406738139403,0.019774905323546574,-0.023705186067504484,0.3797529264600862,0.010652646323963599,-0.05257927480073313,0.06095111113414678,0.04015033099841085,-0.18295763458405548,-0.15078700251028068,0.08161798181443647,-8.640221116472431e-05,0.10769216258836435,0.10034803035161635,0.003089577615809747,0.10481846268300332,-0.06987171707246315,0.03531468594393459,0.07176595318403432,0.03331891619631068,-0.030281135893001947,-0.18971883297791853,0.06742524278529549,0.11438527146140805],
+        [-0.12698263612383454,-0.15620194259976777,0.023354705411957975,0.17268582115395398,0.002740741959875045,0.27314657774277556,0.15725014896155398,0.23699127384816215,-0.16129863667995567,-0.039735182391534285,-0.012975535965035607,-0.15268942467632082,0.0641968834488745,0.01608289787791696,-0.24886881448776996,0.12581501312168467,-0.32027071067573554,-0.06338181685083764,-0.10695522838908621,0.08509768071659418,-0.15320568757192102,-0.12493297086333499,-0.0692316471112927,0.11385389302009553,-0.0961881084771107,0.0630227476354927,0.09644681837240623,0.027844583750819944,-0.0818972570240161,-0.06640406929101393,-0.07302766293033477,-0.014886088865800938,0.19449042292313254,-0.000625955643412806,0.04840137881647005,0.13464245795042282,0.12435340602503253,0.03242136206020992,0.045285837798662694,-0.01736957376900073,-0.1323705438209043,0.2037458002208673,-0.262162935451917,-0.10422438660667045,-0.2430383920059574,-0.04448151048012035,-0.04041971386554627,0.1424262364688743,0.03961686911133371,-0.0741166907791835,0.2024791573014081,0.0032739665839624597,0.0037767781491010884,0.06434311106566379,-0.010153641808042697,-0.06379778772544946,0.07861166503275106,0.2080869405449441,0.09382622978498911,-0.05085394934672392,0.019109815671367818,-0.03712063546305955,-0.022737299945357062,-0.0034611772577272546],
+        [0.14129075800407465,0.013161532680490218,0.09150212639143421,-0.007508910605780932,-0.16858106212016064,0.06360480616147715,-0.030336000289477184,-0.0563628771092888,0.11569990185741512,0.08913002656444624,0.07237696002607621,0.09765610324569099,0.08211070100442587,-0.0752140403285932,0.09783617053333456,0.10785058045205136,0.010024037327799001,-0.04792010051092639,0.09625930286719708,0.06285679782277734,0.16085379682748743,-0.07518461784474134,-0.29047301034854117,0.010701133767116412,0.07719073166360219,0.18852774324809668,-0.033523877963646136,0.2300350201712099,0.1866933973546615,-0.20209820031685224,-0.25071135639236325,-0.08930944845213729,0.10082823208834388,0.19696603658426506,0.034001542122238645,0.11277421948511471,0.06972599204650591,-0.23931909137711335,-0.07969976835326975,-0.026914568380253124,0.10373379503282823,-0.2313466348952257,-0.029548980717809842,-0.03400277092404058,-0.14568647023764336,-0.22653385111674162,0.14326251628626488,0.20288791578042642,-0.022272598971677365,-0.09286861358803984,-0.07148057655276875,-0.016795189260621284,0.0052708560331989375,-0.15811262449129465,-0.08696085821867296,0.21736730459459935,0.07428449525291753,-0.01071665023622282,-0.10316028005021866,-0.09396640924597727,0.010839772963711733,-0.05643469010268143,-0.18839375769485098,-0.024983175161189877],
+        [0.04543868536742045,-0.08131934538965689,0.12043486470369026,-0.23974027172728143,0.2675685409418166,-0.058167138161613355,-0.015642288606863543,0.04008757246039631,0.022994625216217653,-0.02872003301529673,-0.13918912527293925,-0.07703897649915287,0.0698104237402944,0.22326393254868715,0.15133201819455722,-0.05848556975260394,-0.028538656868025862,-0.12322509362922697,-0.07749614431490179,0.11435051357963846,0.01027706466370252,-0.046568622022417676,0.10830783983251935,0.10756361050389136,0.030933122344737832,0.241708880047541,0.09736248457694335,0.030766669266267463,0.17712949659950736,-0.23878944248097933,-0.041189789859289484,0.13109239702300018,0.015717466668340906,0.2737864089920106,0.23891127054232567,0.004773413493541892,-0.031241401569069065,-0.16103476533776018,-0.018578141234258674,-0.023944176160562547,0.06796353682389163,-0.17812264015753132,-0.1805626755341142,0.049471727173105336,-0.017363798582144825,0.024673893934663165,-0.06681855841893752,0.02932912063506269,0.034219224191694694,0.09441770236161032,0.001349872833954192,-0.16701989826818098,0.2614387732533024,-0.1537555175141572,-0.14839928629880936,-0.009686801092687951,-0.09157362209183498,-0.049950481276955734,0.2172152480272651,-0.0557681211020912,0.07186818110577495,0.08621550573305942,-0.10934823505394446,0.14658234489468194],
+        [0.07975003078144896,0.05720542352700814,0.028689913396441558,0.05668451178997656,0.019911504297407314,0.006379032155754568,-0.16120555224783148,-0.045885015145096054,0.13512645056435654,0.14581147542544337,0.014039843722915404,-0.10604956696817029,0.03971512989018869,0.14552138653513294,-0.06766898511798121,-0.08230468949949814,0.11524841520273474,0.1971084842116017,-0.10570060683544054,0.005285109033982555,-0.23602731664699594,0.09187216390772741,0.054395277526246795,-0.2725345286682344,-0.07947487059033112,-0.17778333763385248,0.17262858645077225,0.1285887203304294,0.006811489327266712,-0.06347822182226616,0.06107288791066374,-0.06161385351340991,0.08094979681749528,-0.09495814753550207,-0.06838949768812883,0.40637921162484947,-0.10732025668509632,-0.19643607383480746,0.16415530593182617,0.018672798941963605,0.09419334351269865,-0.03707830939318561,-0.003915767834158151,-0.1290722319760785,0.03562866274328733,-0.08155484616343207,-0.17758446285098725,-0.05110891421814925,-0.07790070571577874,0.06901299485500038,-0.15682828159314716,-0.071532055033045,0.15992843571954662,-0.14726840742557146,0.22089128974547922,-0.03771521482727419,-0.1710315823059727,-0.02738769545922742,0.05213753731790934,-0.007038217442023543,0.0397682789704086,0.19788698082553913,-0.15410449917558727,-0.07132255489353255],
+        [0.05730260796320127,0.09183613349736187,-0.15729549532115733,0.00962475422778087,-0.1382430451778398,0.059900180553175746,-0.0050584646120933035,0.13497089572819154,-0.00834142512782698,-0.0476954774789105,0.05700319698524671,-0.16790800487890395,0.04383373157613523,0.06252777550925638,0.0611383074991105,0.16872373417668177,0.2097637004981532,0.26472694809677655,-0.06913317228220928,-0.04840517756143479,-0.01319969053609696,-0.006286185117253158,-0.0571456917421021,0.14560465474844642,-0.12081546015251621,-0.1834611176549007,0.05453583782458956,0.09170308576779088,0.19153194399010717,0.13899419868090415,0.1209836133141019,-0.028764824783028956,0.13090784684889906,-0.0045757163953003424,-0.15257179188349793,0.21520817112758975,0.023746615159806334,-0.14637743208657444,-0.10471442335548618,-0.023091291092151158,0.04171435536875606,-0.14494076608904552,-0.21924120907647132,0.22332089960793913,-0.1385075452361925,-0.09857637921352988,0.057189571150277146,-0.02732686190420427,-0.07565788159553596,-0.15044383295729588,0.047581801932168336,0.015975282768525337,-0.1390007850425407,-0.13346469356284765,-0.08207220235375436,0.06930731183390423,-0.08454178265744323,-0.1186734088237789,0.03709020145453865,-0.1093124164469609,-0.033643945772182014,-0.2044547521933889,0.26713835208785425,-0.26729253419339805],
+        [-0.09170607154933304,-0.14164413926940125,-0.08397578861698748,0.08088915787632338,-0.026453171604660156,-0.057060454544586234,0.007545823892451531,0.05439264759816808,0.06225998396503839,-0.001639436757129674,0.10311044963388434,-0.05734004687680115,0.07710336845286259,-0.21085869406622357,0.18119578387404847,0.020335174262453005,0.08637685674342314,-0.08611304531435426,0.2049257657886366,0.0527703801118102,-0.021878342021849767,-0.005893107755531377,-0.0660399563110999,0.22406230756545512,0.25121326954866396,-0.03802280989528611,-0.14380340877182346,0.05558820832106555,-0.18029740232873762,-0.19888557953427363,0.08037835795594868,-0.1283813121489118,0.2596354046333461,-0.11482459379190298,-0.06344225589973748,-0.05263612487584129,-0.08375658515255086,-0.11544247396475033,0.18285969618502865,0.019706435675945218,0.3682471599097668,0.1648166928180986,-0.08081601444203165,-0.11508922955497197,0.1595336774121525,0.13811520864647206,0.04657775570239363,-0.0021886259037751502,-0.05841912532268304,-0.062289278673051694,-0.12404208180618273,-0.04488289407165319,-0.06701510963221884,-0.00832839283701646,-0.0854491210744256,0.012472393483726417,0.006596379223375482,0.2948240676547911,0.025119396742659828,-0.12554618165831877,0.09414080010614612,-0.0058921452194708795,-0.15680802359972346,-0.08417733192224745],
+        [-0.28082953839060654,0.15613118193645667,-0.04578682338992609,0.07364861689785415,0.14894639749673855,0.05779373524110659,-0.15397972377619593,-0.08851734618341706,-0.15299793067917866,0.08898349020332295,-0.009616286149246528,-0.0739051072829268,-0.27780386806381174,-0.07134009587678324,0.027652367098313584,-0.20387736332468692,0.23230429704003847,0.08075115050128151,-0.14137220255434504,-0.07828571602962013,-0.15644251532648756,-0.06713624360096088,-0.06980187865015314,-0.098617324413064,-0.1791401883733185,-0.07652506878132008,-0.078124402352621,0.029449621707295388,0.11581298265906943,0.006185820243101211,0.052944751629333146,-0.10605974983356822,0.00024286135972584973,-0.07092122572411647,0.334738180387839,-0.003230678753926783,0.04088034671572924,-0.017613191496666496,0.11625193653315871,-0.08496021037940417,-0.007875876249966132,-0.11538987532364746,0.20480193051939194,-0.029240845959990557,-0.08830369213240219,0.13928678752797974,0.013629408789794168,-0.2429401103104988,-0.06815776151776097,0.008109542286717343,-0.1805386595355359,0.03546784116023831,0.17974436626681572,-0.03447882901962493,-0.05996772702508403,0.19532464762867857,0.1452631190625312,0.021509433375109844,-0.026266728285312967,0.07976380642078545,0.09168911028784309,0.1254740010169427,0.03579645424012926,0.1336047580930778],
+        [0.13027570879986838,-0.1422064381586914,-0.049974804785017916,-0.23965636108637686,0.07393887164154969,-0.11911597394531172,0.005144506199441005,-0.010127302062671222,0.03168393477250609,-0.10731640104490459,0.06103901673436096,-0.06352593774615893,0.036553153820585646,-0.08168853923523799,0.11612835314419125,0.19696281385836814,0.03849079466529999,0.18468597536542353,0.18556763524178677,-0.0011670432950089164,-0.007426377957982415,-0.3028727533223463,-0.27491795427891896,-0.05350649933200284,-0.013863181646458674,-0.25113803362351556,0.02076917802574598,0.2312731529579507,-0.05548511791192887,0.12890062080625703,-0.08524395937998987,0.05442918164192553,-0.021282449831458453,0.05777363884327167,0.1782382686440313,-0.09158778615848283,-0.0724973819612425,0.006164684247441211,0.06399382219793327,-0.12372146105316809,-0.07740281269981333,-0.17945358621385227,0.0731009696681464,0.29561468358852716,-0.03738467413818268,0.16916725426817822,-0.005625397773094116,-0.04801681411595649,0.1121512649289351,0.1074137344422813,0.06202417736234315,-0.036342820614216585,-0.0699399816035773,-0.2702964705149934,0.05294141846458037,-0.11162782242123208,0.10862787200311905,0.0496822188936656,-0.044503407457314945,-0.10124558341097281,-0.08495926363025963,0.13680292926541865,-0.06893993793220457,-0.05957042276590004],
+        [0.21042482544315994,-0.4321935607370791,-0.09770613343665831,-0.1352971544784031,-0.010484876110146606,0.10976936448924952,0.18126415346555758,-0.10319003094219269,-0.01105154542299371,0.0605413888956188,0.20133710146422423,0.08708335813744106,-0.07299341511466614,-0.028949740377621654,0.12937469364488888,-0.18348104510355676,0.052709834805265525,0.05669523952800221,0.08448669050468391,-0.04074190152199398,-0.05756464675664221,0.11372023589504092,-0.08137520598943325,-0.28461555864909227,0.13228963047361322,0.21205276372520773,0.028692753546260212,-0.024231226956280123,-0.06335446202692589,-0.06105983347339399,0.007951802322308401,0.13624786073223008,0.1702374300313572,-0.12058505851914854,-0.0570978214807777,-0.11220226589237595,-0.05393793425151771,-0.05140474036478749,-0.007433979013121294,0.04312568166166113,0.02725133236815661,-0.06816217378390355,0.032927012014064894,-0.07288866297543833,0.14033898655586238,0.03372441689344248,0.09403951967329117,-0.02855575300677563,-0.023714615180966174,-0.16979599086874342,0.04842610452088201,-0.13043273844709427,0.01574093942136418,-0.1476192775701603,-0.015510146812238999,-0.18513556475364512,0.03962029486474717,0.17540990946754806,0.2500459563690874,-0.0784441152843809,-0.005829955505812782,0.11671023220802187,0.12645631006158878,-0.15147556240781063],
+        [0.029815108990647404,0.01949794893726839,-0.06227027192808378,0.12782776012889735,0.06948338405204085,0.02317665948615793,-0.1442317125588634,0.12151651345678925,-0.11377481631165484,-0.07832027484222007,0.06066721919664439,0.10239445322242711,-0.0346265928963836,-0.060787644235012976,0.07528897321970719,0.17350806439097546,-0.1570912017542845,0.054728265466273164,-0.03843658266416955,0.13404190136900157,0.023935627670748853,-0.06903548078179286,0.03995195314557606,-0.1295107848874266,0.016496581909702622,-0.08050912075697979,0.029738880634868178,0.15095889900374923,-0.14933351596198013,-0.2841775155639563,0.12203131449473185,0.0009932281988170196,-0.1308753725641299,-0.001176750931562481,0.07787480393260417,-0.024758656734947676,-0.1374477759432632,0.21294909344364576,-0.12920419119044688,0.15368120570034755,0.041665990991074806,-0.06222346309397134,-0.041522040775592454,-0.10874804594305262,0.15605119384566057,0.24147452030714003,0.10990904272350213,-0.17232220460086203,0.27310622762286024,0.014874576538779778,-0.27355554885243755,0.037278114821578286,0.04940187981464462,0.06453631089005789,0.02724466291950995,0.008279510503713772,0.1511954217458408,-0.08236440666869872,0.0037115311346089014,0.23086660231657177,-0.27674494603431404,-0.08833973899992495,0.08891927953498577,-0.19700295454456998],
+    ],
+    # sf0.1
+    '2000:1.53081411098240': [
+        [-0.1009481278848251,0.12239994262745499,-0.08543747720723908,-0.22152316499590266,-0.02646945857271728,0.060179399400122804,0.20430410253341083,0.09195330706468906,0.0038821170770167103,-0.005479584510678969,-0.10086362440911535,-0.04137170695788315,-0.15514211322989854,0.004792912653467228,-0.03700913540852066,-0.23023736857096636,0.06757624529405382,0.015522558160187718,-0.14672986106231165,0.22564159716992244,-0.07216743931571831,0.0012613122072345467,0.031217599530107828,-0.14727705529673765,0.009464910027345178,-0.06643372712247164,0.03932096186063071,0.028284879230532124,0.0433759952141424,-0.1810085492293903,0.11775402414395428,-0.11634318931449245,0.13391668736403933,0.07830774242733739,0.1956322965288472,-0.2908277130235048,0.15957190433303298,0.1331159697441849,-0.14108473530287557,-0.061187424393388895,0.211869788019177,-0.19671939738900143,0.04508298207869843,-0.12956143516697638,-0.07815444006140176,-0.19347287436277114,-0.028539064674927634,0.12635824616842337,0.02999425173731413,-0.08062372479081494,0.05077565510224746,0.08547703286337197,-0.1394148906648179,0.06263050964244792,0.10453408882766177,0.10774254160010066,0.17899867895312582,-0.169926257769753,0.21264095765578966,0.13611335845091646,-0.06033700394070834,-0.02497229628132047,0.11226205251137868,-0.13539697349825686],
+        [0.21918186020446298,-0.13228740332235686,-0.11850258256807124,-0.10301534444652602,-0.05801061119140589,0.03857316310091408,0.13570156781722797,-0.1471453816947166,-0.0022680167564075497,-0.13215313285227878,0.004001280797766014,-0.10271708165084066,-0.008518658154444083,-0.2560616218886657,0.025961861237947234,0.18576848976236884,-0.014976119328580763,-0.033321631856597776,-0.0239614220204018,0.037207222568942544,0.03744689925966707,-0.05458836340458113,0.16322500032566495,0.10880688118444719,-0.26658670412748675,-0.09567860254727438,-0.08350838420548277,0.08853404450931503,0.14095761025096573,-0.12113425592349862,0.08631662142125444,0.14383503146432572,-0.38643308517960134,-0.13969515294620996,0.1977601058638415,-0.09385076271786554,0.15974611438644032,0.0663284176436867,-0.014835688719451902,-0.10028177644809484,-0.10049587044418315,0.05080282783128602,0.03440706768647808,0.12301375166875489,-0.05104149855252589,0.2433230851186974,-0.019309309501436955,-0.14214031784481518,0.11245875882781411,-0.03408023015756911,0.14452254902886394,-0.05356417034956406,0.09563151656654,-0.14847721501232308,-0.1783775742302074,-0.05391571519368598,0.06756821267716788,-0.05160890655410614,-0.018050498151083554,-0.15205253290401802,0.1420855794759013,-0.046190189545421076,-0.048618149182285145,-0.0704859887072116],
+        [-0.04146884132559761,0.2238821933413043,0.09076539829910207,0.013994008143323735,0.08812575769786338,-0.04041870254172763,-0.023225675830453176,0.11464814845236938,-0.11336459547130312,0.056470819287203856,-0.03208956909841053,-0.03969301447372845,0.12989147606308257,0.09506060173352285,0.07346895234671881,-0.05943983940379257,-0.24320594065469897,-0.010735951092703137,-0.25004704144277373,0.07453236348167146,0.0397630618272905,0.28138477809402995,-0.09137959713551642,-0.0930861339425702,0.038638702004470976,-0.0197725473430017,-0.042129949044928214,0.10411051337773358,0.006052466878997733,0.06511674531167586,0.23156785250639028,0.07060596934837754,-0.19319069628480154,-0.03522458526378755,0.06233902579980286,-0.19560656581262997,-0.021767289500789225,-0.10423788581419466,-0.15326409713868988,0.09974819181444071,0.1901253050100712,0.16148472913369824,-0.11172869865856216,-0.081984503530632,0.0647499885086966,0.07297254926869223,0.07955697398619765,-0.011869776739388117,0.2943039411400744,0.1413053335713758,-0.133012373245973,-0.15050577655431355,-0.09813298060299559,0.06499423282563582,-0.09206946850950973,0.053984572930839726,0.058534921578217186,0.03662591645879895,-0.005532426179572102,-0.15986894109659053,0.20460020949633306,0.003594832494949655,0.18449584806679234,0.2435268358764624],
+        [0.06785335778081429,-0.004802158680155363,-0.3203826491857578,0.08469536581954244,0.07205689758815977,-0.07345912617775673,0.055827174966990065,0.1523116794227961,0.09251607146111634,-0.07912986960030426,-0.05789047363121355,0.007958174762230309,0.16610038152611017,-0.024320483434509512,-0.05925196595634436,-0.032662574100152206,0.011071252509013063,-0.022240778629877955,0.09879197114151984,-0.03333439522457427,-0.10104551973303305,-0.31312598229495775,0.3118126069481412,-0.17669507461371464,0.21431948027309244,-0.13138353613276094,0.0016163689695525487,0.11038840361371632,0.1826114594659013,-0.28203820913290384,0.016569242695555614,0.03706222353685898,0.07119808401953111,-0.15663040479524362,-0.10291544252091896,0.03468183694726444,0.10510709673268442,-0.11844206240448601,0.09257421287411832,-0.04059247483755153,0.06681073792720921,-0.11954193695235024,-0.16419509059673318,0.10861969976661767,0.1287368799919023,-0.0069618300205768775,0.01541091713485026,-0.26298580780450004,-0.034999688300537374,0.08207363196774127,0.0567587340423414,-0.0711155454516885,-0.021450024826546822,0.12522513612572067,-0.0397001583094308,-0.04843835849567054,-0.03689675470048047,0.09391448881001772,-0.08824089385164838,-0.02048307205199686,-0.08498459274095624,-0.12072933456314237,-0.07260349477690428,0.23990636346372637],
+        [-0.0747580267224036,0.1363995620225077,-0.22994811535868884,0.08547000766559694,-0.13996056815588134,0.1754319147294389,0.03428357650797539,-0.03988497234161045,0.06282338723311572,0.34158150904126944,-0.03420014324595203,0.05360938543764461,0.09732825963430912,0.23354108654108052,-0.06382352914687857,0.1680846766081735,0.003008132072182136,0.03202243829502047,0.17012229884244692,0.03207849060358812,-0.08390919067401843,-0.15559510360241174,0.09288049955868068,0.1634140086397562,-0.12173026532411389,-0.109475458083668,0.0288468713712772,-0.0047428180963032624,-0.07550272381888821,0.03580517778372295,-0.04429398159114148,-0.13996026296409927,0.2599885273329956,0.013534055229346023,0.07737547065652417,0.1879946006503743,-0.0830184065835058,0.06008331111056346,0.049143675360109676,0.10285228164160509,-0.22819804654011452,0.21321168678886737,-0.11538909715871878,-0.06033672634597219,-0.018781509327242204,0.11347735054466651,0.21654120529193488,0.005542590378639741,0.22483396612885762,-0.16288331827134797,-0.06559984128686103,-0.12190800418270296,-0.08899009361984192,0.038414125184140925,0.03670415978229614,-0.056357940546761756,-0.025631572737861374,0.09129778550380035,0.14213655604228984,-0.008189566141898409,0.03561102483095234,-0.10880367729530277,-0.06667254560063475,-0.15325720595119],
+        [-0.03744300316235298,-0.0258795635488334,0.05183201066401707,-0.1360157137111993,-0.3302702775604825,0.14397278550581055,0.1628410425704571,-0.06409618845605672,-0.02834358463015931,-0.2947420259714899,0.04998607943782354,0.11051620732045801,-0.17342820870978884,0.1727981645092988,-0.022218009883977183,-0.27022184820322354,-0.008686998947014626,-0.14584453969552127,0.05294411895799044,-0.06755208487782251,0.14501074466232985,0.0397064274712845,-0.09383146565617585,-0.048497537889282495,-0.14057135065962592,0.11143206528933748,-0.16040950109423496,-0.007298436144085778,0.09689595982491266,0.11218264873500886,-0.19668075274690722,0.039448916434905223,0.11998687345082712,-0.038243380563444694,0.0073928366695132355,-0.13349881466070768,-0.18347417167028995,0.08650439127042388,-0.027716683110337068,0.059624568842947305,-0.03732661545801896,0.06003557898086075,-0.09770537943096207,-0.1418992817018678,-0.07941514690426994,-0.042349733220487684,0.03233707970810819,-0.017333546358494562,-0.04591708540577654,-0.06383016569889285,-0.13235455521684325,-0.020557204410213234,-0.06522601782092265,-0.17685030875928853,0.16650706897627965,-0.19990508236630664,0.1426915762120489,-0.05354992613214988,-0.06290398012844188,-0.004810447546434258,0.00203604114811016,-0.08661399572007687,-0.33041902123432076,-0.05709287917262138],
+        [-0.008730205075556581,0.14368101255976448,-0.012202397963809748,0.0473017105023973,0.030759099560608485,-0.06275509910433627,-0.29750850810885937,-0.0854192952948392,0.0890658289727501,0.12037094392586205,-0.08699414448013928,0.00086099033005788,-0.08558268720527575,-0.33292824253304676,0.028177584285632003,-0.0911771231919506,-0.004794110915647292,0.22451728032404974,-0.01209802039840135,-0.04555368263978357,-0.00762150056797714,0.21262019945502936,-0.10785559062724397,0.04775658993430856,0.008370375263832873,0.21304341859954984,0.0489058005904033,0.026552509947026442,0.002571164859428479,-0.05923523507064397,-0.02199577068678729,0.267428394117957,-0.05858361370626285,0.19642279624561226,0.0691099659333431,0.005451580651860136,0.16963404368556176,-0.1713714774669637,-0.02825404892638661,0.04003942677353726,0.015673489152384163,0.0484994400638665,0.17929660409806988,-0.24998151903187507,0.017843261892651754,0.2612291055598602,-0.013288200605491109,-0.08018832065484051,-0.2259048415480364,-0.018248424508025555,0.16586192950294484,0.00926932889450362,-0.008922427998727134,-0.08157183885346103,0.08757735402451636,0.08192664959838279,0.035666326761466735,0.044748236525227074,-0.15260905302478667,-0.1084077409425213,-0.09729148153896904,0.021083640291064704,0.1656520541708291,-0.16590154746813923],
+        [0.005616668804950936,0.05023981096631671,0.15753098360121828,-0.03907870760715313,-0.14436889900879063,-0.13989597794380734,0.26264047327773254,-0.11415664547594845,-0.027461505347554337,0.05113785349829151,-0.15623143745305754,0.08001871258363293,0.0013415890761723126,0.032244986113101684,-0.06635398058576333,-0.11653702971675728,0.0325670160150794,-0.03000458450904604,0.11110996124899468,-0.00037504515489007674,-0.26374636859309414,-0.16415322375491484,-0.023559418342955555,0.019671551935510758,0.1414414469138834,0.0691002991501674,0.2832295274915121,0.11054107360013495,-0.1856787293413132,0.232280917952535,-0.10258465404183502,0.05264513193421961,0.19370040229358382,0.05322374266733898,-0.04190045693523981,-0.02369865847413263,0.19449332509906403,-0.06744750898443629,0.22922978997768512,-0.10381964903914148,0.059738485317363206,0.040638406242635,-0.1236678923028039,-0.048675969776732386,-0.11731376665060969,-0.06117601002059288,0.12155090050699142,-0.012769491094343497,0.09162729675885448,0.10364496049087961,-0.028076999789046514,0.036323718036318176,-0.2660094383454918,-0.036252067400079836,0.048598797457330464,0.06869401570037564,0.05488226096960455,0.0763144956638177,0.23903768394542693,-0.23801308374805197,-0.09867383557139059,-0.02972207178260958,0.15265266856917004,0.06420014739438716],
+        [-0.045591154509489536,0.10902507064097273,0.02595020023171009,0.1130388879720657,0.16141941201894752,0.08295172969500339,-0.11999471827735181,0.0627802102240795,0.051206561056367346,-0.2209937736671656,0.034404786817768436,-0.14013812288080782,-0.1080104150775645,0.17470189268461617,-0.12166661952330039,0.058123762757557866,0.09190691012710081,0.03988340725162178,0.15985722087968848,-0.12464494170164023,-0.03549976948242893,0.13457647680877682,-0.05967063912398892,-0.036617986808581596,0.012304030015211893,-0.02135742846817765,0.04717194148301112,-0.10813969299948484,0.118687492834783,-0.04560425117810579,0.1337561140355558,-0.1467857405696124,-0.02783111416315513,-0.14274552271312232,-0.08534250977045808,-0.04580166932443368,-0.01576771497803483,0.15542421703479004,-0.09945984347362435,-0.24527431768496605,-0.06980792695909664,0.1507119612621866,-0.37469185481082656,0.0851141868855968,-0.07210602557575935,0.019209192599952945,-0.0014924211281849193,0.15341648833116595,0.043917387343879906,0.006973794284723706,-0.21151244449389064,0.045694278472349824,0.1376023663144903,-0.2592438847648646,-0.011134699304010115,-0.0433757018486319,0.1910095694267821,-0.08898294901922299,-0.06192576239393365,0.047607612337353895,-0.016611930758816295,-0.22275802262432284,0.08970828741129909,-0.2615419453640408],
+        [0.3071902993837098,-0.13991634585289678,-0.19409070114493598,-0.002844271773558433,0.18967469210475157,-0.10376979244660266,-0.29610851648769226,-0.11985841383948811,0.1333855860164045,-0.017910970105630628,0.04167908704500746,-0.1383623626626661,0.018283569665117343,-0.05838749277720494,-0.09041816073494247,0.024868581270598888,0.06032580048367641,0.026959938959155445,-0.13425366724650004,-0.1981788773239292,0.10747266539073914,0.00735075624783596,-0.1841589128149023,-0.05163516479014141,0.011000434702145631,-0.07532802132449226,0.1406684665803481,-0.03005807939237968,-0.07199377963424629,0.02718213471440292,-0.15285525099503908,-0.2263745543295929,-0.07025599877245378,-0.16044312319353543,-0.20349171942682528,0.10391523507301142,-0.03373827850638455,0.002819022842396379,0.2907668558326299,-0.20296779574750093,-0.0020185657432601825,-0.036911627619637344,0.24112614246681005,-0.10601317345325008,-0.08591687655591673,0.08401867981762255,-0.04573454668866084,0.14062780487080231,-0.06958766933953392,0.05818869226004154,0.04833219015179307,-0.0016466926003084843,0.13883094269777035,-0.019786956788751475,0.08783204836632479,-0.05869999119514007,-0.0007916260373481694,-0.07305886784261013,0.07525123252451447,-0.1174585709536767,0.12175015916342363,0.16263468909540074,-0.06059225507809392,0.056782440173568836],
+        [0.17690462032109203,-0.09560611589997339,-0.03395177429023002,0.04445122555957701,0.10470170720438153,0.0035533793577070386,-0.28070586239655404,0.02732901362832615,-0.08826173653404042,0.09385378821259074,-0.24483646717626723,-0.02411882887061881,-0.10038771069523177,0.15453726900657766,-0.12981602415946336,0.1561688428509398,0.061364435246006925,-0.06320265862060916,-0.0632157868473717,-0.012670172639440105,0.10843691260772184,-0.0814003614612712,-0.0553794169876815,-0.18827264350269404,-0.052603970941269826,-0.07339852498082954,-0.08184146100799093,-0.07140709552816728,-0.2765558297638153,-0.13449673259605252,-0.05150341234052722,0.09338754420239355,0.08285240697172196,-0.05967806645336897,-0.135430740035433,0.19862023596838194,0.11263548480830532,-0.27455544710386504,-0.10037347980588976,-0.026291469131227,0.017920275801422737,0.08904692871975957,0.12390645779071649,-0.06943410988906411,0.15888339058132253,-0.10385506355272059,-0.010194859695527489,0.10771219167845257,-0.0891562294318268,0.002684397233717935,0.21377733769390908,-0.38004945305638543,-0.02367928719609596,-0.21295564324089533,0.06554144403636544,0.03323111484534971,0.011925102660473544,-0.009928513686803104,0.06896424777144071,0.13804551508131693,-0.03741276920013537,0.018124187238090204,-0.001988596884899897,0.02185328867275902],
+        [-0.05595542510426535,-0.09719159871750935,-0.11396476127505349,0.12517485132098502,0.1539441166900066,0.014709865602432128,-0.11876276616791309,0.13550363157656983,0.20350023309368281,0.2098151639614135,0.0829673961901272,0.13948135760343966,0.03805600627996901,0.17994961889145777,-0.019455145307535105,-0.2279813956454134,0.20817350024215767,-0.0037167291490047246,0.0018698093291169185,0.02247590812374058,-0.060788970602853966,-0.14480827040096508,-0.09246985290122971,-0.034643903200905136,0.17409919003731947,-0.07952165898933111,0.18768889855667825,-0.13373453270361133,-0.10748086401340863,-0.1484477259699581,-0.10846469584262047,0.0954714005193318,0.15548788704266905,-0.07875006595936072,-0.04714387218712553,-0.0875222030484534,0.11225207550170081,-0.11738636108700908,0.12408929096502416,-0.02525184183808697,0.101441202006655,-0.02024701916506121,-0.10692167902478866,-0.010443884338836583,-0.08031106372578166,0.00964997042911613,0.022324413556346824,-0.19941740236947414,-0.01597545532641138,-0.08398234499515488,0.28550197141902406,-0.06492684542004915,0.0517629486275591,0.021087761536955504,-0.059199423638768005,-0.3239525192614328,-0.20090322225551616,0.07156606001688075,-0.01938795487332397,0.0387684745743126,0.18472379914082215,0.16096943079345535,0.12763968227650288,-0.04375176543337241],
+        [-0.2667821434083701,-0.0359708579896425,0.1241974691972081,-0.15165054135161124,0.1106004449777111,-0.020694378952705428,-0.061527569827550345,0.0023405382878550905,0.09294855141310693,-0.20688906425553305,-0.036719136121868126,0.08868419886565425,-0.12323772681999273,-0.1669241063576718,-0.18749204255934146,-0.009586063832053206,-0.08144319414729237,-0.18221270400741402,-0.11172326503993749,0.25608996110210847,0.0940434918321275,-0.13587690917390347,0.301519859045479,0.15730830183700462,-0.062275870979474304,-0.13210308957272915,-0.008221158507203669,-0.04126460412121336,-0.014046983221132663,-0.016328997291042653,-0.18558923231942,0.07076989723481442,-0.03563747302869758,0.011500436567245163,0.007123545673389044,0.03002536285968888,-0.00439750461795183,0.12627271072929128,-0.011960472987135696,-0.054705455707696166,0.23609231643679046,-0.04305122792811893,-0.03638202644601426,0.030928229486002885,0.030689703336549634,-0.04400829100463877,-0.18107170959873925,0.042405091489665106,0.07416334338406805,-0.07353569085049909,0.04886849448932529,0.051596723818587945,-0.3146053654829828,0.127382471357244,0.06972228999765862,0.18288186649372148,-0.12209725498039718,-0.17814655412604605,-0.15426814663398475,0.08821023680946698,0.0058741408991589035,0.13781970215537287,-0.0113059907242182,0.1555188300909982],
+        [-0.12062986183529278,0.07273941098464429,0.25000277070455024,-0.0029093797365220184,-0.1275535200545338,0.03584248516627852,0.13789331677047487,0.034466854863685434,-0.12434014799647977,0.10303918418522812,0.17880287965410568,0.031053065687436328,0.01226272493853697,-0.019197975685423484,-0.03108244017540121,-0.04932635096360959,-0.17586979885177606,-0.028085429861012194,-0.03548022289090635,-0.01870515804373713,-0.07908058415071477,0.2326825139802167,0.07627803471525953,0.09334022009057565,0.12313484788071766,-0.0013425326390227913,-0.006316453338678136,0.01181818053210329,0.18049225917357173,0.01850427144073081,0.03037801393221339,0.12747757820099712,0.21743603061893815,0.26533615631321167,-0.008856681532824567,0.18031733330411276,-0.09858080408098342,-0.04931105137926079,-0.06810840013468196,-0.06476606221660126,-0.19217353814418936,-0.15335116782944208,0.1593249168620694,-0.0149048079458242,0.027709048738926045,-0.09481272088959646,0.12231326319266106,-0.1116422376868758,-0.16493685016702866,0.07732587200499914,-0.24552461776441778,0.02580496645019386,0.14752526261052934,-0.14842267185798325,-0.21315590745206572,-0.16843094586900711,-0.21503260853484443,0.20915431700609285,0.04332786125271519,-0.020335180936510548,-0.18070280683637266,0.030265255317307553,-0.06737167393592525,-0.08163170612361015],
+        [0.03773988152267443,-0.052104456161203086,0.03363203229255189,0.07636440581747028,0.020642664843214694,0.0906472952586017,0.07351621774906346,-0.06467615122816972,0.21423480984607707,-0.10563965796917824,0.09847495062089238,0.05244717719788882,0.006891440410484801,0.04065011231681835,0.3141431091718777,0.29645263314809134,-0.04383842759047733,-0.12490384643521997,-0.011106856401870804,-0.11629521638890797,-0.06852298887483259,0.03969085164149701,0.09382737888827904,-0.10312674160180337,0.028806471018055422,-0.08207336122567163,-0.024509403595926127,-0.22666952968530207,-0.14275268760995277,0.07222827046623959,-0.16821632992131938,-0.040767161736202234,-0.08099468882551286,0.07411503427104389,-0.08166183262946622,-0.15708675746937073,0.026766365539185457,0.13450434059197378,0.1539499643665577,-0.03397603033442571,-0.17698510973960244,-0.13492661894204977,0.17910649259358302,-0.028066486704619965,0.16567535765945882,0.047952690900819946,-0.027539804016219204,-0.10983302690804592,-0.1293486280516293,0.015403085043589162,-0.1709386146144809,-0.014759401991258029,-0.27291636601575403,0.06928965283939652,-0.12583507835002497,-0.11241178801019527,0.1274395538638402,-0.2440719961085212,0.09422706370654967,-0.044218313929870794,-0.05196730578824043,0.0639945847120148,0.13879944227451868,-0.24903536910309404],
+        [0.13582532458678054,-0.09975915457060751,0.06003045976773236,-0.2061504411158013,-0.28517026546439045,-0.12078534348389469,-0.04005612098880188,0.11866304297756253,-0.22507891489527876,0.18478766977565786,0.046044725621707486,-0.08722748523159442,0.044224656174582315,0.12039409063608243,-0.037040113400030446,-0.2064408121288703,-0.12211315308738649,-0.090877703163969,0.10474703939826398,0.02377301421890509,0.11202875641650045,-0.0010928922242838808,-0.007217143093231893,-0.06912661101393805,-0.14147870277593277,-0.09065706233905291,-0.04699095404321819,-0.23869540114091858,-0.03442694449483691,0.20870980024312316,0.08208741913269703,-0.042941655362657344,-0.15317626517388291,0.13229530131289488,-0.055866837800891044,0.04339675039300469,-0.16334671877662743,0.04407567985133112,0.08343399952102648,0.08899752347406024,-0.08374787608463162,0.2004964255674245,0.051962084147839226,0.02264510795544116,0.0919726577684935,-0.18172438228747814,-0.025841489607650932,0.12964459182144136,0.027343791529143176,-0.09167959700116889,0.14336525615046716,0.09011939489396142,0.003870683470259,0.2625764187591893,-0.01585372349608521,0.007344519147741588,-0.12091191684417285,-0.05240556071701607,-0.04033424960980631,-0.24877016654023634,0.06884070784324293,-0.11263431152388802,0.2451307650378138,0.04172983312073952],
+    ],
+}
+
+
+def _ivf_oracle() -> str:
+    """DuckDB oracle for ext_knn_ivf: FULL SEMANTIC REPLAY of the IVF
+    read path under the pinned coarse quantizer (the LSH-replay recipe
+    plus the BPE fixture-closed-form pins). Containment does not hold
+    here (nprobe=8 of 16 cells misses 50-65 of the 100 true pairs on
+    this i.i.d.-gaussian ladder), so the oracle re-derives the SAME
+    candidate set: normalize each vector (x / (||x|| + 1e-12), the
+    numpy formula), dot against the 16 pinned centroid literals,
+    assign the corpus by argmax (sim DESC, cell ASC — numpy argmax
+    takes the lowest index on ties), probe the _IVF_NPROBE top cells
+    per query, cell-equi join, self-filter, dedup, exact rounded
+    re-score, (score desc, neighbor_id) top-k.
+
+    Cross-engine argmax robustness: numpy matmul and list_dot_product
+    sum in different orders (~1e-14 noise); measured fixture margins —
+    assignment best-vs-runner-up >= 3.85e-6, probe 8th-vs-9th
+    >= 1.75e-4 — leave 8+ orders of magnitude. A fixture change misses
+    every fingerprint -> 0 oracle rows -> loud red row."""
+    rows = []
+    for fp, cents in _IVF_CENTROID_PINS.items():
+        for cell, cv in enumerate(cents):
+            lit = "[" + ",".join(repr(x) for x in cv) + "]"
+            rows.append(f"('{fp}',{cell},{lit}::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""WITH fp AS (SELECT CAST(COUNT(*) AS VARCHAR) || ':' ||
+                   CAST(SUM(CAST(embedding[1] AS DECIMAL(28,14))) AS VARCHAR) AS v
+            FROM embeddings),
+ cents(corpus_fp, cell, cvec) AS (VALUES {values}),
+ live AS (SELECT cell, cvec FROM cents, fp WHERE corpus_fp = fp.v),
+ c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+ cn AS (SELECT vec_id, emb,
+               list_transform(emb,
+                 x -> x / (sqrt(list_dot_product(emb, emb)) + 1e-12)) AS nemb
+        FROM c),
+ sims AS (SELECT v.vec_id, lc.cell, list_dot_product(v.nemb, lc.cvec) AS sim
+          FROM cn v CROSS JOIN live lc),
+ assign AS (SELECT vec_id, cell FROM (
+              SELECT vec_id, cell,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, cell) AS rn
+              FROM sims) t WHERE rn = 1),
+ probes AS (SELECT vec_id AS query_id, cell FROM (
+              SELECT vec_id, cell,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, cell) AS rn
+              FROM sims WHERE vec_id < {N_QUERIES}) t WHERE rn <= {_IVF_NPROBE}),
+ cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+          FROM probes p JOIN assign a ON a.cell = p.cell
+          WHERE a.vec_id <> p.query_id),
+ scored AS (SELECT cand.query_id, cand.neighbor_id,
+                   FLOOR(list_cosine_similarity(eq.emb, ec.emb) * 10000.0 + 0.5)
+                     / 10000.0 AS score
+            FROM cand JOIN c eq ON eq.vec_id = cand.query_id
+                      JOIN c ec ON ec.vec_id = cand.neighbor_id),
+ ranked AS (SELECT query_id, neighbor_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored)
+SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= {K_NEIGHBORS}"""
+
+
+@ext_query("ext_knn_ivf", _ivf_oracle())  # + recall/lifecycle pytests
+
 def ext_knn_ivf(spark, sf_dir):
     """IVF-bucketed ANN: corpus vectors are assigned to their single
     nearest coarse centroid (at 100 TB: a write-once index partitioned

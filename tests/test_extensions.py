@@ -124,6 +124,44 @@ def test_ivf_ann_recall_against_bruteforce(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_ivf_oracle_pins_match_reference():
+    """The _IVF_CENTROID_PINS behind the ext_knn_ivf replay oracle must
+    stay re-derivable from the frozen fixtures: same deterministic
+    vec_id%7 sample, same _ivf_kmeans core, byte-identical doubles
+    (repr equality — the oracle emits them via repr, so any drift in
+    the trainer or fixture reddens this before a driver row). Also
+    re-checks the fingerprint key each pin is filed under. No Spark
+    involved."""
+    import duckdb
+    import numpy as np
+
+    from smartpipeline_spark.functions.similarity import (
+        _IVF_CENTROID_PINS,
+        _IVF_SAMPLE_CAP,
+        _ivf_kmeans,
+    )
+
+    con = duckdb.connect()
+    seen = {}
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        pq = f"/root/testdata/{sf}/embeddings.parquet"
+        fp = con.sql(
+            f"""SELECT CAST(COUNT(*) AS VARCHAR) || ':' ||
+                CAST(SUM(CAST(embedding[1] AS DECIMAL(28,14))) AS VARCHAR)
+                FROM read_parquet('{pq}')"""
+        ).fetchone()[0]
+        m = con.sql(
+            f"""SELECT embedding::DOUBLE[] AS e FROM read_parquet('{pq}')
+                WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT {_IVF_SAMPLE_CAP}"""
+        ).fetchnumpy()["e"]
+        seen[fp] = [[repr(x) for x in row] for row in _ivf_kmeans(np.stack(m))]
+    pinned = {
+        fp: [[repr(x) for x in row] for row in cents]
+        for fp, cents in _IVF_CENTROID_PINS.items()
+    }
+    assert seen == pinned, "fixture-derived centroids diverge from the pinned oracle table"
+
+
 def test_spread_groups_one_range_exchange_one_partition_per_group(spark):
     """The AQE-coalescing countermeasure's two load-bearing claims:
     (1) the explicit range repartition is the ONLY exchange — Catalyst
