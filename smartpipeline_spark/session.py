@@ -55,6 +55,36 @@ def _protobuf_importable() -> bool:
         return False
 
 
+# Opt-out: set SMARTPIPELINE_SPARK_NO_PROVISION=1 to forbid the
+# site-packages write entirely. ensure_protobuf() then falls back to
+# the PYTHONPATH mechanism, which still covers every JVM the engine
+# launches itself (only workers forked by a pre-existing external JVM
+# lose the shim — the tradeoff the env owner opted into).
+NO_PROVISION_ENV = "SMARTPIPELINE_SPARK_NO_PROVISION"
+
+
+def _site_candidates() -> list[str]:
+    """The writable-site-packages search order provision/unprovision
+    share: purelib first, then global site dirs, then the user dir."""
+    import site
+    import sysconfig
+
+    candidates: list[str] = []
+    try:
+        candidates.append(sysconfig.get_paths()["purelib"])
+    except (KeyError, OSError):
+        pass
+    try:
+        candidates.extend(site.getsitepackages())
+    except (AttributeError, OSError):
+        pass
+    try:
+        candidates.append(site.getusersitepackages())
+    except (AttributeError, OSError):
+        pass
+    return list(dict.fromkeys(candidates))
+
+
 def provision_protobuf() -> str | None:
     """Install the vendored ``google.protobuf`` shim into a writable
     site-packages as a PEP-420 namespace portion (``google/`` with NO
@@ -75,32 +105,20 @@ def provision_protobuf() -> str | None:
     real installation overwrites the same path and wins.
 
     Returns the directory provisioned into, or None (already
-    importable, or nowhere writable)."""
+    importable, opted out via $SMARTPIPELINE_SPARK_NO_PROVISION, or
+    nowhere writable)."""
     import importlib
     import shutil
-    import site
-    import sysconfig
     import tempfile
 
+    if os.environ.get(NO_PROVISION_ENV, "").strip() not in ("", "0"):
+        return None
     if _protobuf_importable():
         return None
     vendor_pb = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "vendor", "google", "protobuf"
     )
-    candidates: list[str] = []
-    try:
-        candidates.append(sysconfig.get_paths()["purelib"])
-    except (KeyError, OSError):
-        pass
-    try:
-        candidates.extend(site.getsitepackages())
-    except (AttributeError, OSError):
-        pass
-    try:
-        candidates.append(site.getusersitepackages())
-    except (AttributeError, OSError):
-        pass
-    for sp in dict.fromkeys(candidates):
+    for sp in _site_candidates():
         try:
             os.makedirs(sp, exist_ok=True)
         except OSError:
@@ -144,6 +162,37 @@ def provision_protobuf() -> str | None:
         except OSError:
             continue
     return None
+
+
+def unprovision_protobuf() -> list[str]:
+    """Remove every site-packages protobuf copy that
+    :func:`provision_protobuf` owns — identified STRICTLY by the
+    :data:`SHIM_MARKER` file, so a real ``pip install protobuf`` (which
+    ships no marker) is never touched. The enclosing namespace
+    ``google/`` dir is removed too when the shim was its only content
+    (we never created it otherwise); a ``google/`` holding anything
+    else is left alone. Returns the removed ``google/protobuf`` paths
+    (empty when nothing of ours was found)."""
+    import importlib
+    import shutil
+
+    removed: list[str] = []
+    for sp in _site_candidates():
+        target_google = os.path.join(sp, "google")
+        target_pb = os.path.join(target_google, "protobuf")
+        if not os.path.exists(os.path.join(target_pb, SHIM_MARKER)):
+            continue
+        shutil.rmtree(target_pb, ignore_errors=True)
+        if not os.path.exists(target_pb):
+            removed.append(target_pb)
+        try:
+            if not os.listdir(target_google):
+                os.rmdir(target_google)
+        except OSError:
+            pass
+    if removed:
+        importlib.invalidate_caches()
+    return removed
 
 
 def ensure_protobuf() -> bool:

@@ -184,3 +184,81 @@ def test_vendor_google_is_a_namespace_portion():
     namespace portions (google.auth, google.cloud, a real
     google.protobuf earlier on the path)."""
     assert not os.path.exists(os.path.join(VENDOR, "google", "__init__.py"))
+
+
+def test_provision_unprovision_roundtrip():
+    """unprovision_protobuf removes exactly the marker-owned copies
+    and provision_protobuf can re-install afterwards — run in a fresh
+    subprocess (no $PYTHONPATH, clean import caches) that RESTORES the
+    provisioned state before exiting, so the rest of the suite keeps
+    its launch-order-proof shim."""
+    import subprocess
+
+    script = """
+import os, importlib.util
+from smartpipeline_spark import session as S
+
+removed = S.unprovision_protobuf()
+assert all(os.path.basename(p) == "protobuf" for p in removed), removed
+assert S.unprovision_protobuf() == [], "second unprovision must be a no-op"
+for sp in S._site_candidates():
+    assert not os.path.exists(os.path.join(sp, "google", "protobuf", S.SHIM_MARKER))
+importlib.invalidate_caches()
+sp = S.provision_protobuf()
+if removed:
+    assert sp is not None, "re-provision failed after unprovision"
+    assert os.path.exists(os.path.join(sp, "google", "protobuf", S.SHIM_MARKER))
+assert importlib.util.find_spec("google.protobuf") is not None
+print("ROUNDTRIP-OK")
+"""
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, env=env
+    )
+    assert out.returncode == 0 and "ROUNDTRIP-OK" in out.stdout, out.stderr
+
+
+def test_no_provision_env_leaves_site_packages_untouched():
+    """With $SMARTPIPELINE_SPARK_NO_PROVISION=1 the package import must
+    not write to site-packages, while ensure_protobuf()'s PYTHONPATH
+    fallback still makes google.protobuf importable for engine-owned
+    sessions. Runs in a subprocess that first unprovisions (so the
+    opt-out has something to decline), then restores the provisioned
+    state before exiting."""
+    import subprocess
+
+    script = """
+import os, importlib, importlib.util
+from smartpipeline_spark import session as S
+
+had_shim = bool(S.unprovision_protobuf())
+importlib.invalidate_caches()
+os.environ[S.NO_PROVISION_ENV] = "1"
+assert S.provision_protobuf() is None, "opt-out must block the site write"
+for sp in S._site_candidates():
+    assert not os.path.exists(os.path.join(sp, "google", "protobuf", S.SHIM_MARKER)), sp
+assert S.ensure_protobuf(), "PYTHONPATH fallback must still work"
+assert importlib.util.find_spec("google.protobuf") is not None
+vendor = os.path.join(os.path.dirname(os.path.abspath(S.__file__)), "vendor")
+assert vendor in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+# restore: drop the opt-out and re-provision for the rest of the suite.
+# The fallback put vendor on sys.path, which makes google.protobuf
+# importable and would make provision_protobuf() decline — remove it
+# first so the site-packages copy really comes back.
+del os.environ[S.NO_PROVISION_ENV]
+import sys
+if vendor in sys.path:
+    sys.path.remove(vendor)
+for mod in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
+    del sys.modules[mod]
+importlib.invalidate_caches()
+if had_shim:
+    restored = S.provision_protobuf()
+    assert restored is not None, "restore re-provision failed"
+print("OPTOUT-OK")
+"""
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, env=env
+    )
+    assert out.returncode == 0 and "OPTOUT-OK" in out.stdout, out.stderr
