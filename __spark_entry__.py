@@ -341,7 +341,13 @@ ROWS_ONLY_ATTESTATIONS = {
         "test_trained_langid_beats_heuristic_on_signal_corpus",
         "test_trained_langid_key_holds_heuristic_floor_on_fixture",
     ],
-    "ext_multimodal_resize": ["test_multimodal_resize_and_frames_queries"],
+    # ext_multimodal_resize converted rows-only -> oracled in round 10:
+    # synth pixels are pure functions of (x, y), so the resized-PNG
+    # byte size depends only on the (doc_id%29, doc_id%17) residue
+    # class — 493 statically pinned values + closed-form BMP/WAV
+    # arithmetic make every output column a fixture-closed form.
+    # test_resize_oracle_pins_match_kernel re-derives all 493 pins via
+    # resize_image each run; the resize/frames pytest remains.
     "ext_multimodal_frames": ["test_multimodal_resize_and_frames_queries"],
     "ext_multimodal_phash": [
         "test_phash_query_planted_recall",

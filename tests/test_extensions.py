@@ -2635,3 +2635,29 @@ def test_emb_quantize_codes_bounded_and_reconstruction_within_half_step(spark):
     # exact endpoints: min maps to code 0, max to 255 -> both recoverable
     r1 = out[1]
     assert r1.v_min == 0.0 and r1.v_max == 1.0
+
+
+def test_resize_oracle_pins_match_kernel():
+    """The 493 _RESIZE_PNG_PINS behind the ext_multimodal_resize oracle
+    must stay re-derivable from the kernel: for every (doc_id%29,
+    doc_id%17) residue class, resize_image(png_bytes(4+a, 4+b), 16, 12)
+    must still produce a 16x12 PNG of exactly the pinned byte size.
+    Static pins mean a kernel regression reddens the driver row; this
+    test reddens first with a precise diff. No Spark involved."""
+    from smartpipeline_spark.functions.multimodal import (
+        _RESIZE_PNG_PINS,
+        decode_media,
+        png_bytes,
+        resize_image,
+    )
+
+    pinned = {}
+    for triple in _RESIZE_PNG_PINS.split("),("):
+        a, b, n = map(int, triple.strip("()").split(","))
+        pinned[(a, b)] = n
+    assert len(pinned) == 29 * 17
+    for (a, b), n in pinned.items():
+        out = resize_image(png_bytes(4 + a, 4 + b), 16, 12)
+        m = decode_media(out)
+        assert (m["kind"], m["width"], m["height"]) == ("png", 16, 12), (a, b)
+        assert len(out) == n, f"residue ({a},{b}): kernel {len(out)} != pin {n}"
