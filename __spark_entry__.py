@@ -348,7 +348,13 @@ ROWS_ONLY_ATTESTATIONS = {
     # arithmetic make every output column a fixture-closed form.
     # test_resize_oracle_pins_match_kernel re-derives all 493 pins via
     # resize_image each run; the resize/frames pytest remains.
-    "ext_multimodal_frames": ["test_multimodal_resize_and_frames_queries"],
+    # ext_multimodal_frames converted rows-only -> oracled in round 10:
+    # WAV windowing is exact container arithmetic over doc_id (800-byte
+    # frames, remainder last), BMP is closed-form, PNG passthrough uses
+    # the 493 pinned source sizes; the LATERAL generate_series grades
+    # the flatMap expansion itself. Kernel-vs-oracle equality verified
+    # locally at sf0.001/0.1; test_frames_oracle_pins_match_kernel
+    # re-derives the pins each run, and the windowing pytest remains.
     "ext_multimodal_phash": [
         "test_phash_query_planted_recall",
         "test_phash_planted_image_copies_found_distinct_not",

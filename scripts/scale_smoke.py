@@ -180,6 +180,25 @@ def main() -> None:
 
         anchor = F.col("doc_id") % n < 2
 
+        from smartpipeline_spark.operators.scale import tuned_shuffle_partitions
+
+        def _retune(name: str, est_rows: int) -> str:
+            """r10: when --shuffle is not forced, the capped probes size
+            their own shuffle via the library rule (est join rows x
+            ~50 B / 128 MB target, nearest pow2, floored at 2 x cpus) —
+            the SMOKE_r9 hand-tuned constants made executable. Returns
+            the previous setting for restore. The estimate aggregation
+            (one pass over the persisted build side, ~2 s at 256x) is
+            charged INSIDE the timed op: the rule's cost is part of the
+            operator."""
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            if shuf is None:
+                p = tuned_shuffle_partitions(est_rows, spark=spark)
+                counts[f"{name}_est_join_rows"] = int(est_rows)
+                counts[f"{name}_tuned_partitions"] = p
+                spark.conf.set("spark.sql.shuffle.partitions", str(p))
+            return prev
+
         def capped_jaccard():
             sh_full = word_shingles(docs, 3).persist(
                 StorageLevel.MEMORY_AND_DISK
@@ -196,7 +215,18 @@ def main() -> None:
             sh = drop_hot_keys(sh_full, "sh", 16 * n).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
+            prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
             try:
+                est = (
+                    sh.groupBy("sh")
+                    .agg(
+                        F.count("*").alias("na"),
+                        F.sum(F.when(anchor, 1).otherwise(0)).alias("nb"),
+                    )
+                    .agg(F.sum(F.col("na") * F.col("nb")).alias("r"))
+                    .collect()[0]["r"]
+                )
+                prev_shuf = _retune("jaccard_pairs_capped2", int(est or 0))
                 sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
                 a, b = sh.alias("a"), sh.filter(anchor).alias("b")
                 common = (
@@ -222,6 +252,7 @@ def main() -> None:
                     .count()
                 )
             finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_shuf)
                 sh.unpersist()
                 sh_full.unpersist()
 
@@ -244,22 +275,39 @@ def main() -> None:
             )
             keyed = sigs.select(
                 "doc_id", F.explode(bands).alias("band")
-            ).select("doc_id", "band.band_id", "band.band_hash")
-            a, b = keyed.alias("a"), keyed.filter(anchor).alias("b")
-            return (
-                a.join(
-                    b,
-                    (F.col("a.band_id") == F.col("b.band_id"))
-                    & (F.col("a.band_hash") == F.col("b.band_hash"))
-                    & (F.col("a.doc_id") > F.col("b.doc_id")),
-                )
-                .select(
-                    F.col("a.doc_id").alias("d1"),
-                    F.col("b.doc_id").alias("d2"),
-                )
-                .distinct()
-                .count()
+            ).select("doc_id", "band.band_id", "band.band_hash").persist(
+                StorageLevel.MEMORY_AND_DISK
             )
+            prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
+            try:
+                est = (
+                    keyed.groupBy("band_id", "band_hash")
+                    .agg(
+                        F.count("*").alias("na"),
+                        F.sum(F.when(anchor, 1).otherwise(0)).alias("nb"),
+                    )
+                    .agg(F.sum(F.col("na") * F.col("nb")).alias("r"))
+                    .collect()[0]["r"]
+                )
+                _retune("minhash_candidates_capped2", int(est or 0))
+                a, b = keyed.alias("a"), keyed.filter(anchor).alias("b")
+                return (
+                    a.join(
+                        b,
+                        (F.col("a.band_id") == F.col("b.band_id"))
+                        & (F.col("a.band_hash") == F.col("b.band_hash"))
+                        & (F.col("a.doc_id") > F.col("b.doc_id")),
+                    )
+                    .select(
+                        F.col("a.doc_id").alias("d1"),
+                        F.col("b.doc_id").alias("d2"),
+                    )
+                    .distinct()
+                    .count()
+                )
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_shuf)
+                keyed.unpersist()
 
         timed("jaccard_pairs_capped2", capped_jaccard)
         timed("minhash_candidates_capped2", capped_minhash)

@@ -420,14 +420,54 @@ def ext_multimodal_resize(spark, sf_dir):
     )
 
 
-@ext_query("ext_multimodal_frames")  # verified by deterministic pytest
+# Source-PNG byte sizes per residue class (the ORIGINAL container,
+# not the resized one — images pass through frame sampling whole), the
+# sibling of _RESIZE_PNG_PINS with the same honesty contract
+# (test_frames_oracle_pins_match_kernel re-derives all 493 each run).
+_SOURCE_PNG_PINS = "(0,0,95),(0,1,101),(0,2,106),(0,3,112),(0,4,116),(0,5,119),(0,6,121),(0,7,127),(0,8,130),(0,9,132),(0,10,140),(0,11,146),(0,12,153),(0,13,157),(0,14,154),(0,15,165),(0,16,168),(1,0,98),(1,1,104),(1,2,110),(1,3,116),(1,4,119),(1,5,121),(1,6,127),(1,7,131),(1,8,133),(1,9,141),(1,10,147),(1,11,153),(1,12,158),(1,13,162),(1,14,166),(1,15,169),(1,16,173),(2,0,101),(2,1,107),(2,2,113),(2,3,119),(2,4,120),(2,5,126),(2,6,129),(2,7,131),(2,8,139),(2,9,146),(2,10,151),(2,11,156),(2,12,161),(2,13,165),(2,14,168),(2,15,172),(2,16,175),(3,0,105),(3,1,111),(3,2,117),(3,3,123),(3,4,126),(3,5,129),(3,6,132),(3,7,140),(3,8,146),(3,9,151),(3,10,157),(3,11,162),(3,12,166),(3,13,169),(3,14,174),(3,15,176),(3,16,179),(4,0,108),(4,1,114),(4,2,120),(4,3,126),(4,4,129),(4,5,131),(4,6,140),(4,7,146),(4,8,151),(4,9,157),(4,10,163),(4,11,168),(4,12,170),(4,13,174),(4,14,177),(4,15,180),(4,16,184),(5,0,111),(5,1,117),(5,2,123),(5,3,127),(5,4,130),(5,5,138),(5,6,145),(5,7,150),(5,8,155),(5,9,161),(5,10,166),(5,11,171),(5,12,173),(5,13,176),(5,14,179),(5,15,183),(5,16,191),(6,0,114),(6,1,120),(6,2,126),(6,3,128),(6,4,134),(6,5,141),(6,6,148),(6,7,154),(6,8,160),(6,9,165),(6,10,170),(6,11,175),(6,12,174),(6,13,177),(6,14,182),(6,15,191),(6,16,195),(7,0,117),(7,1,123),(7,2,127),(7,3,133),(7,4,140),(7,5,146),(7,6,153),(7,7,158),(7,8,163),(7,9,168),(7,10,173),(7,11,177),(7,12,176),(7,13,180),(7,14,189),(7,15,194),(7,16,198),(8,0,120),(8,1,127),(8,2,132),(8,3,139),(8,4,145),(8,5,152),(8,6,158),(8,7,163),(8,8,168),(8,9,173),(8,10,177),(8,11,183),(8,12,186),(8,13,190),(8,14,194),(8,15,199),(8,16,201),(9,0,124),(9,1,130),(9,2,137),(9,3,141),(9,4,149),(9,5,156),(9,6,162),(9,7,168),(9,8,173),(9,9,177),(9,10,183),(9,11,186),(9,12,190),(9,13,195),(9,14,199),(9,15,201),(9,16,203),(10,0,127),(10,1,133),(10,2,139),(10,3,146),(10,4,152),(10,5,159),(10,6,165),(10,7,171),(10,8,176),(10,9,181),(10,10,184),(10,11,188),(10,12,193),(10,13,197),(10,14,199),(10,15,202),(10,16,212),(11,0,130),(11,1,136),(11,2,143),(11,3,149),(11,4,155),(11,5,162),(11,6,168),(11,7,174),(11,8,180),(11,9,182),(11,10,186),(11,11,191),(11,12,196),(11,13,198),(11,14,200),(11,15,210),(11,16,218),(12,0,133),(12,1,139),(12,2,146),(12,3,152),(12,4,158),(12,5,165),(12,6,171),(12,7,177),(12,8,181),(12,9,185),(12,10,189),(12,11,194),(12,12,196),(12,13,198),(12,14,208),(12,15,216),(12,16,222),(13,0,136),(13,1,142),(13,2,149),(13,3,155),(13,4,161),(13,5,168),(13,6,174),(13,7,179),(13,8,183),(13,9,188),(13,10,192),(13,11,194),(13,12,196),(13,13,207),(13,14,215),(13,15,220),(13,16,228),(14,0,139),(14,1,145),(14,2,152),(14,3,158),(14,4,164),(14,5,171),(14,6,177),(14,7,181),(14,8,186),(14,9,190),(14,10,192),(14,11,195),(14,12,205),(14,13,213),(14,14,218),(14,15,226),(14,16,232),(15,0,142),(15,1,148),(15,2,155),(15,3,161),(15,4,167),(15,5,174),(15,6,179),(15,7,184),(15,8,189),(15,9,191),(15,10,193),(15,11,203),(15,12,211),(15,13,211),(15,14,224),(15,15,231),(15,16,238),(16,0,145),(16,1,151),(16,2,158),(16,3,164),(16,4,170),(16,5,177),(16,6,182),(16,7,187),(16,8,189),(16,9,191),(16,10,201),(16,11,204),(16,12,209),(16,13,219),(16,14,229),(16,15,236),(16,16,241),(17,0,148),(17,1,154),(17,2,161),(17,3,167),(17,4,173),(17,5,180),(17,6,185),(17,7,187),(17,8,189),(17,9,200),(17,10,203),(17,11,207),(17,12,217),(17,13,224),(17,14,234),(17,15,239),(17,16,245),(18,0,151),(18,1,157),(18,2,164),(18,3,170),(18,4,176),(18,5,183),(18,6,185),(18,7,188),(18,8,198),(18,9,201),(18,10,205),(18,11,215),(18,12,222),(18,13,229),(18,14,238),(18,15,243),(18,16,247),(19,0,154),(19,1,161),(19,2,167),(19,3,174),(19,4,180),(19,5,187),(19,6,187),(19,7,197),(19,8,200),(19,9,205),(19,10,216),(19,11,223),(19,12,229),(19,13,239),(19,14,244),(19,15,248),(19,16,255),(20,0,158),(20,1,164),(20,2,171),(20,3,177),(20,4,184),(20,5,191),(20,6,197),(20,7,200),(20,8,204),(20,9,215),(20,10,215),(20,11,223),(20,12,235),(20,13,240),(20,14,248),(20,15,255),(20,16,261),(21,0,161),(21,1,167),(21,2,174),(21,3,180),(21,4,187),(21,5,194),(21,6,197),(21,7,202),(21,8,213),(21,9,212),(21,10,221),(21,11,229),(21,12,238),(21,13,247),(21,14,253),(21,15,259),(21,16,264),(22,0,164),(22,1,170),(22,2,177),(22,3,183),(22,4,190),(22,5,195),(22,6,200),(22,7,208),(22,8,210),(22,9,218),(22,10,227),(22,11,236),(22,12,243),(22,13,250),(22,14,256),(22,15,262),(22,16,270),(23,0,167),(23,1,173),(23,2,180),(23,3,186),(23,4,193),(23,5,198),(23,6,206),(23,7,208),(23,8,216),(23,9,225),(23,10,232),(23,11,239),(23,12,246),(23,13,253),(23,14,259),(23,15,266),(23,16,273),(24,0,170),(24,1,176),(24,2,183),(24,3,189),(24,4,196),(24,5,203),(24,6,206),(24,7,214),(24,8,222),(24,9,229),(24,10,236),(24,11,242),(24,12,249),(24,13,256),(24,14,262),(24,15,269),(24,16,276),(25,0,173),(25,1,179),(25,2,186),(25,3,192),(25,4,199),(25,5,203),(25,6,212),(25,7,219),(25,8,226),(25,9,232),(25,10,239),(25,11,245),(25,12,252),(25,13,259),(25,14,265),(25,15,272),(25,16,279),(26,0,176),(26,1,182),(26,2,189),(26,3,195),(26,4,201),(26,5,209),(26,6,215),(26,7,222),(26,8,229),(26,9,235),(26,10,242),(26,11,248),(26,12,255),(26,13,262),(26,14,268),(26,15,275),(26,16,282),(27,0,179),(27,1,185),(27,2,192),(27,3,198),(27,4,205),(27,5,210),(27,6,218),(27,7,225),(27,8,232),(27,9,238),(27,10,245),(27,11,251),(27,12,258),(27,13,265),(27,14,271),(27,15,278),(27,16,285),(28,0,182),(28,1,188),(28,2,195),(28,3,201),(28,4,208),(28,5,215),(28,6,221),(28,7,228),(28,8,235),(28,9,241),(28,10,248),(28,11,254),(28,12,261),(28,13,268),(28,14,275),(28,15,282),(28,16,289)"
+
+
+def _frames_oracle() -> str:
+    """DuckDB oracle for ext_multimodal_frames, fully closed-form over
+    doc_id: WAV rows window into ceil(data_len/800) frames of 800
+    bytes (50 ms at 8 kHz 16-bit mono) with the remainder in the last
+    frame, where data_len = 2*(400 + (doc_id%50)*80); BMP rows pass
+    through whole at the exact container arithmetic
+    54 + h*((w*3+3)//4*4); PNG rows pass through whole at the pinned
+    source size for their (doc_id%29, doc_id%17) residue class. The
+    frame expansion itself is a LATERAL generate_series, so the oracle
+    grades the flatMap row multiplication, indices AND byte counts."""
+    return f"""WITH pngpins(wr, hr, nb) AS (VALUES {_SOURCE_PNG_PINS}),
+ base AS (
+   SELECT d.doc_id, d.doc_id % 3 AS k,
+          2 * (400 + (d.doc_id % 50) * 80) AS data_len,
+          54 + (4 + d.doc_id % 17) * (((4 + d.doc_id % 29) * 3 + 3) // 4 * 4) AS bmp_len,
+          p.nb AS png_len
+   FROM documents d
+   LEFT JOIN pngpins p ON p.wr = d.doc_id % 29 AND p.hr = d.doc_id % 17)
+SELECT doc_id,
+       CASE WHEN k = 2 THEN CAST(g.i AS INT) ELSE 0 END AS frame_idx,
+       CAST(CASE WHEN k = 0 THEN png_len
+                 WHEN k = 1 THEN bmp_len
+                 WHEN g.i < (data_len - 1) // 800 THEN 800
+                 ELSE data_len - 800 * ((data_len - 1) // 800)
+            END AS INT) AS frame_bytes
+FROM base, LATERAL (
+  SELECT unnest(generate_series(0,
+           CASE WHEN k = 2 THEN (data_len - 1) // 800 ELSE 0 END)) AS i) g"""
+
+
+@ext_query("ext_multimodal_frames", _frames_oracle())  # + pytest
+
 def ext_multimodal_frames(spark, sf_dir):
     """REAL frame sampling: WAV payloads are windowed into 50 ms PCM
     frames (1 media row -> N frame rows, flatMap shape); images count
     as a single frame. The row-count expansion happens inside
     mapInPandas so downstream operators see ordinary rows; at scale
     the expansion factor drives partition sizing (explode-aware
-    maxRecordsPerBatch)."""
+    maxRecordsPerBatch). Oracled as of r10: every output column is a
+    closed form of doc_id (see :func:`_frames_oracle`); the
+    deterministic-windowing pytest remains."""
     b = synth_media(spark, sf_dir)
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

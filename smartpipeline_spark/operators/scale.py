@@ -26,6 +26,66 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def tuned_shuffle_partitions(
+    est_rows: int | None = None,
+    *,
+    row_bytes: int = 50,
+    working_set_bytes: int | None = None,
+    target_mb: int = 128,
+    floor: int | None = None,
+    ceiling: int = 8192,
+    spark: SparkSession | None = None,
+) -> int:
+    """Executable form of the partition-sizing rule the SMOKE ladders
+    converged on (r9 hand-tuning, r10 idle-host adjudication): set
+    ``spark.sql.shuffle.partitions`` so each task's share of the
+    WIDEST exchange's working set is ~``target_mb`` serialized, then
+    round to the nearest power of two and clamp to
+    [2 x parallelism, ceiling].
+
+    Callers pass either ``working_set_bytes`` directly or ``est_rows``
+    (the widest shuffle's row count — e.g. a join's output cardinality
+    Sum_k n_a(k)*n_b(k), computable by one cheap pre-aggregation) with
+    ``row_bytes`` (~50 for a pair+count shuffle row).
+
+    Why NEAREST, with a hard floor and no round-up-for-safety: the
+    measured curve is NON-monotone in both directions —
+    * r10 idle-host matrix, capped-jaccard 64x (329M join rows):
+      128p = 68.1s / 1303 exec-CPU-s, 256p = 91.7s / 1767 — doubling
+      partitions past the target cost +36% CPU (per-task overhead +
+      doubled spill), load-independently.
+    * capped-jaccard 256x (1.32B rows): 512p = 251.7s / 6077 CPU-s,
+      1024p = 346.3s / 8487 — same +40% penalty. (r9's apparent 1024p
+      preference, and its 2x-worse 64x@256p point, were measured under
+      host load 14-27 and do not reproduce idle; executorCpuTime
+      inflates under contention — the r8 lesson, reconfirmed.)
+    * capped-minhash 256x (small working set, zero spill at every
+      width 128-1024): wall flat 54-64s — below the pressure point
+      partitions simply don't matter, so the floor is the right
+      answer, not a scaled-up count.
+    Both jaccard bests sit at the SAME per-task load (329M/128 =
+    1315M/512 = 2.57M rows ~ 128 MB serialized at ~50 B/row) — one
+    target, both rungs, which is exactly the rule a 1000-executor job
+    sizes reducers by."""
+    if working_set_bytes is None:
+        if est_rows is None:
+            raise ValueError("pass est_rows or working_set_bytes")
+        working_set_bytes = int(est_rows) * int(row_bytes)
+    if floor is None:
+        if spark is not None:
+            floor = 2 * spark.sparkContext.defaultParallelism
+        else:
+            from smartpipeline_spark.session import default_parallelism
+
+            floor = 2 * default_parallelism()
+    need = max(1.0, working_set_bytes / (target_mb * 1024.0 * 1024.0))
+    import math
+
+    # nearest power of two in log space (131 -> 128, 526 -> 512)
+    p = 2 ** round(math.log2(need))
+    return int(min(max(p, floor), ceiling))
+
+
 def salted_join(
     skewed: DataFrame,
     small: DataFrame,

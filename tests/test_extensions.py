@@ -2661,3 +2661,22 @@ def test_resize_oracle_pins_match_kernel():
         m = decode_media(out)
         assert (m["kind"], m["width"], m["height"]) == ("png", 16, 12), (a, b)
         assert len(out) == n, f"residue ({a},{b}): kernel {len(out)} != pin {n}"
+
+
+def test_frames_oracle_pins_match_kernel():
+    """The 493 _SOURCE_PNG_PINS behind the ext_multimodal_frames oracle
+    (original-container byte sizes — images pass through frame sampling
+    whole) must stay re-derivable from png_bytes. No Spark involved."""
+    from smartpipeline_spark.functions.multimodal import (
+        _SOURCE_PNG_PINS,
+        png_bytes,
+    )
+
+    pinned = {}
+    for triple in _SOURCE_PNG_PINS.split("),("):
+        a, b, n = map(int, triple.strip("()").split(","))
+        pinned[(a, b)] = n
+    assert len(pinned) == 29 * 17
+    for (a, b), n in pinned.items():
+        got = len(png_bytes(4 + a, 4 + b))
+        assert got == n, f"residue ({a},{b}): kernel {got} != pin {n}"

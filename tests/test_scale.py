@@ -866,3 +866,27 @@ def test_zorder_on_multimodal_binary_table_prunes_metadata_scans(spark, tmp_path
     z_id, z_bytes = eligible_frac("doc_id"), eligible_frac("n_bytes")
     assert z_id < 0.8, z_id
     assert z_bytes < 0.8, z_bytes
+
+
+def test_tuned_shuffle_partitions_reproduces_idle_host_bests():
+    """The r10 idle-host matrix regression pins: the helper must map
+    each measured working set to the partition count that won its rung,
+    and must NOT round up 'for safety' — the over-partitioned configs
+    (jaccard 64x@256p, 256x@1024p) measured +36-40% executor CPU."""
+    from smartpipeline_spark.operators.scale import tuned_shuffle_partitions
+
+    # capped-jaccard 64x: 328,869,744 estimated join rows -> 128 (not 256)
+    assert tuned_shuffle_partitions(328_869_744, floor=64) == 128
+    # capped-jaccard 256x: 1,315,285,872 rows -> 512 (not 1024; r9's
+    # 1024p preference was host-load contamination)
+    assert tuned_shuffle_partitions(1_315_285_872, floor=64) == 512
+    # capped-minhash 256x: small working set (zero spill at any width,
+    # wall flat 54-64s) -> the floor, not a scaled-up count
+    assert tuned_shuffle_partitions(20_000_000, floor=64) == 64
+    # byte-direct form agrees with rows x row_bytes
+    assert tuned_shuffle_partitions(
+        working_set_bytes=328_869_744 * 50, floor=64
+    ) == 128
+    # clamps: ceiling binds, floor binds
+    assert tuned_shuffle_partitions(10**13, floor=64, ceiling=2048) == 2048
+    assert tuned_shuffle_partitions(1, floor=64) == 64
