@@ -282,7 +282,12 @@ _WINDOW = (
 # window rotation can never silently de-attest an operator.
 ROWS_ONLY_ATTESTATIONS = {
     "q12b_approx_distinct": ["test_approx_distinct_within_rsd_bound"],
-    "ext_dedup_semantic": ["test_semantic_dedup_recall_against_brute"],
+    # ext_dedup_semantic converted rows-only -> oracled in round 10:
+    # it shares ext_knn_ivf's pinned coarse quantizer, so the 2-cell
+    # binning, shared-cell pairing, raw-cosine threshold gate and 1e-4
+    # rounding all replay in SQL; measured margins (probe-cell 4.5e-6,
+    # |cos - 0.35| >= 7.8e-6 over every in-cell pair) make both
+    # decisions engine-stable. The recall-vs-brute pytest remains.
     # ext_knn_lsh converted rows-only -> oracled in round 10: the
     # hyperplanes are fixed literals, so the DuckDB oracle REPLAYS the
     # full bucketing (list_dot_product signatures against the same
@@ -303,16 +308,18 @@ ROWS_ONLY_ATTESTATIONS = {
     # >= 3.85e-6 vs ~1e-14 cross-engine noise. The recall and
     # saved-index pytests remain, plus the new pin-honesty test
     # (test_ivf_oracle_pins_match_reference).
-    "ext_knn_pq": [
-        "test_pq_ann_recall_against_bruteforce",
-        "test_pq_saved_index_matches_inline_and_prunes_partitions",
-        "test_pq_append_equals_rebuild_and_flags_drift",
-    ],
-    "ext_knn_ivfpq": [
-        "test_ivfpq_ann_recall_tracks_ivf_ceiling",
-        "test_ivfpq_scans_only_probed_cells",
-        "test_pq_saved_index_matches_inline_and_prunes_partitions",
-    ],
+    # ext_knn_pq and ext_knn_ivfpq converted rows-only -> oracled in
+    # round 10 via pinned post-ADC candidate sets (the CDC recipe): a
+    # pure-numpy reference replays codebook training, encoding, ADC
+    # gathers, self/probe masking and the global (score desc,
+    # neighbor_id) top-R cut; the pinned candidates ride the oracle as
+    # a VALUES CTE keyed by the exact DECIMAL corpus fingerprint and
+    # the exact cosine re-rank replays in SQL. Margins: code-argmin
+    # winner-class >= 9.3e-6 over the nearest non-identical centroid
+    # (exact ties are bitwise-duplicate centroids both engines break
+    # identically), ADC rank-100 boundary >= 2.3e-5. The recall and
+    # index-lifecycle pytests remain, plus
+    # test_pq_candidate_pins_match_reference.
     # ext_bpe_train converted rows-only -> oracled in round 10: the
     # merge list is a pinned pure function of the frozen corpus, so
     # independently computed reference lists ride the oracle as a

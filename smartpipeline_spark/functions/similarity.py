@@ -636,6 +636,18 @@ _IVF_CENTROID_PINS = {
 }
 
 
+def _ivf_cent_values() -> str:
+    """The pinned-centroid VALUES rows (corpus_fp, cell, cvec) shared
+    by every oracle that replays the coarse quantizer (_ivf_oracle,
+    _semantic_dedup_oracle)."""
+    rows = []
+    for fp, cents in _IVF_CENTROID_PINS.items():
+        for cell, cv in enumerate(cents):
+            lit = "[" + ",".join(repr(x) for x in cv) + "]"
+            rows.append(f"('{fp}',{cell},{lit}::DOUBLE[])")
+    return ",\n".join(rows)
+
+
 def _ivf_oracle() -> str:
     """DuckDB oracle for ext_knn_ivf: FULL SEMANTIC REPLAY of the IVF
     read path under the pinned coarse quantizer (the LSH-replay recipe
@@ -654,16 +666,10 @@ def _ivf_oracle() -> str:
     assignment best-vs-runner-up >= 3.85e-6, probe 8th-vs-9th
     >= 1.75e-4 — leave 8+ orders of magnitude. A fixture change misses
     every fingerprint -> 0 oracle rows -> loud red row."""
-    rows = []
-    for fp, cents in _IVF_CENTROID_PINS.items():
-        for cell, cv in enumerate(cents):
-            lit = "[" + ",".join(repr(x) for x in cv) + "]"
-            rows.append(f"('{fp}',{cell},{lit}::DOUBLE[])")
-    values = ",\n".join(rows)
     return f"""WITH fp AS (SELECT CAST(COUNT(*) AS VARCHAR) || ':' ||
                    CAST(SUM(CAST(embedding[1] AS DECIMAL(28,14))) AS VARCHAR) AS v
             FROM embeddings),
- cents(corpus_fp, cell, cvec) AS (VALUES {values}),
+ cents(corpus_fp, cell, cvec) AS (VALUES {_ivf_cent_values()}),
  live AS (SELECT cell, cvec FROM cents, fp WHERE corpus_fp = fp.v),
  c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
  cn AS (SELECT vec_id, emb,
@@ -698,7 +704,6 @@ SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= {K_NEIGHBORS
 
 
 @ext_query("ext_knn_ivf", _ivf_oracle())  # + recall/lifecycle pytests
-
 def ext_knn_ivf(spark, sf_dir):
     """IVF-bucketed ANN: corpus vectors are assigned to their single
     nearest coarse centroid (at 100 TB: a write-once index partitioned
@@ -1080,7 +1085,51 @@ def _adc_rerank(cand: DataFrame, vectors: DataFrame, q: DataFrame, rerank: int) 
     return _exact_topk(full)
 
 
-@ext_query("ext_knn_pq")  # recall-tested in pytest against brute force
+# Pinned post-ADC candidate sets per frozen fixture (the CDC recipe:
+# reference outputs ride the oracle as a VALUES CTE). Each is the
+# global per-query top-_PQ_RERANK cut by (ADC score desc, neighbor_id)
+# computed by a PURE-NUMPY reference (no Spark) that replays codebook
+# training, corpus encoding, table gathers, self/probe masking and the
+# deterministic global cut — re-derived from the parquet on every
+# suite run by test_pq_candidate_pins_match_reference. Margins that
+# make the cut engine-stable (measured r10): code argmin winner-class
+# leads the nearest NON-identical centroid by >= 9.3e-6 (exact ties
+# are bitwise-duplicate centroids from np.resize padding, which both
+# argmin and (d2, code) ordering resolve to the lowest index), and the
+# rank-100 ADC boundary margin is >= 2.3e-5 — vs ~1e-14 summation
+# noise. The ADC sum itself is j-sequential in both the engine kernel
+# and the reference, so acc values are bitwise-equal.
+_PQ_CANDIDATE_PINS = "('500:-1.46395296278528',0,73),('500:-1.46395296278528',0,483),('500:-1.46395296278528',0,260),('500:-1.46395296278528',0,306),('500:-1.46395296278528',0,13),('500:-1.46395296278528',0,19),('500:-1.46395296278528',0,59),('500:-1.46395296278528',0,497),('500:-1.46395296278528',0,225),('500:-1.46395296278528',0,475),('500:-1.46395296278528',0,221),('500:-1.46395296278528',0,232),('500:-1.46395296278528',0,394),('500:-1.46395296278528',0,393),('500:-1.46395296278528',0,423),('500:-1.46395296278528',0,12),('500:-1.46395296278528',0,499),('500:-1.46395296278528',0,278),('500:-1.46395296278528',0,374),('500:-1.46395296278528',0,94),('500:-1.46395296278528',0,402),('500:-1.46395296278528',0,350),('500:-1.46395296278528',0,82),('500:-1.46395296278528',0,17),('500:-1.46395296278528',0,212),('500:-1.46395296278528',0,467),('500:-1.46395296278528',0,240),('500:-1.46395296278528',0,346),('500:-1.46395296278528',0,272),('500:-1.46395296278528',0,382),('500:-1.46395296278528',0,442),('500:-1.46395296278528',0,248),('500:-1.46395296278528',0,421),('500:-1.46395296278528',0,117),('500:-1.46395296278528',0,137),('500:-1.46395296278528',0,105),('500:-1.46395296278528',0,183),('500:-1.46395296278528',0,84),('500:-1.46395296278528',0,349),('500:-1.46395296278528',0,3),('500:-1.46395296278528',0,51),('500:-1.46395296278528',0,186),('500:-1.46395296278528',0,453),('500:-1.46395296278528',0,292),('500:-1.46395296278528',0,398),('500:-1.46395296278528',0,57),('500:-1.46395296278528',0,120),('500:-1.46395296278528',0,89),('500:-1.46395296278528',0,239),('500:-1.46395296278528',0,139),('500:-1.46395296278528',0,40),('500:-1.46395296278528',0,493),('500:-1.46395296278528',0,296),('500:-1.46395296278528',0,262),('500:-1.46395296278528',0,222),('500:-1.46395296278528',0,49),('500:-1.46395296278528',0,431),('500:-1.46395296278528',0,192),('500:-1.46395296278528',0,427),('500:-1.46395296278528',0,202),('500:-1.46395296278528',0,492),('500:-1.46395296278528',0,1),('500:-1.46395296278528',0,330),('500:-1.46395296278528',0,362),('500:-1.46395296278528',0,177),('500:-1.46395296278528',0,33),('500:-1.46395296278528',0,131),('500:-1.46395296278528',0,26),('500:-1.46395296278528',0,93),('500:-1.46395296278528',0,76),('500:-1.46395296278528',0,367),('500:-1.46395296278528',0,238),('500:-1.46395296278528',0,326),('500:-1.46395296278528',0,299),('500:-1.46395296278528',0,449),('500:-1.46395296278528',0,424),('500:-1.46395296278528',0,340),('500:-1.46395296278528',0,380),('500:-1.46395296278528',0,244),('500:-1.46395296278528',0,478),('500:-1.46395296278528',0,153),('500:-1.46395296278528',0,10),('500:-1.46395296278528',0,446),('500:-1.46395296278528',0,226),('500:-1.46395296278528',0,206),('500:-1.46395296278528',0,313),('500:-1.46395296278528',0,450),('500:-1.46395296278528',0,414),('500:-1.46395296278528',0,235),('500:-1.46395296278528',0,109),('500:-1.46395296278528',0,428),('500:-1.46395296278528',0,104),('500:-1.46395296278528',0,81),('500:-1.46395296278528',0,439),('500:-1.46395296278528',0,282),('500:-1.46395296278528',0,246),('500:-1.46395296278528',0,214),('500:-1.46395296278528',0,359),('500:-1.46395296278528',0,276),('500:-1.46395296278528',0,261),('500:-1.46395296278528',1,305),('500:-1.46395296278528',1,75),('500:-1.46395296278528',1,455),('500:-1.46395296278528',1,229),('500:-1.46395296278528',1,247),('500:-1.46395296278528',1,235),('500:-1.46395296278528',1,349),('500:-1.46395296278528',1,57),('500:-1.46395296278528',1,231),('500:-1.46395296278528',1,244),('500:-1.46395296278528',1,464),('500:-1.46395296278528',1,413),('500:-1.46395296278528',1,378),('500:-1.46395296278528',1,70),('500:-1.46395296278528',1,440),('500:-1.46395296278528',1,66),('500:-1.46395296278528',1,412),('500:-1.46395296278528',1,237),('500:-1.46395296278528',1,283),('500:-1.46395296278528',1,328),('500:-1.46395296278528',1,115),('500:-1.46395296278528',1,248),('500:-1.46395296278528',1,87),('500:-1.46395296278528',1,159),('500:-1.46395296278528',1,479),('500:-1.46395296278528',1,376),('500:-1.46395296278528',1,64),('500:-1.46395296278528',1,50),('500:-1.46395296278528',1,183),('500:-1.46395296278528',1,233),('500:-1.46395296278528',1,209),('500:-1.46395296278528',1,458),('500:-1.46395296278528',1,490),('500:-1.46395296278528',1,106),('500:-1.46395296278528',1,14),('500:-1.46395296278528',1,477),('500:-1.46395296278528',1,185),('500:-1.46395296278528',1,482),('500:-1.46395296278528',1,260),('500:-1.46395296278528',1,129),('500:-1.46395296278528',1,492),('500:-1.46395296278528',1,314),('500:-1.46395296278528',1,495),('500:-1.46395296278528',1,339),('500:-1.46395296278528',1,206),('500:-1.46395296278528',1,264),('500:-1.46395296278528',1,400),('500:-1.46395296278528',1,162),('500:-1.46395296278528',1,6),('500:-1.46395296278528',1,449),('500:-1.46395296278528',1,223),('500:-1.46395296278528',1,377),('500:-1.46395296278528',1,98),('500:-1.46395296278528',1,213),('500:-1.46395296278528',1,90),('500:-1.46395296278528',1,194),('500:-1.46395296278528',1,60),('500:-1.46395296278528',1,296),('500:-1.46395296278528',1,332),('500:-1.46395296278528',1,252),('500:-1.46395296278528',1,411),('500:-1.46395296278528',1,34),('500:-1.46395296278528',1,355),('500:-1.46395296278528',1,110),('500:-1.46395296278528',1,275),('500:-1.46395296278528',1,265),('500:-1.46395296278528',1,37),('500:-1.46395296278528',1,388),('500:-1.46395296278528',1,438),('500:-1.46395296278528',1,224),('500:-1.46395296278528',1,418),('500:-1.46395296278528',1,293),('500:-1.46395296278528',1,447),('500:-1.46395296278528',1,273),('500:-1.46395296278528',1,291),('500:-1.46395296278528',1,74),('500:-1.46395296278528',1,141),('500:-1.46395296278528',1,302),('500:-1.46395296278528',1,242),('500:-1.46395296278528',1,295),('500:-1.46395296278528',1,499),('500:-1.46395296278528',1,202),('500:-1.46395296278528',1,173),('500:-1.46395296278528',1,444),('500:-1.46395296278528',1,311),('500:-1.46395296278528',1,144),('500:-1.46395296278528',1,285),('500:-1.46395296278528',1,109),('500:-1.46395296278528',1,374),('500:-1.46395296278528',1,73),('500:-1.46395296278528',1,68),('500:-1.46395296278528',1,203),('500:-1.46395296278528',1,425),('500:-1.46395296278528',1,262),('500:-1.46395296278528',1,82),('500:-1.46395296278528',1,257),('500:-1.46395296278528',1,466),('500:-1.46395296278528',1,89),('500:-1.46395296278528',1,357),('500:-1.46395296278528',1,276),('500:-1.46395296278528',2,183),('500:-1.46395296278528',2,246),('500:-1.46395296278528',2,91),('500:-1.46395296278528',2,443),('500:-1.46395296278528',2,441),('500:-1.46395296278528',2,136),('500:-1.46395296278528',2,31),('500:-1.46395296278528',2,221),('500:-1.46395296278528',2,378),('500:-1.46395296278528',2,484),('500:-1.46395296278528',2,94),('500:-1.46395296278528',2,358),('500:-1.46395296278528',2,201),('500:-1.46395296278528',2,155),('500:-1.46395296278528',2,241),('500:-1.46395296278528',2,474),('500:-1.46395296278528',2,106),('500:-1.46395296278528',2,256),('500:-1.46395296278528',2,234),('500:-1.46395296278528',2,282),('500:-1.46395296278528',2,132),('500:-1.46395296278528',2,376),('500:-1.46395296278528',2,151),('500:-1.46395296278528',2,497),('500:-1.46395296278528',2,275),('500:-1.46395296278528',2,345),('500:-1.46395296278528',2,211),('500:-1.46395296278528',2,96),('500:-1.46395296278528',2,118),('500:-1.46395296278528',2,313),('500:-1.46395296278528',2,333),('500:-1.46395296278528',2,49),('500:-1.46395296278528',2,185),('500:-1.46395296278528',2,409),('500:-1.46395296278528',2,321),('500:-1.46395296278528',2,39),('500:-1.46395296278528',2,10),('500:-1.46395296278528',2,170),('500:-1.46395296278528',2,407),('500:-1.46395296278528',2,428),('500:-1.46395296278528',2,488),('500:-1.46395296278528',2,150),('500:-1.46395296278528',2,452),('500:-1.46395296278528',2,24),('500:-1.46395296278528',2,68),('500:-1.46395296278528',2,410),('500:-1.46395296278528',2,79),('500:-1.46395296278528',2,85),('500:-1.46395296278528',2,237),('500:-1.46395296278528',2,434),('500:-1.46395296278528',2,383),('500:-1.46395296278528',2,415),('500:-1.46395296278528',2,159),('500:-1.46395296278528',2,62),('500:-1.46395296278528',2,451),('500:-1.46395296278528',2,373),('500:-1.46395296278528',2,287),('500:-1.46395296278528',2,45),('500:-1.46395296278528',2,490),('500:-1.46395296278528',2,97),('500:-1.46395296278528',2,379),('500:-1.46395296278528',2,149),('500:-1.46395296278528',2,259),('500:-1.46395296278528',2,347),('500:-1.46395296278528',2,430),('500:-1.46395296278528',2,281),('500:-1.46395296278528',2,204),('500:-1.46395296278528',2,125),('500:-1.46395296278528',2,309),('500:-1.46395296278528',2,301),('500:-1.46395296278528',2,418),('500:-1.46395296278528',2,67),('500:-1.46395296278528',2,459),('500:-1.46395296278528',2,33),('500:-1.46395296278528',2,43),('500:-1.46395296278528',2,131),('500:-1.46395296278528',2,402),('500:-1.46395296278528',2,399),('500:-1.46395296278528',2,239),('500:-1.46395296278528',2,254),('500:-1.46395296278528',2,300),('500:-1.46395296278528',2,263),('500:-1.46395296278528',2,471),('500:-1.46395296278528',2,226),('500:-1.46395296278528',2,7),('500:-1.46395296278528',2,110),('500:-1.46395296278528',2,128),('500:-1.46395296278528',2,74),('500:-1.46395296278528',2,429),('500:-1.46395296278528',2,56),('500:-1.46395296278528',2,184),('500:-1.46395296278528',2,374),('500:-1.46395296278528',2,145),('500:-1.46395296278528',2,58),('500:-1.46395296278528',2,86),('500:-1.46395296278528',2,17),('500:-1.46395296278528',2,485),('500:-1.46395296278528',2,60),('500:-1.46395296278528',2,44),('500:-1.46395296278528',2,144),('500:-1.46395296278528',3,278),('500:-1.46395296278528',3,84),('500:-1.46395296278528',3,72),('500:-1.46395296278528',3,382),('500:-1.46395296278528',3,53),('500:-1.46395296278528',3,426),('500:-1.46395296278528',3,328),('500:-1.46395296278528',3,83),('500:-1.46395296278528',3,305),('500:-1.46395296278528',3,362),('500:-1.46395296278528',3,430),('500:-1.46395296278528',3,174),('500:-1.46395296278528',3,134),('500:-1.46395296278528',3,17),('500:-1.46395296278528',3,329),('500:-1.46395296278528',3,380),('500:-1.46395296278528',3,140),('500:-1.46395296278528',3,205),('500:-1.46395296278528',3,137),('500:-1.46395296278528',3,0),('500:-1.46395296278528',3,303),('500:-1.46395296278528',3,112),('500:-1.46395296278528',3,335),('500:-1.46395296278528',3,86),('500:-1.46395296278528',3,312),('500:-1.46395296278528',3,169),('500:-1.46395296278528',3,194),('500:-1.46395296278528',3,225),('500:-1.46395296278528',3,66),('500:-1.46395296278528',3,374),('500:-1.46395296278528',3,52),('500:-1.46395296278528',3,406),('500:-1.46395296278528',3,25),('500:-1.46395296278528',3,156),('500:-1.46395296278528',3,37),('500:-1.46395296278528',3,301),('500:-1.46395296278528',3,499),('500:-1.46395296278528',3,326),('500:-1.46395296278528',3,387),('500:-1.46395296278528',3,42),('500:-1.46395296278528',3,244),('500:-1.46395296278528',3,118),('500:-1.46395296278528',3,119),('500:-1.46395296278528',3,336),('500:-1.46395296278528',3,491),('500:-1.46395296278528',3,350),('500:-1.46395296278528',3,376),('500:-1.46395296278528',3,223),('500:-1.46395296278528',3,338),('500:-1.46395296278528',3,212),('500:-1.46395296278528',3,221),('500:-1.46395296278528',3,299),('500:-1.46395296278528',3,104),('500:-1.46395296278528',3,364),('500:-1.46395296278528',3,203),('500:-1.46395296278528',3,448),('500:-1.46395296278528',3,204),('500:-1.46395296278528',3,105),('500:-1.46395296278528',3,93),('500:-1.46395296278528',3,9),('500:-1.46395296278528',3,295),('500:-1.46395296278528',3,466),('500:-1.46395296278528',3,248),('500:-1.46395296278528',3,273),('500:-1.46395296278528',3,421),('500:-1.46395296278528',3,463),('500:-1.46395296278528',3,402),('500:-1.46395296278528',3,439),('500:-1.46395296278528',3,73),('500:-1.46395296278528',3,293),('500:-1.46395296278528',3,414),('500:-1.46395296278528',3,27),('500:-1.46395296278528',3,453),('500:-1.46395296278528',3,108),('500:-1.46395296278528',3,39),('500:-1.46395296278528',3,272),('500:-1.46395296278528',3,255),('500:-1.46395296278528',3,288),('500:-1.46395296278528',3,322),('500:-1.46395296278528',3,332),('500:-1.46395296278528',3,330),('500:-1.46395296278528',3,32),('500:-1.46395296278528',3,265),('500:-1.46395296278528',3,125),('500:-1.46395296278528',3,478),('500:-1.46395296278528',3,192),('500:-1.46395296278528',3,352),('500:-1.46395296278528',3,317),('500:-1.46395296278528',3,102),('500:-1.46395296278528',3,178),('500:-1.46395296278528',3,260),('500:-1.46395296278528',3,133),('500:-1.46395296278528',3,446),('500:-1.46395296278528',3,460),('500:-1.46395296278528',3,111),('500:-1.46395296278528',3,348),('500:-1.46395296278528',3,315),('500:-1.46395296278528',3,369),('500:-1.46395296278528',3,431),('500:-1.46395296278528',3,147),('500:-1.46395296278528',4,98),('500:-1.46395296278528',4,343),('500:-1.46395296278528',4,357),('500:-1.46395296278528',4,275),('500:-1.46395296278528',4,220),('500:-1.46395296278528',4,57),('500:-1.46395296278528',4,413),('500:-1.46395296278528',4,462),('500:-1.46395296278528',4,231),('500:-1.46395296278528',4,390),('500:-1.46395296278528',4,175),('500:-1.46395296278528',4,197),('500:-1.46395296278528',4,325),('500:-1.46395296278528',4,70),('500:-1.46395296278528',4,464),('500:-1.46395296278528',4,345),('500:-1.46395296278528',4,94),('500:-1.46395296278528',4,429),('500:-1.46395296278528',4,233),('500:-1.46395296278528',4,89),('500:-1.46395296278528',4,229),('500:-1.46395296278528',4,110),('500:-1.46395296278528',4,276),('500:-1.46395296278528',4,468),('500:-1.46395296278528',4,7),('500:-1.46395296278528',4,256),('500:-1.46395296278528',4,459),('500:-1.46395296278528',4,100),('500:-1.46395296278528',4,240),('500:-1.46395296278528',4,38),('500:-1.46395296278528',4,425),('500:-1.46395296278528',4,209),('500:-1.46395296278528',4,365),('500:-1.46395296278528',4,160),('500:-1.46395296278528',4,477),('500:-1.46395296278528',4,314),('500:-1.46395296278528',4,383),('500:-1.46395296278528',4,62),('500:-1.46395296278528',4,179),('500:-1.46395296278528',4,50),('500:-1.46395296278528',4,138),('500:-1.46395296278528',4,143),('500:-1.46395296278528',4,484),('500:-1.46395296278528',4,472),('500:-1.46395296278528',4,351),('500:-1.46395296278528',4,448),('500:-1.46395296278528',4,147),('500:-1.46395296278528',4,184),('500:-1.46395296278528',4,235),('500:-1.46395296278528',4,389),('500:-1.46395296278528',4,454),('500:-1.46395296278528',4,347),('500:-1.46395296278528',4,214),('500:-1.46395296278528',4,224),('500:-1.46395296278528',4,409),('500:-1.46395296278528',4,326),('500:-1.46395296278528',4,265),('500:-1.46395296278528',4,212),('500:-1.46395296278528',4,195),('500:-1.46395296278528',4,364),('500:-1.46395296278528',4,269),('500:-1.46395296278528',4,402),('500:-1.46395296278528',4,388),('500:-1.46395296278528',4,339),('500:-1.46395296278528',4,285),('500:-1.46395296278528',4,238),('500:-1.46395296278528',4,479),('500:-1.46395296278528',4,226),('500:-1.46395296278528',4,123),('500:-1.46395296278528',4,217),('500:-1.46395296278528',4,407),('500:-1.46395296278528',4,109),('500:-1.46395296278528',4,247),('500:-1.46395296278528',4,460),('500:-1.46395296278528',4,255),('500:-1.46395296278528',4,85),('500:-1.46395296278528',4,206),('500:-1.46395296278528',4,52),('500:-1.46395296278528',4,148),('500:-1.46395296278528',4,221),('500:-1.46395296278528',4,377),('500:-1.46395296278528',4,277),('500:-1.46395296278528',4,355),('500:-1.46395296278528',4,82),('500:-1.46395296278528',4,437),('500:-1.46395296278528',4,446),('500:-1.46395296278528',4,103),('500:-1.46395296278528',4,41),('500:-1.46395296278528',4,193),('500:-1.46395296278528',4,271),('500:-1.46395296278528',4,202),('500:-1.46395296278528',4,186),('500:-1.46395296278528',4,72),('500:-1.46395296278528',4,81),('500:-1.46395296278528',4,222),('500:-1.46395296278528',4,122),('500:-1.46395296278528',4,405),('500:-1.46395296278528',4,293),('500:-1.46395296278528',4,257),('500:-1.46395296278528',4,157),('500:-1.46395296278528',5,360),('500:-1.46395296278528',5,448),('500:-1.46395296278528',5,382),('500:-1.46395296278528',5,113),('500:-1.46395296278528',5,433),('500:-1.46395296278528',5,414),('500:-1.46395296278528',5,118),('500:-1.46395296278528',5,447),('500:-1.46395296278528',5,440),('500:-1.46395296278528',5,492),('500:-1.46395296278528',5,171),('500:-1.46395296278528',5,186),('500:-1.46395296278528',5,39),('500:-1.46395296278528',5,395),('500:-1.46395296278528',5,384),('500:-1.46395296278528',5,236),('500:-1.46395296278528',5,326),('500:-1.46395296278528',5,281),('500:-1.46395296278528',5,298),('500:-1.46395296278528',5,130),('500:-1.46395296278528',5,53),('500:-1.46395296278528',5,322),('500:-1.46395296278528',5,127),('500:-1.46395296278528',5,359),('500:-1.46395296278528',5,14),('500:-1.46395296278528',5,308),('500:-1.46395296278528',5,219),('500:-1.46395296278528',5,378),('500:-1.46395296278528',5,483),('500:-1.46395296278528',5,446),('500:-1.46395296278528',5,203),('500:-1.46395296278528',5,393),('500:-1.46395296278528',5,205),('500:-1.46395296278528',5,264),('500:-1.46395296278528',5,189),('500:-1.46395296278528',5,409),('500:-1.46395296278528',5,441),('500:-1.46395296278528',5,4),('500:-1.46395296278528',5,218),('500:-1.46395296278528',5,109),('500:-1.46395296278528',5,143),('500:-1.46395296278528',5,42),('500:-1.46395296278528',5,288),('500:-1.46395296278528',5,79),('500:-1.46395296278528',5,77),('500:-1.46395296278528',5,332),('500:-1.46395296278528',5,336),('500:-1.46395296278528',5,390),('500:-1.46395296278528',5,343),('500:-1.46395296278528',5,69),('500:-1.46395296278528',5,104),('500:-1.46395296278528',5,206),('500:-1.46395296278528',5,154),('500:-1.46395296278528',5,27),('500:-1.46395296278528',5,276),('500:-1.46395296278528',5,233),('500:-1.46395296278528',5,476),('500:-1.46395296278528',5,95),('500:-1.46395296278528',5,67),('500:-1.46395296278528',5,487),('500:-1.46395296278528',5,108),('500:-1.46395296278528',5,13),('500:-1.46395296278528',5,357),('500:-1.46395296278528',5,56),('500:-1.46395296278528',5,349),('500:-1.46395296278528',5,311),('500:-1.46395296278528',5,489),('500:-1.46395296278528',5,179),('500:-1.46395296278528',5,92),('500:-1.46395296278528',5,437),('500:-1.46395296278528',5,372),('500:-1.46395296278528',5,159),('500:-1.46395296278528',5,193),('500:-1.46395296278528',5,463),('500:-1.46395296278528',5,194),('500:-1.46395296278528',5,223),('500:-1.46395296278528',5,268),('500:-1.46395296278528',5,52),('500:-1.46395296278528',5,45),('500:-1.46395296278528',5,293),('500:-1.46395296278528',5,31),('500:-1.46395296278528',5,460),('500:-1.46395296278528',5,300),('500:-1.46395296278528',5,307),('500:-1.46395296278528',5,364),('500:-1.46395296278528',5,204),('500:-1.46395296278528',5,376),('500:-1.46395296278528',5,85),('500:-1.46395296278528',5,366),('500:-1.46395296278528',5,10),('500:-1.46395296278528',5,296),('500:-1.46395296278528',5,36),('500:-1.46395296278528',5,24),('500:-1.46395296278528',5,249),('500:-1.46395296278528',5,213),('500:-1.46395296278528',5,481),('500:-1.46395296278528',5,341),('500:-1.46395296278528',5,137),('500:-1.46395296278528',5,396),('500:-1.46395296278528',5,356),('500:-1.46395296278528',6,434),('500:-1.46395296278528',6,280),('500:-1.46395296278528',6,213),('500:-1.46395296278528',6,352),('500:-1.46395296278528',6,486),('500:-1.46395296278528',6,495),('500:-1.46395296278528',6,252),('500:-1.46395296278528',6,141),('500:-1.46395296278528',6,155),('500:-1.46395296278528',6,93),('500:-1.46395296278528',6,358),('500:-1.46395296278528',6,334),('500:-1.46395296278528',6,444),('500:-1.46395296278528',6,313),('500:-1.46395296278528',6,378),('500:-1.46395296278528',6,322),('500:-1.46395296278528',6,140),('500:-1.46395296278528',6,63),('500:-1.46395296278528',6,489),('500:-1.46395296278528',6,26),('500:-1.46395296278528',6,445),('500:-1.46395296278528',6,151),('500:-1.46395296278528',6,375),('500:-1.46395296278528',6,118),('500:-1.46395296278528',6,115),('500:-1.46395296278528',6,147),('500:-1.46395296278528',6,307),('500:-1.46395296278528',6,329),('500:-1.46395296278528',6,437),('500:-1.46395296278528',6,112),('500:-1.46395296278528',6,161),('500:-1.46395296278528',6,481),('500:-1.46395296278528',6,265),('500:-1.46395296278528',6,439),('500:-1.46395296278528',6,34),('500:-1.46395296278528',6,185),('500:-1.46395296278528',6,25),('500:-1.46395296278528',6,499),('500:-1.46395296278528',6,20),('500:-1.46395296278528',6,179),('500:-1.46395296278528',6,497),('500:-1.46395296278528',6,124),('500:-1.46395296278528',6,339),('500:-1.46395296278528',6,177),('500:-1.46395296278528',6,412),('500:-1.46395296278528',6,387),('500:-1.46395296278528',6,190),('500:-1.46395296278528',6,369),('500:-1.46395296278528',6,8),('500:-1.46395296278528',6,424),('500:-1.46395296278528',6,306),('500:-1.46395296278528',6,297),('500:-1.46395296278528',6,397),('500:-1.46395296278528',6,216),('500:-1.46395296278528',6,395),('500:-1.46395296278528',6,131),('500:-1.46395296278528',6,433),('500:-1.46395296278528',6,30),('500:-1.46395296278528',6,279),('500:-1.46395296278528',6,427),('500:-1.46395296278528',6,194),('500:-1.46395296278528',6,381),('500:-1.46395296278528',6,78),('500:-1.46395296278528',6,61),('500:-1.46395296278528',6,281),('500:-1.46395296278528',6,438),('500:-1.46395296278528',6,39),('500:-1.46395296278528',6,24),('500:-1.46395296278528',6,421),('500:-1.46395296278528',6,376),('500:-1.46395296278528',6,342),('500:-1.46395296278528',6,494),('500:-1.46395296278528',6,183),('500:-1.46395296278528',6,254),('500:-1.46395296278528',6,333),('500:-1.46395296278528',6,312),('500:-1.46395296278528',6,157),('500:-1.46395296278528',6,238),('500:-1.46395296278528',6,56),('500:-1.46395296278528',6,23),('500:-1.46395296278528',6,355),('500:-1.46395296278528',6,221),('500:-1.46395296278528',6,120),('500:-1.46395296278528',6,425),('500:-1.46395296278528',6,315),('500:-1.46395296278528',6,246),('500:-1.46395296278528',6,403),('500:-1.46395296278528',6,139),('500:-1.46395296278528',6,237),('500:-1.46395296278528',6,260),('500:-1.46395296278528',6,2),('500:-1.46395296278528',6,210),('500:-1.46395296278528',6,398),('500:-1.46395296278528',6,191),('500:-1.46395296278528',6,7),('500:-1.46395296278528',6,316),('500:-1.46395296278528',6,154),('500:-1.46395296278528',6,38),('500:-1.46395296278528',6,463),('500:-1.46395296278528',6,105),('500:-1.46395296278528',7,29),('500:-1.46395296278528',7,276),('500:-1.46395296278528',7,329),('500:-1.46395296278528',7,339),('500:-1.46395296278528',7,269),('500:-1.46395296278528',7,163),('500:-1.46395296278528',7,347),('500:-1.46395296278528',7,249),('500:-1.46395296278528',7,246),('500:-1.46395296278528',7,59),('500:-1.46395296278528',7,371),('500:-1.46395296278528',7,341),('500:-1.46395296278528',7,383),('500:-1.46395296278528',7,370),('500:-1.46395296278528',7,97),('500:-1.46395296278528',7,402),('500:-1.46395296278528',7,178),('500:-1.46395296278528',7,466),('500:-1.46395296278528',7,209),('500:-1.46395296278528',7,55),('500:-1.46395296278528',7,139),('500:-1.46395296278528',7,98),('500:-1.46395296278528',7,434),('500:-1.46395296278528',7,124),('500:-1.46395296278528',7,75),('500:-1.46395296278528',7,357),('500:-1.46395296278528',7,231),('500:-1.46395296278528',7,310),('500:-1.46395296278528',7,451),('500:-1.46395296278528',7,185),('500:-1.46395296278528',7,8),('500:-1.46395296278528',7,413),('500:-1.46395296278528',7,323),('500:-1.46395296278528',7,482),('500:-1.46395296278528',7,80),('500:-1.46395296278528',7,355),('500:-1.46395296278528',7,285),('500:-1.46395296278528',7,469),('500:-1.46395296278528',7,408),('500:-1.46395296278528',7,353),('500:-1.46395296278528',7,375),('500:-1.46395296278528',7,368),('500:-1.46395296278528',7,298),('500:-1.46395296278528',7,42),('500:-1.46395296278528',7,360),('500:-1.46395296278528',7,18),('500:-1.46395296278528',7,326),('500:-1.46395296278528',7,325),('500:-1.46395296278528',7,167),('500:-1.46395296278528',7,227),('500:-1.46395296278528',7,118),('500:-1.46395296278528',7,304),('500:-1.46395296278528',7,25),('500:-1.46395296278528',7,380),('500:-1.46395296278528',7,91),('500:-1.46395296278528',7,305),('500:-1.46395296278528',7,48),('500:-1.46395296278528',7,444),('500:-1.46395296278528',7,157),('500:-1.46395296278528',7,319),('500:-1.46395296278528',7,291),('500:-1.46395296278528',7,113),('500:-1.46395296278528',7,122),('500:-1.46395296278528',7,340),('500:-1.46395296278528',7,151),('500:-1.46395296278528',7,126),('500:-1.46395296278528',7,147),('500:-1.46395296278528',7,82),('500:-1.46395296278528',7,153),('500:-1.46395296278528',7,373),('500:-1.46395296278528',7,119),('500:-1.46395296278528',7,79),('500:-1.46395296278528',7,322),('500:-1.46395296278528',7,216),('500:-1.46395296278528',7,382),('500:-1.46395296278528',7,448),('500:-1.46395296278528',7,217),('500:-1.46395296278528',7,198),('500:-1.46395296278528',7,312),('500:-1.46395296278528',7,351),('500:-1.46395296278528',7,133),('500:-1.46395296278528',7,266),('500:-1.46395296278528',7,367),('500:-1.46395296278528',7,342),('500:-1.46395296278528',7,344),('500:-1.46395296278528',7,436),('500:-1.46395296278528',7,410),('500:-1.46395296278528',7,378),('500:-1.46395296278528',7,495),('500:-1.46395296278528',7,455),('500:-1.46395296278528',7,130),('500:-1.46395296278528',7,263),('500:-1.46395296278528',7,255),('500:-1.46395296278528',7,418),('500:-1.46395296278528',7,390),('500:-1.46395296278528',7,194),('500:-1.46395296278528',7,63),('500:-1.46395296278528',7,68),('500:-1.46395296278528',7,463),('500:-1.46395296278528',7,459),('500:-1.46395296278528',8,190),('500:-1.46395296278528',8,487),('500:-1.46395296278528',8,80),('500:-1.46395296278528',8,385),('500:-1.46395296278528',8,231),('500:-1.46395296278528',8,320),('500:-1.46395296278528',8,257),('500:-1.46395296278528',8,347),('500:-1.46395296278528',8,395),('500:-1.46395296278528',8,31),('500:-1.46395296278528',8,86),('500:-1.46395296278528',8,210),('500:-1.46395296278528',8,349),('500:-1.46395296278528',8,90),('500:-1.46395296278528',8,41),('500:-1.46395296278528',8,74),('500:-1.46395296278528',8,455),('500:-1.46395296278528',8,118),('500:-1.46395296278528',8,209),('500:-1.46395296278528',8,424),('500:-1.46395296278528',8,51),('500:-1.46395296278528',8,434),('500:-1.46395296278528',8,132),('500:-1.46395296278528',8,410),('500:-1.46395296278528',8,281),('500:-1.46395296278528',8,199),('500:-1.46395296278528',8,444),('500:-1.46395296278528',8,366),('500:-1.46395296278528',8,142),('500:-1.46395296278528',8,7),('500:-1.46395296278528',8,265),('500:-1.46395296278528',8,237),('500:-1.46395296278528',8,155),('500:-1.46395296278528',8,94),('500:-1.46395296278528',8,373),('500:-1.46395296278528',8,20),('500:-1.46395296278528',8,205),('500:-1.46395296278528',8,292),('500:-1.46395296278528',8,47),('500:-1.46395296278528',8,376),('500:-1.46395296278528',8,166),('500:-1.46395296278528',8,101),('500:-1.46395296278528',8,185),('500:-1.46395296278528',8,375),('500:-1.46395296278528',8,497),('500:-1.46395296278528',8,95),('500:-1.46395296278528',8,141),('500:-1.46395296278528',8,368),('500:-1.46395296278528',8,439),('500:-1.46395296278528',8,224),('500:-1.46395296278528',8,29),('500:-1.46395296278528',8,182),('500:-1.46395296278528',8,461),('500:-1.46395296278528',8,427),('500:-1.46395296278528',8,77),('500:-1.46395296278528',8,89),('500:-1.46395296278528',8,398),('500:-1.46395296278528',8,341),('500:-1.46395296278528',8,114),('500:-1.46395296278528',8,284),('500:-1.46395296278528',8,61),('500:-1.46395296278528',8,219),('500:-1.46395296278528',8,34),('500:-1.46395296278528',8,475),('500:-1.46395296278528',8,28),('500:-1.46395296278528',8,58),('500:-1.46395296278528',8,191),('500:-1.46395296278528',8,147),('500:-1.46395296278528',8,168),('500:-1.46395296278528',8,371),('500:-1.46395296278528',8,453),('500:-1.46395296278528',8,179),('500:-1.46395296278528',8,419),('500:-1.46395296278528',8,280),('500:-1.46395296278528',8,407),('500:-1.46395296278528',8,401),('500:-1.46395296278528',8,436),('500:-1.46395296278528',8,456),('500:-1.46395296278528',8,49),('500:-1.46395296278528',8,333),('500:-1.46395296278528',8,268),('500:-1.46395296278528',8,136),('500:-1.46395296278528',8,211),('500:-1.46395296278528',8,82),('500:-1.46395296278528',8,125),('500:-1.46395296278528',8,207),('500:-1.46395296278528',8,112),('500:-1.46395296278528',8,340),('500:-1.46395296278528',8,418),('500:-1.46395296278528',8,220),('500:-1.46395296278528',8,152),('500:-1.46395296278528',8,396),('500:-1.46395296278528',8,139),('500:-1.46395296278528',8,213),('500:-1.46395296278528',8,123),('500:-1.46395296278528',8,187),('500:-1.46395296278528',8,105),('500:-1.46395296278528',8,302),('500:-1.46395296278528',8,378),('500:-1.46395296278528',8,143),('500:-1.46395296278528',9,365),('500:-1.46395296278528',9,137),('500:-1.46395296278528',9,433),('500:-1.46395296278528',9,426),('500:-1.46395296278528',9,343),('500:-1.46395296278528',9,22),('500:-1.46395296278528',9,381),('500:-1.46395296278528',9,154),('500:-1.46395296278528',9,305),('500:-1.46395296278528',9,419),('500:-1.46395296278528',9,300),('500:-1.46395296278528',9,463),('500:-1.46395296278528',9,352),('500:-1.46395296278528',9,335),('500:-1.46395296278528',9,37),('500:-1.46395296278528',9,369),('500:-1.46395296278528',9,340),('500:-1.46395296278528',9,191),('500:-1.46395296278528',9,95),('500:-1.46395296278528',9,410),('500:-1.46395296278528',9,372),('500:-1.46395296278528',9,387),('500:-1.46395296278528',9,143),('500:-1.46395296278528',9,180),('500:-1.46395296278528',9,60),('500:-1.46395296278528',9,493),('500:-1.46395296278528',9,324),('500:-1.46395296278528',9,170),('500:-1.46395296278528',9,278),('500:-1.46395296278528',9,223),('500:-1.46395296278528',9,3),('500:-1.46395296278528',9,315),('500:-1.46395296278528',9,21),('500:-1.46395296278528',9,475),('500:-1.46395296278528',9,350),('500:-1.46395296278528',9,11),('500:-1.46395296278528',9,496),('500:-1.46395296278528',9,129),('500:-1.46395296278528',9,2),('500:-1.46395296278528',9,364),('500:-1.46395296278528',9,342),('500:-1.46395296278528',9,440),('500:-1.46395296278528',9,320),('500:-1.46395296278528',9,472),('500:-1.46395296278528',9,18),('500:-1.46395296278528',9,392),('500:-1.46395296278528',9,178),('500:-1.46395296278528',9,23),('500:-1.46395296278528',9,374),('500:-1.46395296278528',9,455),('500:-1.46395296278528',9,205),('500:-1.46395296278528',9,375),('500:-1.46395296278528',9,222),('500:-1.46395296278528',9,230),('500:-1.46395296278528',9,458),('500:-1.46395296278528',9,373),('500:-1.46395296278528',9,182),('500:-1.46395296278528',9,280),('500:-1.46395296278528',9,302),('500:-1.46395296278528',9,261),('500:-1.46395296278528',9,82),('500:-1.46395296278528',9,406),('500:-1.46395296278528',9,307),('500:-1.46395296278528',9,438),('500:-1.46395296278528',9,417),('500:-1.46395296278528',9,169),('500:-1.46395296278528',9,42),('500:-1.46395296278528',9,337),('500:-1.46395296278528',9,93),('500:-1.46395296278528',9,356),('500:-1.46395296278528',9,471),('500:-1.46395296278528',9,118),('500:-1.46395296278528',9,396),('500:-1.46395296278528',9,431),('500:-1.46395296278528',9,447),('500:-1.46395296278528',9,107),('500:-1.46395296278528',9,397),('500:-1.46395296278528',9,212),('500:-1.46395296278528',9,444),('500:-1.46395296278528',9,291),('500:-1.46395296278528',9,159),('500:-1.46395296278528',9,142),('500:-1.46395296278528',9,479),('500:-1.46395296278528',9,76),('500:-1.46395296278528',9,32),('500:-1.46395296278528',9,78),('500:-1.46395296278528',9,43),('500:-1.46395296278528',9,441),('500:-1.46395296278528',9,281),('500:-1.46395296278528',9,155),('500:-1.46395296278528',9,5),('500:-1.46395296278528',9,394),('500:-1.46395296278528',9,285),('500:-1.46395296278528',9,349),('500:-1.46395296278528',9,470),('500:-1.46395296278528',9,197),('500:-1.46395296278528',9,449),('500:-1.46395296278528',9,74),('500:-1.46395296278528',9,190),('500:-1.46395296278528',9,112),('500:1.08235486072832',0,498),('500:1.08235486072832',0,73),('500:1.08235486072832',0,464),('500:1.08235486072832',0,7),('500:1.08235486072832',0,327),('500:1.08235486072832',0,415),('500:1.08235486072832',0,344),('500:1.08235486072832',0,6),('500:1.08235486072832',0,461),('500:1.08235486072832',0,483),('500:1.08235486072832',0,365),('500:1.08235486072832',0,318),('500:1.08235486072832',0,232),('500:1.08235486072832',0,145),('500:1.08235486072832',0,331),('500:1.08235486072832',0,423),('500:1.08235486072832',0,229),('500:1.08235486072832',0,214),('500:1.08235486072832',0,81),('500:1.08235486072832',0,404),('500:1.08235486072832',0,353),('500:1.08235486072832',0,435),('500:1.08235486072832',0,190),('500:1.08235486072832',0,478),('500:1.08235486072832',0,334),('500:1.08235486072832',0,65),('500:1.08235486072832',0,29),('500:1.08235486072832',0,197),('500:1.08235486072832',0,387),('500:1.08235486072832',0,319),('500:1.08235486072832',0,491),('500:1.08235486072832',0,57),('500:1.08235486072832',0,323),('500:1.08235486072832',0,320),('500:1.08235486072832',0,70),('500:1.08235486072832',0,36),('500:1.08235486072832',0,266),('500:1.08235486072832',0,84),('500:1.08235486072832',0,261),('500:1.08235486072832',0,316),('500:1.08235486072832',0,85),('500:1.08235486072832',0,364),('500:1.08235486072832',0,270),('500:1.08235486072832',0,290),('500:1.08235486072832',0,269),('500:1.08235486072832',0,240),('500:1.08235486072832',0,450),('500:1.08235486072832',0,345),('500:1.08235486072832',0,88),('500:1.08235486072832',0,108),('500:1.08235486072832',0,184),('500:1.08235486072832',0,35),('500:1.08235486072832',0,51),('500:1.08235486072832',0,407),('500:1.08235486072832',0,391),('500:1.08235486072832',0,397),('500:1.08235486072832',0,362),('500:1.08235486072832',0,268),('500:1.08235486072832',0,135),('500:1.08235486072832',0,493),('500:1.08235486072832',0,27),('500:1.08235486072832',0,87),('500:1.08235486072832',0,56),('500:1.08235486072832',0,388),('500:1.08235486072832',0,337),('500:1.08235486072832',0,310),('500:1.08235486072832',0,303),('500:1.08235486072832',0,148),('500:1.08235486072832',0,137),('500:1.08235486072832',0,272),('500:1.08235486072832',0,211),('500:1.08235486072832',0,412),('500:1.08235486072832',0,32),('500:1.08235486072832',0,110),('500:1.08235486072832',0,374),('500:1.08235486072832',0,434),('500:1.08235486072832',0,244),('500:1.08235486072832',0,370),('500:1.08235486072832',0,297),('500:1.08235486072832',0,177),('500:1.08235486072832',0,420),('500:1.08235486072832',0,103),('500:1.08235486072832',0,113),('500:1.08235486072832',0,220),('500:1.08235486072832',0,130),('500:1.08235486072832',0,418),('500:1.08235486072832',0,248),('500:1.08235486072832',0,380),('500:1.08235486072832',0,472),('500:1.08235486072832',0,292),('500:1.08235486072832',0,489),('500:1.08235486072832',0,209),('500:1.08235486072832',0,399),('500:1.08235486072832',0,490),('500:1.08235486072832',0,99),('500:1.08235486072832',0,392),('500:1.08235486072832',0,257),('500:1.08235486072832',0,340),('500:1.08235486072832',0,322),('500:1.08235486072832',0,315),('500:1.08235486072832',1,195),('500:1.08235486072832',1,243),('500:1.08235486072832',1,472),('500:1.08235486072832',1,27),('500:1.08235486072832',1,407),('500:1.08235486072832',1,203),('500:1.08235486072832',1,220),('500:1.08235486072832',1,430),('500:1.08235486072832',1,124),('500:1.08235486072832',1,285),('500:1.08235486072832',1,268),('500:1.08235486072832',1,467),('500:1.08235486072832',1,388),('500:1.08235486072832',1,490),('500:1.08235486072832',1,64),('500:1.08235486072832',1,253),('500:1.08235486072832',1,441),('500:1.08235486072832',1,338),('500:1.08235486072832',1,370),('500:1.08235486072832',1,22),('500:1.08235486072832',1,43),('500:1.08235486072832',1,217),('500:1.08235486072832',1,34),('500:1.08235486072832',1,30),('500:1.08235486072832',1,475),('500:1.08235486072832',1,465),('500:1.08235486072832',1,4),('500:1.08235486072832',1,294),('500:1.08235486072832',1,222),('500:1.08235486072832',1,271),('500:1.08235486072832',1,187),('500:1.08235486072832',1,393),('500:1.08235486072832',1,104),('500:1.08235486072832',1,38),('500:1.08235486072832',1,423),('500:1.08235486072832',1,258),('500:1.08235486072832',1,213),('500:1.08235486072832',1,436),('500:1.08235486072832',1,329),('500:1.08235486072832',1,51),('500:1.08235486072832',1,477),('500:1.08235486072832',1,209),('500:1.08235486072832',1,8),('500:1.08235486072832',1,80),('500:1.08235486072832',1,363),('500:1.08235486072832',1,172),('500:1.08235486072832',1,165),('500:1.08235486072832',1,314),('500:1.08235486072832',1,3),('500:1.08235486072832',1,59),('500:1.08235486072832',1,396),('500:1.08235486072832',1,161),('500:1.08235486072832',1,218),('500:1.08235486072832',1,134),('500:1.08235486072832',1,474),('500:1.08235486072832',1,42),('500:1.08235486072832',1,181),('500:1.08235486072832',1,283),('500:1.08235486072832',1,448),('500:1.08235486072832',1,2),('500:1.08235486072832',1,402),('500:1.08235486072832',1,460),('500:1.08235486072832',1,138),('500:1.08235486072832',1,10),('500:1.08235486072832',1,411),('500:1.08235486072832',1,171),('500:1.08235486072832',1,16),('500:1.08235486072832',1,49),('500:1.08235486072832',1,261),('500:1.08235486072832',1,210),('500:1.08235486072832',1,327),('500:1.08235486072832',1,455),('500:1.08235486072832',1,434),('500:1.08235486072832',1,386),('500:1.08235486072832',1,400),('500:1.08235486072832',1,61),('500:1.08235486072832',1,145),('500:1.08235486072832',1,207),('500:1.08235486072832',1,235),('500:1.08235486072832',1,17),('500:1.08235486072832',1,300),('500:1.08235486072832',1,153),('500:1.08235486072832',1,378),('500:1.08235486072832',1,142),('500:1.08235486072832',1,73),('500:1.08235486072832',1,100),('500:1.08235486072832',1,387),('500:1.08235486072832',1,196),('500:1.08235486072832',1,31),('500:1.08235486072832',1,5),('500:1.08235486072832',1,105),('500:1.08235486072832',1,418),('500:1.08235486072832',1,373),('500:1.08235486072832',1,245),('500:1.08235486072832',1,185),('500:1.08235486072832',1,23),('500:1.08235486072832',1,29),('500:1.08235486072832',1,194),('500:1.08235486072832',1,498),('500:1.08235486072832',1,295),('500:1.08235486072832',2,112),('500:1.08235486072832',2,350),('500:1.08235486072832',2,145),('500:1.08235486072832',2,243),('500:1.08235486072832',2,172),('500:1.08235486072832',2,460),('500:1.08235486072832',2,109),('500:1.08235486072832',2,128),('500:1.08235486072832',2,100),('500:1.08235486072832',2,407),('500:1.08235486072832',2,188),('500:1.08235486072832',2,325),('500:1.08235486072832',2,20),('500:1.08235486072832',2,49),('500:1.08235486072832',2,450),('500:1.08235486072832',2,117),('500:1.08235486072832',2,165),('500:1.08235486072832',2,358),('500:1.08235486072832',2,459),('500:1.08235486072832',2,340),('500:1.08235486072832',2,465),('500:1.08235486072832',2,479),('500:1.08235486072832',2,452),('500:1.08235486072832',2,371),('500:1.08235486072832',2,266),('500:1.08235486072832',2,34),('500:1.08235486072832',2,352),('500:1.08235486072832',2,474),('500:1.08235486072832',2,9),('500:1.08235486072832',2,410),('500:1.08235486072832',2,37),('500:1.08235486072832',2,434),('500:1.08235486072832',2,233),('500:1.08235486072832',2,209),('500:1.08235486072832',2,384),('500:1.08235486072832',2,1),('500:1.08235486072832',2,436),('500:1.08235486072832',2,405),('500:1.08235486072832',2,41),('500:1.08235486072832',2,256),('500:1.08235486072832',2,239),('500:1.08235486072832',2,223),('500:1.08235486072832',2,399),('500:1.08235486072832',2,10),('500:1.08235486072832',2,149),('500:1.08235486072832',2,182),('500:1.08235486072832',2,283),('500:1.08235486072832',2,293),('500:1.08235486072832',2,449),('500:1.08235486072832',2,327),('500:1.08235486072832',2,268),('500:1.08235486072832',2,389),('500:1.08235486072832',2,409),('500:1.08235486072832',2,476),('500:1.08235486072832',2,290),('500:1.08235486072832',2,396),('500:1.08235486072832',2,29),('500:1.08235486072832',2,417),('500:1.08235486072832',2,186),('500:1.08235486072832',2,23),('500:1.08235486072832',2,19),('500:1.08235486072832',2,312),('500:1.08235486072832',2,17),('500:1.08235486072832',2,418),('500:1.08235486072832',2,83),('500:1.08235486072832',2,457),('500:1.08235486072832',2,462),('500:1.08235486072832',2,150),('500:1.08235486072832',2,259),('500:1.08235486072832',2,68),('500:1.08235486072832',2,221),('500:1.08235486072832',2,276),('500:1.08235486072832',2,206),('500:1.08235486072832',2,391),('500:1.08235486072832',2,219),('500:1.08235486072832',2,453),('500:1.08235486072832',2,442),('500:1.08235486072832',2,307),('500:1.08235486072832',2,197),('500:1.08235486072832',2,440),('500:1.08235486072832',2,195),('500:1.08235486072832',2,181),('500:1.08235486072832',2,468),('500:1.08235486072832',2,381),('500:1.08235486072832',2,53),('500:1.08235486072832',2,222),('500:1.08235486072832',2,166),('500:1.08235486072832',2,431),('500:1.08235486072832',2,62),('500:1.08235486072832',2,382),('500:1.08235486072832',2,77),('500:1.08235486072832',2,331),('500:1.08235486072832',2,414),('500:1.08235486072832',2,5),('500:1.08235486072832',2,345),('500:1.08235486072832',2,193),('500:1.08235486072832',2,202),('500:1.08235486072832',2,33),('500:1.08235486072832',2,71),('500:1.08235486072832',2,245),('500:1.08235486072832',3,130),('500:1.08235486072832',3,343),('500:1.08235486072832',3,474),('500:1.08235486072832',3,231),('500:1.08235486072832',3,482),('500:1.08235486072832',3,315),('500:1.08235486072832',3,125),('500:1.08235486072832',3,283),('500:1.08235486072832',3,428),('500:1.08235486072832',3,377),('500:1.08235486072832',3,114),('500:1.08235486072832',3,486),('500:1.08235486072832',3,237),('500:1.08235486072832',3,490),('500:1.08235486072832',3,82),('500:1.08235486072832',3,118),('500:1.08235486072832',3,33),('500:1.08235486072832',3,201),('500:1.08235486072832',3,406),('500:1.08235486072832',3,207),('500:1.08235486072832',3,447),('500:1.08235486072832',3,301),('500:1.08235486072832',3,134),('500:1.08235486072832',3,421),('500:1.08235486072832',3,37),('500:1.08235486072832',3,437),('500:1.08235486072832',3,158),('500:1.08235486072832',3,192),('500:1.08235486072832',3,98),('500:1.08235486072832',3,263),('500:1.08235486072832',3,454),('500:1.08235486072832',3,180),('500:1.08235486072832',3,204),('500:1.08235486072832',3,463),('500:1.08235486072832',3,32),('500:1.08235486072832',3,104),('500:1.08235486072832',3,363),('500:1.08235486072832',3,149),('500:1.08235486072832',3,25),('500:1.08235486072832',3,61),('500:1.08235486072832',3,112),('500:1.08235486072832',3,491),('500:1.08235486072832',3,41),('500:1.08235486072832',3,376),('500:1.08235486072832',3,44),('500:1.08235486072832',3,126),('500:1.08235486072832',3,438),('500:1.08235486072832',3,143),('500:1.08235486072832',3,249),('500:1.08235486072832',3,140),('500:1.08235486072832',3,483),('500:1.08235486072832',3,419),('500:1.08235486072832',3,221),('500:1.08235486072832',3,440),('500:1.08235486072832',3,76),('500:1.08235486072832',3,203),('500:1.08235486072832',3,439),('500:1.08235486072832',3,239),('500:1.08235486072832',3,493),('500:1.08235486072832',3,174),('500:1.08235486072832',3,326),('500:1.08235486072832',3,329),('500:1.08235486072832',3,468),('500:1.08235486072832',3,390),('500:1.08235486072832',3,194),('500:1.08235486072832',3,448),('500:1.08235486072832',3,121),('500:1.08235486072832',3,240),('500:1.08235486072832',3,361),('500:1.08235486072832',3,214),('500:1.08235486072832',3,391),('500:1.08235486072832',3,368),('500:1.08235486072832',3,50),('500:1.08235486072832',3,210),('500:1.08235486072832',3,85),('500:1.08235486072832',3,338),('500:1.08235486072832',3,250),('500:1.08235486072832',3,51),('500:1.08235486072832',3,410),('500:1.08235486072832',3,350),('500:1.08235486072832',3,432),('500:1.08235486072832',3,404),('500:1.08235486072832',3,80),('500:1.08235486072832',3,382),('500:1.08235486072832',3,320),('500:1.08235486072832',3,341),('500:1.08235486072832',3,469),('500:1.08235486072832',3,172),('500:1.08235486072832',3,460),('500:1.08235486072832',3,27),('500:1.08235486072832',3,193),('500:1.08235486072832',3,430),('500:1.08235486072832',3,230),('500:1.08235486072832',3,479),('500:1.08235486072832',3,106),('500:1.08235486072832',3,182),('500:1.08235486072832',3,477),('500:1.08235486072832',3,403),('500:1.08235486072832',3,219),('500:1.08235486072832',3,88),('500:1.08235486072832',4,250),('500:1.08235486072832',4,280),('500:1.08235486072832',4,51),('500:1.08235486072832',4,394),('500:1.08235486072832',4,249),('500:1.08235486072832',4,496),('500:1.08235486072832',4,81),('500:1.08235486072832',4,395),('500:1.08235486072832',4,412),('500:1.08235486072832',4,288),('500:1.08235486072832',4,235),('500:1.08235486072832',4,6),('500:1.08235486072832',4,384),('500:1.08235486072832',4,434),('500:1.08235486072832',4,368),('500:1.08235486072832',4,350),('500:1.08235486072832',4,276),('500:1.08235486072832',4,470),('500:1.08235486072832',4,89),('500:1.08235486072832',4,473),('500:1.08235486072832',4,262),('500:1.08235486072832',4,139),('500:1.08235486072832',4,190),('500:1.08235486072832',4,61),('500:1.08235486072832',4,92),('500:1.08235486072832',4,114),('500:1.08235486072832',4,214),('500:1.08235486072832',4,19),('500:1.08235486072832',4,274),('500:1.08235486072832',4,445),('500:1.08235486072832',4,346),('500:1.08235486072832',4,107),('500:1.08235486072832',4,257),('500:1.08235486072832',4,373),('500:1.08235486072832',4,218),('500:1.08235486072832',4,403),('500:1.08235486072832',4,221),('500:1.08235486072832',4,333),('500:1.08235486072832',4,396),('500:1.08235486072832',4,163),('500:1.08235486072832',4,474),('500:1.08235486072832',4,165),('500:1.08235486072832',4,231),('500:1.08235486072832',4,341),('500:1.08235486072832',4,290),('500:1.08235486072832',4,428),('500:1.08235486072832',4,183),('500:1.08235486072832',4,424),('500:1.08235486072832',4,269),('500:1.08235486072832',4,131),('500:1.08235486072832',4,408),('500:1.08235486072832',4,471),('500:1.08235486072832',4,453),('500:1.08235486072832',4,268),('500:1.08235486072832',4,1),('500:1.08235486072832',4,281),('500:1.08235486072832',4,337),('500:1.08235486072832',4,271),('500:1.08235486072832',4,86),('500:1.08235486072832',4,133),('500:1.08235486072832',4,234),('500:1.08235486072832',4,402),('500:1.08235486072832',4,138),('500:1.08235486072832',4,241),('500:1.08235486072832',4,136),('500:1.08235486072832',4,345),('500:1.08235486072832',4,353),('500:1.08235486072832',4,100),('500:1.08235486072832',4,343),('500:1.08235486072832',4,13),('500:1.08235486072832',4,443),('500:1.08235486072832',4,366),('500:1.08235486072832',4,391),('500:1.08235486072832',4,299),('500:1.08235486072832',4,123),('500:1.08235486072832',4,118),('500:1.08235486072832',4,18),('500:1.08235486072832',4,377),('500:1.08235486072832',4,462),('500:1.08235486072832',4,422),('500:1.08235486072832',4,35),('500:1.08235486072832',4,459),('500:1.08235486072832',4,480),('500:1.08235486072832',4,406),('500:1.08235486072832',4,124),('500:1.08235486072832',4,191),('500:1.08235486072832',4,170),('500:1.08235486072832',4,116),('500:1.08235486072832',4,2),('500:1.08235486072832',4,239),('500:1.08235486072832',4,419),('500:1.08235486072832',4,137),('500:1.08235486072832',4,468),('500:1.08235486072832',4,28),('500:1.08235486072832',4,317),('500:1.08235486072832',4,332),('500:1.08235486072832',4,164),('500:1.08235486072832',4,315),('500:1.08235486072832',4,40),('500:1.08235486072832',4,49),('500:1.08235486072832',5,419),('500:1.08235486072832',5,379),('500:1.08235486072832',5,266),('500:1.08235486072832',5,451),('500:1.08235486072832',5,133),('500:1.08235486072832',5,157),('500:1.08235486072832',5,182),('500:1.08235486072832',5,359),('500:1.08235486072832',5,121),('500:1.08235486072832',5,46),('500:1.08235486072832',5,316),('500:1.08235486072832',5,126),('500:1.08235486072832',5,454),('500:1.08235486072832',5,211),('500:1.08235486072832',5,362),('500:1.08235486072832',5,361),('500:1.08235486072832',5,436),('500:1.08235486072832',5,464),('500:1.08235486072832',5,337),('500:1.08235486072832',5,404),('500:1.08235486072832',5,219),('500:1.08235486072832',5,32),('500:1.08235486072832',5,36),('500:1.08235486072832',5,200),('500:1.08235486072832',5,431),('500:1.08235486072832',5,455),('500:1.08235486072832',5,208),('500:1.08235486072832',5,474),('500:1.08235486072832',5,103),('500:1.08235486072832',5,468),('500:1.08235486072832',5,386),('500:1.08235486072832',5,268),('500:1.08235486072832',5,27),('500:1.08235486072832',5,396),('500:1.08235486072832',5,113),('500:1.08235486072832',5,367),('500:1.08235486072832',5,499),('500:1.08235486072832',5,487),('500:1.08235486072832',5,149),('500:1.08235486072832',5,408),('500:1.08235486072832',5,30),('500:1.08235486072832',5,250),('500:1.08235486072832',5,387),('500:1.08235486072832',5,21),('500:1.08235486072832',5,92),('500:1.08235486072832',5,19),('500:1.08235486072832',5,279),('500:1.08235486072832',5,433),('500:1.08235486072832',5,480),('500:1.08235486072832',5,187),('500:1.08235486072832',5,315),('500:1.08235486072832',5,203),('500:1.08235486072832',5,497),('500:1.08235486072832',5,22),('500:1.08235486072832',5,235),('500:1.08235486072832',5,152),('500:1.08235486072832',5,54),('500:1.08235486072832',5,209),('500:1.08235486072832',5,251),('500:1.08235486072832',5,312),('500:1.08235486072832',5,63),('500:1.08235486072832',5,263),('500:1.08235486072832',5,241),('500:1.08235486072832',5,472),('500:1.08235486072832',5,493),('500:1.08235486072832',5,406),('500:1.08235486072832',5,127),('500:1.08235486072832',5,111),('500:1.08235486072832',5,324),('500:1.08235486072832',5,6),('500:1.08235486072832',5,435),('500:1.08235486072832',5,309),('500:1.08235486072832',5,244),('500:1.08235486072832',5,339),('500:1.08235486072832',5,206),('500:1.08235486072832',5,381),('500:1.08235486072832',5,255),('500:1.08235486072832',5,131),('500:1.08235486072832',5,190),('500:1.08235486072832',5,28),('500:1.08235486072832',5,95),('500:1.08235486072832',5,257),('500:1.08235486072832',5,35),('500:1.08235486072832',5,156),('500:1.08235486072832',5,297),('500:1.08235486072832',5,75),('500:1.08235486072832',5,65),('500:1.08235486072832',5,395),('500:1.08235486072832',5,488),('500:1.08235486072832',5,86),('500:1.08235486072832',5,492),('500:1.08235486072832',5,173),('500:1.08235486072832',5,161),('500:1.08235486072832',5,282),('500:1.08235486072832',5,139),('500:1.08235486072832',5,225),('500:1.08235486072832',5,234),('500:1.08235486072832',5,150),('500:1.08235486072832',5,440),('500:1.08235486072832',5,346),('500:1.08235486072832',6,350),('500:1.08235486072832',6,403),('500:1.08235486072832',6,260),('500:1.08235486072832',6,252),('500:1.08235486072832',6,345),('500:1.08235486072832',6,371),('500:1.08235486072832',6,145),('500:1.08235486072832',6,443),('500:1.08235486072832',6,81),('500:1.08235486072832',6,186),('500:1.08235486072832',6,351),('500:1.08235486072832',6,197),('500:1.08235486072832',6,430),('500:1.08235486072832',6,105),('500:1.08235486072832',6,465),('500:1.08235486072832',6,40),('500:1.08235486072832',6,156),('500:1.08235486072832',6,8),('500:1.08235486072832',6,271),('500:1.08235486072832',6,213),('500:1.08235486072832',6,268),('500:1.08235486072832',6,121),('500:1.08235486072832',6,118),('500:1.08235486072832',6,214),('500:1.08235486072832',6,219),('500:1.08235486072832',6,165),('500:1.08235486072832',6,192),('500:1.08235486072832',6,450),('500:1.08235486072832',6,303),('500:1.08235486072832',6,199),('500:1.08235486072832',6,308),('500:1.08235486072832',6,435),('500:1.08235486072832',6,99),('500:1.08235486072832',6,315),('500:1.08235486072832',6,111),('500:1.08235486072832',6,380),('500:1.08235486072832',6,82),('500:1.08235486072832',6,381),('500:1.08235486072832',6,425),('500:1.08235486072832',6,11),('500:1.08235486072832',6,130),('500:1.08235486072832',6,123),('500:1.08235486072832',6,146),('500:1.08235486072832',6,13),('500:1.08235486072832',6,399),('500:1.08235486072832',6,170),('500:1.08235486072832',6,339),('500:1.08235486072832',6,37),('500:1.08235486072832',6,238),('500:1.08235486072832',6,327),('500:1.08235486072832',6,472),('500:1.08235486072832',6,155),('500:1.08235486072832',6,29),('500:1.08235486072832',6,166),('500:1.08235486072832',6,101),('500:1.08235486072832',6,277),('500:1.08235486072832',6,421),('500:1.08235486072832',6,304),('500:1.08235486072832',6,274),('500:1.08235486072832',6,264),('500:1.08235486072832',6,0),('500:1.08235486072832',6,266),('500:1.08235486072832',6,143),('500:1.08235486072832',6,475),('500:1.08235486072832',6,72),('500:1.08235486072832',6,408),('500:1.08235486072832',6,270),('500:1.08235486072832',6,207),('500:1.08235486072832',6,322),('500:1.08235486072832',6,429),('500:1.08235486072832',6,333),('500:1.08235486072832',6,201),('500:1.08235486072832',6,287),('500:1.08235486072832',6,386),('500:1.08235486072832',6,273),('500:1.08235486072832',6,410),('500:1.08235486072832',6,88),('500:1.08235486072832',6,432),('500:1.08235486072832',6,167),('500:1.08235486072832',6,438),('500:1.08235486072832',6,296),('500:1.08235486072832',6,480),('500:1.08235486072832',6,189),('500:1.08235486072832',6,126),('500:1.08235486072832',6,307),('500:1.08235486072832',6,265),('500:1.08235486072832',6,103),('500:1.08235486072832',6,369),('500:1.08235486072832',6,242),('500:1.08235486072832',6,217),('500:1.08235486072832',6,232),('500:1.08235486072832',6,4),('500:1.08235486072832',6,387),('500:1.08235486072832',6,437),('500:1.08235486072832',6,162),('500:1.08235486072832',6,453),('500:1.08235486072832',6,28),('500:1.08235486072832',6,5),('500:1.08235486072832',6,404),('500:1.08235486072832',6,388),('500:1.08235486072832',7,340),('500:1.08235486072832',7,344),('500:1.08235486072832',7,319),('500:1.08235486072832',7,467),('500:1.08235486072832',7,17),('500:1.08235486072832',7,209),('500:1.08235486072832',7,0),('500:1.08235486072832',7,88),('500:1.08235486072832',7,49),('500:1.08235486072832',7,86),('500:1.08235486072832',7,269),('500:1.08235486072832',7,418),('500:1.08235486072832',7,137),('500:1.08235486072832',7,479),('500:1.08235486072832',7,145),('500:1.08235486072832',7,156),('500:1.08235486072832',7,425),('500:1.08235486072832',7,310),('500:1.08235486072832',7,108),('500:1.08235486072832',7,229),('500:1.08235486072832',7,445),('500:1.08235486072832',7,184),('500:1.08235486072832',7,186),('500:1.08235486072832',7,276),('500:1.08235486072832',7,438),('500:1.08235486072832',7,415),('500:1.08235486072832',7,468),('500:1.08235486072832',7,353),('500:1.08235486072832',7,334),('500:1.08235486072832',7,60),('500:1.08235486072832',7,299),('500:1.08235486072832',7,434),('500:1.08235486072832',7,185),('500:1.08235486072832',7,87),('500:1.08235486072832',7,270),('500:1.08235486072832',7,59),('500:1.08235486072832',7,138),('500:1.08235486072832',7,194),('500:1.08235486072832',7,408),('500:1.08235486072832',7,189),('500:1.08235486072832',7,70),('500:1.08235486072832',7,332),('500:1.08235486072832',7,374),('500:1.08235486072832',7,471),('500:1.08235486072832',7,103),('500:1.08235486072832',7,248),('500:1.08235486072832',7,459),('500:1.08235486072832',7,330),('500:1.08235486072832',7,385),('500:1.08235486072832',7,381),('500:1.08235486072832',7,97),('500:1.08235486072832',7,327),('500:1.08235486072832',7,247),('500:1.08235486072832',7,261),('500:1.08235486072832',7,280),('500:1.08235486072832',7,457),('500:1.08235486072832',7,112),('500:1.08235486072832',7,167),('500:1.08235486072832',7,164),('500:1.08235486072832',7,391),('500:1.08235486072832',7,375),('500:1.08235486072832',7,307),('500:1.08235486072832',7,195),('500:1.08235486072832',7,171),('500:1.08235486072832',7,218),('500:1.08235486072832',7,78),('500:1.08235486072832',7,461),('500:1.08235486072832',7,6),('500:1.08235486072832',7,293),('500:1.08235486072832',7,90),('500:1.08235486072832',7,474),('500:1.08235486072832',7,147),('500:1.08235486072832',7,357),('500:1.08235486072832',7,442),('500:1.08235486072832',7,191),('500:1.08235486072832',7,420),('500:1.08235486072832',7,317),('500:1.08235486072832',7,427),('500:1.08235486072832',7,146),('500:1.08235486072832',7,114),('500:1.08235486072832',7,366),('500:1.08235486072832',7,117),('500:1.08235486072832',7,341),('500:1.08235486072832',7,439),('500:1.08235486072832',7,482),('500:1.08235486072832',7,407),('500:1.08235486072832',7,363),('500:1.08235486072832',7,152),('500:1.08235486072832',7,290),('500:1.08235486072832',7,292),('500:1.08235486072832',7,214),('500:1.08235486072832',7,429),('500:1.08235486072832',7,13),('500:1.08235486072832',7,339),('500:1.08235486072832',7,397),('500:1.08235486072832',7,150),('500:1.08235486072832',7,498),('500:1.08235486072832',7,435),('500:1.08235486072832',7,413),('500:1.08235486072832',7,373),('500:1.08235486072832',8,497),('500:1.08235486072832',8,39),('500:1.08235486072832',8,380),('500:1.08235486072832',8,196),('500:1.08235486072832',8,161),('500:1.08235486072832',8,271),('500:1.08235486072832',8,222),('500:1.08235486072832',8,173),('500:1.08235486072832',8,138),('500:1.08235486072832',8,44),('500:1.08235486072832',8,35),('500:1.08235486072832',8,326),('500:1.08235486072832',8,151),('500:1.08235486072832',8,111),('500:1.08235486072832',8,338),('500:1.08235486072832',8,319),('500:1.08235486072832',8,321),('500:1.08235486072832',8,315),('500:1.08235486072832',8,304),('500:1.08235486072832',8,431),('500:1.08235486072832',8,277),('500:1.08235486072832',8,3),('500:1.08235486072832',8,253),('500:1.08235486072832',8,207),('500:1.08235486072832',8,260),('500:1.08235486072832',8,58),('500:1.08235486072832',8,82),('500:1.08235486072832',8,14),('500:1.08235486072832',8,140),('500:1.08235486072832',8,314),('500:1.08235486072832',8,347),('500:1.08235486072832',8,362),('500:1.08235486072832',8,301),('500:1.08235486072832',8,183),('500:1.08235486072832',8,114),('500:1.08235486072832',8,262),('500:1.08235486072832',8,152),('500:1.08235486072832',8,255),('500:1.08235486072832',8,311),('500:1.08235486072832',8,462),('500:1.08235486072832',8,489),('500:1.08235486072832',8,403),('500:1.08235486072832',8,406),('500:1.08235486072832',8,100),('500:1.08235486072832',8,291),('500:1.08235486072832',8,146),('500:1.08235486072832',8,224),('500:1.08235486072832',8,25),('500:1.08235486072832',8,109),('500:1.08235486072832',8,31),('500:1.08235486072832',8,296),('500:1.08235486072832',8,128),('500:1.08235486072832',8,463),('500:1.08235486072832',8,379),('500:1.08235486072832',8,126),('500:1.08235486072832',8,179),('500:1.08235486072832',8,167),('500:1.08235486072832',8,147),('500:1.08235486072832',8,499),('500:1.08235486072832',8,217),('500:1.08235486072832',8,409),('500:1.08235486072832',8,37),('500:1.08235486072832',8,276),('500:1.08235486072832',8,405),('500:1.08235486072832',8,433),('500:1.08235486072832',8,130),('500:1.08235486072832',8,144),('500:1.08235486072832',8,234),('500:1.08235486072832',8,367),('500:1.08235486072832',8,294),('500:1.08235486072832',8,494),('500:1.08235486072832',8,437),('500:1.08235486072832',8,176),('500:1.08235486072832',8,10),('500:1.08235486072832',8,392),('500:1.08235486072832',8,418),('500:1.08235486072832',8,117),('500:1.08235486072832',8,53),('500:1.08235486072832',8,324),('500:1.08235486072832',8,178),('500:1.08235486072832',8,242),('500:1.08235486072832',8,73),('500:1.08235486072832',8,254),('500:1.08235486072832',8,159),('500:1.08235486072832',8,132),('500:1.08235486072832',8,125),('500:1.08235486072832',8,353),('500:1.08235486072832',8,470),('500:1.08235486072832',8,272),('500:1.08235486072832',8,328),('500:1.08235486072832',8,323),('500:1.08235486072832',8,261),('500:1.08235486072832',8,376),('500:1.08235486072832',8,80),('500:1.08235486072832',8,90),('500:1.08235486072832',8,225),('500:1.08235486072832',8,121),('500:1.08235486072832',8,303),('500:1.08235486072832',8,78),('500:1.08235486072832',8,69),('500:1.08235486072832',9,49),('500:1.08235486072832',9,489),('500:1.08235486072832',9,205),('500:1.08235486072832',9,256),('500:1.08235486072832',9,319),('500:1.08235486072832',9,259),('500:1.08235486072832',9,302),('500:1.08235486072832',9,186),('500:1.08235486072832',9,156),('500:1.08235486072832',9,270),('500:1.08235486072832',9,492),('500:1.08235486072832',9,294),('500:1.08235486072832',9,7),('500:1.08235486072832',9,274),('500:1.08235486072832',9,359),('500:1.08235486072832',9,414),('500:1.08235486072832',9,275),('500:1.08235486072832',9,267),('500:1.08235486072832',9,75),('500:1.08235486072832',9,325),('500:1.08235486072832',9,218),('500:1.08235486072832',9,434),('500:1.08235486072832',9,15),('500:1.08235486072832',9,326),('500:1.08235486072832',9,162),('500:1.08235486072832',9,408),('500:1.08235486072832',9,168),('500:1.08235486072832',9,303),('500:1.08235486072832',9,438),('500:1.08235486072832',9,380),('500:1.08235486072832',9,339),('500:1.08235486072832',9,485),('500:1.08235486072832',9,331),('500:1.08235486072832',9,445),('500:1.08235486072832',9,206),('500:1.08235486072832',9,431),('500:1.08235486072832',9,199),('500:1.08235486072832',9,265),('500:1.08235486072832',9,37),('500:1.08235486072832',9,178),('500:1.08235486072832',9,53),('500:1.08235486072832',9,140),('500:1.08235486072832',9,151),('500:1.08235486072832',9,58),('500:1.08235486072832',9,427),('500:1.08235486072832',9,133),('500:1.08235486072832',9,344),('500:1.08235486072832',9,95),('500:1.08235486072832',9,471),('500:1.08235486072832',9,457),('500:1.08235486072832',9,246),('500:1.08235486072832',9,403),('500:1.08235486072832',9,301),('500:1.08235486072832',9,328),('500:1.08235486072832',9,453),('500:1.08235486072832',9,203),('500:1.08235486072832',9,399),('500:1.08235486072832',9,2),('500:1.08235486072832',9,149),('500:1.08235486072832',9,458),('500:1.08235486072832',9,462),('500:1.08235486072832',9,306),('500:1.08235486072832',9,376),('500:1.08235486072832',9,107),('500:1.08235486072832',9,377),('500:1.08235486072832',9,342),('500:1.08235486072832',9,20),('500:1.08235486072832',9,6),('500:1.08235486072832',9,340),('500:1.08235486072832',9,394),('500:1.08235486072832',9,283),('500:1.08235486072832',9,490),('500:1.08235486072832',9,24),('500:1.08235486072832',9,161),('500:1.08235486072832',9,305),('500:1.08235486072832',9,160),('500:1.08235486072832',9,280),('500:1.08235486072832',9,79),('500:1.08235486072832',9,424),('500:1.08235486072832',9,435),('500:1.08235486072832',9,181),('500:1.08235486072832',9,260),('500:1.08235486072832',9,292),('500:1.08235486072832',9,311),('500:1.08235486072832',9,248),('500:1.08235486072832',9,129),('500:1.08235486072832',9,245),('500:1.08235486072832',9,172),('500:1.08235486072832',9,225),('500:1.08235486072832',9,69),('500:1.08235486072832',9,297),('500:1.08235486072832',9,479),('500:1.08235486072832',9,239),('500:1.08235486072832',9,386),('500:1.08235486072832',9,296),('500:1.08235486072832',9,68),('500:1.08235486072832',9,365),('500:1.08235486072832',9,333),('500:1.08235486072832',9,442),('500:1.08235486072832',9,263),('2000:1.53081411098240',0,1204),('2000:1.53081411098240',0,1835),('2000:1.53081411098240',0,925),('2000:1.53081411098240',0,1613),('2000:1.53081411098240',0,1422),('2000:1.53081411098240',0,1590),('2000:1.53081411098240',0,1182),('2000:1.53081411098240',0,121),('2000:1.53081411098240',0,462),('2000:1.53081411098240',0,1183),('2000:1.53081411098240',0,1407),('2000:1.53081411098240',0,1157),('2000:1.53081411098240',0,242),('2000:1.53081411098240',0,789),('2000:1.53081411098240',0,76),('2000:1.53081411098240',0,1087),('2000:1.53081411098240',0,794),('2000:1.53081411098240',0,1472),('2000:1.53081411098240',0,231),('2000:1.53081411098240',0,1553),('2000:1.53081411098240',0,1836),('2000:1.53081411098240',0,281),('2000:1.53081411098240',0,379),('2000:1.53081411098240',0,1978),('2000:1.53081411098240',0,1841),('2000:1.53081411098240',0,1403),('2000:1.53081411098240',0,1074),('2000:1.53081411098240',0,500),('2000:1.53081411098240',0,1218),('2000:1.53081411098240',0,1633),('2000:1.53081411098240',0,856),('2000:1.53081411098240',0,133),('2000:1.53081411098240',0,633),('2000:1.53081411098240',0,1576),('2000:1.53081411098240',0,780),('2000:1.53081411098240',0,1008),('2000:1.53081411098240',0,61),('2000:1.53081411098240',0,1854),('2000:1.53081411098240',0,111),('2000:1.53081411098240',0,532),('2000:1.53081411098240',0,1807),('2000:1.53081411098240',0,1933),('2000:1.53081411098240',0,722),('2000:1.53081411098240',0,641),('2000:1.53081411098240',0,1775),('2000:1.53081411098240',0,866),('2000:1.53081411098240',0,728),('2000:1.53081411098240',0,1591),('2000:1.53081411098240',0,934),('2000:1.53081411098240',0,833),('2000:1.53081411098240',0,75),('2000:1.53081411098240',0,1647),('2000:1.53081411098240',0,1020),('2000:1.53081411098240',0,1116),('2000:1.53081411098240',0,1052),('2000:1.53081411098240',0,743),('2000:1.53081411098240',0,947),('2000:1.53081411098240',0,721),('2000:1.53081411098240',0,1119),('2000:1.53081411098240',0,291),('2000:1.53081411098240',0,1194),('2000:1.53081411098240',0,1187),('2000:1.53081411098240',0,455),('2000:1.53081411098240',0,105),('2000:1.53081411098240',0,1713),('2000:1.53081411098240',0,1031),('2000:1.53081411098240',0,1880),('2000:1.53081411098240',0,1171),('2000:1.53081411098240',0,1608),('2000:1.53081411098240',0,745),('2000:1.53081411098240',0,1819),('2000:1.53081411098240',0,797),('2000:1.53081411098240',0,1984),('2000:1.53081411098240',0,255),('2000:1.53081411098240',0,823),('2000:1.53081411098240',0,257),('2000:1.53081411098240',0,1072),('2000:1.53081411098240',0,1595),('2000:1.53081411098240',0,1270),('2000:1.53081411098240',0,1724),('2000:1.53081411098240',0,464),('2000:1.53081411098240',0,375),('2000:1.53081411098240',0,686),('2000:1.53081411098240',0,1308),('2000:1.53081411098240',0,40),('2000:1.53081411098240',0,1611),('2000:1.53081411098240',0,843),('2000:1.53081411098240',0,1034),('2000:1.53081411098240',0,509),('2000:1.53081411098240',0,1917),('2000:1.53081411098240',0,372),('2000:1.53081411098240',0,1174),('2000:1.53081411098240',0,1292),('2000:1.53081411098240',0,1439),('2000:1.53081411098240',0,1299),('2000:1.53081411098240',0,1929),('2000:1.53081411098240',0,145),('2000:1.53081411098240',0,104),('2000:1.53081411098240',0,34),('2000:1.53081411098240',0,1905),('2000:1.53081411098240',1,1724),('2000:1.53081411098240',1,665),('2000:1.53081411098240',1,638),('2000:1.53081411098240',1,1950),('2000:1.53081411098240',1,1594),('2000:1.53081411098240',1,987),('2000:1.53081411098240',1,1561),('2000:1.53081411098240',1,43),('2000:1.53081411098240',1,1832),('2000:1.53081411098240',1,1060),('2000:1.53081411098240',1,980),('2000:1.53081411098240',1,694),('2000:1.53081411098240',1,173),('2000:1.53081411098240',1,1317),('2000:1.53081411098240',1,1843),('2000:1.53081411098240',1,823),('2000:1.53081411098240',1,745),('2000:1.53081411098240',1,546),('2000:1.53081411098240',1,1164),('2000:1.53081411098240',1,1580),('2000:1.53081411098240',1,1290),('2000:1.53081411098240',1,676),('2000:1.53081411098240',1,90),('2000:1.53081411098240',1,394),('2000:1.53081411098240',1,653),('2000:1.53081411098240',1,84),('2000:1.53081411098240',1,1336),('2000:1.53081411098240',1,50),('2000:1.53081411098240',1,732),('2000:1.53081411098240',1,260),('2000:1.53081411098240',1,181),('2000:1.53081411098240',1,1617),('2000:1.53081411098240',1,1971),('2000:1.53081411098240',1,1753),('2000:1.53081411098240',1,1880),('2000:1.53081411098240',1,1453),('2000:1.53081411098240',1,1914),('2000:1.53081411098240',1,1092),('2000:1.53081411098240',1,26),('2000:1.53081411098240',1,111),('2000:1.53081411098240',1,425),('2000:1.53081411098240',1,1908),('2000:1.53081411098240',1,864),('2000:1.53081411098240',1,1635),('2000:1.53081411098240',1,983),('2000:1.53081411098240',1,1782),('2000:1.53081411098240',1,114),('2000:1.53081411098240',1,273),('2000:1.53081411098240',1,1273),('2000:1.53081411098240',1,73),('2000:1.53081411098240',1,1183),('2000:1.53081411098240',1,704),('2000:1.53081411098240',1,1462),('2000:1.53081411098240',1,909),('2000:1.53081411098240',1,611),('2000:1.53081411098240',1,1388),('2000:1.53081411098240',1,1232),('2000:1.53081411098240',1,1351),('2000:1.53081411098240',1,1760),('2000:1.53081411098240',1,431),('2000:1.53081411098240',1,1069),('2000:1.53081411098240',1,1848),('2000:1.53081411098240',1,966),('2000:1.53081411098240',1,345),('2000:1.53081411098240',1,779),('2000:1.53081411098240',1,300),('2000:1.53081411098240',1,242),('2000:1.53081411098240',1,1141),('2000:1.53081411098240',1,1433),('2000:1.53081411098240',1,142),('2000:1.53081411098240',1,862),('2000:1.53081411098240',1,48),('2000:1.53081411098240',1,1524),('2000:1.53081411098240',1,378),('2000:1.53081411098240',1,85),('2000:1.53081411098240',1,1484),('2000:1.53081411098240',1,314),('2000:1.53081411098240',1,995),('2000:1.53081411098240',1,257),('2000:1.53081411098240',1,501),('2000:1.53081411098240',1,1475),('2000:1.53081411098240',1,1408),('2000:1.53081411098240',1,821),('2000:1.53081411098240',1,1710),('2000:1.53081411098240',1,1154),('2000:1.53081411098240',1,1720),('2000:1.53081411098240',1,785),('2000:1.53081411098240',1,1976),('2000:1.53081411098240',1,1560),('2000:1.53081411098240',1,645),('2000:1.53081411098240',1,625),('2000:1.53081411098240',1,1379),('2000:1.53081411098240',1,1225),('2000:1.53081411098240',1,756),('2000:1.53081411098240',1,406),('2000:1.53081411098240',1,156),('2000:1.53081411098240',1,701),('2000:1.53081411098240',1,227),('2000:1.53081411098240',1,210),('2000:1.53081411098240',1,1791),('2000:1.53081411098240',2,1912),('2000:1.53081411098240',2,798),('2000:1.53081411098240',2,32),('2000:1.53081411098240',2,1781),('2000:1.53081411098240',2,315),('2000:1.53081411098240',2,461),('2000:1.53081411098240',2,1303),('2000:1.53081411098240',2,337),('2000:1.53081411098240',2,981),('2000:1.53081411098240',2,1330),('2000:1.53081411098240',2,1335),('2000:1.53081411098240',2,1436),('2000:1.53081411098240',2,903),('2000:1.53081411098240',2,571),('2000:1.53081411098240',2,990),('2000:1.53081411098240',2,350),('2000:1.53081411098240',2,961),('2000:1.53081411098240',2,1704),('2000:1.53081411098240',2,839),('2000:1.53081411098240',2,273),('2000:1.53081411098240',2,35),('2000:1.53081411098240',2,1220),('2000:1.53081411098240',2,922),('2000:1.53081411098240',2,493),('2000:1.53081411098240',2,639),('2000:1.53081411098240',2,1882),('2000:1.53081411098240',2,1873),('2000:1.53081411098240',2,1050),('2000:1.53081411098240',2,123),('2000:1.53081411098240',2,749),('2000:1.53081411098240',2,243),('2000:1.53081411098240',2,399),('2000:1.53081411098240',2,868),('2000:1.53081411098240',2,1743),('2000:1.53081411098240',2,1806),('2000:1.53081411098240',2,1026),('2000:1.53081411098240',2,710),('2000:1.53081411098240',2,220),('2000:1.53081411098240',2,1012),('2000:1.53081411098240',2,95),('2000:1.53081411098240',2,1596),('2000:1.53081411098240',2,494),('2000:1.53081411098240',2,442),('2000:1.53081411098240',2,1109),('2000:1.53081411098240',2,1328),('2000:1.53081411098240',2,1630),('2000:1.53081411098240',2,37),('2000:1.53081411098240',2,247),('2000:1.53081411098240',2,450),('2000:1.53081411098240',2,569),('2000:1.53081411098240',2,1519),('2000:1.53081411098240',2,20),('2000:1.53081411098240',2,588),('2000:1.53081411098240',2,1412),('2000:1.53081411098240',2,1409),('2000:1.53081411098240',2,1427),('2000:1.53081411098240',2,953),('2000:1.53081411098240',2,371),('2000:1.53081411098240',2,723),('2000:1.53081411098240',2,1059),('2000:1.53081411098240',2,672),('2000:1.53081411098240',2,652),('2000:1.53081411098240',2,68),('2000:1.53081411098240',2,1793),('2000:1.53081411098240',2,377),('2000:1.53081411098240',2,1646),('2000:1.53081411098240',2,291),('2000:1.53081411098240',2,1757),('2000:1.53081411098240',2,703),('2000:1.53081411098240',2,1794),('2000:1.53081411098240',2,523),('2000:1.53081411098240',2,358),('2000:1.53081411098240',2,105),('2000:1.53081411098240',2,1343),('2000:1.53081411098240',2,1119),('2000:1.53081411098240',2,1696),('2000:1.53081411098240',2,848),('2000:1.53081411098240',2,1002),('2000:1.53081411098240',2,1832),('2000:1.53081411098240',2,1237),('2000:1.53081411098240',2,1389),('2000:1.53081411098240',2,612),('2000:1.53081411098240',2,491),('2000:1.53081411098240',2,580),('2000:1.53081411098240',2,150),('2000:1.53081411098240',2,1592),('2000:1.53081411098240',2,1627),('2000:1.53081411098240',2,741),('2000:1.53081411098240',2,1136),('2000:1.53081411098240',2,1203),('2000:1.53081411098240',2,1615),('2000:1.53081411098240',2,307),('2000:1.53081411098240',2,26),('2000:1.53081411098240',2,287),('2000:1.53081411098240',2,1405),('2000:1.53081411098240',2,1175),('2000:1.53081411098240',2,1499),('2000:1.53081411098240',2,1432),('2000:1.53081411098240',2,1314),('2000:1.53081411098240',2,471),('2000:1.53081411098240',3,1701),('2000:1.53081411098240',3,1062),('2000:1.53081411098240',3,263),('2000:1.53081411098240',3,550),('2000:1.53081411098240',3,173),('2000:1.53081411098240',3,687),('2000:1.53081411098240',3,978),('2000:1.53081411098240',3,1973),('2000:1.53081411098240',3,971),('2000:1.53081411098240',3,1617),('2000:1.53081411098240',3,777),('2000:1.53081411098240',3,930),('2000:1.53081411098240',3,859),('2000:1.53081411098240',3,1550),('2000:1.53081411098240',3,1649),('2000:1.53081411098240',3,812),('2000:1.53081411098240',3,937),('2000:1.53081411098240',3,965),('2000:1.53081411098240',3,271),('2000:1.53081411098240',3,1465),('2000:1.53081411098240',3,943),('2000:1.53081411098240',3,664),('2000:1.53081411098240',3,1163),('2000:1.53081411098240',3,1116),('2000:1.53081411098240',3,1515),('2000:1.53081411098240',3,275),('2000:1.53081411098240',3,1328),('2000:1.53081411098240',3,715),('2000:1.53081411098240',3,1958),('2000:1.53081411098240',3,372),('2000:1.53081411098240',3,1329),('2000:1.53081411098240',3,304),('2000:1.53081411098240',3,1281),('2000:1.53081411098240',3,1484),('2000:1.53081411098240',3,483),('2000:1.53081411098240',3,1215),('2000:1.53081411098240',3,1182),('2000:1.53081411098240',3,59),('2000:1.53081411098240',3,1552),('2000:1.53081411098240',3,959),('2000:1.53081411098240',3,585),('2000:1.53081411098240',3,257),('2000:1.53081411098240',3,100),('2000:1.53081411098240',3,194),('2000:1.53081411098240',3,842),('2000:1.53081411098240',3,908),('2000:1.53081411098240',3,1042),('2000:1.53081411098240',3,885),('2000:1.53081411098240',3,1274),('2000:1.53081411098240',3,1057),('2000:1.53081411098240',3,1877),('2000:1.53081411098240',3,232),('2000:1.53081411098240',3,975),('2000:1.53081411098240',3,1402),('2000:1.53081411098240',3,1309),('2000:1.53081411098240',3,1810),('2000:1.53081411098240',3,28),('2000:1.53081411098240',3,1879),('2000:1.53081411098240',3,97),('2000:1.53081411098240',3,1607),('2000:1.53081411098240',3,1021),('2000:1.53081411098240',3,1372),('2000:1.53081411098240',3,919),('2000:1.53081411098240',3,1316),('2000:1.53081411098240',3,135),('2000:1.53081411098240',3,1836),('2000:1.53081411098240',3,1306),('2000:1.53081411098240',3,376),('2000:1.53081411098240',3,155),('2000:1.53081411098240',3,1695),('2000:1.53081411098240',3,644),('2000:1.53081411098240',3,440),('2000:1.53081411098240',3,1542),('2000:1.53081411098240',3,1075),('2000:1.53081411098240',3,1945),('2000:1.53081411098240',3,80),('2000:1.53081411098240',3,1272),('2000:1.53081411098240',3,1408),('2000:1.53081411098240',3,110),('2000:1.53081411098240',3,769),('2000:1.53081411098240',3,1686),('2000:1.53081411098240',3,1913),('2000:1.53081411098240',3,125),('2000:1.53081411098240',3,1312),('2000:1.53081411098240',3,629),('2000:1.53081411098240',3,1199),('2000:1.53081411098240',3,1241),('2000:1.53081411098240',3,1717),('2000:1.53081411098240',3,436),('2000:1.53081411098240',3,1437),('2000:1.53081411098240',3,712),('2000:1.53081411098240',3,467),('2000:1.53081411098240',3,1612),('2000:1.53081411098240',3,1914),('2000:1.53081411098240',3,29),('2000:1.53081411098240',3,1232),('2000:1.53081411098240',3,202),('2000:1.53081411098240',3,690),('2000:1.53081411098240',3,819),('2000:1.53081411098240',3,1602),('2000:1.53081411098240',4,1166),('2000:1.53081411098240',4,1645),('2000:1.53081411098240',4,1299),('2000:1.53081411098240',4,1525),('2000:1.53081411098240',4,381),('2000:1.53081411098240',4,995),('2000:1.53081411098240',4,1249),('2000:1.53081411098240',4,1106),('2000:1.53081411098240',4,993),('2000:1.53081411098240',4,646),('2000:1.53081411098240',4,1457),('2000:1.53081411098240',4,1632),('2000:1.53081411098240',4,1633),('2000:1.53081411098240',4,1487),('2000:1.53081411098240',4,174),('2000:1.53081411098240',4,1983),('2000:1.53081411098240',4,832),('2000:1.53081411098240',4,1397),('2000:1.53081411098240',4,1811),('2000:1.53081411098240',4,238),('2000:1.53081411098240',4,1351),('2000:1.53081411098240',4,1812),('2000:1.53081411098240',4,513),('2000:1.53081411098240',4,1183),('2000:1.53081411098240',4,763),('2000:1.53081411098240',4,822),('2000:1.53081411098240',4,1627),('2000:1.53081411098240',4,1112),('2000:1.53081411098240',4,1284),('2000:1.53081411098240',4,1653),('2000:1.53081411098240',4,1164),('2000:1.53081411098240',4,1301),('2000:1.53081411098240',4,233),('2000:1.53081411098240',4,921),('2000:1.53081411098240',4,76),('2000:1.53081411098240',4,462),('2000:1.53081411098240',4,441),('2000:1.53081411098240',4,896),('2000:1.53081411098240',4,20),('2000:1.53081411098240',4,1036),('2000:1.53081411098240',4,1227),('2000:1.53081411098240',4,704),('2000:1.53081411098240',4,1574),('2000:1.53081411098240',4,524),('2000:1.53081411098240',4,1294),('2000:1.53081411098240',4,277),('2000:1.53081411098240',4,825),('2000:1.53081411098240',4,162),('2000:1.53081411098240',4,1026),('2000:1.53081411098240',4,392),('2000:1.53081411098240',4,697),('2000:1.53081411098240',4,807),('2000:1.53081411098240',4,1722),('2000:1.53081411098240',4,112),('2000:1.53081411098240',4,1550),('2000:1.53081411098240',4,1790),('2000:1.53081411098240',4,667),('2000:1.53081411098240',4,1272),('2000:1.53081411098240',4,526),('2000:1.53081411098240',4,1215),('2000:1.53081411098240',4,685),('2000:1.53081411098240',4,492),('2000:1.53081411098240',4,181),('2000:1.53081411098240',4,1281),('2000:1.53081411098240',4,1262),('2000:1.53081411098240',4,1384),('2000:1.53081411098240',4,1652),('2000:1.53081411098240',4,380),('2000:1.53081411098240',4,1973),('2000:1.53081411098240',4,187),('2000:1.53081411098240',4,1837),('2000:1.53081411098240',4,242),('2000:1.53081411098240',4,1485),('2000:1.53081411098240',4,1128),('2000:1.53081411098240',4,1691),('2000:1.53081411098240',4,695),('2000:1.53081411098240',4,276),('2000:1.53081411098240',4,1403),('2000:1.53081411098240',4,33),('2000:1.53081411098240',4,270),('2000:1.53081411098240',4,1855),('2000:1.53081411098240',4,1641),('2000:1.53081411098240',4,1319),('2000:1.53081411098240',4,1370),('2000:1.53081411098240',4,1732),('2000:1.53081411098240',4,1423),('2000:1.53081411098240',4,1889),('2000:1.53081411098240',4,913),('2000:1.53081411098240',4,56),('2000:1.53081411098240',4,969),('2000:1.53081411098240',4,1657),('2000:1.53081411098240',4,1442),('2000:1.53081411098240',4,1886),('2000:1.53081411098240',4,1579),('2000:1.53081411098240',4,1266),('2000:1.53081411098240',4,1058),('2000:1.53081411098240',4,508),('2000:1.53081411098240',4,1975),('2000:1.53081411098240',4,433),('2000:1.53081411098240',4,1735),('2000:1.53081411098240',5,282),('2000:1.53081411098240',5,533),('2000:1.53081411098240',5,1092),('2000:1.53081411098240',5,1374),('2000:1.53081411098240',5,1304),('2000:1.53081411098240',5,1652),('2000:1.53081411098240',5,585),('2000:1.53081411098240',5,1270),('2000:1.53081411098240',5,1902),('2000:1.53081411098240',5,1491),('2000:1.53081411098240',5,493),('2000:1.53081411098240',5,809),('2000:1.53081411098240',5,1303),('2000:1.53081411098240',5,190),('2000:1.53081411098240',5,845),('2000:1.53081411098240',5,1166),('2000:1.53081411098240',5,813),('2000:1.53081411098240',5,1910),('2000:1.53081411098240',5,1711),('2000:1.53081411098240',5,56),('2000:1.53081411098240',5,1198),('2000:1.53081411098240',5,1684),('2000:1.53081411098240',5,250),('2000:1.53081411098240',5,478),('2000:1.53081411098240',5,564),('2000:1.53081411098240',5,150),('2000:1.53081411098240',5,42),('2000:1.53081411098240',5,660),('2000:1.53081411098240',5,1828),('2000:1.53081411098240',5,576),('2000:1.53081411098240',5,1012),('2000:1.53081411098240',5,1884),('2000:1.53081411098240',5,994),('2000:1.53081411098240',5,1019),('2000:1.53081411098240',5,1568),('2000:1.53081411098240',5,1165),('2000:1.53081411098240',5,381),('2000:1.53081411098240',5,883),('2000:1.53081411098240',5,1192),('2000:1.53081411098240',5,1627),('2000:1.53081411098240',5,466),('2000:1.53081411098240',5,910),('2000:1.53081411098240',5,1176),('2000:1.53081411098240',5,1691),('2000:1.53081411098240',5,1386),('2000:1.53081411098240',5,1624),('2000:1.53081411098240',5,1285),('2000:1.53081411098240',5,943),('2000:1.53081411098240',5,715),('2000:1.53081411098240',5,685),('2000:1.53081411098240',5,697),('2000:1.53081411098240',5,939),('2000:1.53081411098240',5,966),('2000:1.53081411098240',5,1409),('2000:1.53081411098240',5,1086),('2000:1.53081411098240',5,649),('2000:1.53081411098240',5,1730),('2000:1.53081411098240',5,1635),('2000:1.53081411098240',5,921),('2000:1.53081411098240',5,648),('2000:1.53081411098240',5,218),('2000:1.53081411098240',5,961),('2000:1.53081411098240',5,837),('2000:1.53081411098240',5,1377),('2000:1.53081411098240',5,1403),('2000:1.53081411098240',5,793),('2000:1.53081411098240',5,570),('2000:1.53081411098240',5,761),('2000:1.53081411098240',5,1790),('2000:1.53081411098240',5,1517),('2000:1.53081411098240',5,448),('2000:1.53081411098240',5,622),('2000:1.53081411098240',5,2),('2000:1.53081411098240',5,832),('2000:1.53081411098240',5,291),('2000:1.53081411098240',5,1957),('2000:1.53081411098240',5,1135),('2000:1.53081411098240',5,1796),('2000:1.53081411098240',5,1901),('2000:1.53081411098240',5,601),('2000:1.53081411098240',5,1142),('2000:1.53081411098240',5,422),('2000:1.53081411098240',5,1735),('2000:1.53081411098240',5,1938),('2000:1.53081411098240',5,532),('2000:1.53081411098240',5,1055),('2000:1.53081411098240',5,1699),('2000:1.53081411098240',5,1587),('2000:1.53081411098240',5,516),('2000:1.53081411098240',5,617),('2000:1.53081411098240',5,1470),('2000:1.53081411098240',5,389),('2000:1.53081411098240',5,1096),('2000:1.53081411098240',5,408),('2000:1.53081411098240',5,909),('2000:1.53081411098240',5,1235),('2000:1.53081411098240',5,1054),('2000:1.53081411098240',5,1765),('2000:1.53081411098240',5,1526),('2000:1.53081411098240',5,593),('2000:1.53081411098240',6,1876),('2000:1.53081411098240',6,1550),('2000:1.53081411098240',6,1363),('2000:1.53081411098240',6,238),('2000:1.53081411098240',6,624),('2000:1.53081411098240',6,91),('2000:1.53081411098240',6,1823),('2000:1.53081411098240',6,1802),('2000:1.53081411098240',6,861),('2000:1.53081411098240',6,707),('2000:1.53081411098240',6,931),('2000:1.53081411098240',6,1688),('2000:1.53081411098240',6,821),('2000:1.53081411098240',6,1874),('2000:1.53081411098240',6,270),('2000:1.53081411098240',6,1805),('2000:1.53081411098240',6,1128),('2000:1.53081411098240',6,1789),('2000:1.53081411098240',6,932),('2000:1.53081411098240',6,714),('2000:1.53081411098240',6,404),('2000:1.53081411098240',6,292),('2000:1.53081411098240',6,1701),('2000:1.53081411098240',6,916),('2000:1.53081411098240',6,527),('2000:1.53081411098240',6,1921),('2000:1.53081411098240',6,326),('2000:1.53081411098240',6,441),('2000:1.53081411098240',6,1061),('2000:1.53081411098240',6,1064),('2000:1.53081411098240',6,1452),('2000:1.53081411098240',6,199),('2000:1.53081411098240',6,1582),('2000:1.53081411098240',6,1904),('2000:1.53081411098240',6,667),('2000:1.53081411098240',6,943),('2000:1.53081411098240',6,22),('2000:1.53081411098240',6,630),('2000:1.53081411098240',6,1634),('2000:1.53081411098240',6,806),('2000:1.53081411098240',6,24),('2000:1.53081411098240',6,1469),('2000:1.53081411098240',6,158),('2000:1.53081411098240',6,421),('2000:1.53081411098240',6,382),('2000:1.53081411098240',6,1106),('2000:1.53081411098240',6,1250),('2000:1.53081411098240',6,1695),('2000:1.53081411098240',6,1416),('2000:1.53081411098240',6,1068),('2000:1.53081411098240',6,1332),('2000:1.53081411098240',6,1184),('2000:1.53081411098240',6,866),('2000:1.53081411098240',6,1036),('2000:1.53081411098240',6,696),('2000:1.53081411098240',6,548),('2000:1.53081411098240',6,1155),('2000:1.53081411098240',6,1473),('2000:1.53081411098240',6,1123),('2000:1.53081411098240',6,101),('2000:1.53081411098240',6,1790),('2000:1.53081411098240',6,591),('2000:1.53081411098240',6,1611),('2000:1.53081411098240',6,157),('2000:1.53081411098240',6,878),('2000:1.53081411098240',6,1808),('2000:1.53081411098240',6,1941),('2000:1.53081411098240',6,700),('2000:1.53081411098240',6,1327),('2000:1.53081411098240',6,990),('2000:1.53081411098240',6,857),('2000:1.53081411098240',6,1903),('2000:1.53081411098240',6,1821),('2000:1.53081411098240',6,507),('2000:1.53081411098240',6,169),('2000:1.53081411098240',6,140),('2000:1.53081411098240',6,1455),('2000:1.53081411098240',6,702),('2000:1.53081411098240',6,830),('2000:1.53081411098240',6,952),('2000:1.53081411098240',6,1132),('2000:1.53081411098240',6,374),('2000:1.53081411098240',6,616),('2000:1.53081411098240',6,596),('2000:1.53081411098240',6,637),('2000:1.53081411098240',6,397),('2000:1.53081411098240',6,1602),('2000:1.53081411098240',6,852),('2000:1.53081411098240',6,21),('2000:1.53081411098240',6,823),('2000:1.53081411098240',6,664),('2000:1.53081411098240',6,1197),('2000:1.53081411098240',6,689),('2000:1.53081411098240',6,1645),('2000:1.53081411098240',6,995),('2000:1.53081411098240',6,997),('2000:1.53081411098240',6,1276),('2000:1.53081411098240',6,1562),('2000:1.53081411098240',6,1676),('2000:1.53081411098240',6,271),('2000:1.53081411098240',7,498),('2000:1.53081411098240',7,605),('2000:1.53081411098240',7,663),('2000:1.53081411098240',7,420),('2000:1.53081411098240',7,1622),('2000:1.53081411098240',7,1981),('2000:1.53081411098240',7,622),('2000:1.53081411098240',7,1618),('2000:1.53081411098240',7,490),('2000:1.53081411098240',7,1835),('2000:1.53081411098240',7,780),('2000:1.53081411098240',7,1506),('2000:1.53081411098240',7,1333),('2000:1.53081411098240',7,813),('2000:1.53081411098240',7,1339),('2000:1.53081411098240',7,1135),('2000:1.53081411098240',7,1666),('2000:1.53081411098240',7,1888),('2000:1.53081411098240',7,1575),('2000:1.53081411098240',7,74),('2000:1.53081411098240',7,182),('2000:1.53081411098240',7,1324),('2000:1.53081411098240',7,1849),('2000:1.53081411098240',7,334),('2000:1.53081411098240',7,236),('2000:1.53081411098240',7,1341),('2000:1.53081411098240',7,322),('2000:1.53081411098240',7,1266),('2000:1.53081411098240',7,1182),('2000:1.53081411098240',7,1568),('2000:1.53081411098240',7,1165),('2000:1.53081411098240',7,175),('2000:1.53081411098240',7,1021),('2000:1.53081411098240',7,1269),('2000:1.53081411098240',7,849),('2000:1.53081411098240',7,949),('2000:1.53081411098240',7,1946),('2000:1.53081411098240',7,1272),('2000:1.53081411098240',7,1829),('2000:1.53081411098240',7,1228),('2000:1.53081411098240',7,1247),('2000:1.53081411098240',7,970),('2000:1.53081411098240',7,1711),('2000:1.53081411098240',7,668),('2000:1.53081411098240',7,1948),('2000:1.53081411098240',7,478),('2000:1.53081411098240',7,1451),('2000:1.53081411098240',7,471),('2000:1.53081411098240',7,739),('2000:1.53081411098240',7,1772),('2000:1.53081411098240',7,306),('2000:1.53081411098240',7,379),('2000:1.53081411098240',7,1729),('2000:1.53081411098240',7,422),('2000:1.53081411098240',7,1754),('2000:1.53081411098240',7,1500),('2000:1.53081411098240',7,160),('2000:1.53081411098240',7,1058),('2000:1.53081411098240',7,223),('2000:1.53081411098240',7,349),('2000:1.53081411098240',7,178),('2000:1.53081411098240',7,976),('2000:1.53081411098240',7,1544),('2000:1.53081411098240',7,282),('2000:1.53081411098240',7,903),('2000:1.53081411098240',7,843),('2000:1.53081411098240',7,1984),('2000:1.53081411098240',7,1920),('2000:1.53081411098240',7,1094),('2000:1.53081411098240',7,339),('2000:1.53081411098240',7,279),('2000:1.53081411098240',7,166),('2000:1.53081411098240',7,398),('2000:1.53081411098240',7,1678),('2000:1.53081411098240',7,1511),('2000:1.53081411098240',7,287),('2000:1.53081411098240',7,1204),('2000:1.53081411098240',7,896),('2000:1.53081411098240',7,1386),('2000:1.53081411098240',7,900),('2000:1.53081411098240',7,1792),('2000:1.53081411098240',7,1376),('2000:1.53081411098240',7,1865),('2000:1.53081411098240',7,1064),('2000:1.53081411098240',7,392),('2000:1.53081411098240',7,1623),('2000:1.53081411098240',7,1241),('2000:1.53081411098240',7,324),('2000:1.53081411098240',7,1898),('2000:1.53081411098240',7,784),('2000:1.53081411098240',7,374),('2000:1.53081411098240',7,1274),('2000:1.53081411098240',7,686),('2000:1.53081411098240',7,1287),('2000:1.53081411098240',7,574),('2000:1.53081411098240',7,1883),('2000:1.53081411098240',7,1783),('2000:1.53081411098240',7,1534),('2000:1.53081411098240',7,1235),('2000:1.53081411098240',7,234),('2000:1.53081411098240',8,1574),('2000:1.53081411098240',8,777),('2000:1.53081411098240',8,1069),('2000:1.53081411098240',8,1413),('2000:1.53081411098240',8,690),('2000:1.53081411098240',8,767),('2000:1.53081411098240',8,343),('2000:1.53081411098240',8,641),('2000:1.53081411098240',8,595),('2000:1.53081411098240',8,1668),('2000:1.53081411098240',8,1227),('2000:1.53081411098240',8,745),('2000:1.53081411098240',8,1582),('2000:1.53081411098240',8,274),('2000:1.53081411098240',8,1724),('2000:1.53081411098240',8,1278),('2000:1.53081411098240',8,869),('2000:1.53081411098240',8,1381),('2000:1.53081411098240',8,48),('2000:1.53081411098240',8,296),('2000:1.53081411098240',8,822),('2000:1.53081411098240',8,1842),('2000:1.53081411098240',8,1011),('2000:1.53081411098240',8,304),('2000:1.53081411098240',8,1899),('2000:1.53081411098240',8,1976),('2000:1.53081411098240',8,1935),('2000:1.53081411098240',8,1833),('2000:1.53081411098240',8,1135),('2000:1.53081411098240',8,1031),('2000:1.53081411098240',8,973),('2000:1.53081411098240',8,1739),('2000:1.53081411098240',8,656),('2000:1.53081411098240',8,1820),('2000:1.53081411098240',8,1395),('2000:1.53081411098240',8,1485),('2000:1.53081411098240',8,904),('2000:1.53081411098240',8,993),('2000:1.53081411098240',8,1996),('2000:1.53081411098240',8,483),('2000:1.53081411098240',8,1380),('2000:1.53081411098240',8,1999),('2000:1.53081411098240',8,90),('2000:1.53081411098240',8,1813),('2000:1.53081411098240',8,1384),('2000:1.53081411098240',8,1532),('2000:1.53081411098240',8,154),('2000:1.53081411098240',8,1456),('2000:1.53081411098240',8,606),('2000:1.53081411098240',8,1365),('2000:1.53081411098240',8,1554),('2000:1.53081411098240',8,1812),('2000:1.53081411098240',8,346),('2000:1.53081411098240',8,1632),('2000:1.53081411098240',8,707),('2000:1.53081411098240',8,35),('2000:1.53081411098240',8,1942),('2000:1.53081411098240',8,1435),('2000:1.53081411098240',8,1122),('2000:1.53081411098240',8,602),('2000:1.53081411098240',8,28),('2000:1.53081411098240',8,1499),('2000:1.53081411098240',8,1798),('2000:1.53081411098240',8,221),('2000:1.53081411098240',8,12),('2000:1.53081411098240',8,199),('2000:1.53081411098240',8,1975),('2000:1.53081411098240',8,1802),('2000:1.53081411098240',8,575),('2000:1.53081411098240',8,1301),('2000:1.53081411098240',8,1359),('2000:1.53081411098240',8,1698),('2000:1.53081411098240',8,1344),('2000:1.53081411098240',8,1583),('2000:1.53081411098240',8,634),('2000:1.53081411098240',8,1020),('2000:1.53081411098240',8,769),('2000:1.53081411098240',8,1578),('2000:1.53081411098240',8,1334),('2000:1.53081411098240',8,666),('2000:1.53081411098240',8,628),('2000:1.53081411098240',8,1448),('2000:1.53081411098240',8,1093),('2000:1.53081411098240',8,1980),('2000:1.53081411098240',8,124),('2000:1.53081411098240',8,342),('2000:1.53081411098240',8,421),('2000:1.53081411098240',8,1524),('2000:1.53081411098240',8,430),('2000:1.53081411098240',8,646),('2000:1.53081411098240',8,1649),('2000:1.53081411098240',8,358),('2000:1.53081411098240',8,1224),('2000:1.53081411098240',8,15),('2000:1.53081411098240',8,1695),('2000:1.53081411098240',8,460),('2000:1.53081411098240',8,1106),('2000:1.53081411098240',8,1828),('2000:1.53081411098240',8,572),('2000:1.53081411098240',8,551),('2000:1.53081411098240',9,1443),('2000:1.53081411098240',9,1086),('2000:1.53081411098240',9,124),('2000:1.53081411098240',9,1937),('2000:1.53081411098240',9,805),('2000:1.53081411098240',9,462),('2000:1.53081411098240',9,452),('2000:1.53081411098240',9,121),('2000:1.53081411098240',9,147),('2000:1.53081411098240',9,796),('2000:1.53081411098240',9,1835),('2000:1.53081411098240',9,226),('2000:1.53081411098240',9,1896),('2000:1.53081411098240',9,1195),('2000:1.53081411098240',9,155),('2000:1.53081411098240',9,1428),('2000:1.53081411098240',9,608),('2000:1.53081411098240',9,1017),('2000:1.53081411098240',9,1047),('2000:1.53081411098240',9,259),('2000:1.53081411098240',9,718),('2000:1.53081411098240',9,140),('2000:1.53081411098240',9,855),('2000:1.53081411098240',9,1035),('2000:1.53081411098240',9,491),('2000:1.53081411098240',9,1424),('2000:1.53081411098240',9,1026),('2000:1.53081411098240',9,1882),('2000:1.53081411098240',9,789),('2000:1.53081411098240',9,78),('2000:1.53081411098240',9,357),('2000:1.53081411098240',9,379),('2000:1.53081411098240',9,1753),('2000:1.53081411098240',9,1167),('2000:1.53081411098240',9,1532),('2000:1.53081411098240',9,378),('2000:1.53081411098240',9,957),('2000:1.53081411098240',9,1946),('2000:1.53081411098240',9,918),('2000:1.53081411098240',9,1093),('2000:1.53081411098240',9,1981),('2000:1.53081411098240',9,1020),('2000:1.53081411098240',9,1918),('2000:1.53081411098240',9,1623),('2000:1.53081411098240',9,1496),('2000:1.53081411098240',9,1750),('2000:1.53081411098240',9,1028),('2000:1.53081411098240',9,277),('2000:1.53081411098240',9,605),('2000:1.53081411098240',9,301),('2000:1.53081411098240',9,931),('2000:1.53081411098240',9,733),('2000:1.53081411098240',9,321),('2000:1.53081411098240',9,195),('2000:1.53081411098240',9,967),('2000:1.53081411098240',9,265),('2000:1.53081411098240',9,1579),('2000:1.53081411098240',9,1331),('2000:1.53081411098240',9,1246),('2000:1.53081411098240',9,749),('2000:1.53081411098240',9,1970),('2000:1.53081411098240',9,1392),('2000:1.53081411098240',9,316),('2000:1.53081411098240',9,871),('2000:1.53081411098240',9,780),('2000:1.53081411098240',9,1309),('2000:1.53081411098240',9,109),('2000:1.53081411098240',9,1038),('2000:1.53081411098240',9,1242),('2000:1.53081411098240',9,1273),('2000:1.53081411098240',9,1540),('2000:1.53081411098240',9,339),('2000:1.53081411098240',9,1462),('2000:1.53081411098240',9,701),('2000:1.53081411098240',9,1335),('2000:1.53081411098240',9,348),('2000:1.53081411098240',9,1001),('2000:1.53081411098240',9,1369),('2000:1.53081411098240',9,1514),('2000:1.53081411098240',9,1831),('2000:1.53081411098240',9,965),('2000:1.53081411098240',9,824),('2000:1.53081411098240',9,1500),('2000:1.53081411098240',9,1766),('2000:1.53081411098240',9,406),('2000:1.53081411098240',9,1280),('2000:1.53081411098240',9,1787),('2000:1.53081411098240',9,1738),('2000:1.53081411098240',9,1519),('2000:1.53081411098240',9,1396),('2000:1.53081411098240',9,538),('2000:1.53081411098240',9,699),('2000:1.53081411098240',9,132),('2000:1.53081411098240',9,334),('2000:1.53081411098240',9,1719),('2000:1.53081411098240',9,1356),('2000:1.53081411098240',9,1638),('2000:1.53081411098240',9,922),('2000:1.53081411098240',9,10),('2000:1.53081411098240',9,939)"
+_IVFPQ_CANDIDATE_PINS = "('500:-1.46395296278528',0,73),('500:-1.46395296278528',0,483),('500:-1.46395296278528',0,260),('500:-1.46395296278528',0,306),('500:-1.46395296278528',0,13),('500:-1.46395296278528',0,59),('500:-1.46395296278528',0,497),('500:-1.46395296278528',0,475),('500:-1.46395296278528',0,221),('500:-1.46395296278528',0,232),('500:-1.46395296278528',0,393),('500:-1.46395296278528',0,12),('500:-1.46395296278528',0,278),('500:-1.46395296278528',0,374),('500:-1.46395296278528',0,94),('500:-1.46395296278528',0,402),('500:-1.46395296278528',0,17),('500:-1.46395296278528',0,212),('500:-1.46395296278528',0,467),('500:-1.46395296278528',0,240),('500:-1.46395296278528',0,346),('500:-1.46395296278528',0,272),('500:-1.46395296278528',0,248),('500:-1.46395296278528',0,421),('500:-1.46395296278528',0,137),('500:-1.46395296278528',0,105),('500:-1.46395296278528',0,84),('500:-1.46395296278528',0,349),('500:-1.46395296278528',0,3),('500:-1.46395296278528',0,186),('500:-1.46395296278528',0,292),('500:-1.46395296278528',0,239),('500:-1.46395296278528',0,262),('500:-1.46395296278528',0,49),('500:-1.46395296278528',0,431),('500:-1.46395296278528',0,192),('500:-1.46395296278528',0,427),('500:-1.46395296278528',0,492),('500:-1.46395296278528',0,1),('500:-1.46395296278528',0,330),('500:-1.46395296278528',0,177),('500:-1.46395296278528',0,33),('500:-1.46395296278528',0,131),('500:-1.46395296278528',0,26),('500:-1.46395296278528',0,367),('500:-1.46395296278528',0,299),('500:-1.46395296278528',0,449),('500:-1.46395296278528',0,424),('500:-1.46395296278528',0,340),('500:-1.46395296278528',0,380),('500:-1.46395296278528',0,244),('500:-1.46395296278528',0,10),('500:-1.46395296278528',0,446),('500:-1.46395296278528',0,226),('500:-1.46395296278528',0,206),('500:-1.46395296278528',0,450),('500:-1.46395296278528',0,414),('500:-1.46395296278528',0,428),('500:-1.46395296278528',0,104),('500:-1.46395296278528',0,81),('500:-1.46395296278528',0,439),('500:-1.46395296278528',0,246),('500:-1.46395296278528',0,214),('500:-1.46395296278528',0,359),('500:-1.46395296278528',0,276),('500:-1.46395296278528',0,411),('500:-1.46395296278528',0,473),('500:-1.46395296278528',0,348),('500:-1.46395296278528',0,230),('500:-1.46395296278528',0,255),('500:-1.46395296278528',0,372),('500:-1.46395296278528',0,11),('500:-1.46395296278528',0,70),('500:-1.46395296278528',0,155),('500:-1.46395296278528',0,361),('500:-1.46395296278528',0,275),('500:-1.46395296278528',0,383),('500:-1.46395296278528',0,127),('500:-1.46395296278528',0,30),('500:-1.46395296278528',0,28),('500:-1.46395296278528',0,395),('500:-1.46395296278528',0,258),('500:-1.46395296278528',0,463),('500:-1.46395296278528',0,189),('500:-1.46395296278528',0,466),('500:-1.46395296278528',0,284),('500:-1.46395296278528',0,191),('500:-1.46395296278528',0,27),('500:-1.46395296278528',0,175),('500:-1.46395296278528',0,135),('500:-1.46395296278528',0,156),('500:-1.46395296278528',0,65),('500:-1.46395296278528',0,75),('500:-1.46395296278528',0,145),('500:-1.46395296278528',0,371),('500:-1.46395296278528',0,378),('500:-1.46395296278528',0,418),('500:-1.46395296278528',0,157),('500:-1.46395296278528',0,302),('500:-1.46395296278528',0,435),('500:-1.46395296278528',1,75),('500:-1.46395296278528',1,455),('500:-1.46395296278528',1,229),('500:-1.46395296278528',1,247),('500:-1.46395296278528',1,235),('500:-1.46395296278528',1,349),('500:-1.46395296278528',1,231),('500:-1.46395296278528',1,244),('500:-1.46395296278528',1,464),('500:-1.46395296278528',1,378),('500:-1.46395296278528',1,70),('500:-1.46395296278528',1,440),('500:-1.46395296278528',1,66),('500:-1.46395296278528',1,412),('500:-1.46395296278528',1,237),('500:-1.46395296278528',1,283),('500:-1.46395296278528',1,248),('500:-1.46395296278528',1,87),('500:-1.46395296278528',1,159),('500:-1.46395296278528',1,376),('500:-1.46395296278528',1,50),('500:-1.46395296278528',1,183),('500:-1.46395296278528',1,233),('500:-1.46395296278528',1,209),('500:-1.46395296278528',1,458),('500:-1.46395296278528',1,490),('500:-1.46395296278528',1,106),('500:-1.46395296278528',1,14),('500:-1.46395296278528',1,482),('500:-1.46395296278528',1,260),('500:-1.46395296278528',1,129),('500:-1.46395296278528',1,492),('500:-1.46395296278528',1,339),('500:-1.46395296278528',1,206),('500:-1.46395296278528',1,400),('500:-1.46395296278528',1,162),('500:-1.46395296278528',1,449),('500:-1.46395296278528',1,377),('500:-1.46395296278528',1,98),('500:-1.46395296278528',1,213),('500:-1.46395296278528',1,194),('500:-1.46395296278528',1,296),('500:-1.46395296278528',1,252),('500:-1.46395296278528',1,355),('500:-1.46395296278528',1,110),('500:-1.46395296278528',1,265),('500:-1.46395296278528',1,438),('500:-1.46395296278528',1,224),('500:-1.46395296278528',1,418),('500:-1.46395296278528',1,293),('500:-1.46395296278528',1,447),('500:-1.46395296278528',1,273),('500:-1.46395296278528',1,291),('500:-1.46395296278528',1,74),('500:-1.46395296278528',1,141),('500:-1.46395296278528',1,295),('500:-1.46395296278528',1,202),('500:-1.46395296278528',1,173),('500:-1.46395296278528',1,311),('500:-1.46395296278528',1,144),('500:-1.46395296278528',1,109),('500:-1.46395296278528',1,374),('500:-1.46395296278528',1,73),('500:-1.46395296278528',1,203),('500:-1.46395296278528',1,262),('500:-1.46395296278528',1,357),('500:-1.46395296278528',1,426),('500:-1.46395296278528',1,238),('500:-1.46395296278528',1,454),('500:-1.46395296278528',1,382),('500:-1.46395296278528',1,348),('500:-1.46395296278528',1,199),('500:-1.46395296278528',1,147),('500:-1.46395296278528',1,363),('500:-1.46395296278528',1,433),('500:-1.46395296278528',1,17),('500:-1.46395296278528',1,386),('500:-1.46395296278528',1,5),('500:-1.46395296278528',1,408),('500:-1.46395296278528',1,22),('500:-1.46395296278528',1,83),('500:-1.46395296278528',1,485),('500:-1.46395296278528',1,322),('500:-1.46395296278528',1,448),('500:-1.46395296278528',1,261),('500:-1.46395296278528',1,200),('500:-1.46395296278528',1,26),('500:-1.46395296278528',1,54),('500:-1.46395296278528',1,402),('500:-1.46395296278528',1,298),('500:-1.46395296278528',1,189),('500:-1.46395296278528',1,125),('500:-1.46395296278528',1,316),('500:-1.46395296278528',1,480),('500:-1.46395296278528',1,99),('500:-1.46395296278528',1,20),('500:-1.46395296278528',1,352),('500:-1.46395296278528',1,214),('500:-1.46395296278528',1,158),('500:-1.46395296278528',1,427),('500:-1.46395296278528',2,183),('500:-1.46395296278528',2,246),('500:-1.46395296278528',2,91),('500:-1.46395296278528',2,443),('500:-1.46395296278528',2,441),('500:-1.46395296278528',2,378),('500:-1.46395296278528',2,484),('500:-1.46395296278528',2,201),('500:-1.46395296278528',2,155),('500:-1.46395296278528',2,106),('500:-1.46395296278528',2,256),('500:-1.46395296278528',2,282),('500:-1.46395296278528',2,132),('500:-1.46395296278528',2,497),('500:-1.46395296278528',2,275),('500:-1.46395296278528',2,313),('500:-1.46395296278528',2,49),('500:-1.46395296278528',2,185),('500:-1.46395296278528',2,39),('500:-1.46395296278528',2,10),('500:-1.46395296278528',2,170),('500:-1.46395296278528',2,428),('500:-1.46395296278528',2,150),('500:-1.46395296278528',2,452),('500:-1.46395296278528',2,68),('500:-1.46395296278528',2,79),('500:-1.46395296278528',2,237),('500:-1.46395296278528',2,415),('500:-1.46395296278528',2,159),('500:-1.46395296278528',2,451),('500:-1.46395296278528',2,45),('500:-1.46395296278528',2,97),('500:-1.46395296278528',2,379),('500:-1.46395296278528',2,149),('500:-1.46395296278528',2,259),('500:-1.46395296278528',2,347),('500:-1.46395296278528',2,430),('500:-1.46395296278528',2,204),('500:-1.46395296278528',2,309),('500:-1.46395296278528',2,67),('500:-1.46395296278528',2,459),('500:-1.46395296278528',2,33),('500:-1.46395296278528',2,43),('500:-1.46395296278528',2,402),('500:-1.46395296278528',2,399),('500:-1.46395296278528',2,239),('500:-1.46395296278528',2,263),('500:-1.46395296278528',2,471),('500:-1.46395296278528',2,226),('500:-1.46395296278528',2,7),('500:-1.46395296278528',2,128),('500:-1.46395296278528',2,429),('500:-1.46395296278528',2,56),('500:-1.46395296278528',2,58),('500:-1.46395296278528',2,17),('500:-1.46395296278528',2,60),('500:-1.46395296278528',2,453),('500:-1.46395296278528',2,413),('500:-1.46395296278528',2,475),('500:-1.46395296278528',2,371),('500:-1.46395296278528',2,369),('500:-1.46395296278528',2,6),('500:-1.46395296278528',2,121),('500:-1.46395296278528',2,463),('500:-1.46395296278528',2,135),('500:-1.46395296278528',2,404),('500:-1.46395296278528',2,460),('500:-1.46395296278528',2,483),('500:-1.46395296278528',2,331),('500:-1.46395296278528',2,496),('500:-1.46395296278528',2,264),('500:-1.46395296278528',2,171),('500:-1.46395296278528',2,235),('500:-1.46395296278528',2,494),('500:-1.46395296278528',2,233),('500:-1.46395296278528',2,489),('500:-1.46395296278528',2,394),('500:-1.46395296278528',2,89),('500:-1.46395296278528',2,57),('500:-1.46395296278528',2,255),('500:-1.46395296278528',2,318),('500:-1.46395296278528',2,384),('500:-1.46395296278528',2,330),('500:-1.46395296278528',2,177),('500:-1.46395296278528',2,48),('500:-1.46395296278528',2,340),('500:-1.46395296278528',2,198),('500:-1.46395296278528',2,8),('500:-1.46395296278528',2,388),('500:-1.46395296278528',2,456),('500:-1.46395296278528',2,163),('500:-1.46395296278528',2,288),('500:-1.46395296278528',2,470),('500:-1.46395296278528',2,217),('500:-1.46395296278528',2,420),('500:-1.46395296278528',2,277),('500:-1.46395296278528',2,22),('500:-1.46395296278528',2,29),('500:-1.46395296278528',2,354),('500:-1.46395296278528',2,385),('500:-1.46395296278528',3,84),('500:-1.46395296278528',3,382),('500:-1.46395296278528',3,53),('500:-1.46395296278528',3,83),('500:-1.46395296278528',3,362),('500:-1.46395296278528',3,17),('500:-1.46395296278528',3,329),('500:-1.46395296278528',3,380),('500:-1.46395296278528',3,140),('500:-1.46395296278528',3,205),('500:-1.46395296278528',3,137),('500:-1.46395296278528',3,0),('500:-1.46395296278528',3,112),('500:-1.46395296278528',3,335),('500:-1.46395296278528',3,86),('500:-1.46395296278528',3,312),('500:-1.46395296278528',3,169),('500:-1.46395296278528',3,225),('500:-1.46395296278528',3,66),('500:-1.46395296278528',3,374),('500:-1.46395296278528',3,406),('500:-1.46395296278528',3,25),('500:-1.46395296278528',3,301),('500:-1.46395296278528',3,326),('500:-1.46395296278528',3,42),('500:-1.46395296278528',3,244),('500:-1.46395296278528',3,118),('500:-1.46395296278528',3,336),('500:-1.46395296278528',3,491),('500:-1.46395296278528',3,223),('500:-1.46395296278528',3,212),('500:-1.46395296278528',3,221),('500:-1.46395296278528',3,299),('500:-1.46395296278528',3,104),('500:-1.46395296278528',3,203),('500:-1.46395296278528',3,448),('500:-1.46395296278528',3,204),('500:-1.46395296278528',3,105),('500:-1.46395296278528',3,466),('500:-1.46395296278528',3,248),('500:-1.46395296278528',3,273),('500:-1.46395296278528',3,439),('500:-1.46395296278528',3,73),('500:-1.46395296278528',3,293),('500:-1.46395296278528',3,414),('500:-1.46395296278528',3,27),('500:-1.46395296278528',3,453),('500:-1.46395296278528',3,108),('500:-1.46395296278528',3,272),('500:-1.46395296278528',3,255),('500:-1.46395296278528',3,32),('500:-1.46395296278528',3,265),('500:-1.46395296278528',3,125),('500:-1.46395296278528',3,192),('500:-1.46395296278528',3,352),('500:-1.46395296278528',3,317),('500:-1.46395296278528',3,102),('500:-1.46395296278528',3,260),('500:-1.46395296278528',3,446),('500:-1.46395296278528',3,111),('500:-1.46395296278528',3,315),('500:-1.46395296278528',3,147),('500:-1.46395296278528',3,247),('500:-1.46395296278528',3,222),('500:-1.46395296278528',3,304),('500:-1.46395296278528',3,391),('500:-1.46395296278528',3,35),('500:-1.46395296278528',3,127),('500:-1.46395296278528',3,218),('500:-1.46395296278528',3,344),('500:-1.46395296278528',3,78),('500:-1.46395296278528',3,261),('500:-1.46395296278528',3,65),('500:-1.46395296278528',3,493),('500:-1.46395296278528',3,99),('500:-1.46395296278528',3,316),('500:-1.46395296278528',3,393),('500:-1.46395296278528',3,245),('500:-1.46395296278528',3,337),('500:-1.46395296278528',3,296),('500:-1.46395296278528',3,377),('500:-1.46395296278528',3,300),('500:-1.46395296278528',3,339),('500:-1.46395296278528',3,22),('500:-1.46395296278528',3,250),('500:-1.46395296278528',3,302),('500:-1.46395296278528',3,432),('500:-1.46395296278528',3,184),('500:-1.46395296278528',3,306),('500:-1.46395296278528',3,165),('500:-1.46395296278528',3,485),('500:-1.46395296278528',3,14),('500:-1.46395296278528',3,175),('500:-1.46395296278528',3,158),('500:-1.46395296278528',3,461),('500:-1.46395296278528',3,240),('500:-1.46395296278528',3,46),('500:-1.46395296278528',3,217),('500:-1.46395296278528',3,5),('500:-1.46395296278528',3,419),('500:-1.46395296278528',4,98),('500:-1.46395296278528',4,343),('500:-1.46395296278528',4,357),('500:-1.46395296278528',4,275),('500:-1.46395296278528',4,220),('500:-1.46395296278528',4,57),('500:-1.46395296278528',4,413),('500:-1.46395296278528',4,462),('500:-1.46395296278528',4,231),('500:-1.46395296278528',4,175),('500:-1.46395296278528',4,197),('500:-1.46395296278528',4,325),('500:-1.46395296278528',4,70),('500:-1.46395296278528',4,464),('500:-1.46395296278528',4,345),('500:-1.46395296278528',4,94),('500:-1.46395296278528',4,233),('500:-1.46395296278528',4,110),('500:-1.46395296278528',4,468),('500:-1.46395296278528',4,256),('500:-1.46395296278528',4,459),('500:-1.46395296278528',4,38),('500:-1.46395296278528',4,425),('500:-1.46395296278528',4,209),('500:-1.46395296278528',4,365),('500:-1.46395296278528',4,383),('500:-1.46395296278528',4,62),('500:-1.46395296278528',4,179),('500:-1.46395296278528',4,50),('500:-1.46395296278528',4,138),('500:-1.46395296278528',4,143),('500:-1.46395296278528',4,484),('500:-1.46395296278528',4,472),('500:-1.46395296278528',4,448),('500:-1.46395296278528',4,147),('500:-1.46395296278528',4,184),('500:-1.46395296278528',4,235),('500:-1.46395296278528',4,389),('500:-1.46395296278528',4,454),('500:-1.46395296278528',4,224),('500:-1.46395296278528',4,326),('500:-1.46395296278528',4,265),('500:-1.46395296278528',4,364),('500:-1.46395296278528',4,402),('500:-1.46395296278528',4,388),('500:-1.46395296278528',4,339),('500:-1.46395296278528',4,238),('500:-1.46395296278528',4,479),('500:-1.46395296278528',4,226),('500:-1.46395296278528',4,123),('500:-1.46395296278528',4,217),('500:-1.46395296278528',4,407),('500:-1.46395296278528',4,247),('500:-1.46395296278528',4,460),('500:-1.46395296278528',4,85),('500:-1.46395296278528',4,52),('500:-1.46395296278528',4,277),('500:-1.46395296278528',4,82),('500:-1.46395296278528',4,103),('500:-1.46395296278528',4,41),('500:-1.46395296278528',4,193),('500:-1.46395296278528',4,271),('500:-1.46395296278528',4,202),('500:-1.46395296278528',4,222),('500:-1.46395296278528',4,293),('500:-1.46395296278528',4,113),('500:-1.46395296278528',4,283),('500:-1.46395296278528',4,49),('500:-1.46395296278528',4,264),('500:-1.46395296278528',4,127),('500:-1.46395296278528',4,273),('500:-1.46395296278528',4,133),('500:-1.46395296278528',4,480),('500:-1.46395296278528',4,29),('500:-1.46395296278528',4,159),('500:-1.46395296278528',4,434),('500:-1.46395296278528',4,327),('500:-1.46395296278528',4,471),('500:-1.46395296278528',4,281),('500:-1.46395296278528',4,368),('500:-1.46395296278528',4,242),('500:-1.46395296278528',4,112),('500:-1.46395296278528',4,420),('500:-1.46395296278528',4,315),('500:-1.46395296278528',4,360),('500:-1.46395296278528',4,456),('500:-1.46395296278528',4,183),('500:-1.46395296278528',4,305),('500:-1.46395296278528',4,330),('500:-1.46395296278528',4,436),('500:-1.46395296278528',4,322),('500:-1.46395296278528',4,291),('500:-1.46395296278528',4,237),('500:-1.46395296278528',4,415),('500:-1.46395296278528',4,141),('500:-1.46395296278528',4,54),('500:-1.46395296278528',4,45),('500:-1.46395296278528',4,91),('500:-1.46395296278528',4,387),('500:-1.46395296278528',4,30),('500:-1.46395296278528',5,448),('500:-1.46395296278528',5,414),('500:-1.46395296278528',5,118),('500:-1.46395296278528',5,447),('500:-1.46395296278528',5,440),('500:-1.46395296278528',5,492),('500:-1.46395296278528',5,186),('500:-1.46395296278528',5,395),('500:-1.46395296278528',5,236),('500:-1.46395296278528',5,326),('500:-1.46395296278528',5,298),('500:-1.46395296278528',5,130),('500:-1.46395296278528',5,53),('500:-1.46395296278528',5,322),('500:-1.46395296278528',5,359),('500:-1.46395296278528',5,378),('500:-1.46395296278528',5,483),('500:-1.46395296278528',5,446),('500:-1.46395296278528',5,203),('500:-1.46395296278528',5,393),('500:-1.46395296278528',5,205),('500:-1.46395296278528',5,189),('500:-1.46395296278528',5,441),('500:-1.46395296278528',5,4),('500:-1.46395296278528',5,218),('500:-1.46395296278528',5,288),('500:-1.46395296278528',5,77),('500:-1.46395296278528',5,336),('500:-1.46395296278528',5,343),('500:-1.46395296278528',5,104),('500:-1.46395296278528',5,206),('500:-1.46395296278528',5,27),('500:-1.46395296278528',5,233),('500:-1.46395296278528',5,487),('500:-1.46395296278528',5,108),('500:-1.46395296278528',5,13),('500:-1.46395296278528',5,357),('500:-1.46395296278528',5,56),('500:-1.46395296278528',5,349),('500:-1.46395296278528',5,179),('500:-1.46395296278528',5,193),('500:-1.46395296278528',5,194),('500:-1.46395296278528',5,268),('500:-1.46395296278528',5,45),('500:-1.46395296278528',5,293),('500:-1.46395296278528',5,31),('500:-1.46395296278528',5,364),('500:-1.46395296278528',5,204),('500:-1.46395296278528',5,376),('500:-1.46395296278528',5,85),('500:-1.46395296278528',5,366),('500:-1.46395296278528',5,10),('500:-1.46395296278528',5,296),('500:-1.46395296278528',5,36),('500:-1.46395296278528',5,24),('500:-1.46395296278528',5,341),('500:-1.46395296278528',5,396),('500:-1.46395296278528',5,356),('500:-1.46395296278528',5,241),('500:-1.46395296278528',5,38),('500:-1.46395296278528',5,380),('500:-1.46395296278528',5,81),('500:-1.46395296278528',5,197),('500:-1.46395296278528',5,188),('500:-1.46395296278528',5,208),('500:-1.46395296278528',5,438),('500:-1.46395296278528',5,480),('500:-1.46395296278528',5,292),('500:-1.46395296278528',5,459),('500:-1.46395296278528',5,379),('500:-1.46395296278528',5,425),('500:-1.46395296278528',5,220),('500:-1.46395296278528',5,422),('500:-1.46395296278528',5,321),('500:-1.46395296278528',5,485),('500:-1.46395296278528',5,19),('500:-1.46395296278528',5,374),('500:-1.46395296278528',5,210),('500:-1.46395296278528',5,340),('500:-1.46395296278528',5,28),('500:-1.46395296278528',5,147),('500:-1.46395296278528',5,498),('500:-1.46395296278528',5,269),('500:-1.46395296278528',5,260),('500:-1.46395296278528',5,265),('500:-1.46395296278528',5,287),('500:-1.46395296278528',5,66),('500:-1.46395296278528',5,200),('500:-1.46395296278528',5,82),('500:-1.46395296278528',5,234),('500:-1.46395296278528',5,2),('500:-1.46395296278528',5,165),('500:-1.46395296278528',5,407),('500:-1.46395296278528',5,211),('500:-1.46395296278528',5,254),('500:-1.46395296278528',5,475),('500:-1.46395296278528',5,215),('500:-1.46395296278528',5,267),('500:-1.46395296278528',5,131),('500:-1.46395296278528',5,272),('500:-1.46395296278528',6,434),('500:-1.46395296278528',6,280),('500:-1.46395296278528',6,213),('500:-1.46395296278528',6,252),('500:-1.46395296278528',6,141),('500:-1.46395296278528',6,155),('500:-1.46395296278528',6,334),('500:-1.46395296278528',6,444),('500:-1.46395296278528',6,313),('500:-1.46395296278528',6,378),('500:-1.46395296278528',6,322),('500:-1.46395296278528',6,140),('500:-1.46395296278528',6,63),('500:-1.46395296278528',6,489),('500:-1.46395296278528',6,26),('500:-1.46395296278528',6,445),('500:-1.46395296278528',6,151),('500:-1.46395296278528',6,375),('500:-1.46395296278528',6,118),('500:-1.46395296278528',6,307),('500:-1.46395296278528',6,329),('500:-1.46395296278528',6,437),('500:-1.46395296278528',6,112),('500:-1.46395296278528',6,481),('500:-1.46395296278528',6,439),('500:-1.46395296278528',6,25),('500:-1.46395296278528',6,499),('500:-1.46395296278528',6,20),('500:-1.46395296278528',6,497),('500:-1.46395296278528',6,124),('500:-1.46395296278528',6,177),('500:-1.46395296278528',6,387),('500:-1.46395296278528',6,190),('500:-1.46395296278528',6,369),('500:-1.46395296278528',6,424),('500:-1.46395296278528',6,297),('500:-1.46395296278528',6,397),('500:-1.46395296278528',6,216),('500:-1.46395296278528',6,395),('500:-1.46395296278528',6,433),('500:-1.46395296278528',6,279),('500:-1.46395296278528',6,427),('500:-1.46395296278528',6,381),('500:-1.46395296278528',6,78),('500:-1.46395296278528',6,281),('500:-1.46395296278528',6,438),('500:-1.46395296278528',6,39),('500:-1.46395296278528',6,24),('500:-1.46395296278528',6,342),('500:-1.46395296278528',6,183),('500:-1.46395296278528',6,312),('500:-1.46395296278528',6,157),('500:-1.46395296278528',6,238),('500:-1.46395296278528',6,56),('500:-1.46395296278528',6,23),('500:-1.46395296278528',6,355),('500:-1.46395296278528',6,221),('500:-1.46395296278528',6,315),('500:-1.46395296278528',6,246),('500:-1.46395296278528',6,237),('500:-1.46395296278528',6,260),('500:-1.46395296278528',6,210),('500:-1.46395296278528',6,191),('500:-1.46395296278528',6,7),('500:-1.46395296278528',6,154),('500:-1.46395296278528',6,463),('500:-1.46395296278528',6,105),('500:-1.46395296278528',6,171),('500:-1.46395296278528',6,244),('500:-1.46395296278528',6,232),('500:-1.46395296278528',6,432),('500:-1.46395296278528',6,71),('500:-1.46395296278528',6,52),('500:-1.46395296278528',6,350),('500:-1.46395296278528',6,480),('500:-1.46395296278528',6,349),('500:-1.46395296278528',6,406),('500:-1.46395296278528',6,127),('500:-1.46395296278528',6,362),('500:-1.46395296278528',6,41),('500:-1.46395296278528',6,382),('500:-1.46395296278528',6,365),('500:-1.46395296278528',6,175),('500:-1.46395296278528',6,211),('500:-1.46395296278528',6,475),('500:-1.46395296278528',6,379),('500:-1.46395296278528',6,368),('500:-1.46395296278528',6,104),('500:-1.46395296278528',6,144),('500:-1.46395296278528',6,231),('500:-1.46395296278528',6,233),('500:-1.46395296278528',6,346),('500:-1.46395296278528',6,248),('500:-1.46395296278528',6,471),('500:-1.46395296278528',6,86),('500:-1.46395296278528',6,345),('500:-1.46395296278528',6,310),('500:-1.46395296278528',6,467),('500:-1.46395296278528',6,122),('500:-1.46395296278528',6,302),('500:-1.46395296278528',7,29),('500:-1.46395296278528',7,276),('500:-1.46395296278528',7,329),('500:-1.46395296278528',7,163),('500:-1.46395296278528',7,347),('500:-1.46395296278528',7,249),('500:-1.46395296278528',7,59),('500:-1.46395296278528',7,371),('500:-1.46395296278528',7,383),('500:-1.46395296278528',7,370),('500:-1.46395296278528',7,97),('500:-1.46395296278528',7,466),('500:-1.46395296278528',7,55),('500:-1.46395296278528',7,139),('500:-1.46395296278528',7,98),('500:-1.46395296278528',7,434),('500:-1.46395296278528',7,124),('500:-1.46395296278528',7,231),('500:-1.46395296278528',7,310),('500:-1.46395296278528',7,451),('500:-1.46395296278528',7,185),('500:-1.46395296278528',7,323),('500:-1.46395296278528',7,80),('500:-1.46395296278528',7,285),('500:-1.46395296278528',7,469),('500:-1.46395296278528',7,353),('500:-1.46395296278528',7,375),('500:-1.46395296278528',7,368),('500:-1.46395296278528',7,42),('500:-1.46395296278528',7,360),('500:-1.46395296278528',7,18),('500:-1.46395296278528',7,325),('500:-1.46395296278528',7,167),('500:-1.46395296278528',7,227),('500:-1.46395296278528',7,304),('500:-1.46395296278528',7,25),('500:-1.46395296278528',7,305),('500:-1.46395296278528',7,48),('500:-1.46395296278528',7,444),('500:-1.46395296278528',7,157),('500:-1.46395296278528',7,319),('500:-1.46395296278528',7,291),('500:-1.46395296278528',7,113),('500:-1.46395296278528',7,122),('500:-1.46395296278528',7,151),('500:-1.46395296278528',7,82),('500:-1.46395296278528',7,153),('500:-1.46395296278528',7,119),('500:-1.46395296278528',7,216),('500:-1.46395296278528',7,382),('500:-1.46395296278528',7,217),('500:-1.46395296278528',7,198),('500:-1.46395296278528',7,312),('500:-1.46395296278528',7,351),('500:-1.46395296278528',7,367),('500:-1.46395296278528',7,342),('500:-1.46395296278528',7,344),('500:-1.46395296278528',7,436),('500:-1.46395296278528',7,495),('500:-1.46395296278528',7,390),('500:-1.46395296278528',7,63),('500:-1.46395296278528',7,68),('500:-1.46395296278528',7,463),('500:-1.46395296278528',7,459),('500:-1.46395296278528',7,453),('500:-1.46395296278528',7,102),('500:-1.46395296278528',7,222),('500:-1.46395296278528',7,429),('500:-1.46395296278528',7,169),('500:-1.46395296278528',7,327),('500:-1.46395296278528',7,52),('500:-1.46395296278528',7,138),('500:-1.46395296278528',7,62),('500:-1.46395296278528',7,182),('500:-1.46395296278528',7,318),('500:-1.46395296278528',7,392),('500:-1.46395296278528',7,95),('500:-1.46395296278528',7,425),('500:-1.46395296278528',7,94),('500:-1.46395296278528',7,237),('500:-1.46395296278528',7,143),('500:-1.46395296278528',7,6),('500:-1.46395296278528',7,235),('500:-1.46395296278528',7,161),('500:-1.46395296278528',7,251),('500:-1.46395296278528',7,324),('500:-1.46395296278528',7,238),('500:-1.46395296278528',7,399),('500:-1.46395296278528',7,283),('500:-1.46395296278528',7,416),('500:-1.46395296278528',7,44),('500:-1.46395296278528',7,287),('500:-1.46395296278528',7,396),('500:-1.46395296278528',7,83),('500:-1.46395296278528',7,271),('500:-1.46395296278528',7,441),('500:-1.46395296278528',7,366),('500:-1.46395296278528',7,403),('500:-1.46395296278528',7,202),('500:-1.46395296278528',7,9),('500:-1.46395296278528',8,190),('500:-1.46395296278528',8,487),('500:-1.46395296278528',8,385),('500:-1.46395296278528',8,231),('500:-1.46395296278528',8,320),('500:-1.46395296278528',8,257),('500:-1.46395296278528',8,347),('500:-1.46395296278528',8,395),('500:-1.46395296278528',8,31),('500:-1.46395296278528',8,210),('500:-1.46395296278528',8,349),('500:-1.46395296278528',8,90),('500:-1.46395296278528',8,455),('500:-1.46395296278528',8,118),('500:-1.46395296278528',8,209),('500:-1.46395296278528',8,424),('500:-1.46395296278528',8,51),('500:-1.46395296278528',8,132),('500:-1.46395296278528',8,410),('500:-1.46395296278528',8,444),('500:-1.46395296278528',8,142),('500:-1.46395296278528',8,265),('500:-1.46395296278528',8,237),('500:-1.46395296278528',8,155),('500:-1.46395296278528',8,20),('500:-1.46395296278528',8,292),('500:-1.46395296278528',8,47),('500:-1.46395296278528',8,376),('500:-1.46395296278528',8,166),('500:-1.46395296278528',8,101),('500:-1.46395296278528',8,185),('500:-1.46395296278528',8,497),('500:-1.46395296278528',8,95),('500:-1.46395296278528',8,368),('500:-1.46395296278528',8,224),('500:-1.46395296278528',8,29),('500:-1.46395296278528',8,182),('500:-1.46395296278528',8,427),('500:-1.46395296278528',8,77),('500:-1.46395296278528',8,89),('500:-1.46395296278528',8,341),('500:-1.46395296278528',8,284),('500:-1.46395296278528',8,61),('500:-1.46395296278528',8,34),('500:-1.46395296278528',8,475),('500:-1.46395296278528',8,28),('500:-1.46395296278528',8,58),('500:-1.46395296278528',8,147),('500:-1.46395296278528',8,168),('500:-1.46395296278528',8,371),('500:-1.46395296278528',8,179),('500:-1.46395296278528',8,419),('500:-1.46395296278528',8,280),('500:-1.46395296278528',8,407),('500:-1.46395296278528',8,401),('500:-1.46395296278528',8,436),('500:-1.46395296278528',8,456),('500:-1.46395296278528',8,49),('500:-1.46395296278528',8,136),('500:-1.46395296278528',8,211),('500:-1.46395296278528',8,207),('500:-1.46395296278528',8,340),('500:-1.46395296278528',8,418),('500:-1.46395296278528',8,220),('500:-1.46395296278528',8,152),('500:-1.46395296278528',8,139),('500:-1.46395296278528',8,213),('500:-1.46395296278528',8,187),('500:-1.46395296278528',8,105),('500:-1.46395296278528',8,302),('500:-1.46395296278528',8,143),('500:-1.46395296278528',8,26),('500:-1.46395296278528',8,277),('500:-1.46395296278528',8,97),('500:-1.46395296278528',8,66),('500:-1.46395296278528',8,451),('500:-1.46395296278528',8,63),('500:-1.46395296278528',8,108),('500:-1.46395296278528',8,273),('500:-1.46395296278528',8,421),('500:-1.46395296278528',8,33),('500:-1.46395296278528',8,403),('500:-1.46395296278528',8,367),('500:-1.46395296278528',8,476),('500:-1.46395296278528',8,130),('500:-1.46395296278528',8,365),('500:-1.46395296278528',8,250),('500:-1.46395296278528',8,35),('500:-1.46395296278528',8,68),('500:-1.46395296278528',8,4),('500:-1.46395296278528',8,15),('500:-1.46395296278528',8,478),('500:-1.46395296278528',8,413),('500:-1.46395296278528',8,202),('500:-1.46395296278528',8,471),('500:-1.46395296278528',8,194),('500:-1.46395296278528',8,21),('500:-1.46395296278528',8,282),('500:-1.46395296278528',8,428),('500:-1.46395296278528',8,249),('500:-1.46395296278528',9,365),('500:-1.46395296278528',9,426),('500:-1.46395296278528',9,343),('500:-1.46395296278528',9,381),('500:-1.46395296278528',9,154),('500:-1.46395296278528',9,305),('500:-1.46395296278528',9,300),('500:-1.46395296278528',9,352),('500:-1.46395296278528',9,37),('500:-1.46395296278528',9,369),('500:-1.46395296278528',9,95),('500:-1.46395296278528',9,410),('500:-1.46395296278528',9,143),('500:-1.46395296278528',9,60),('500:-1.46395296278528',9,493),('500:-1.46395296278528',9,170),('500:-1.46395296278528',9,21),('500:-1.46395296278528',9,350),('500:-1.46395296278528',9,496),('500:-1.46395296278528',9,129),('500:-1.46395296278528',9,2),('500:-1.46395296278528',9,364),('500:-1.46395296278528',9,342),('500:-1.46395296278528',9,320),('500:-1.46395296278528',9,18),('500:-1.46395296278528',9,392),('500:-1.46395296278528',9,178),('500:-1.46395296278528',9,23),('500:-1.46395296278528',9,458),('500:-1.46395296278528',9,373),('500:-1.46395296278528',9,182),('500:-1.46395296278528',9,302),('500:-1.46395296278528',9,261),('500:-1.46395296278528',9,82),('500:-1.46395296278528',9,406),('500:-1.46395296278528',9,307),('500:-1.46395296278528',9,417),('500:-1.46395296278528',9,93),('500:-1.46395296278528',9,356),('500:-1.46395296278528',9,471),('500:-1.46395296278528',9,118),('500:-1.46395296278528',9,396),('500:-1.46395296278528',9,107),('500:-1.46395296278528',9,159),('500:-1.46395296278528',9,142),('500:-1.46395296278528',9,479),('500:-1.46395296278528',9,76),('500:-1.46395296278528',9,78),('500:-1.46395296278528',9,441),('500:-1.46395296278528',9,394),('500:-1.46395296278528',9,285),('500:-1.46395296278528',9,470),('500:-1.46395296278528',9,197),('500:-1.46395296278528',9,449),('500:-1.46395296278528',9,74),('500:-1.46395296278528',9,425),('500:-1.46395296278528',9,398),('500:-1.46395296278528',9,229),('500:-1.46395296278528',9,198),('500:-1.46395296278528',9,29),('500:-1.46395296278528',9,454),('500:-1.46395296278528',9,481),('500:-1.46395296278528',9,207),('500:-1.46395296278528',9,282),('500:-1.46395296278528',9,202),('500:-1.46395296278528',9,55),('500:-1.46395296278528',9,114),('500:-1.46395296278528',9,327),('500:-1.46395296278528',9,150),('500:-1.46395296278528',9,358),('500:-1.46395296278528',9,64),('500:-1.46395296278528',9,235),('500:-1.46395296278528',9,311),('500:-1.46395296278528',9,270),('500:-1.46395296278528',9,140),('500:-1.46395296278528',9,460),('500:-1.46395296278528',9,181),('500:-1.46395296278528',9,430),('500:-1.46395296278528',9,120),('500:-1.46395296278528',9,164),('500:-1.46395296278528',9,46),('500:-1.46395296278528',9,368),('500:-1.46395296278528',9,176),('500:-1.46395296278528',9,195),('500:-1.46395296278528',9,52),('500:-1.46395296278528',9,88),('500:-1.46395296278528',9,225),('500:-1.46395296278528',9,160),('500:-1.46395296278528',9,200),('500:-1.46395296278528',9,40),('500:-1.46395296278528',9,44),('500:-1.46395296278528',9,231),('500:-1.46395296278528',9,208),('500:-1.46395296278528',9,399),('500:-1.46395296278528',9,334),('500:-1.46395296278528',9,412),('500:-1.46395296278528',9,236),('500:-1.46395296278528',9,314),('500:-1.46395296278528',9,465),('500:-1.46395296278528',9,216),('500:1.08235486072832',0,498),('500:1.08235486072832',0,73),('500:1.08235486072832',0,464),('500:1.08235486072832',0,7),('500:1.08235486072832',0,327),('500:1.08235486072832',0,415),('500:1.08235486072832',0,6),('500:1.08235486072832',0,461),('500:1.08235486072832',0,483),('500:1.08235486072832',0,365),('500:1.08235486072832',0,318),('500:1.08235486072832',0,232),('500:1.08235486072832',0,423),('500:1.08235486072832',0,229),('500:1.08235486072832',0,214),('500:1.08235486072832',0,81),('500:1.08235486072832',0,353),('500:1.08235486072832',0,190),('500:1.08235486072832',0,334),('500:1.08235486072832',0,29),('500:1.08235486072832',0,387),('500:1.08235486072832',0,319),('500:1.08235486072832',0,320),('500:1.08235486072832',0,70),('500:1.08235486072832',0,36),('500:1.08235486072832',0,266),('500:1.08235486072832',0,84),('500:1.08235486072832',0,261),('500:1.08235486072832',0,85),('500:1.08235486072832',0,364),('500:1.08235486072832',0,270),('500:1.08235486072832',0,269),('500:1.08235486072832',0,345),('500:1.08235486072832',0,88),('500:1.08235486072832',0,108),('500:1.08235486072832',0,184),('500:1.08235486072832',0,35),('500:1.08235486072832',0,51),('500:1.08235486072832',0,407),('500:1.08235486072832',0,391),('500:1.08235486072832',0,397),('500:1.08235486072832',0,362),('500:1.08235486072832',0,268),('500:1.08235486072832',0,135),('500:1.08235486072832',0,27),('500:1.08235486072832',0,87),('500:1.08235486072832',0,56),('500:1.08235486072832',0,388),('500:1.08235486072832',0,337),('500:1.08235486072832',0,310),('500:1.08235486072832',0,303),('500:1.08235486072832',0,137),('500:1.08235486072832',0,412),('500:1.08235486072832',0,32),('500:1.08235486072832',0,374),('500:1.08235486072832',0,434),('500:1.08235486072832',0,370),('500:1.08235486072832',0,297),('500:1.08235486072832',0,177),('500:1.08235486072832',0,420),('500:1.08235486072832',0,103),('500:1.08235486072832',0,113),('500:1.08235486072832',0,220),('500:1.08235486072832',0,130),('500:1.08235486072832',0,248),('500:1.08235486072832',0,380),('500:1.08235486072832',0,472),('500:1.08235486072832',0,292),('500:1.08235486072832',0,489),('500:1.08235486072832',0,209),('500:1.08235486072832',0,399),('500:1.08235486072832',0,490),('500:1.08235486072832',0,99),('500:1.08235486072832',0,392),('500:1.08235486072832',0,340),('500:1.08235486072832',0,322),('500:1.08235486072832',0,30),('500:1.08235486072832',0,77),('500:1.08235486072832',0,425),('500:1.08235486072832',0,385),('500:1.08235486072832',0,479),('500:1.08235486072832',0,185),('500:1.08235486072832',0,284),('500:1.08235486072832',0,468),('500:1.08235486072832',0,329),('500:1.08235486072832',0,313),('500:1.08235486072832',0,386),('500:1.08235486072832',0,265),('500:1.08235486072832',0,17),('500:1.08235486072832',0,104),('500:1.08235486072832',0,485),('500:1.08235486072832',0,484),('500:1.08235486072832',0,372),('500:1.08235486072832',0,123),('500:1.08235486072832',0,83),('500:1.08235486072832',0,351),('500:1.08235486072832',0,186),('500:1.08235486072832',0,98),('500:1.08235486072832',0,378),('500:1.08235486072832',0,441),('500:1.08235486072832',1,243),('500:1.08235486072832',1,472),('500:1.08235486072832',1,27),('500:1.08235486072832',1,407),('500:1.08235486072832',1,203),('500:1.08235486072832',1,285),('500:1.08235486072832',1,268),('500:1.08235486072832',1,388),('500:1.08235486072832',1,64),('500:1.08235486072832',1,253),('500:1.08235486072832',1,441),('500:1.08235486072832',1,370),('500:1.08235486072832',1,22),('500:1.08235486072832',1,217),('500:1.08235486072832',1,30),('500:1.08235486072832',1,475),('500:1.08235486072832',1,465),('500:1.08235486072832',1,294),('500:1.08235486072832',1,222),('500:1.08235486072832',1,271),('500:1.08235486072832',1,187),('500:1.08235486072832',1,104),('500:1.08235486072832',1,423),('500:1.08235486072832',1,258),('500:1.08235486072832',1,213),('500:1.08235486072832',1,436),('500:1.08235486072832',1,329),('500:1.08235486072832',1,51),('500:1.08235486072832',1,477),('500:1.08235486072832',1,209),('500:1.08235486072832',1,8),('500:1.08235486072832',1,80),('500:1.08235486072832',1,363),('500:1.08235486072832',1,165),('500:1.08235486072832',1,314),('500:1.08235486072832',1,218),('500:1.08235486072832',1,474),('500:1.08235486072832',1,42),('500:1.08235486072832',1,283),('500:1.08235486072832',1,448),('500:1.08235486072832',1,2),('500:1.08235486072832',1,460),('500:1.08235486072832',1,10),('500:1.08235486072832',1,411),('500:1.08235486072832',1,16),('500:1.08235486072832',1,49),('500:1.08235486072832',1,261),('500:1.08235486072832',1,327),('500:1.08235486072832',1,455),('500:1.08235486072832',1,400),('500:1.08235486072832',1,145),('500:1.08235486072832',1,207),('500:1.08235486072832',1,17),('500:1.08235486072832',1,153),('500:1.08235486072832',1,378),('500:1.08235486072832',1,142),('500:1.08235486072832',1,73),('500:1.08235486072832',1,387),('500:1.08235486072832',1,105),('500:1.08235486072832',1,418),('500:1.08235486072832',1,29),('500:1.08235486072832',1,194),('500:1.08235486072832',1,498),('500:1.08235486072832',1,295),('500:1.08235486072832',1,85),('500:1.08235486072832',1,148),('500:1.08235486072832',1,351),('500:1.08235486072832',1,451),('500:1.08235486072832',1,412),('500:1.08235486072832',1,409),('500:1.08235486072832',1,46),('500:1.08235486072832',1,468),('500:1.08235486072832',1,54),('500:1.08235486072832',1,191),('500:1.08235486072832',1,347),('500:1.08235486072832',1,497),('500:1.08235486072832',1,228),('500:1.08235486072832',1,65),('500:1.08235486072832',1,328),('500:1.08235486072832',1,414),('500:1.08235486072832',1,39),('500:1.08235486072832',1,212),('500:1.08235486072832',1,312),('500:1.08235486072832',1,442),('500:1.08235486072832',1,324),('500:1.08235486072832',1,211),('500:1.08235486072832',1,19),('500:1.08235486072832',1,322),('500:1.08235486072832',1,177),('500:1.08235486072832',1,62),('500:1.08235486072832',1,336),('500:1.08235486072832',1,242),('500:1.08235486072832',1,60),('500:1.08235486072832',1,333),('500:1.08235486072832',1,399),('500:1.08235486072832',1,398),('500:1.08235486072832',1,215),('500:1.08235486072832',1,56),('500:1.08235486072832',1,483),('500:1.08235486072832',1,112),('500:1.08235486072832',2,112),('500:1.08235486072832',2,350),('500:1.08235486072832',2,243),('500:1.08235486072832',2,109),('500:1.08235486072832',2,128),('500:1.08235486072832',2,100),('500:1.08235486072832',2,188),('500:1.08235486072832',2,325),('500:1.08235486072832',2,49),('500:1.08235486072832',2,117),('500:1.08235486072832',2,358),('500:1.08235486072832',2,459),('500:1.08235486072832',2,340),('500:1.08235486072832',2,479),('500:1.08235486072832',2,266),('500:1.08235486072832',2,34),('500:1.08235486072832',2,352),('500:1.08235486072832',2,9),('500:1.08235486072832',2,37),('500:1.08235486072832',2,434),('500:1.08235486072832',2,233),('500:1.08235486072832',2,209),('500:1.08235486072832',2,436),('500:1.08235486072832',2,41),('500:1.08235486072832',2,256),('500:1.08235486072832',2,223),('500:1.08235486072832',2,399),('500:1.08235486072832',2,149),('500:1.08235486072832',2,182),('500:1.08235486072832',2,449),('500:1.08235486072832',2,327),('500:1.08235486072832',2,268),('500:1.08235486072832',2,389),('500:1.08235486072832',2,409),('500:1.08235486072832',2,396),('500:1.08235486072832',2,186),('500:1.08235486072832',2,23),('500:1.08235486072832',2,312),('500:1.08235486072832',2,17),('500:1.08235486072832',2,418),('500:1.08235486072832',2,457),('500:1.08235486072832',2,462),('500:1.08235486072832',2,150),('500:1.08235486072832',2,68),('500:1.08235486072832',2,221),('500:1.08235486072832',2,276),('500:1.08235486072832',2,442),('500:1.08235486072832',2,307),('500:1.08235486072832',2,181),('500:1.08235486072832',2,468),('500:1.08235486072832',2,431),('500:1.08235486072832',2,382),('500:1.08235486072832',2,77),('500:1.08235486072832',2,331),('500:1.08235486072832',2,5),('500:1.08235486072832',2,193),('500:1.08235486072832',2,71),('500:1.08235486072832',2,333),('500:1.08235486072832',2,54),('500:1.08235486072832',2,65),('500:1.08235486072832',2,411),('500:1.08235486072832',2,21),('500:1.08235486072832',2,354),('500:1.08235486072832',2,127),('500:1.08235486072832',2,496),('500:1.08235486072832',2,490),('500:1.08235486072832',2,404),('500:1.08235486072832',2,489),('500:1.08235486072832',2,6),('500:1.08235486072832',2,97),('500:1.08235486072832',2,99),('500:1.08235486072832',2,121),('500:1.08235486072832',2,236),('500:1.08235486072832',2,78),('500:1.08235486072832',2,395),('500:1.08235486072832',2,360),('500:1.08235486072832',2,355),('500:1.08235486072832',2,63),('500:1.08235486072832',2,423),('500:1.08235486072832',2,148),('500:1.08235486072832',2,7),('500:1.08235486072832',2,351),('500:1.08235486072832',2,320),('500:1.08235486072832',2,187),('500:1.08235486072832',2,244),('500:1.08235486072832',2,426),('500:1.08235486072832',2,22),('500:1.08235486072832',2,198),('500:1.08235486072832',2,274),('500:1.08235486072832',2,142),('500:1.08235486072832',2,85),('500:1.08235486072832',2,108),('500:1.08235486072832',2,486),('500:1.08235486072832',2,253),('500:1.08235486072832',2,191),('500:1.08235486072832',2,225),('500:1.08235486072832',2,86),('500:1.08235486072832',2,303),('500:1.08235486072832',2,155),('500:1.08235486072832',2,113),('500:1.08235486072832',3,130),('500:1.08235486072832',3,343),('500:1.08235486072832',3,474),('500:1.08235486072832',3,482),('500:1.08235486072832',3,315),('500:1.08235486072832',3,125),('500:1.08235486072832',3,114),('500:1.08235486072832',3,486),('500:1.08235486072832',3,237),('500:1.08235486072832',3,490),('500:1.08235486072832',3,33),('500:1.08235486072832',3,201),('500:1.08235486072832',3,406),('500:1.08235486072832',3,207),('500:1.08235486072832',3,301),('500:1.08235486072832',3,134),('500:1.08235486072832',3,421),('500:1.08235486072832',3,37),('500:1.08235486072832',3,437),('500:1.08235486072832',3,180),('500:1.08235486072832',3,204),('500:1.08235486072832',3,463),('500:1.08235486072832',3,363),('500:1.08235486072832',3,149),('500:1.08235486072832',3,25),('500:1.08235486072832',3,61),('500:1.08235486072832',3,112),('500:1.08235486072832',3,376),('500:1.08235486072832',3,44),('500:1.08235486072832',3,126),('500:1.08235486072832',3,143),('500:1.08235486072832',3,249),('500:1.08235486072832',3,140),('500:1.08235486072832',3,483),('500:1.08235486072832',3,419),('500:1.08235486072832',3,221),('500:1.08235486072832',3,440),('500:1.08235486072832',3,203),('500:1.08235486072832',3,439),('500:1.08235486072832',3,239),('500:1.08235486072832',3,493),('500:1.08235486072832',3,174),('500:1.08235486072832',3,468),('500:1.08235486072832',3,390),('500:1.08235486072832',3,194),('500:1.08235486072832',3,448),('500:1.08235486072832',3,121),('500:1.08235486072832',3,240),('500:1.08235486072832',3,361),('500:1.08235486072832',3,214),('500:1.08235486072832',3,368),('500:1.08235486072832',3,50),('500:1.08235486072832',3,210),('500:1.08235486072832',3,85),('500:1.08235486072832',3,338),('500:1.08235486072832',3,250),('500:1.08235486072832',3,410),('500:1.08235486072832',3,350),('500:1.08235486072832',3,404),('500:1.08235486072832',3,80),('500:1.08235486072832',3,341),('500:1.08235486072832',3,230),('500:1.08235486072832',3,479),('500:1.08235486072832',3,106),('500:1.08235486072832',3,182),('500:1.08235486072832',3,477),('500:1.08235486072832',3,403),('500:1.08235486072832',3,219),('500:1.08235486072832',3,88),('500:1.08235486072832',3,168),('500:1.08235486072832',3,418),('500:1.08235486072832',3,218),('500:1.08235486072832',3,323),('500:1.08235486072832',3,103),('500:1.08235486072832',3,155),('500:1.08235486072832',3,205),('500:1.08235486072832',3,233),('500:1.08235486072832',3,224),('500:1.08235486072832',3,5),('500:1.08235486072832',3,11),('500:1.08235486072832',3,296),('500:1.08235486072832',3,373),('500:1.08235486072832',3,476),('500:1.08235486072832',3,459),('500:1.08235486072832',3,128),('500:1.08235486072832',3,346),('500:1.08235486072832',3,455),('500:1.08235486072832',3,57),('500:1.08235486072832',3,58),('500:1.08235486072832',3,497),('500:1.08235486072832',3,21),('500:1.08235486072832',3,449),('500:1.08235486072832',3,499),('500:1.08235486072832',3,254),('500:1.08235486072832',3,331),('500:1.08235486072832',3,235),('500:1.08235486072832',3,464),('500:1.08235486072832',3,452),('500:1.08235486072832',3,351),('500:1.08235486072832',3,236),('500:1.08235486072832',4,280),('500:1.08235486072832',4,51),('500:1.08235486072832',4,394),('500:1.08235486072832',4,496),('500:1.08235486072832',4,81),('500:1.08235486072832',4,395),('500:1.08235486072832',4,412),('500:1.08235486072832',4,288),('500:1.08235486072832',4,235),('500:1.08235486072832',4,384),('500:1.08235486072832',4,434),('500:1.08235486072832',4,350),('500:1.08235486072832',4,89),('500:1.08235486072832',4,190),('500:1.08235486072832',4,92),('500:1.08235486072832',4,114),('500:1.08235486072832',4,214),('500:1.08235486072832',4,274),('500:1.08235486072832',4,445),('500:1.08235486072832',4,346),('500:1.08235486072832',4,107),('500:1.08235486072832',4,373),('500:1.08235486072832',4,218),('500:1.08235486072832',4,221),('500:1.08235486072832',4,333),('500:1.08235486072832',4,396),('500:1.08235486072832',4,163),('500:1.08235486072832',4,474),('500:1.08235486072832',4,424),('500:1.08235486072832',4,269),('500:1.08235486072832',4,471),('500:1.08235486072832',4,268),('500:1.08235486072832',4,281),('500:1.08235486072832',4,337),('500:1.08235486072832',4,402),('500:1.08235486072832',4,138),('500:1.08235486072832',4,353),('500:1.08235486072832',4,100),('500:1.08235486072832',4,343),('500:1.08235486072832',4,13),('500:1.08235486072832',4,366),('500:1.08235486072832',4,377),('500:1.08235486072832',4,462),('500:1.08235486072832',4,422),('500:1.08235486072832',4,459),('500:1.08235486072832',4,480),('500:1.08235486072832',4,406),('500:1.08235486072832',4,124),('500:1.08235486072832',4,191),('500:1.08235486072832',4,170),('500:1.08235486072832',4,239),('500:1.08235486072832',4,137),('500:1.08235486072832',4,28),('500:1.08235486072832',4,332),('500:1.08235486072832',4,315),('500:1.08235486072832',4,40),('500:1.08235486072832',4,49),('500:1.08235486072832',4,308),('500:1.08235486072832',4,477),('500:1.08235486072832',4,251),('500:1.08235486072832',4,200),('500:1.08235486072832',4,413),('500:1.08235486072832',4,213),('500:1.08235486072832',4,254),('500:1.08235486072832',4,55),('500:1.08235486072832',4,279),('500:1.08235486072832',4,363),('500:1.08235486072832',4,329),('500:1.08235486072832',4,327),('500:1.08235486072832',4,11),('500:1.08235486072832',4,63),('500:1.08235486072832',4,324),('500:1.08235486072832',4,427),('500:1.08235486072832',4,198),('500:1.08235486072832',4,171),('500:1.08235486072832',4,364),('500:1.08235486072832',4,336),('500:1.08235486072832',4,475),('500:1.08235486072832',4,479),('500:1.08235486072832',4,189),('500:1.08235486072832',4,365),('500:1.08235486072832',4,25),('500:1.08235486072832',4,215),('500:1.08235486072832',4,134),('500:1.08235486072832',4,186),('500:1.08235486072832',4,232),('500:1.08235486072832',4,433),('500:1.08235486072832',4,372),('500:1.08235486072832',4,26),('500:1.08235486072832',4,399),('500:1.08235486072832',4,360),('500:1.08235486072832',4,472),('500:1.08235486072832',4,98),('500:1.08235486072832',4,34),('500:1.08235486072832',4,162),('500:1.08235486072832',4,310),('500:1.08235486072832',4,323),('500:1.08235486072832',4,379),('500:1.08235486072832',4,45),('500:1.08235486072832',4,152),('500:1.08235486072832',5,419),('500:1.08235486072832',5,379),('500:1.08235486072832',5,266),('500:1.08235486072832',5,451),('500:1.08235486072832',5,133),('500:1.08235486072832',5,182),('500:1.08235486072832',5,359),('500:1.08235486072832',5,121),('500:1.08235486072832',5,316),('500:1.08235486072832',5,126),('500:1.08235486072832',5,454),('500:1.08235486072832',5,211),('500:1.08235486072832',5,362),('500:1.08235486072832',5,361),('500:1.08235486072832',5,464),('500:1.08235486072832',5,337),('500:1.08235486072832',5,404),('500:1.08235486072832',5,219),('500:1.08235486072832',5,32),('500:1.08235486072832',5,36),('500:1.08235486072832',5,200),('500:1.08235486072832',5,431),('500:1.08235486072832',5,455),('500:1.08235486072832',5,474),('500:1.08235486072832',5,468),('500:1.08235486072832',5,386),('500:1.08235486072832',5,27),('500:1.08235486072832',5,396),('500:1.08235486072832',5,113),('500:1.08235486072832',5,367),('500:1.08235486072832',5,499),('500:1.08235486072832',5,149),('500:1.08235486072832',5,408),('500:1.08235486072832',5,250),('500:1.08235486072832',5,387),('500:1.08235486072832',5,21),('500:1.08235486072832',5,19),('500:1.08235486072832',5,480),('500:1.08235486072832',5,315),('500:1.08235486072832',5,203),('500:1.08235486072832',5,497),('500:1.08235486072832',5,22),('500:1.08235486072832',5,235),('500:1.08235486072832',5,152),('500:1.08235486072832',5,54),('500:1.08235486072832',5,312),('500:1.08235486072832',5,263),('500:1.08235486072832',5,241),('500:1.08235486072832',5,493),('500:1.08235486072832',5,406),('500:1.08235486072832',5,127),('500:1.08235486072832',5,111),('500:1.08235486072832',5,6),('500:1.08235486072832',5,435),('500:1.08235486072832',5,309),('500:1.08235486072832',5,244),('500:1.08235486072832',5,339),('500:1.08235486072832',5,255),('500:1.08235486072832',5,28),('500:1.08235486072832',5,95),('500:1.08235486072832',5,156),('500:1.08235486072832',5,65),('500:1.08235486072832',5,86),('500:1.08235486072832',5,492),('500:1.08235486072832',5,173),('500:1.08235486072832',5,161),('500:1.08235486072832',5,139),('500:1.08235486072832',5,225),('500:1.08235486072832',5,440),('500:1.08235486072832',5,422),('500:1.08235486072832',5,400),('500:1.08235486072832',5,349),('500:1.08235486072832',5,194),('500:1.08235486072832',5,171),('500:1.08235486072832',5,62),('500:1.08235486072832',5,254),('500:1.08235486072832',5,301),('500:1.08235486072832',5,249),('500:1.08235486072832',5,442),('500:1.08235486072832',5,25),('500:1.08235486072832',5,136),('500:1.08235486072832',5,18),('500:1.08235486072832',5,94),('500:1.08235486072832',5,207),('500:1.08235486072832',5,275),('500:1.08235486072832',5,56),('500:1.08235486072832',5,371),('500:1.08235486072832',5,242),('500:1.08235486072832',5,489),('500:1.08235486072832',5,11),('500:1.08235486072832',5,458),('500:1.08235486072832',5,66),('500:1.08235486072832',5,243),('500:1.08235486072832',5,201),('500:1.08235486072832',5,328),('500:1.08235486072832',5,248),('500:1.08235486072832',5,448),('500:1.08235486072832',5,8),('500:1.08235486072832',5,50),('500:1.08235486072832',5,236),('500:1.08235486072832',6,350),('500:1.08235486072832',6,403),('500:1.08235486072832',6,260),('500:1.08235486072832',6,252),('500:1.08235486072832',6,345),('500:1.08235486072832',6,371),('500:1.08235486072832',6,145),('500:1.08235486072832',6,443),('500:1.08235486072832',6,81),('500:1.08235486072832',6,186),('500:1.08235486072832',6,351),('500:1.08235486072832',6,197),('500:1.08235486072832',6,430),('500:1.08235486072832',6,105),('500:1.08235486072832',6,465),('500:1.08235486072832',6,40),('500:1.08235486072832',6,156),('500:1.08235486072832',6,8),('500:1.08235486072832',6,271),('500:1.08235486072832',6,213),('500:1.08235486072832',6,118),('500:1.08235486072832',6,214),('500:1.08235486072832',6,192),('500:1.08235486072832',6,303),('500:1.08235486072832',6,199),('500:1.08235486072832',6,99),('500:1.08235486072832',6,111),('500:1.08235486072832',6,380),('500:1.08235486072832',6,82),('500:1.08235486072832',6,381),('500:1.08235486072832',6,425),('500:1.08235486072832',6,130),('500:1.08235486072832',6,123),('500:1.08235486072832',6,146),('500:1.08235486072832',6,13),('500:1.08235486072832',6,399),('500:1.08235486072832',6,170),('500:1.08235486072832',6,238),('500:1.08235486072832',6,327),('500:1.08235486072832',6,472),('500:1.08235486072832',6,29),('500:1.08235486072832',6,166),('500:1.08235486072832',6,101),('500:1.08235486072832',6,277),('500:1.08235486072832',6,274),('500:1.08235486072832',6,0),('500:1.08235486072832',6,266),('500:1.08235486072832',6,72),('500:1.08235486072832',6,408),('500:1.08235486072832',6,270),('500:1.08235486072832',6,322),('500:1.08235486072832',6,429),('500:1.08235486072832',6,287),('500:1.08235486072832',6,386),('500:1.08235486072832',6,273),('500:1.08235486072832',6,410),('500:1.08235486072832',6,88),('500:1.08235486072832',6,432),('500:1.08235486072832',6,167),('500:1.08235486072832',6,438),('500:1.08235486072832',6,296),('500:1.08235486072832',6,480),('500:1.08235486072832',6,189),('500:1.08235486072832',6,265),('500:1.08235486072832',6,103),('500:1.08235486072832',6,369),('500:1.08235486072832',6,242),('500:1.08235486072832',6,217),('500:1.08235486072832',6,4),('500:1.08235486072832',6,387),('500:1.08235486072832',6,453),('500:1.08235486072832',6,388),('500:1.08235486072832',6,22),('500:1.08235486072832',6,7),('500:1.08235486072832',6,395),('500:1.08235486072832',6,184),('500:1.08235486072832',6,221),('500:1.08235486072832',6,446),('500:1.08235486072832',6,53),('500:1.08235486072832',6,120),('500:1.08235486072832',6,20),('500:1.08235486072832',6,241),('500:1.08235486072832',6,223),('500:1.08235486072832',6,334),('500:1.08235486072832',6,377),('500:1.08235486072832',6,231),('500:1.08235486072832',6,133),('500:1.08235486072832',6,56),('500:1.08235486072832',6,420),('500:1.08235486072832',6,457),('500:1.08235486072832',6,372),('500:1.08235486072832',6,1),('500:1.08235486072832',6,382),('500:1.08235486072832',6,469),('500:1.08235486072832',6,177),('500:1.08235486072832',6,85),('500:1.08235486072832',6,227),('500:1.08235486072832',6,212),('500:1.08235486072832',6,200),('500:1.08235486072832',6,149),('500:1.08235486072832',7,340),('500:1.08235486072832',7,467),('500:1.08235486072832',7,17),('500:1.08235486072832',7,209),('500:1.08235486072832',7,0),('500:1.08235486072832',7,88),('500:1.08235486072832',7,49),('500:1.08235486072832',7,86),('500:1.08235486072832',7,269),('500:1.08235486072832',7,418),('500:1.08235486072832',7,479),('500:1.08235486072832',7,156),('500:1.08235486072832',7,425),('500:1.08235486072832',7,310),('500:1.08235486072832',7,108),('500:1.08235486072832',7,229),('500:1.08235486072832',7,445),('500:1.08235486072832',7,184),('500:1.08235486072832',7,276),('500:1.08235486072832',7,415),('500:1.08235486072832',7,468),('500:1.08235486072832',7,334),('500:1.08235486072832',7,270),('500:1.08235486072832',7,59),('500:1.08235486072832',7,189),('500:1.08235486072832',7,70),('500:1.08235486072832',7,332),('500:1.08235486072832',7,471),('500:1.08235486072832',7,103),('500:1.08235486072832',7,459),('500:1.08235486072832',7,330),('500:1.08235486072832',7,385),('500:1.08235486072832',7,327),('500:1.08235486072832',7,261),('500:1.08235486072832',7,280),('500:1.08235486072832',7,112),('500:1.08235486072832',7,391),('500:1.08235486072832',7,375),('500:1.08235486072832',7,307),('500:1.08235486072832',7,171),('500:1.08235486072832',7,218),('500:1.08235486072832',7,78),('500:1.08235486072832',7,6),('500:1.08235486072832',7,293),('500:1.08235486072832',7,474),('500:1.08235486072832',7,357),('500:1.08235486072832',7,442),('500:1.08235486072832',7,191),('500:1.08235486072832',7,427),('500:1.08235486072832',7,366),('500:1.08235486072832',7,439),('500:1.08235486072832',7,407),('500:1.08235486072832',7,363),('500:1.08235486072832',7,152),('500:1.08235486072832',7,292),('500:1.08235486072832',7,214),('500:1.08235486072832',7,13),('500:1.08235486072832',7,339),('500:1.08235486072832',7,498),('500:1.08235486072832',7,435),('500:1.08235486072832',7,373),('500:1.08235486072832',7,414),('500:1.08235486072832',7,387),('500:1.08235486072832',7,213),('500:1.08235486072832',7,232),('500:1.08235486072832',7,99),('500:1.08235486072832',7,268),('500:1.08235486072832',7,54),('500:1.08235486072832',7,107),('500:1.08235486072832',7,162),('500:1.08235486072832',7,170),('500:1.08235486072832',7,483),('500:1.08235486072832',7,266),('500:1.08235486072832',7,9),('500:1.08235486072832',7,358),('500:1.08235486072832',7,308),('500:1.08235486072832',7,350),('500:1.08235486072832',7,91),('500:1.08235486072832',7,149),('500:1.08235486072832',7,22),('500:1.08235486072832',7,490),('500:1.08235486072832',7,221),('500:1.08235486072832',7,259),('500:1.08235486072832',7,464),('500:1.08235486072832',7,342),('500:1.08235486072832',7,486),('500:1.08235486072832',7,297),('500:1.08235486072832',7,383),('500:1.08235486072832',7,95),('500:1.08235486072832',7,2),('500:1.08235486072832',7,422),('500:1.08235486072832',7,153),('500:1.08235486072832',7,324),('500:1.08235486072832',7,368),('500:1.08235486072832',7,65),('500:1.08235486072832',7,148),('500:1.08235486072832',7,336),('500:1.08235486072832',7,470),('500:1.08235486072832',7,441),('500:1.08235486072832',7,411),('500:1.08235486072832',8,497),('500:1.08235486072832',8,39),('500:1.08235486072832',8,196),('500:1.08235486072832',8,161),('500:1.08235486072832',8,271),('500:1.08235486072832',8,222),('500:1.08235486072832',8,173),('500:1.08235486072832',8,138),('500:1.08235486072832',8,44),('500:1.08235486072832',8,35),('500:1.08235486072832',8,111),('500:1.08235486072832',8,338),('500:1.08235486072832',8,315),('500:1.08235486072832',8,3),('500:1.08235486072832',8,260),('500:1.08235486072832',8,58),('500:1.08235486072832',8,14),('500:1.08235486072832',8,140),('500:1.08235486072832',8,301),('500:1.08235486072832',8,114),('500:1.08235486072832',8,262),('500:1.08235486072832',8,403),('500:1.08235486072832',8,406),('500:1.08235486072832',8,146),('500:1.08235486072832',8,224),('500:1.08235486072832',8,109),('500:1.08235486072832',8,31),('500:1.08235486072832',8,296),('500:1.08235486072832',8,463),('500:1.08235486072832',8,126),('500:1.08235486072832',8,167),('500:1.08235486072832',8,147),('500:1.08235486072832',8,499),('500:1.08235486072832',8,217),('500:1.08235486072832',8,405),('500:1.08235486072832',8,433),('500:1.08235486072832',8,144),('500:1.08235486072832',8,367),('500:1.08235486072832',8,294),('500:1.08235486072832',8,176),('500:1.08235486072832',8,10),('500:1.08235486072832',8,392),('500:1.08235486072832',8,178),('500:1.08235486072832',8,242),('500:1.08235486072832',8,125),('500:1.08235486072832',8,470),('500:1.08235486072832',8,272),('500:1.08235486072832',8,323),('500:1.08235486072832',8,376),('500:1.08235486072832',8,80),('500:1.08235486072832',8,121),('500:1.08235486072832',8,78),('500:1.08235486072832',8,61),('500:1.08235486072832',8,131),('500:1.08235486072832',8,57),('500:1.08235486072832',8,72),('500:1.08235486072832',8,265),('500:1.08235486072832',8,342),('500:1.08235486072832',8,244),('500:1.08235486072832',8,456),('500:1.08235486072832',8,105),('500:1.08235486072832',8,102),('500:1.08235486072832',8,177),('500:1.08235486072832',8,443),('500:1.08235486072832',8,157),('500:1.08235486072832',8,228),('500:1.08235486072832',8,59),('500:1.08235486072832',8,302),('500:1.08235486072832',8,487),('500:1.08235486072832',8,231),('500:1.08235486072832',8,467),('500:1.08235486072832',8,393),('500:1.08235486072832',8,5),('500:1.08235486072832',8,198),('500:1.08235486072832',8,258),('500:1.08235486072832',8,139),('500:1.08235486072832',8,275),('500:1.08235486072832',8,191),('500:1.08235486072832',8,336),('500:1.08235486072832',8,133),('500:1.08235486072832',8,461),('500:1.08235486072832',8,281),('500:1.08235486072832',8,371),('500:1.08235486072832',8,9),('500:1.08235486072832',8,30),('500:1.08235486072832',8,297),('500:1.08235486072832',8,402),('500:1.08235486072832',8,13),('500:1.08235486072832',8,473),('500:1.08235486072832',8,287),('500:1.08235486072832',8,438),('500:1.08235486072832',8,429),('500:1.08235486072832',8,357),('500:1.08235486072832',8,12),('500:1.08235486072832',8,390),('500:1.08235486072832',8,235),('500:1.08235486072832',8,227),('500:1.08235486072832',8,141),('500:1.08235486072832',8,24),('500:1.08235486072832',8,397),('500:1.08235486072832',9,49),('500:1.08235486072832',9,489),('500:1.08235486072832',9,205),('500:1.08235486072832',9,256),('500:1.08235486072832',9,259),('500:1.08235486072832',9,302),('500:1.08235486072832',9,186),('500:1.08235486072832',9,492),('500:1.08235486072832',9,294),('500:1.08235486072832',9,274),('500:1.08235486072832',9,359),('500:1.08235486072832',9,414),('500:1.08235486072832',9,275),('500:1.08235486072832',9,267),('500:1.08235486072832',9,75),('500:1.08235486072832',9,218),('500:1.08235486072832',9,15),('500:1.08235486072832',9,408),('500:1.08235486072832',9,168),('500:1.08235486072832',9,380),('500:1.08235486072832',9,339),('500:1.08235486072832',9,485),('500:1.08235486072832',9,445),('500:1.08235486072832',9,431),('500:1.08235486072832',9,265),('500:1.08235486072832',9,53),('500:1.08235486072832',9,140),('500:1.08235486072832',9,151),('500:1.08235486072832',9,58),('500:1.08235486072832',9,427),('500:1.08235486072832',9,344),('500:1.08235486072832',9,471),('500:1.08235486072832',9,457),('500:1.08235486072832',9,246),('500:1.08235486072832',9,403),('500:1.08235486072832',9,301),('500:1.08235486072832',9,328),('500:1.08235486072832',9,453),('500:1.08235486072832',9,203),('500:1.08235486072832',9,399),('500:1.08235486072832',9,458),('500:1.08235486072832',9,462),('500:1.08235486072832',9,306),('500:1.08235486072832',9,376),('500:1.08235486072832',9,107),('500:1.08235486072832',9,377),('500:1.08235486072832',9,342),('500:1.08235486072832',9,20),('500:1.08235486072832',9,394),('500:1.08235486072832',9,490),('500:1.08235486072832',9,161),('500:1.08235486072832',9,305),('500:1.08235486072832',9,280),('500:1.08235486072832',9,79),('500:1.08235486072832',9,435),('500:1.08235486072832',9,260),('500:1.08235486072832',9,248),('500:1.08235486072832',9,245),('500:1.08235486072832',9,172),('500:1.08235486072832',9,479),('500:1.08235486072832',9,386),('500:1.08235486072832',9,296),('500:1.08235486072832',9,68),('500:1.08235486072832',9,365),('500:1.08235486072832',9,263),('500:1.08235486072832',9,211),('500:1.08235486072832',9,198),('500:1.08235486072832',9,321),('500:1.08235486072832',9,439),('500:1.08235486072832',9,194),('500:1.08235486072832',9,361),('500:1.08235486072832',9,496),('500:1.08235486072832',9,244),('500:1.08235486072832',9,217),('500:1.08235486072832',9,117),('500:1.08235486072832',9,330),('500:1.08235486072832',9,269),('500:1.08235486072832',9,144),('500:1.08235486072832',9,130),('500:1.08235486072832',9,17),('500:1.08235486072832',9,422),('500:1.08235486072832',9,109),('500:1.08235486072832',9,5),('500:1.08235486072832',9,47),('500:1.08235486072832',9,241),('500:1.08235486072832',9,308),('500:1.08235486072832',9,290),('500:1.08235486072832',9,66),('500:1.08235486072832',9,456),('500:1.08235486072832',9,300),('500:1.08235486072832',9,230),('500:1.08235486072832',9,91),('500:1.08235486072832',9,187),('500:1.08235486072832',9,145),('500:1.08235486072832',9,449),('500:1.08235486072832',9,11),('500:1.08235486072832',9,491),('500:1.08235486072832',9,277),('500:1.08235486072832',9,202),('500:1.08235486072832',9,23),('2000:1.53081411098240',0,1204),('2000:1.53081411098240',0,1835),('2000:1.53081411098240',0,925),('2000:1.53081411098240',0,1613),('2000:1.53081411098240',0,1422),('2000:1.53081411098240',0,1590),('2000:1.53081411098240',0,121),('2000:1.53081411098240',0,462),('2000:1.53081411098240',0,1183),('2000:1.53081411098240',0,1407),('2000:1.53081411098240',0,1157),('2000:1.53081411098240',0,242),('2000:1.53081411098240',0,789),('2000:1.53081411098240',0,76),('2000:1.53081411098240',0,1087),('2000:1.53081411098240',0,794),('2000:1.53081411098240',0,1472),('2000:1.53081411098240',0,231),('2000:1.53081411098240',0,1836),('2000:1.53081411098240',0,379),('2000:1.53081411098240',0,1978),('2000:1.53081411098240',0,1841),('2000:1.53081411098240',0,1403),('2000:1.53081411098240',0,1218),('2000:1.53081411098240',0,1633),('2000:1.53081411098240',0,856),('2000:1.53081411098240',0,1576),('2000:1.53081411098240',0,1008),('2000:1.53081411098240',0,61),('2000:1.53081411098240',0,722),('2000:1.53081411098240',0,641),('2000:1.53081411098240',0,1775),('2000:1.53081411098240',0,866),('2000:1.53081411098240',0,728),('2000:1.53081411098240',0,1591),('2000:1.53081411098240',0,934),('2000:1.53081411098240',0,833),('2000:1.53081411098240',0,75),('2000:1.53081411098240',0,1647),('2000:1.53081411098240',0,1020),('2000:1.53081411098240',0,1052),('2000:1.53081411098240',0,743),('2000:1.53081411098240',0,947),('2000:1.53081411098240',0,1119),('2000:1.53081411098240',0,291),('2000:1.53081411098240',0,1194),('2000:1.53081411098240',0,1187),('2000:1.53081411098240',0,455),('2000:1.53081411098240',0,1713),('2000:1.53081411098240',0,1031),('2000:1.53081411098240',0,1171),('2000:1.53081411098240',0,1608),('2000:1.53081411098240',0,745),('2000:1.53081411098240',0,1819),('2000:1.53081411098240',0,797),('2000:1.53081411098240',0,255),('2000:1.53081411098240',0,823),('2000:1.53081411098240',0,257),('2000:1.53081411098240',0,1072),('2000:1.53081411098240',0,1595),('2000:1.53081411098240',0,1270),('2000:1.53081411098240',0,1724),('2000:1.53081411098240',0,686),('2000:1.53081411098240',0,1308),('2000:1.53081411098240',0,40),('2000:1.53081411098240',0,1611),('2000:1.53081411098240',0,843),('2000:1.53081411098240',0,1034),('2000:1.53081411098240',0,509),('2000:1.53081411098240',0,1917),('2000:1.53081411098240',0,1174),('2000:1.53081411098240',0,1292),('2000:1.53081411098240',0,1439),('2000:1.53081411098240',0,1929),('2000:1.53081411098240',0,104),('2000:1.53081411098240',0,34),('2000:1.53081411098240',0,798),('2000:1.53081411098240',0,138),('2000:1.53081411098240',0,1852),('2000:1.53081411098240',0,1663),('2000:1.53081411098240',0,567),('2000:1.53081411098240',0,63),('2000:1.53081411098240',0,1358),('2000:1.53081411098240',0,1111),('2000:1.53081411098240',0,1053),('2000:1.53081411098240',0,1740),('2000:1.53081411098240',0,1239),('2000:1.53081411098240',0,162),('2000:1.53081411098240',0,1573),('2000:1.53081411098240',0,864),('2000:1.53081411098240',0,86),('2000:1.53081411098240',0,1816),('2000:1.53081411098240',0,345),('2000:1.53081411098240',0,353),('2000:1.53081411098240',0,1417),('2000:1.53081411098240',0,1229),('2000:1.53081411098240',0,387),('2000:1.53081411098240',0,1604),('2000:1.53081411098240',0,875),('2000:1.53081411098240',0,1217),('2000:1.53081411098240',1,1724),('2000:1.53081411098240',1,665),('2000:1.53081411098240',1,638),('2000:1.53081411098240',1,1950),('2000:1.53081411098240',1,1594),('2000:1.53081411098240',1,1561),('2000:1.53081411098240',1,1060),('2000:1.53081411098240',1,980),('2000:1.53081411098240',1,173),('2000:1.53081411098240',1,1843),('2000:1.53081411098240',1,823),('2000:1.53081411098240',1,546),('2000:1.53081411098240',1,1164),('2000:1.53081411098240',1,1580),('2000:1.53081411098240',1,1290),('2000:1.53081411098240',1,90),('2000:1.53081411098240',1,653),('2000:1.53081411098240',1,1336),('2000:1.53081411098240',1,50),('2000:1.53081411098240',1,1617),('2000:1.53081411098240',1,1971),('2000:1.53081411098240',1,1880),('2000:1.53081411098240',1,1453),('2000:1.53081411098240',1,425),('2000:1.53081411098240',1,1908),('2000:1.53081411098240',1,864),('2000:1.53081411098240',1,1635),('2000:1.53081411098240',1,983),('2000:1.53081411098240',1,1782),('2000:1.53081411098240',1,1183),('2000:1.53081411098240',1,704),('2000:1.53081411098240',1,1462),('2000:1.53081411098240',1,1388),('2000:1.53081411098240',1,1351),('2000:1.53081411098240',1,1069),('2000:1.53081411098240',1,1848),('2000:1.53081411098240',1,966),('2000:1.53081411098240',1,779),('2000:1.53081411098240',1,300),('2000:1.53081411098240',1,242),('2000:1.53081411098240',1,142),('2000:1.53081411098240',1,48),('2000:1.53081411098240',1,1524),('2000:1.53081411098240',1,1484),('2000:1.53081411098240',1,314),('2000:1.53081411098240',1,257),('2000:1.53081411098240',1,501),('2000:1.53081411098240',1,1475),('2000:1.53081411098240',1,1408),('2000:1.53081411098240',1,821),('2000:1.53081411098240',1,1154),('2000:1.53081411098240',1,1720),('2000:1.53081411098240',1,785),('2000:1.53081411098240',1,645),('2000:1.53081411098240',1,625),('2000:1.53081411098240',1,1225),('2000:1.53081411098240',1,756),('2000:1.53081411098240',1,406),('2000:1.53081411098240',1,156),('2000:1.53081411098240',1,227),('2000:1.53081411098240',1,641),('2000:1.53081411098240',1,773),('2000:1.53081411098240',1,1595),('2000:1.53081411098240',1,144),('2000:1.53081411098240',1,709),('2000:1.53081411098240',1,1202),('2000:1.53081411098240',1,1616),('2000:1.53081411098240',1,715),('2000:1.53081411098240',1,744),('2000:1.53081411098240',1,1005),('2000:1.53081411098240',1,46),('2000:1.53081411098240',1,889),('2000:1.53081411098240',1,1429),('2000:1.53081411098240',1,947),('2000:1.53081411098240',1,1194),('2000:1.53081411098240',1,1248),('2000:1.53081411098240',1,372),('2000:1.53081411098240',1,1879),('2000:1.53081411098240',1,1175),('2000:1.53081411098240',1,1910),('2000:1.53081411098240',1,1995),('2000:1.53081411098240',1,595),('2000:1.53081411098240',1,1297),('2000:1.53081411098240',1,1687),('2000:1.53081411098240',1,728),('2000:1.53081411098240',1,1790),('2000:1.53081411098240',1,630),('2000:1.53081411098240',1,307),('2000:1.53081411098240',1,870),('2000:1.53081411098240',1,986),('2000:1.53081411098240',1,509),('2000:1.53081411098240',1,950),('2000:1.53081411098240',1,687),('2000:1.53081411098240',1,743),('2000:1.53081411098240',1,747),('2000:1.53081411098240',1,272),('2000:1.53081411098240',1,1652),('2000:1.53081411098240',1,262),('2000:1.53081411098240',1,786),('2000:1.53081411098240',1,725),('2000:1.53081411098240',2,1912),('2000:1.53081411098240',2,798),('2000:1.53081411098240',2,315),('2000:1.53081411098240',2,461),('2000:1.53081411098240',2,1303),('2000:1.53081411098240',2,337),('2000:1.53081411098240',2,1335),('2000:1.53081411098240',2,903),('2000:1.53081411098240',2,990),('2000:1.53081411098240',2,350),('2000:1.53081411098240',2,961),('2000:1.53081411098240',2,1704),('2000:1.53081411098240',2,35),('2000:1.53081411098240',2,1220),('2000:1.53081411098240',2,639),('2000:1.53081411098240',2,1882),('2000:1.53081411098240',2,1873),('2000:1.53081411098240',2,243),('2000:1.53081411098240',2,399),('2000:1.53081411098240',2,868),('2000:1.53081411098240',2,1743),('2000:1.53081411098240',2,1806),('2000:1.53081411098240',2,710),('2000:1.53081411098240',2,1012),('2000:1.53081411098240',2,95),('2000:1.53081411098240',2,1596),('2000:1.53081411098240',2,1109),('2000:1.53081411098240',2,1328),('2000:1.53081411098240',2,1630),('2000:1.53081411098240',2,37),('2000:1.53081411098240',2,247),('2000:1.53081411098240',2,450),('2000:1.53081411098240',2,569),('2000:1.53081411098240',2,1519),('2000:1.53081411098240',2,1412),('2000:1.53081411098240',2,1427),('2000:1.53081411098240',2,953),('2000:1.53081411098240',2,1059),('2000:1.53081411098240',2,672),('2000:1.53081411098240',2,652),('2000:1.53081411098240',2,68),('2000:1.53081411098240',2,1793),('2000:1.53081411098240',2,377),('2000:1.53081411098240',2,291),('2000:1.53081411098240',2,1794),('2000:1.53081411098240',2,358),('2000:1.53081411098240',2,105),('2000:1.53081411098240',2,1343),('2000:1.53081411098240',2,1119),('2000:1.53081411098240',2,1002),('2000:1.53081411098240',2,1237),('2000:1.53081411098240',2,1389),('2000:1.53081411098240',2,612),('2000:1.53081411098240',2,150),('2000:1.53081411098240',2,1615),('2000:1.53081411098240',2,287),('2000:1.53081411098240',2,1499),('2000:1.53081411098240',2,1432),('2000:1.53081411098240',2,1314),('2000:1.53081411098240',2,835),('2000:1.53081411098240',2,537),('2000:1.53081411098240',2,761),('2000:1.53081411098240',2,1420),('2000:1.53081411098240',2,1521),('2000:1.53081411098240',2,1496),('2000:1.53081411098240',2,1570),('2000:1.53081411098240',2,740),('2000:1.53081411098240',2,301),('2000:1.53081411098240',2,1758),('2000:1.53081411098240',2,1600),('2000:1.53081411098240',2,400),('2000:1.53081411098240',2,1224),('2000:1.53081411098240',2,538),('2000:1.53081411098240',2,1196),('2000:1.53081411098240',2,193),('2000:1.53081411098240',2,462),('2000:1.53081411098240',2,133),('2000:1.53081411098240',2,570),('2000:1.53081411098240',2,444),('2000:1.53081411098240',2,1604),('2000:1.53081411098240',2,1729),('2000:1.53081411098240',2,1809),('2000:1.53081411098240',2,601),('2000:1.53081411098240',2,1783),('2000:1.53081411098240',2,5),('2000:1.53081411098240',2,357),('2000:1.53081411098240',2,1053),('2000:1.53081411098240',2,833),('2000:1.53081411098240',2,67),('2000:1.53081411098240',2,1712),('2000:1.53081411098240',2,802),('2000:1.53081411098240',2,1132),('2000:1.53081411098240',2,1795),('2000:1.53081411098240',2,1853),('2000:1.53081411098240',2,204),('2000:1.53081411098240',2,1642),('2000:1.53081411098240',2,431),('2000:1.53081411098240',2,1774),('2000:1.53081411098240',2,527),('2000:1.53081411098240',2,1145),('2000:1.53081411098240',3,1701),('2000:1.53081411098240',3,263),('2000:1.53081411098240',3,550),('2000:1.53081411098240',3,173),('2000:1.53081411098240',3,687),('2000:1.53081411098240',3,1973),('2000:1.53081411098240',3,1617),('2000:1.53081411098240',3,777),('2000:1.53081411098240',3,930),('2000:1.53081411098240',3,859),('2000:1.53081411098240',3,1649),('2000:1.53081411098240',3,812),('2000:1.53081411098240',3,965),('2000:1.53081411098240',3,271),('2000:1.53081411098240',3,1465),('2000:1.53081411098240',3,943),('2000:1.53081411098240',3,664),('2000:1.53081411098240',3,1163),('2000:1.53081411098240',3,1116),('2000:1.53081411098240',3,275),('2000:1.53081411098240',3,715),('2000:1.53081411098240',3,1329),('2000:1.53081411098240',3,304),('2000:1.53081411098240',3,1281),('2000:1.53081411098240',3,1484),('2000:1.53081411098240',3,483),('2000:1.53081411098240',3,1182),('2000:1.53081411098240',3,1552),('2000:1.53081411098240',3,959),('2000:1.53081411098240',3,585),('2000:1.53081411098240',3,100),('2000:1.53081411098240',3,842),('2000:1.53081411098240',3,1042),('2000:1.53081411098240',3,885),('2000:1.53081411098240',3,1274),('2000:1.53081411098240',3,1057),('2000:1.53081411098240',3,1877),('2000:1.53081411098240',3,1810),('2000:1.53081411098240',3,28),('2000:1.53081411098240',3,97),('2000:1.53081411098240',3,1316),('2000:1.53081411098240',3,135),('2000:1.53081411098240',3,1836),('2000:1.53081411098240',3,1306),('2000:1.53081411098240',3,155),('2000:1.53081411098240',3,1695),('2000:1.53081411098240',3,644),('2000:1.53081411098240',3,440),('2000:1.53081411098240',3,1542),('2000:1.53081411098240',3,80),('2000:1.53081411098240',3,1272),('2000:1.53081411098240',3,1408),('2000:1.53081411098240',3,1686),('2000:1.53081411098240',3,1913),('2000:1.53081411098240',3,125),('2000:1.53081411098240',3,1312),('2000:1.53081411098240',3,629),('2000:1.53081411098240',3,1199),('2000:1.53081411098240',3,1241),('2000:1.53081411098240',3,1717),('2000:1.53081411098240',3,712),('2000:1.53081411098240',3,467),('2000:1.53081411098240',3,1612),('2000:1.53081411098240',3,1914),('2000:1.53081411098240',3,1232),('2000:1.53081411098240',3,202),('2000:1.53081411098240',3,690),('2000:1.53081411098240',3,819),('2000:1.53081411098240',3,763),('2000:1.53081411098240',3,1849),('2000:1.53081411098240',3,605),('2000:1.53081411098240',3,318),('2000:1.53081411098240',3,511),('2000:1.53081411098240',3,646),('2000:1.53081411098240',3,1567),('2000:1.53081411098240',3,1948),('2000:1.53081411098240',3,1315),('2000:1.53081411098240',3,1741),('2000:1.53081411098240',3,1410),('2000:1.53081411098240',3,1708),('2000:1.53081411098240',3,611),('2000:1.53081411098240',3,1934),('2000:1.53081411098240',3,650),('2000:1.53081411098240',3,983),('2000:1.53081411098240',3,1369),('2000:1.53081411098240',3,1490),('2000:1.53081411098240',3,1170),('2000:1.53081411098240',3,979),('2000:1.53081411098240',3,1441),('2000:1.53081411098240',3,1785),('2000:1.53081411098240',3,720),('2000:1.53081411098240',3,774),('2000:1.53081411098240',3,1919),('2000:1.53081411098240',3,840),('2000:1.53081411098240',3,1916),('2000:1.53081411098240',3,482),('2000:1.53081411098240',3,602),('2000:1.53081411098240',3,367),('2000:1.53081411098240',3,1947),('2000:1.53081411098240',3,297),('2000:1.53081411098240',4,1645),('2000:1.53081411098240',4,1299),('2000:1.53081411098240',4,1525),('2000:1.53081411098240',4,381),('2000:1.53081411098240',4,995),('2000:1.53081411098240',4,1249),('2000:1.53081411098240',4,1106),('2000:1.53081411098240',4,993),('2000:1.53081411098240',4,646),('2000:1.53081411098240',4,1457),('2000:1.53081411098240',4,1632),('2000:1.53081411098240',4,1633),('2000:1.53081411098240',4,1983),('2000:1.53081411098240',4,832),('2000:1.53081411098240',4,1397),('2000:1.53081411098240',4,238),('2000:1.53081411098240',4,1351),('2000:1.53081411098240',4,1812),('2000:1.53081411098240',4,513),('2000:1.53081411098240',4,1183),('2000:1.53081411098240',4,763),('2000:1.53081411098240',4,822),('2000:1.53081411098240',4,1627),('2000:1.53081411098240',4,1112),('2000:1.53081411098240',4,1653),('2000:1.53081411098240',4,1164),('2000:1.53081411098240',4,921),('2000:1.53081411098240',4,76),('2000:1.53081411098240',4,462),('2000:1.53081411098240',4,441),('2000:1.53081411098240',4,896),('2000:1.53081411098240',4,1036),('2000:1.53081411098240',4,1227),('2000:1.53081411098240',4,704),('2000:1.53081411098240',4,1574),('2000:1.53081411098240',4,1294),('2000:1.53081411098240',4,825),('2000:1.53081411098240',4,162),('2000:1.53081411098240',4,1026),('2000:1.53081411098240',4,392),('2000:1.53081411098240',4,807),('2000:1.53081411098240',4,1722),('2000:1.53081411098240',4,112),('2000:1.53081411098240',4,1272),('2000:1.53081411098240',4,526),('2000:1.53081411098240',4,492),('2000:1.53081411098240',4,181),('2000:1.53081411098240',4,1281),('2000:1.53081411098240',4,1384),('2000:1.53081411098240',4,380),('2000:1.53081411098240',4,1973),('2000:1.53081411098240',4,1837),('2000:1.53081411098240',4,242),('2000:1.53081411098240',4,1128),('2000:1.53081411098240',4,1691),('2000:1.53081411098240',4,695),('2000:1.53081411098240',4,276),('2000:1.53081411098240',4,1855),('2000:1.53081411098240',4,1319),('2000:1.53081411098240',4,1370),('2000:1.53081411098240',4,1732),('2000:1.53081411098240',4,1889),('2000:1.53081411098240',4,913),('2000:1.53081411098240',4,1657),('2000:1.53081411098240',4,1579),('2000:1.53081411098240',4,1266),('2000:1.53081411098240',4,508),('2000:1.53081411098240',4,1975),('2000:1.53081411098240',4,36),('2000:1.53081411098240',4,488),('2000:1.53081411098240',4,575),('2000:1.53081411098240',4,1176),('2000:1.53081411098240',4,834),('2000:1.53081411098240',4,189),('2000:1.53081411098240',4,1874),('2000:1.53081411098240',4,1887),('2000:1.53081411098240',4,1077),('2000:1.53081411098240',4,1228),('2000:1.53081411098240',4,1618),('2000:1.53081411098240',4,1004),('2000:1.53081411098240',4,406),('2000:1.53081411098240',4,823),('2000:1.53081411098240',4,1746),('2000:1.53081411098240',4,439),('2000:1.53081411098240',4,1366),('2000:1.53081411098240',4,815),('2000:1.53081411098240',4,28),('2000:1.53081411098240',4,1582),('2000:1.53081411098240',4,434),('2000:1.53081411098240',4,589),('2000:1.53081411098240',4,797),('2000:1.53081411098240',4,621),('2000:1.53081411098240',4,912),('2000:1.53081411098240',4,408),('2000:1.53081411098240',4,1451),('2000:1.53081411098240',4,650),('2000:1.53081411098240',4,821),('2000:1.53081411098240',4,856),('2000:1.53081411098240',4,611),('2000:1.53081411098240',4,55),('2000:1.53081411098240',5,282),('2000:1.53081411098240',5,1092),('2000:1.53081411098240',5,1374),('2000:1.53081411098240',5,1270),('2000:1.53081411098240',5,1902),('2000:1.53081411098240',5,493),('2000:1.53081411098240',5,809),('2000:1.53081411098240',5,845),('2000:1.53081411098240',5,1166),('2000:1.53081411098240',5,1910),('2000:1.53081411098240',5,1711),('2000:1.53081411098240',5,56),('2000:1.53081411098240',5,250),('2000:1.53081411098240',5,478),('2000:1.53081411098240',5,564),('2000:1.53081411098240',5,150),('2000:1.53081411098240',5,42),('2000:1.53081411098240',5,660),('2000:1.53081411098240',5,1828),('2000:1.53081411098240',5,576),('2000:1.53081411098240',5,1012),('2000:1.53081411098240',5,1884),('2000:1.53081411098240',5,994),('2000:1.53081411098240',5,1019),('2000:1.53081411098240',5,1568),('2000:1.53081411098240',5,1165),('2000:1.53081411098240',5,381),('2000:1.53081411098240',5,883),('2000:1.53081411098240',5,1192),('2000:1.53081411098240',5,1627),('2000:1.53081411098240',5,466),('2000:1.53081411098240',5,910),('2000:1.53081411098240',5,1176),('2000:1.53081411098240',5,1691),('2000:1.53081411098240',5,1285),('2000:1.53081411098240',5,943),('2000:1.53081411098240',5,1409),('2000:1.53081411098240',5,1086),('2000:1.53081411098240',5,649),('2000:1.53081411098240',5,1730),('2000:1.53081411098240',5,1635),('2000:1.53081411098240',5,921),('2000:1.53081411098240',5,218),('2000:1.53081411098240',5,961),('2000:1.53081411098240',5,1377),('2000:1.53081411098240',5,793),('2000:1.53081411098240',5,761),('2000:1.53081411098240',5,1790),('2000:1.53081411098240',5,1517),('2000:1.53081411098240',5,448),('2000:1.53081411098240',5,832),('2000:1.53081411098240',5,291),('2000:1.53081411098240',5,1135),('2000:1.53081411098240',5,1796),('2000:1.53081411098240',5,422),('2000:1.53081411098240',5,1735),('2000:1.53081411098240',5,1938),('2000:1.53081411098240',5,532),('2000:1.53081411098240',5,1699),('2000:1.53081411098240',5,1587),('2000:1.53081411098240',5,516),('2000:1.53081411098240',5,617),('2000:1.53081411098240',5,389),('2000:1.53081411098240',5,1096),('2000:1.53081411098240',5,408),('2000:1.53081411098240',5,909),('2000:1.53081411098240',5,1235),('2000:1.53081411098240',5,1765),('2000:1.53081411098240',5,1526),('2000:1.53081411098240',5,593),('2000:1.53081411098240',5,275),('2000:1.53081411098240',5,651),('2000:1.53081411098240',5,426),('2000:1.53081411098240',5,362),('2000:1.53081411098240',5,378),('2000:1.53081411098240',5,1117),('2000:1.53081411098240',5,175),('2000:1.53081411098240',5,979),('2000:1.53081411098240',5,706),('2000:1.53081411098240',5,558),('2000:1.53081411098240',5,957),('2000:1.53081411098240',5,1511),('2000:1.53081411098240',5,1781),('2000:1.53081411098240',5,287),('2000:1.53081411098240',5,1121),('2000:1.53081411098240',5,522),('2000:1.53081411098240',5,1047),('2000:1.53081411098240',5,1036),('2000:1.53081411098240',5,1134),('2000:1.53081411098240',5,1942),('2000:1.53081411098240',5,1812),('2000:1.53081411098240',5,1026),('2000:1.53081411098240',5,1474),('2000:1.53081411098240',5,200),('2000:1.53081411098240',5,753),('2000:1.53081411098240',5,1549),('2000:1.53081411098240',5,1793),('2000:1.53081411098240',5,692),('2000:1.53081411098240',5,719),('2000:1.53081411098240',5,1831),('2000:1.53081411098240',6,1550),('2000:1.53081411098240',6,1363),('2000:1.53081411098240',6,238),('2000:1.53081411098240',6,91),('2000:1.53081411098240',6,1823),('2000:1.53081411098240',6,1802),('2000:1.53081411098240',6,861),('2000:1.53081411098240',6,707),('2000:1.53081411098240',6,931),('2000:1.53081411098240',6,1688),('2000:1.53081411098240',6,270),('2000:1.53081411098240',6,1805),('2000:1.53081411098240',6,1128),('2000:1.53081411098240',6,714),('2000:1.53081411098240',6,404),('2000:1.53081411098240',6,292),('2000:1.53081411098240',6,1701),('2000:1.53081411098240',6,916),('2000:1.53081411098240',6,527),('2000:1.53081411098240',6,326),('2000:1.53081411098240',6,1452),('2000:1.53081411098240',6,199),('2000:1.53081411098240',6,1904),('2000:1.53081411098240',6,667),('2000:1.53081411098240',6,943),('2000:1.53081411098240',6,22),('2000:1.53081411098240',6,630),('2000:1.53081411098240',6,1634),('2000:1.53081411098240',6,806),('2000:1.53081411098240',6,24),('2000:1.53081411098240',6,158),('2000:1.53081411098240',6,421),('2000:1.53081411098240',6,1695),('2000:1.53081411098240',6,866),('2000:1.53081411098240',6,1036),('2000:1.53081411098240',6,548),('2000:1.53081411098240',6,1155),('2000:1.53081411098240',6,1790),('2000:1.53081411098240',6,878),('2000:1.53081411098240',6,1808),('2000:1.53081411098240',6,1941),('2000:1.53081411098240',6,1327),('2000:1.53081411098240',6,990),('2000:1.53081411098240',6,857),('2000:1.53081411098240',6,1903),('2000:1.53081411098240',6,1821),('2000:1.53081411098240',6,507),('2000:1.53081411098240',6,169),('2000:1.53081411098240',6,140),('2000:1.53081411098240',6,1455),('2000:1.53081411098240',6,702),('2000:1.53081411098240',6,952),('2000:1.53081411098240',6,1132),('2000:1.53081411098240',6,374),('2000:1.53081411098240',6,616),('2000:1.53081411098240',6,637),('2000:1.53081411098240',6,397),('2000:1.53081411098240',6,1602),('2000:1.53081411098240',6,664),('2000:1.53081411098240',6,1197),('2000:1.53081411098240',6,689),('2000:1.53081411098240',6,1645),('2000:1.53081411098240',6,997),('2000:1.53081411098240',6,1562),('2000:1.53081411098240',6,1676),('2000:1.53081411098240',6,1569),('2000:1.53081411098240',6,713),('2000:1.53081411098240',6,1394),('2000:1.53081411098240',6,370),('2000:1.53081411098240',6,95),('2000:1.53081411098240',6,1529),('2000:1.53081411098240',6,1610),('2000:1.53081411098240',6,1860),('2000:1.53081411098240',6,1977),('2000:1.53081411098240',6,632),('2000:1.53081411098240',6,817),('2000:1.53081411098240',6,882),('2000:1.53081411098240',6,1866),('2000:1.53081411098240',6,420),('2000:1.53081411098240',6,1401),('2000:1.53081411098240',6,1045),('2000:1.53081411098240',6,1144),('2000:1.53081411098240',6,1172),('2000:1.53081411098240',6,263),('2000:1.53081411098240',6,1235),('2000:1.53081411098240',6,1126),('2000:1.53081411098240',6,752),('2000:1.53081411098240',6,1285),('2000:1.53081411098240',6,1162),('2000:1.53081411098240',6,748),('2000:1.53081411098240',6,1193),('2000:1.53081411098240',6,584),('2000:1.53081411098240',6,549),('2000:1.53081411098240',6,648),('2000:1.53081411098240',6,547),('2000:1.53081411098240',6,832),('2000:1.53081411098240',6,1212),('2000:1.53081411098240',6,1222),('2000:1.53081411098240',6,711),('2000:1.53081411098240',6,1958),('2000:1.53081411098240',7,498),('2000:1.53081411098240',7,605),('2000:1.53081411098240',7,663),('2000:1.53081411098240',7,420),('2000:1.53081411098240',7,1622),('2000:1.53081411098240',7,622),('2000:1.53081411098240',7,490),('2000:1.53081411098240',7,1835),('2000:1.53081411098240',7,780),('2000:1.53081411098240',7,1506),('2000:1.53081411098240',7,813),('2000:1.53081411098240',7,1135),('2000:1.53081411098240',7,1666),('2000:1.53081411098240',7,1888),('2000:1.53081411098240',7,74),('2000:1.53081411098240',7,182),('2000:1.53081411098240',7,1849),('2000:1.53081411098240',7,334),('2000:1.53081411098240',7,236),('2000:1.53081411098240',7,1341),('2000:1.53081411098240',7,322),('2000:1.53081411098240',7,1266),('2000:1.53081411098240',7,1182),('2000:1.53081411098240',7,1568),('2000:1.53081411098240',7,175),('2000:1.53081411098240',7,1021),('2000:1.53081411098240',7,849),('2000:1.53081411098240',7,949),('2000:1.53081411098240',7,1946),('2000:1.53081411098240',7,1272),('2000:1.53081411098240',7,1829),('2000:1.53081411098240',7,970),('2000:1.53081411098240',7,1711),('2000:1.53081411098240',7,668),('2000:1.53081411098240',7,1948),('2000:1.53081411098240',7,478),('2000:1.53081411098240',7,471),('2000:1.53081411098240',7,739),('2000:1.53081411098240',7,1772),('2000:1.53081411098240',7,422),('2000:1.53081411098240',7,1754),('2000:1.53081411098240',7,1500),('2000:1.53081411098240',7,160),('2000:1.53081411098240',7,1058),('2000:1.53081411098240',7,223),('2000:1.53081411098240',7,349),('2000:1.53081411098240',7,178),('2000:1.53081411098240',7,976),('2000:1.53081411098240',7,282),('2000:1.53081411098240',7,903),('2000:1.53081411098240',7,843),('2000:1.53081411098240',7,1920),('2000:1.53081411098240',7,339),('2000:1.53081411098240',7,398),('2000:1.53081411098240',7,1678),('2000:1.53081411098240',7,1511),('2000:1.53081411098240',7,287),('2000:1.53081411098240',7,1204),('2000:1.53081411098240',7,1386),('2000:1.53081411098240',7,900),('2000:1.53081411098240',7,1792),('2000:1.53081411098240',7,1376),('2000:1.53081411098240',7,1064),('2000:1.53081411098240',7,392),('2000:1.53081411098240',7,1623),('2000:1.53081411098240',7,1241),('2000:1.53081411098240',7,324),('2000:1.53081411098240',7,1898),('2000:1.53081411098240',7,784),('2000:1.53081411098240',7,374),('2000:1.53081411098240',7,686),('2000:1.53081411098240',7,574),('2000:1.53081411098240',7,1883),('2000:1.53081411098240',7,1783),('2000:1.53081411098240',7,234),('2000:1.53081411098240',7,454),('2000:1.53081411098240',7,200),('2000:1.53081411098240',7,593),('2000:1.53081411098240',7,1872),('2000:1.53081411098240',7,1326),('2000:1.53081411098240',7,608),('2000:1.53081411098240',7,788),('2000:1.53081411098240',7,1725),('2000:1.53081411098240',7,1609),('2000:1.53081411098240',7,295),('2000:1.53081411098240',7,1446),('2000:1.53081411098240',7,1816),('2000:1.53081411098240',7,1496),('2000:1.53081411098240',7,1276),('2000:1.53081411098240',7,1227),('2000:1.53081411098240',7,1291),('2000:1.53081411098240',7,1600),('2000:1.53081411098240',7,1171),('2000:1.53081411098240',7,1987),('2000:1.53081411098240',7,1685),('2000:1.53081411098240',7,1320),('2000:1.53081411098240',7,308),('2000:1.53081411098240',7,1238),('2000:1.53081411098240',7,205),('2000:1.53081411098240',7,443),('2000:1.53081411098240',8,1574),('2000:1.53081411098240',8,777),('2000:1.53081411098240',8,1069),('2000:1.53081411098240',8,1413),('2000:1.53081411098240',8,690),('2000:1.53081411098240',8,767),('2000:1.53081411098240',8,343),('2000:1.53081411098240',8,595),('2000:1.53081411098240',8,1227),('2000:1.53081411098240',8,1582),('2000:1.53081411098240',8,274),('2000:1.53081411098240',8,1278),('2000:1.53081411098240',8,869),('2000:1.53081411098240',8,1381),('2000:1.53081411098240',8,48),('2000:1.53081411098240',8,822),('2000:1.53081411098240',8,1011),('2000:1.53081411098240',8,304),('2000:1.53081411098240',8,1899),('2000:1.53081411098240',8,1976),('2000:1.53081411098240',8,1833),('2000:1.53081411098240',8,1135),('2000:1.53081411098240',8,1031),('2000:1.53081411098240',8,973),('2000:1.53081411098240',8,1739),('2000:1.53081411098240',8,1485),('2000:1.53081411098240',8,993),('2000:1.53081411098240',8,483),('2000:1.53081411098240',8,1999),('2000:1.53081411098240',8,90),('2000:1.53081411098240',8,1813),('2000:1.53081411098240',8,1384),('2000:1.53081411098240',8,1456),('2000:1.53081411098240',8,606),('2000:1.53081411098240',8,1365),('2000:1.53081411098240',8,346),('2000:1.53081411098240',8,1632),('2000:1.53081411098240',8,707),('2000:1.53081411098240',8,1435),('2000:1.53081411098240',8,1122),('2000:1.53081411098240',8,602),('2000:1.53081411098240',8,28),('2000:1.53081411098240',8,1499),('2000:1.53081411098240',8,1798),('2000:1.53081411098240',8,221),('2000:1.53081411098240',8,12),('2000:1.53081411098240',8,1975),('2000:1.53081411098240',8,1802),('2000:1.53081411098240',8,575),('2000:1.53081411098240',8,1698),('2000:1.53081411098240',8,1344),('2000:1.53081411098240',8,1583),('2000:1.53081411098240',8,634),('2000:1.53081411098240',8,1448),('2000:1.53081411098240',8,1093),('2000:1.53081411098240',8,1980),('2000:1.53081411098240',8,124),('2000:1.53081411098240',8,342),('2000:1.53081411098240',8,421),('2000:1.53081411098240',8,1524),('2000:1.53081411098240',8,646),('2000:1.53081411098240',8,1649),('2000:1.53081411098240',8,358),('2000:1.53081411098240',8,1224),('2000:1.53081411098240',8,1695),('2000:1.53081411098240',8,460),('2000:1.53081411098240',8,1106),('2000:1.53081411098240',8,551),('2000:1.53081411098240',8,87),('2000:1.53081411098240',8,368),('2000:1.53081411098240',8,1001),('2000:1.53081411098240',8,593),('2000:1.53081411098240',8,730),('2000:1.53081411098240',8,258),('2000:1.53081411098240',8,754),('2000:1.53081411098240',8,1753),('2000:1.53081411098240',8,1818),('2000:1.53081411098240',8,1073),('2000:1.53081411098240',8,1652),('2000:1.53081411098240',8,693),('2000:1.53081411098240',8,1891),('2000:1.53081411098240',8,329),('2000:1.53081411098240',8,1388),('2000:1.53081411098240',8,1398),('2000:1.53081411098240',8,1666),('2000:1.53081411098240',8,1120),('2000:1.53081411098240',8,85),('2000:1.53081411098240',8,1319),('2000:1.53081411098240',8,1629),('2000:1.53081411098240',8,828),('2000:1.53081411098240',8,1817),('2000:1.53081411098240',8,1416),('2000:1.53081411098240',8,1591),('2000:1.53081411098240',8,1680),('2000:1.53081411098240',8,1778),('2000:1.53081411098240',8,413),('2000:1.53081411098240',8,1651),('2000:1.53081411098240',8,667),('2000:1.53081411098240',8,1003),('2000:1.53081411098240',8,1791),('2000:1.53081411098240',9,1086),('2000:1.53081411098240',9,124),('2000:1.53081411098240',9,1937),('2000:1.53081411098240',9,805),('2000:1.53081411098240',9,452),('2000:1.53081411098240',9,121),('2000:1.53081411098240',9,147),('2000:1.53081411098240',9,796),('2000:1.53081411098240',9,226),('2000:1.53081411098240',9,1195),('2000:1.53081411098240',9,155),('2000:1.53081411098240',9,1428),('2000:1.53081411098240',9,608),('2000:1.53081411098240',9,1047),('2000:1.53081411098240',9,718),('2000:1.53081411098240',9,855),('2000:1.53081411098240',9,1026),('2000:1.53081411098240',9,1882),('2000:1.53081411098240',9,789),('2000:1.53081411098240',9,357),('2000:1.53081411098240',9,1753),('2000:1.53081411098240',9,1167),('2000:1.53081411098240',9,1532),('2000:1.53081411098240',9,378),('2000:1.53081411098240',9,957),('2000:1.53081411098240',9,1946),('2000:1.53081411098240',9,918),('2000:1.53081411098240',9,1093),('2000:1.53081411098240',9,1981),('2000:1.53081411098240',9,1918),('2000:1.53081411098240',9,1623),('2000:1.53081411098240',9,1496),('2000:1.53081411098240',9,277),('2000:1.53081411098240',9,605),('2000:1.53081411098240',9,321),('2000:1.53081411098240',9,195),('2000:1.53081411098240',9,265),('2000:1.53081411098240',9,1246),('2000:1.53081411098240',9,749),('2000:1.53081411098240',9,1970),('2000:1.53081411098240',9,1392),('2000:1.53081411098240',9,871),('2000:1.53081411098240',9,1309),('2000:1.53081411098240',9,1038),('2000:1.53081411098240',9,1273),('2000:1.53081411098240',9,1540),('2000:1.53081411098240',9,339),('2000:1.53081411098240',9,1001),('2000:1.53081411098240',9,1369),('2000:1.53081411098240',9,1831),('2000:1.53081411098240',9,824),('2000:1.53081411098240',9,1500),('2000:1.53081411098240',9,1766),('2000:1.53081411098240',9,1738),('2000:1.53081411098240',9,1396),('2000:1.53081411098240',9,699),('2000:1.53081411098240',9,334),('2000:1.53081411098240',9,1719),('2000:1.53081411098240',9,1356),('2000:1.53081411098240',9,922),('2000:1.53081411098240',9,10),('2000:1.53081411098240',9,1470),('2000:1.53081411098240',9,1044),('2000:1.53081411098240',9,999),('2000:1.53081411098240',9,976),('2000:1.53081411098240',9,1521),('2000:1.53081411098240',9,951),('2000:1.53081411098240',9,779),('2000:1.53081411098240',9,1469),('2000:1.53081411098240',9,1608),('2000:1.53081411098240',9,1780),('2000:1.53081411098240',9,435),('2000:1.53081411098240',9,7),('2000:1.53081411098240',9,74),('2000:1.53081411098240',9,1682),('2000:1.53081411098240',9,593),('2000:1.53081411098240',9,1377),('2000:1.53081411098240',9,1114),('2000:1.53081411098240',9,398),('2000:1.53081411098240',9,235),('2000:1.53081411098240',9,239),('2000:1.53081411098240',9,1643),('2000:1.53081411098240',9,1413),('2000:1.53081411098240',9,1689),('2000:1.53081411098240',9,493),('2000:1.53081411098240',9,910),('2000:1.53081411098240',9,852),('2000:1.53081411098240',9,374),('2000:1.53081411098240',9,40),('2000:1.53081411098240',9,488),('2000:1.53081411098240',9,1906),('2000:1.53081411098240',9,553),('2000:1.53081411098240',9,720),('2000:1.53081411098240',9,1258),('2000:1.53081411098240',9,1998),('2000:1.53081411098240',9,1518),('2000:1.53081411098240',9,851),('2000:1.53081411098240',9,978),('2000:1.53081411098240',9,1557),('2000:1.53081411098240',9,1807)"
+
+
+def _pinned_candidate_oracle(pins: str) -> str:
+    """Shared oracle tail of ext_knn_pq / ext_knn_ivfpq: candidates
+    come from the fixture pins (selected by the exact DECIMAL corpus
+    fingerprint), the exact cosine re-score and (score desc,
+    neighbor_id) top-k replay in SQL — so the driver row grades the
+    approximate candidate generation against the reference pins AND
+    the exact re-rank end-to-end."""
+    return f"""WITH fp AS (SELECT CAST(COUNT(*) AS VARCHAR) || ':' ||
+                   CAST(SUM(CAST(embedding[1] AS DECIMAL(28,14))) AS VARCHAR) AS v
+            FROM embeddings),
+ pins(corpus_fp, query_id, neighbor_id) AS (VALUES {pins}),
+ c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+ cand AS (SELECT query_id, neighbor_id FROM pins, fp WHERE corpus_fp = fp.v),
+ scored AS (SELECT cand.query_id, cand.neighbor_id,
+                   FLOOR(list_cosine_similarity(eq.emb, ec.emb) * 10000.0 + 0.5)
+                     / 10000.0 AS score
+            FROM cand JOIN c eq ON eq.vec_id = cand.query_id
+                      JOIN c ec ON ec.vec_id = cand.neighbor_id),
+ ranked AS (SELECT query_id, neighbor_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored)
+SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= {K_NEIGHBORS}"""
+
+
+@ext_query("ext_knn_pq", _pinned_candidate_oracle(_PQ_CANDIDATE_PINS))  # + recall pytests
+
 def ext_knn_pq(spark, sf_dir):
     """PQ ANN with asymmetric distance computation (ADC) + exact
     re-rank: queries build per-subspace inner-product tables against
@@ -1110,7 +1159,7 @@ def ext_knn_pq(spark, sf_dir):
     return _adc_rerank(cand, e, q, _PQ_RERANK)
 
 
-@ext_query("ext_knn_ivfpq")  # recall-tested in pytest against brute force
+@ext_query("ext_knn_ivfpq", _pinned_candidate_oracle(_IVFPQ_CANDIDATE_PINS))  # + recall pytests
 def ext_knn_ivfpq(spark, sf_dir):
     """IVF+PQ (IVFADC — the FAISS production architecture): coarse
     cells bound WHICH rows are scored, PQ codes bound the BYTES each
@@ -1518,7 +1567,46 @@ def ext_hybrid_search(spark, sf_dir):
     )
 
 
-@ext_query("ext_dedup_semantic")  # recall-tested vs the brute baseline
+def _semantic_dedup_oracle() -> str:
+    """DuckDB oracle for ext_dedup_semantic: replay the 2-cell coarse
+    quantization under the SAME pinned centroids as ext_knn_ivf, pair
+    within shared cells (v1 < v2, distinct), then the raw-cosine
+    threshold gate and 1e-4 rounding. Engine stability is measured on
+    the frozen fixture ladder (r10): the 2nd-vs-3rd probe-cell margin
+    is >= 4.5e-6 and the nearest in-cell pair cosine sits >= 7.8e-6
+    from the 0.35 threshold — both 8 orders above the ~1e-14
+    cross-engine summation noise, so cell membership and the gate
+    decide identically in both engines."""
+    from smartpipeline_spark.functions.dedup import COSINE_DUP_THRESHOLD
+
+    return f"""WITH fp AS (SELECT CAST(COUNT(*) AS VARCHAR) || ':' ||
+                   CAST(SUM(CAST(embedding[1] AS DECIMAL(28,14))) AS VARCHAR) AS v
+            FROM embeddings),
+ cents(corpus_fp, cell, cvec) AS (VALUES {_ivf_cent_values()}),
+ live AS (SELECT cell, cvec FROM cents, fp WHERE corpus_fp = fp.v),
+ c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+ cn AS (SELECT vec_id, emb,
+               list_transform(emb,
+                 x -> x / (sqrt(list_dot_product(emb, emb)) + 1e-12)) AS nemb
+        FROM c),
+ sims AS (SELECT v.vec_id, lc.cell, list_dot_product(v.nemb, lc.cvec) AS sim
+          FROM cn v CROSS JOIN live lc),
+ binned AS (SELECT vec_id, cell FROM (
+              SELECT vec_id, cell,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, cell) AS rn
+              FROM sims) t WHERE rn <= 2),
+ pairs AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+           FROM binned a JOIN binned b
+             ON a.cell = b.cell AND a.vec_id < b.vec_id)
+SELECT p.v1, p.v2,
+       FLOOR(list_cosine_similarity(e1.emb, e2.emb) * 10000.0 + 0.5)
+         / 10000.0 AS cosine
+FROM pairs p JOIN c e1 ON e1.vec_id = p.v1 JOIN c e2 ON e2.vec_id = p.v2
+WHERE list_cosine_similarity(e1.emb, e2.emb) >= {COSINE_DUP_THRESHOLD}"""
+
+
+@ext_query("ext_dedup_semantic", _semantic_dedup_oracle())  # + recall pytest
 def ext_dedup_semantic(spark, sf_dir):
     """SemDeDup-shaped semantic dedup AT SCALE: coarse-quantize every
     embedding into its 2 nearest k-means cells (the same sample-
@@ -1529,7 +1617,9 @@ def ext_dedup_semantic(spark, sf_dir):
     This is the composition the brute ext_dedup_embedding oracles:
     brute is O(N²) and dies at 10⁸ vectors; cells keep the same
     plan shape (equi-join on cell, JVM cosine filter) at any N.
-    Recall vs brute is pytest-measured (boundary losses only)."""
+    Recall vs brute is pytest-measured (boundary losses only).
+    Oracled as of r10 by the pinned-quantizer replay in
+    :func:`_semantic_dedup_oracle`."""
     e = _emb(spark, sf_dir)
     from smartpipeline_spark.functions.dedup import COSINE_DUP_THRESHOLD
 

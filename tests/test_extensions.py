@@ -2680,3 +2680,117 @@ def test_frames_oracle_pins_match_kernel():
     for (a, b), n in pinned.items():
         got = len(png_bytes(4 + a, 4 + b))
         assert got == n, f"residue ({a},{b}): kernel {got} != pin {n}"
+
+
+def test_pq_candidate_pins_match_reference():
+    """The _PQ_CANDIDATE_PINS / _IVFPQ_CANDIDATE_PINS behind the
+    ext_knn_pq / ext_knn_ivfpq oracles must stay re-derivable from the
+    frozen fixtures by a pure-numpy reference (independent re-
+    implementation of codebook training, encoding, ADC table gathers,
+    self/probe masking and the global (score desc, neighbor_id)
+    top-R cut). No Spark involved."""
+    import duckdb
+    import numpy as np
+
+    from smartpipeline_spark.functions.similarity import (
+        _IVF_K,
+        _IVF_NPROBE,
+        _IVF_SAMPLE_CAP,
+        _IVFPQ_CANDIDATE_PINS,
+        _PQ_CANDIDATE_PINS,
+        _PQ_ITERS,
+        _PQ_K,
+        _PQ_M,
+        _PQ_RERANK,
+        N_QUERIES,
+    )
+
+    def parse(pins):
+        out = {}
+        for triple in pins.split("),("):
+            fp, q, v = triple.strip("()").split(",")
+            fp = fp.strip("'")
+            out.setdefault(fp, {}).setdefault(int(q), []).append(int(v))
+        return out
+
+    def norm(m):
+        return m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
+
+    got_pq, got_ivfpq = {}, {}
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        pq_path = f"/root/testdata/{sf}/embeddings.parquet"
+        con = duckdb.connect()
+        fp = con.sql(
+            f"""SELECT CAST(COUNT(*) AS VARCHAR) || ':' ||
+                CAST(SUM(CAST(embedding[1] AS DECIMAL(28,14))) AS VARCHAR)
+                FROM read_parquet('{pq_path}')"""
+        ).fetchone()[0]
+        x = np.stack(
+            con.sql(
+                f"SELECT embedding::DOUBLE[] AS e FROM read_parquet('{pq_path}') ORDER BY vec_id"
+            ).fetchnumpy()["e"]
+        )
+        sample = np.stack(
+            con.sql(
+                f"""SELECT embedding::DOUBLE[] AS e FROM read_parquet('{pq_path}')
+                    WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT {_IVF_SAMPLE_CAP}"""
+            ).fetchnumpy()["e"]
+        )
+        xn, sn = norm(x), norm(sample)
+        ds = x.shape[1] // _PQ_M
+        books = np.empty((_PQ_M, _PQ_K, ds))
+        for j in range(_PQ_M):
+            sub = sn[:, j * ds : (j + 1) * ds]
+            cents = sub[:: max(1, len(sub) // _PQ_K)][:_PQ_K].copy()
+            if len(cents) < _PQ_K:
+                cents = np.resize(cents, (_PQ_K, ds))
+            for _ in range(_PQ_ITERS):
+                d2 = -2.0 * (sub @ cents.T) + (cents**2).sum(axis=1)
+                a = d2.argmin(axis=1)
+                for c in range(_PQ_K):
+                    mem = sub[a == c]
+                    if len(mem):
+                        cents[c] = mem.mean(axis=0)
+            books[j] = cents
+        codes = np.empty((len(x), _PQ_M), dtype=int)
+        for j in range(_PQ_M):
+            sub = xn[:, j * ds : (j + 1) * ds]
+            d2 = -2.0 * (sub @ books[j].T) + (books[j] ** 2).sum(axis=1)
+            codes[:, j] = d2.argmin(axis=1)
+        qm = xn[:N_QUERIES]
+        tables = np.stack(
+            [qm[:, j * ds : (j + 1) * ds] @ books[j].T for j in range(_PQ_M)], axis=1
+        )
+        acc = np.zeros((N_QUERIES, len(x)))
+        for j in range(_PQ_M):
+            acc += tables[:, j, codes[:, j]]
+        for qi in range(N_QUERIES):
+            acc[qi, qi] = -np.inf
+
+        def top_r(row):
+            order = sorted(range(len(row)), key=lambda v: (-row[v], v))
+            return [v for v in order if np.isfinite(row[v])][:_PQ_RERANK]
+
+        got_pq[fp] = {q: top_r(acc[q]) for q in range(N_QUERIES)}
+        # ivf kmeans (cosine, normalized means) for the probe mask
+        cents = sn[:: max(1, len(sn) // _IVF_K)][:_IVF_K].copy()
+        for _ in range(5):
+            a = (sn @ cents.T).argmax(axis=1)
+            for c in range(len(cents)):
+                mem = sn[a == c]
+                if len(mem):
+                    mu = mem.mean(axis=0)
+                    cents[c] = mu / (np.linalg.norm(mu) + 1e-12)
+        sims = xn @ cents.T
+        assign = sims.argmax(axis=1)
+        acc2 = np.zeros((N_QUERIES, len(x)))
+        for j in range(_PQ_M):
+            acc2 += tables[:, j, codes[:, j]]
+        for qi in range(N_QUERIES):
+            probe = set(np.argsort(-sims[qi])[:_IVF_NPROBE])
+            acc2[qi, ~np.isin(assign, list(probe))] = -np.inf
+            acc2[qi, qi] = -np.inf
+        got_ivfpq[fp] = {q: top_r(acc2[q]) for q in range(N_QUERIES)}
+
+    assert got_pq == parse(_PQ_CANDIDATE_PINS)
+    assert got_ivfpq == parse(_IVFPQ_CANDIDATE_PINS)
