@@ -281,7 +281,12 @@ _WINDOW = (
 # manifest — or naming a test that no longer exists — fails CI, so
 # window rotation can never silently de-attest an operator.
 ROWS_ONLY_ATTESTATIONS = {
-    "q12b_approx_distinct": ["test_approx_distinct_within_rsd_bound"],
+    # q12b_approx_distinct converted rows-only -> oracled in round 10:
+    # HLL++ register maxima are order/partitioning-independent, so the
+    # estimate is a deterministic pure function of the fixture and the
+    # per-sf values ride the oracle as pins keyed by COUNT(*). The
+    # rsd-bound pytest keeps the pins honest-vs-truth and
+    # test_q12b_oracle_pins_match_engine re-derives them each run.
     # ext_dedup_semantic converted rows-only -> oracled in round 10:
     # it shares ext_knn_ivf's pinned coarse quantizer, so the 2-cell
     # binning, shared-cell pairing, raw-cosine threshold gate and 1e-4

@@ -421,10 +421,31 @@ def q12_count_distinct(spark, sf_dir):
     )
 
 
-@query("q12b_approx_distinct")  # no SQL oracle: approx algorithms differ by engine
+# Pinned HLL++ estimates per frozen fixture, keyed by COUNT(*) of
+# orders. DuckDB cannot replay Spark's HyperLogLog++ (different
+# sketch), but the estimate is a DETERMINISTIC pure function of the
+# data: register maxima are order- and partitioning-independent, so
+# the value is stable across shuffles, layouts and retries — the
+# fixture-closed-form recipe applies. Honesty is two-sided:
+# test_approx_distinct_within_rsd_bound proves the value is a sane
+# estimate of the true distinct count, and
+# test_q12b_oracle_pins_match_engine re-derives the pins via the
+# engine at every ladder sf so they cannot rot.
+_Q12B_HLL_PINS = {1500: 151, 15000: 1507, 150000: 14897}
+
+
+@query(
+    "q12b_approx_distinct",
+    f"""SELECT CAST(n_cust_approx AS BIGINT) AS n_cust_approx FROM (VALUES
+        {",".join(f"({n},{v})" for n, v in sorted(_Q12B_HLL_PINS.items()))})
+        pins(n_orders, n_cust_approx)
+        WHERE n_orders = (SELECT COUNT(*) FROM orders)""",
+)
 def q12b_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++) — the scale path for
-    distinct counting: one pass, no distinct shuffle, bounded memory."""
+    distinct counting: one pass, no distinct shuffle, bounded memory.
+    Oracled as of r10 via per-fixture pinned estimates (see
+    _Q12B_HLL_PINS); the rsd-bound pytest remains."""
     o = _t(spark, sf_dir, "orders")
     return o.agg(F.approx_count_distinct("o_custkey", 0.01).alias("n_cust_approx"))
 

@@ -158,3 +158,23 @@ def test_approx_distinct_within_rsd_bound(spark):
         .count()
     )
     assert abs(approx - exact) / exact <= 0.05
+
+
+def test_q12b_oracle_pins_match_engine(spark):
+    """The _Q12B_HLL_PINS behind the q12b oracle must stay
+    re-derivable from the engine at every ladder sf (HLL++ register
+    maxima are order- and partitioning-independent, so one run pins
+    the value for all layouts); a Spark upgrade that changes the
+    sketch fails here before it reddens a driver row."""
+    from smartpipeline_spark.operators.relational import (
+        _Q12B_HLL_PINS,
+        q12b_approx_distinct,
+    )
+
+    got = {}
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = f"/root/testdata/{sf}"
+        v = q12b_approx_distinct(spark, d).collect()[0]["n_cust_approx"]
+        n = spark.read.parquet(f"{d}/orders.parquet").count()
+        got[n] = v
+    assert got == _Q12B_HLL_PINS, (got, _Q12B_HLL_PINS)
