@@ -337,11 +337,14 @@ ROWS_ONLY_ATTESTATIONS = {
     # symbol replaces; zlib reference outputs per doc_id%64 residue
     # embedded as an in-oracle CTE) — their original attestation
     # pytests remain in the suite.
-    "ext_quality_classifier": [
-        "test_classifier_matches_local_reference",
-        "test_classifier_learns_planted_concept",
-        "test_classifier_key_beats_base_rate",
-    ],
+    # ext_quality_classifier converted rows-only -> oracled in round
+    # 10: the 20-iteration GD run is a deterministic pure function of
+    # the fixture (zero init, full batch, partitioning-independent
+    # bucket-summed gradients), so the rounded per-doc probs ride the
+    # oracle as 1e-4-grid integer pins, with label and pred as SQL
+    # closed forms. GD-reference/planted-concept/determinism pytests
+    # remain, plus test_classifier_pins_match_engine (re-trains both
+    # models per sf, re-derives every pin).
     # ext_cdc_chunk_stats converted rows-only -> oracled in round 9
     # (deterministic residue-class fixture; reference chunk lists ride
     # the oracle as a VALUES CTE) — its three chunker pytests remain.
@@ -349,10 +352,11 @@ ROWS_ONLY_ATTESTATIONS = {
     # the fixed synth template the parser result is a closed form of
     # (lang, text); the planted-boilerplate pytest remains for the
     # general parser semantics.
-    "ext_lang_id_trained": [
-        "test_trained_langid_beats_heuristic_on_signal_corpus",
-        "test_trained_langid_key_holds_heuristic_floor_on_fixture",
-    ],
+    # ext_lang_id_trained converted rows-only -> oracled in round 10:
+    # the trained head predicts ONE class per fixture (deliberately
+    # language-independent corpus), so the oracle is a 3-pin closed
+    # form; holdout/planted-signal pytests remain, plus the per-doc
+    # re-derivation in test_classifier_pins_match_engine.
     # ext_multimodal_resize converted rows-only -> oracled in round 10:
     # synth pixels are pure functions of (x, y), so the resized-PNG
     # byte size depends only on the (doc_id%29, doc_id%17) residue
@@ -367,10 +371,15 @@ ROWS_ONLY_ATTESTATIONS = {
     # the flatMap expansion itself. Kernel-vs-oracle equality verified
     # locally at sf0.001/0.1; test_frames_oracle_pins_match_kernel
     # re-derives the pins each run, and the windowing pytest remains.
-    "ext_multimodal_phash": [
-        "test_phash_query_planted_recall",
-        "test_phash_planted_image_copies_found_distinct_not",
-    ],
+    # ext_multimodal_phash converted rows-only -> oracled in round 10:
+    # synth pixels/samples are pure functions of position, so every
+    # perceptual hash is a residue-class closed form (986 image pins
+    # incl. the 2x-resized variants; container swaps hash identically
+    # to base; 50 WAV pins) and the ENTIRE hamming_band_pairs algebra
+    # — 4x16-bit chunks, class-partitioned buckets, hot-bucket cap,
+    # bit_count(xor) verify — replays in SQL, all-integer (no float
+    # risk). test_phash_oracle_pins_match_kernel re-derives every pin
+    # each run; the planted-copy recall/precision pytests remain.
 }
 
 

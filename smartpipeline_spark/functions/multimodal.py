@@ -616,7 +616,73 @@ def media_phash(media: DataFrame) -> DataFrame:
     )
 
 
-@ext_query("ext_multimodal_phash")  # planted-copy recall/precision pytest
+# Pinned perceptual hashes per residue class: synth pixels/samples are
+# pure functions of position, so the image aHash depends only on
+# (doc_id%29, doc_id%17) x container and the WAV envelope hash only on
+# doc_id%50. h0 = base hash (container swaps hash IDENTICALLY — same
+# pixels — verified for all 986 image classes when generating these
+# pins), h2x = the 2x-resized variant's hash.
+# test_phash_oracle_pins_match_kernel re-derives every pin each run.
+_PHASH_PNG_PINS = "(0,0,-217033765204000768,-217033765204000768),(0,1,-847788950683648,-847788145377280),(0,2,-3311675637760,-3311675637760),(0,3,-3364033134592,-3363215245312),(0,4,-3364033134592,-3364033134592),(0,5,-3364033134592,-13153337344),(0,6,-13958643712,-13958643712),(0,7,-65498251264,-13153337344),(0,8,-13958643712,-13958643712),(0,9,-13958643712,-13958643712),(0,10,-13958643712,-13958643712),(0,11,-13958643712,-13958643712),(0,12,-13958643712,-13958643712),(0,13,-13958643712,-13958643712),(0,14,-13958643712,-13958643712),(0,15,-13958643712,-13958643712),(0,16,-13958643712,-13958643712),(1,0,-217033764664999808,-217024934212239232),(1,1,-847788411682688,-847788411682688),(1,2,-860982557540352,-847754058235904),(1,3,-3363487875072,-3363487875072),(1,4,-3363487875072,-3329128136704),(1,5,-3363487875072,-3329128136704),(1,6,-13413384192,-30593253376),(1,7,-64952991744,-30593253376),(1,8,-64961380352,-13413384192),(1,9,-13421772800,-13421772800),(1,10,-13421772800,-13421772800),(1,11,-13421772800,-13421772800),(1,12,-13421772800,-13421772800),(1,13,-13421772800,-13421772800),(1,14,-13421772800,-13421772800),(1,15,-13421772800,-13421772800),(1,16,-15032385536,-15032385536),(2,0,-217024933942738752,-217024933942738752),(2,1,-218150869017788288,-74035680134528896),(2,2,-852151832117120,-852151832117120),(2,3,-3328855474048,-289236238434304),(2,4,-3328855474176,-3328855474176),(2,5,-3328855474176,-3328859701248),(2,6,-3328859701248,-1130104881152),(2,7,-3328859701248,-3328859701248),(2,8,-3329665007616,-1130104881152),(2,9,-31130124288,-30593253376),(2,10,-30324817920,-30601641984),(2,11,-31138512896,-30601641984),(2,12,-31138512896,-30601641984),(2,13,-31138512896,-30601641984),(2,14,-13958643712,-31138512896),(2,15,-31138512896,-30601641984),(2,16,-31138512896,-31138512896),(3,0,-506390040723537728,-217024934212222784),(3,1,-218150868478803776,-218150868478803776),(3,2,-852151830003520,-72909746138464128),(3,3,-852186460290944,-852186460290944),(3,4,-852186460291072,-284804100620288),(3,5,-852186460291072,-284804100620288),(3,6,-3329123909632,-3329123909632),(3,7,-3363483680768,-3329123942400),(3,8,-3329123942400,-3329123942400),(3,9,-3329128136704,-1130104881152),(3,10,-3329128136704,-1130104881152),(3,11,-30593253376,-1130104881152),(3,12,-30593253376,-30593253376),(3,13,-30593253376,-30601641984),(3,14,-30601641984,-30601641984),(3,15,-30601641984,-30601641984),(3,16,-30601641984,-31138512896),(4,0,-506390040723537728,-506390040723537728),(4,1,-218150868478803776,-218150868210368320),(4,2,-72909745867931456,-72909745867931456),(4,3,-72909780498218880,-72909780227669888),(4,4,-72909780498219008,-72909780498219008),(4,5,-852186460291072,-284803832184832),(4,6,-284804100620288,-284804100620288),(4,7,-284838460391424,-3328855474176),(4,8,-3329123942400,-3329123942400),(4,9,-3329128136704,-1130100686848),(4,10,-3329128136704,-1130104881152),(4,11,-1130104881152,-1130104881152),(4,12,-1130104881152,-1130104881152),(4,13,-1130104881152,-1130104881152),(4,14,-1130113269760,-1130104881152),(4,15,-1130113269760,-1130113269760),(4,16,-30601641984,-30601641984),(5,0,-506390040723537728,-506381210001284896),(5,1,-218150868478803776,-218150868210368320),(5,2,-72909745867931456,-218150833850629952),(5,3,-72909780498218880,-72909780227669888),(5,4,-72909780498218880,-72909745867931520),(5,5,-852186460290944,-852151832117120),(5,6,-284804100620288,-284804100620288),(5,7,-284838460358656,-284803832184832),(5,8,-3329123909632,-3329123909632),(5,9,-3329128136704,-3329123942400),(5,10,-3329128136704,-3329128136704),(5,11,-1130104881152,-3329128136704),(5,12,-1130104881152,-1130104881152),(5,13,-1130104881152,-1130104881152),(5,14,-1130104881152,-1130104881152),(5,15,-1130104881152,-1130104881152),(5,16,-30593253376,-1130104881152),(6,0,-506390040454045472,-506390040454045472),(6,1,-218150868209311520,-218150868210360096),(6,2,-218150833850629952,-218150868210360128),(6,3,-72909780227669824,-72909780227669824),(6,4,-72909780227669888,-72909780227669888),(6,5,-72909780227669888,-72909780227669888),(6,6,-852151832117120,-72342432496173056),(6,7,-289236238434304,-289236238434304),(6,8,-284803832184832,-284804100620288),(6,9,-284804100620288,-284804100620288),(6,10,-3328855506944,-284804100653056),(6,11,-3329128136704,-3329123942400),(6,12,-3329128136704,-3329123942400),(6,13,-3329128136704,-1130104881152),(6,14,-1130104881152,-1130104881152),(6,15,-1130104881152,-1130104881152),(6,16,-1130104881152,-1130104881152),(7,0,-506390040723529504,-506381210001284896),(7,1,-218150868478795552,-218150868210360096),(7,2,-218150833850629952,-218150833850629952),(7,3,-217024968571961152,-217024968303525696),(7,4,-217024968571961216,-72909745867931456),(7,5,-72909780496105344,-72909745867931520),(7,6,-72909746138464128,-72909746138464128),(7,7,-852186460290944,-289201878679424),(7,8,-284804100620288,-284804100620288),(7,9,-284804100620288,-284804100620288),(7,10,-284804100620288,-284804100620288),(7,11,-3329123942400,-284804100620288),(7,12,-3329123942400,-3329123942400),(7,13,-3329123942400,-3329123942400),(7,14,-3329128136704,-3329123942400),(7,15,-3329128136704,-3329128136704),(7,16,-1130104881152,-1130104881152),(8,0,-506390040454045472,-506390040454045472),(8,1,-506381244630507296,-218150868209311520),(8,2,-218159664303390528,-218150868210360128),(8,3,-217024968303525696,-217024968303525696),(8,4,-217024968303525696,-217024968303525696),(8,5,-72909780227669824,-72909780227669824),(8,6,-72909745867931520,-72909780227669888),(8,7,-72909780227669888,-72909780227669888),(8,8,-72909780498219008,-72909780498219008),(8,9,-284804100620288,-284803832184832),(8,10,-284803832184832,-284804100620288),(8,11,-284804100620288,-284803832184832),(8,12,-284804100620288,-284804100620288),(8,13,-284804100620288,-3329123942400),(8,14,-3329123942400,-3329123942400),(8,15,-3329123942400,-3329123942400),(8,16,-3329128136704,-3329123942400),(9,0,-506390040454045472,-506390040454045472),(9,1,-506381244361023264,-506381244361023264),(9,2,-218159664303382304,-218150868210360096),(9,3,-218150868210368320,-218150868210360128),(9,4,-218150868210368320,-217024968303517504),(9,5,-218150868210368320,-217024968303525696),(9,6,-72909780227669888,-72909780227669888),(9,7,-72909780227669888,-72909780227669888),(9,8,-72909780227669888,-72909745867931520),(9,9,-852186460290944,-847753783508864),(9,10,-289236238434304,-284804100620288),(9,11,-284838460358656,-284803832184832),(9,12,-284838460358656,-284804100620288),(9,13,-284838460358656,-284804100620288),(9,14,-284804100620288,-3329123909632),(9,15,-3363483680768,-3329123942400),(9,16,-3329123942400,-3329123942400),(10,0,-506390040454045472,-506390040454045472),(10,1,-506381244361023264,-506381244361023264),(10,2,-218150833850621728,-506381244362071840),(10,3,-218150868210368320,-218150868210360128),(10,4,-218150868210368320,-218150868210360128),(10,5,-218150868210368320,-218150868210368320),(10,6,-217024933943787328,-217024968303525760),(10,7,-72909780227669888,-72909780227669888),(10,8,-72909745867931520,-72909780227669888),(10,9,-72909746138464128,-72909780227669888),(10,10,-852151832117120,-852151832117120),(10,11,-284804100620288,-289236238434304),(10,12,-284804100620288,-284804100620288),(10,13,-284804100620288,-284804100620288),(10,14,-284804100620288,-284804100620288),(10,15,-284804100620288,-284804100620288),(10,16,-3329123909632,-3329123942400),(11,0,-506390040454045472,-506390040454045472),(11,1,-506381244361023264,-506381244361023264),(11,2,-506390040455094048,-506381244362071840),(11,3,-218150868210360096,-218150868210360128),(11,4,-218150868210360128,-218150868210360128),(11,5,-218150868210360128,-218150868210368320),(11,6,-218150868210368320,-217024968303525696),(11,7,-217024968303525696,-72909780227669888),(11,8,-72909780227669888,-72909745867931520),(11,9,-72909780496105344,-72909745867931520),(11,10,-72909780227669888,-72909746138464128),(11,11,-852186460290944,-852151832117120),(11,12,-852186460291072,-284804100620288),(11,13,-852186460291072,-284804100620288),(11,14,-284804100620288,-284804100620288),(11,15,-284838460358656,-284804100620288),(11,16,-284804100620288,-284804100620288),(12,0,-506390040454045472,-506390040454045472),(12,1,-506381244361023264,-506381244361023264),(12,2,-506390040455094048,-506381244362071840),(12,3,-218150868210360096,-218150868210360096),(12,4,-218150868210360128,-218150868210360128),(12,5,-218150868210360128,-218150868210360128),(12,6,-218150868210368320,-217024968303525696),(12,7,-217024968303525696,-217024968303525696),(12,8,-72909780227669888,-72909780227669888),(12,9,-72909780496105344,-72909780227669888),(12,10,-72909780227669888,-72909780227669888),(12,11,-72909780498218880,-72909780227669888),(12,12,-72909780498219008,-72909780498219008),(12,13,-852186460291072,-284804100620288),(12,14,-284804100620288,-284804100620288),(12,15,-284838460358656,-284804100620288),(12,16,-284804100620288,-284804100620288),(13,0,-506390040454045472,-506390040454045472),(13,1,-506381244361023264,-506381244361023264),(13,2,-506390040455094048,-506381244362071840),(13,3,-218150868210360096,-506381244362071840),(13,4,-218150868210360128,-218150868210360128),(13,5,-218150868210360128,-218150868210360128),(13,6,-218150868210368320,-218150868210360128),(13,7,-217024968303525696,-217024968303525696),(13,8,-72909780227669888,-217024968303525696),(13,9,-72909780496105344,-72909780227669888),(13,10,-72909780227669888,-72909780227669888),(13,11,-72909780498218880,-72909780227669888),(13,12,-72909780498218880,-72909780227669888),(13,13,-852186460290944,-852151832117120),(13,14,-284804100620288,-284803832184832),(13,15,-284838460358656,-284803832184832),(13,16,-284804100620288,-284804100620288),(14,0,-506390040454045472,-506390040454045472),(14,1,-506381244361023264,-506381244361023264),(14,2,-506390040454045472,-506390040455094048),(14,3,-506381244362071840,-506381244362071840),(14,4,-506381244362071872,-218150868210360128),(14,5,-218150868210360128,-218150868210360128),(14,6,-218150868210360128,-218150868210360128),(14,7,-218150868210368320,-217024968303525696),(14,8,-217024968303525696,-217024968303525696),(14,9,-72909780227669888,-72909780227669824),(14,10,-72909780227669888,-72909780227669888),(14,11,-72909780227669888,-72909780227669888),(14,12,-72909780227669888,-72909780227669888),(14,13,-72909780227669888,-72909745867931520),(14,14,-852151832117120,-72342432496173056),(14,15,-289236238434304,-284803832184832),(14,16,-284803832184832,-284804100620288),(15,0,-506390040454045472,-506390040454045472),(15,1,-506381244361023264,-506381244361023264),(15,2,-506390040455094048,-506381244362071840),(15,3,-506381244362071840,-506381244362071840),(15,4,-506381244362071872,-506381244362071872),(15,5,-218150868210360128,-218150868210360128),(15,6,-218150868210360128,-218150868210360128),(15,7,-218150868210368320,-218150868210368320),(15,8,-217024968303525696,-217024968303525696),(15,9,-217024968571961152,-217024968303525696),(15,10,-72909780227669888,-72909780227669888),(15,11,-72909780496105344,-72909780227669888),(15,12,-72909780496105344,-72909780227669888),(15,13,-72909780496105344,-72909745867931520),(15,14,-72909746138464128,-72909745867931520),(15,15,-852186460290944,-852151832117120),(15,16,-284804100620288,-284804100620288),(16,0,-506390040454045472,-506390040454045472),(16,1,-508641840267730720,-508641840267730720),(16,2,-506390040455094048,-506390040455094048),(16,3,-506381244362071840,-506390040455094048),(16,4,-506381244362071840,-506381244362071840),(16,5,-218150868210360096,-218150868210360128),(16,6,-218150868210360128,-218150868210360128),(16,7,-218150868210360128,-218150868210360128),(16,8,-218150868210368320,-217024968303525696),(16,9,-217024968303525696,-217024968303525696),(16,10,-72909780227669824,-217024968303525696),(16,11,-72909780227669888,-72909780227669888),(16,12,-72909780227669888,-72909780227669888),(16,13,-72909780227669888,-72909780227669888),(16,14,-72909745867931520,-72909780227669888),(16,15,-72909780227669888,-72909780227669888),(16,16,-72909780498219008,-284803830071168),(17,0,-1085102592571154208,-506390040454045472),(17,1,-508641840267730720,-508641840267730720),(17,2,-506390040454045472,-506390040454045472),(17,3,-506390040455094048,-506390040454045472),(17,4,-506390040455094048,-506381244362071840),(17,5,-506390040455094048,-506381244362071840),(17,6,-218150868210360128,-218150868210360128),(17,7,-218150868210360128,-218150868210360128),(17,8,-218150868210360128,-218150868210360128),(17,9,-218150868210368320,-218150868210368320),(17,10,-217024968303525696,-217024968303525696),(17,11,-72909780227669888,-72909780227669888),(17,12,-72909780227669888,-72909780227669888),(17,13,-72909780227669888,-72909780227669888),(17,14,-72909780227669888,-72909780227669888),(17,15,-72909780227669888,-72909780227669888),(17,16,-72909780227669888,-72909780227669888),(18,0,-506390040454045472,-506390040454045472),(18,1,-506381244361023264,-508641840267730720),(18,2,-506390040454045472,-506390040454045472),(18,3,-506381244362071840,-506390040454045472),(18,4,-506381244362071840,-506381244362071840),(18,5,-506381244362071840,-506381244362071840),(18,6,-218150868210360128,-218150868210360128),(18,7,-218150868210360128,-218150868210360128),(18,8,-218150868210360128,-218150868210360128),(18,9,-218150868210368320,-218150868210368320),(18,10,-217024968303525696,-217024968303525696),(18,11,-217024968303525696,-217024968303525696),(18,12,-217024968303525760,-72909780227669888),(18,13,-72909780227669888,-72909780227669888),(18,14,-72909745867931520,-72909780227669888),(18,15,-72909780227669888,-72909780227669888),(18,16,-72909745867931520,-72909780227669888),(19,0,-1085102592571154208,-506390040454045472),(19,1,-508641840267730720,-508641840267730720),(19,2,-506390040454045472,-506390040454045472),(19,3,-506390040455094048,-506390040454045472),(19,4,-506390040455094048,-506381244362071840),(19,5,-506390040455094048,-506381244362071840),(19,6,-506381244362071840,-506381244362071872),(19,7,-218150868210360128,-218150868210360128),(19,8,-218150868210360128,-218150868210360128),(19,9,-218150868210360128,-218150868210360128),(19,10,-218150868210368320,-218150868210368320),(19,11,-217024968303525696,-217024968303525696),(19,12,-217024968303525696,-217024968303525696),(19,13,-217024968303525696,-72909780227669888),(19,14,-72909780227669888,-72909780227669888),(19,15,-72909780227669888,-72909780227669888),(19,16,-72909780227669888,-72909780227669888),(20,0,-1085102592571154208,-1085102592571154208),(20,1,-508641840267730720,-508641840267730720),(20,2,-506390040454045472,-506390040454045472),(20,3,-506390040455094048,-506390040454045472),(20,4,-506390040455094048,-506390040455094048),(20,5,-506390040455094048,-506381244362071840),(20,6,-506381244362071840,-506381244362071840),(20,7,-218150868210360128,-218150868210360128),(20,8,-218150868210360128,-218150868210360128),(20,9,-218150868210360128,-218150868210360128),(20,10,-218150868210368320,-218150868210360128),(20,11,-217024968303525696,-217024968303525696),(20,12,-217024968303525696,-217024968303525696),(20,13,-217024968303525696,-217024968303525696),(20,14,-72909780227669888,-72909780227669888),(20,15,-72909780227669888,-72909780227669888),(20,16,-72909780227669888,-72909780227669888),(21,0,-1085102592571154208,-1085102592571150096),(21,1,-508641840267730720,-508641840267730720),(21,2,-506390040454045472,-506390040454045472),(21,3,-506390040455094048,-506390040454045472),(21,4,-506390040455094048,-506390040454045472),(21,5,-506390040455094048,-506381244362071840),(21,6,-506381244362071840,-506381244362071840),(21,7,-218150868210360128,-218150868210360128),(21,8,-218150868210360128,-218150868210360128),(21,9,-218150868210360128,-218150868210360128),(21,10,-218150868210368320,-218150868210360128),(21,11,-217024968303525696,-218150868210368320),(21,12,-217024968303525696,-217024968303525696),(21,13,-217024968303525696,-217024968303525696),(21,14,-72909780227669888,-72909780227669888),(21,15,-72909780227669888,-72909780227669888),(21,16,-72909780227669888,-72909780227669888),(22,0,-1085102592571150096,-1085102592571150096),(22,1,-508641840267726608,-508641840267730720),(22,2,-506390040454045472,-508641840267730720),(22,3,-506390040454045472,-506390040454045472),(22,4,-506390040454045472,-506390040454045472),(22,5,-506390040454045472,-506381244362071840),(22,6,-506381244362071840,-506381244362071840),(22,7,-506381244362071840,-506381244362071840),(22,8,-218150868210360128,-218150868210360128),(22,9,-218150868210360128,-218150868210360128),(22,10,-218150868210360128,-218150868210360128),(22,11,-218150868210368320,-218150868210360128),(22,12,-218150868210368320,-217024968303525696),(22,13,-218150868210368320,-217024968303525696),(22,14,-217024968303525696,-217024968303525696),(22,15,-72909780227669888,-72909780227669888),(22,16,-72909780227669888,-72909780227669888),(23,0,-1085102592571154208,-1085102592571150096),(23,1,-508641840267730720,-508641840267730720),(23,2,-506390040454045472,-506390040454045472),(23,3,-506390040455094048,-506390040454045472),(23,4,-506390040455094048,-506390040454045472),(23,5,-506390040455094048,-506381244362071840),(23,6,-506381244362071840,-506381244362071840),(23,7,-506381244362071840,-506381244362071840),(23,8,-218150868210360128,-218150868210360128),(23,9,-218150868210360128,-218150868210360128),(23,10,-218150868210360128,-218150868210360128),(23,11,-218150868210368320,-218150868210360128),(23,12,-218150868210368320,-218150868210368320),(23,13,-218150868210368320,-217024968303525696),(23,14,-217024968303525696,-217024968303525696),(23,15,-217024968303525696,-217024968303525696),(23,16,-72909780227669888,-72909780227669888),(24,0,-1085102592571150096,-1085102592571150096),(24,1,-508641840267730720,-508641840267730720),(24,2,-508641840267730720,-508641840267730720),(24,3,-506390040454045472,-506390040454045472),(24,4,-506390040454045472,-506390040454045472),(24,5,-506390040454045472,-506390040455094048),(24,6,-506381244362071840,-506381244362071840),(24,7,-506381244362071840,-506381244362071840),(24,8,-506381244362071872,-506381244362071840),(24,9,-218150868210360128,-218150868210360128),(24,10,-218150868210360128,-218150868210360128),(24,11,-218150868210360128,-218150868210360128),(24,12,-218150868210360128,-218150868210360128),(24,13,-218150868210360128,-218150868210368320),(24,14,-217024968303525696,-217024968303525696),(24,15,-217024968303525696,-217024968303525696),(24,16,-217024968303525760,-217024968303525696),(25,0,-1085102592571150096,-1085102592571150096),(25,1,-508641840267726608,-508641840267726608),(25,2,-508641840267730720,-508641840267726624),(25,3,-506390040454045472,-506390040454045472),(25,4,-506390040454045472,-506390040454045472),(25,5,-506390040454045472,-506390040454045472),(25,6,-506390040455094048,-506381244361023264),(25,7,-506390040455094048,-506381244362071840),(25,8,-506381244362071840,-506381244362071840),(25,9,-218150868210360128,-218150868210360128),(25,10,-218150868210360128,-218150868210360128),(25,11,-218150868210360128,-218150868210360128),(25,12,-218150868210360128,-218150868210360128),(25,13,-218150868210360128,-218150868210360128),(25,14,-218150868210368320,-217024968303525696),(25,15,-217024968303525696,-217024968303525696),(25,16,-217024968303525696,-217024968303525696),(26,0,-1085102592571150096,-1085102592571150096),(26,1,-508641840267726608,-508641840267726608),(26,2,-506390040454045472,-508641840267726624),(26,3,-506390040454045472,-506390040454045472),(26,4,-506390040454045472,-506390040454045472),(26,5,-506390040454045472,-506390040454045472),(26,6,-506381244362071840,-506381244361023264),(26,7,-506381244362071840,-506390040455094048),(26,8,-506381244362071840,-506381244362071840),(26,9,-218150868210360128,-218150868210360096),(26,10,-218150868210360128,-218150868210360128),(26,11,-218150868210360128,-218150868210360128),(26,12,-218150868210360128,-218150868210360128),(26,13,-218150868210360128,-218150868210360128),(26,14,-218150868210368320,-218150868210360128),(26,15,-217024968303525696,-217024968303525696),(26,16,-217024968303525696,-217024968303525696),(27,0,-1085102592571150096,-1085102592571150096),(27,1,-508641840267726608,-508641840267726608),(27,2,-508641840267730720,-508641840267726624),(27,3,-506390040454045472,-506390040454045472),(27,4,-506390040454045472,-506390040454045472),(27,5,-506390040454045472,-506390040454045472),(27,6,-506390040455094048,-506381244361023264),(27,7,-506390040455094048,-506381244362071840),(27,8,-506381244362071840,-506381244362071840),(27,9,-506381244362071840,-506381244362071840),(27,10,-218150868210360128,-218150868210360128),(27,11,-218150868210360128,-218150868210360128),(27,12,-218150868210360128,-218150868210360128),(27,13,-218150868210360128,-218150868210360128),(27,14,-218150868210360128,-218150868210360128),(27,15,-218150868210368320,-217024968303525696),(27,16,-217024968303525696,-217024968303525696),(28,0,-1085102592571150096,-1085102592571150096),(28,1,-508641840267726608,-508641840267726608),(28,2,-508641840267730720,-508641840267726624),(28,3,-506390040454045472,-506390040454045472),(28,4,-506390040454045472,-506390040454045472),(28,5,-506390040454045472,-506390040454045472),(28,6,-506390040455094048,-506390040454045472),(28,7,-506390040455094048,-506390040455094048),(28,8,-506381244362071840,-506381244362071840),(28,9,-506381244362071840,-506381244362071840),(28,10,-218150868210360128,-218150868210360128),(28,11,-218150868210360128,-218150868210360128),(28,12,-218150868210360128,-218150868210360128),(28,13,-218150868210360128,-218150868210360128),(28,14,-218150868210360128,-218150868210360128),(28,15,-218150868210368320,-218150868210368320),(28,16,-217024968303525696,-217024968303525696)"
+_PHASH_BMP_PINS = "(0,0,-4557377905273802512,-4557377905273802512),(0,1,-4543867106391687940,-4543867106391687940),(0,2,-4557377905273799428,-4557377905273799428),(0,3,-4557377905273012996,-4557377905273799428),(0,4,-4557430681831932676,-4557430681831932676),(0,5,-4557377905273012996,-4557430681831146244),(0,6,-4557430681831146244,-4557430681831146244),(0,7,54255336596241663,54255336596241663),(0,8,54255336596241663,54255336596241663),(0,9,54255336596241663,54255336596241663),(0,10,54255336596242431,54255336596241663),(0,11,212141067796479,212141067796479),(0,12,212141067796479,212141067796479),(0,13,212141067796479,212141067796479),(0,14,212141067796479,212141067796479),(0,15,212141067796479,212141067796479),(0,16,212141067796479,212141067796479),(1,0,-2242527696805367568,-2242527696805365512),(1,1,-2242545288991411984,-2242545288991409928),(1,2,-2242545357710888720,-2242545357710362376),(1,3,-2242545288991408900,-2242545288990885636),(1,4,-2242545288991408900,-2242545288990884612),(1,5,-9160074316632490756,-9160074385351443204),(1,6,-9160074385351967492,-9160074385351443204),(1,7,-9160074316632490756,-9160074385351443204),(1,8,-9187095983116190468,-9187095983115666180),(1,9,-9187095983115404033,-9187095983115404033),(1,10,-9187095983115404033,-9187095983115404033),(1,11,36276053739371775,36276053739371775),(1,12,36276053739371775,36276053873589503),(1,13,36276053739371775,36276053873589503),(1,14,36276053739372543,36276053873590271),(1,15,36276053739372543,36276053873590271),(1,16,36170500623106047,36170500757323775),(2,0,-1085102592571148040,-1085102592571148040),(2,1,-4543867106391688968,-2238024097177995016),(2,2,-4543867106391164680,-2238024097177470728),(2,3,-4557377905273276168,-2242527696804841224),(2,4,-4557377905273276168,-4548370706018535176),(2,5,-4557377905273276168,-4548370706018535176),(2,6,-4557377905273276164,-4548388298204579588),(2,7,-4557377905273276164,-4557377905273276164),(2,8,-9169116700258797316,-9169081515886708484),(2,9,-9169116700124578564,-9169081515886707460),(2,10,-9169116700258796292,-9169081515886707458),(2,11,-9169116700124578564,-9169081515886707458),(2,12,-9169116700124578561,-9187095914396189442),(2,13,-9169116700124578561,-9187095914396189441),(2,14,-9187131098634060545,-9187131098634060545),(2,15,36240938220715263,36240938086498047),(2,16,36240938220715263,36240938220715775),(3,0,-2242527696805367568,-2242527696805365512),(3,1,-2242545288991411984,-2242545288991409928),(3,2,-2242527696805365512,-2242545357710362376),(3,3,-2242545288991409928,-2242545288990885640),(3,4,-2242545288991409928,-2242545288990885640),(3,5,-2242545288991409928,-4548388366924056328),(3,6,-4548388298204579592,-4548388366924056324),(3,7,-4548388298204579592,-4548388366924056324),(3,8,-4548388298204579588,-4557395566178797316),(3,9,-4548388298204579588,-4557395566178796292),(3,10,-4557395497459320580,-4557395566178796292),(3,11,-4557395497459319556,-9169081584606184196),(3,12,-4557395497459319556,-9169081584471966466),(3,13,-9169081515886707460,-9169081584471966466),(3,14,-9169081584606184196,-9169081584471966466),(3,15,-9169081515886707457,-9169081584471966466),(3,16,-9169081584606184193,-9169116768844055297),(4,0,-2242527696805367568,-2242527696805367568),(4,1,-2238024097177995016,-2238024097177995016),(4,2,-2242527696805365512,-2242527696805365512),(4,3,-2242527696804841224,-2242527696805365512),(4,4,-2242545288991409928,-2242545288991409928),(4,5,-2242527696804841224,-2242545288990885640),(4,6,-2242545288990885640,-2242545288990885640),(4,7,-4548388298204579588,-4548388298204579588),(4,8,-4548388298204579588,-4548388298204579588),(4,9,-4548388298204579588,-4548388298204579588),(4,10,-4548388298204578564,-4548388298204579588),(4,11,-4557395497459319556,-4557395497459319556),(4,12,-4557395497459319556,-4557395497459319556),(4,13,-4557395497459319556,-4557395497459319556),(4,14,-9169081515886707458,-9169081515886707458),(4,15,-9169081515886707458,-9169081515886707458),(4,16,-9169081515886707458,-9169081515886707458),(5,0,-2242527696805367568,-1085102592571148040),(5,1,-2238024097177995016,-2238024097177995016),(5,2,-2242527696805365512,-2238024097177995016),(5,3,-2242545288991409928,-2242527696805365512),(5,4,-2242545288991409928,-2242527696804841224),(5,5,-2242545288991409928,-2242527696804841224),(5,6,-4548388298204579592,-2242527696804841224),(5,7,-4548388298204579592,-2242527696804841224),(5,8,-4548388298204579588,-4548388298204579592),(5,9,-4548388298204579588,-4548388298204579588),(5,10,-4557395497459320580,-4548388298204579588),(5,11,-4557395497459319556,-4548388298204579588),(5,12,-4557395497459319556,-4548388298204579588),(5,13,-9169081515886707460,-4557395497459320580),(5,14,-9169081584606184196,-4557395497459319556),(5,15,-9169081515886707458,-9169081515886707460),(5,16,-9169081515886707458,-9169081515886707458),(6,0,-1085102592571150096,-1085102592571150096),(6,1,-1085102592571150096,-2238024097177997072),(6,2,-2238024097177995016,-2238024097177997064),(6,3,-2238024097177995016,-2242527696805365512),(6,4,-2238024097177995016,-2242527696805365512),(6,5,-2238024097177995016,-2242527696805365512),(6,6,-2242527696804841224,-2242545288991409928),(6,7,-2242527696804841224,-2242527696804841224),(6,8,-2242527696804841224,-2242545288990885640),(6,9,-4548370706018535176,-2242545288990885640),(6,10,-4548370706018535176,-4548388298204579588),(6,11,-4548388298204579588,-4548388298204579588),(6,12,-4548388298204579588,-4548388298204579588),(6,13,-4548388298204579588,-4548388298204579588),(6,14,-4548388298204579588,-4548388298204579588),(6,15,-4557395497459320580,-4557395497459319556),(6,16,-9169081515886708484,-4557395497459319556),(7,0,-2242527696805367568,-1085102592571148040),(7,1,-2238024097177995016,-2238024097177995016),(7,2,-2242527696805365512,-2238024097177995016),(7,3,-2242545288991409928,-2242527696805365512),(7,4,-2242545288991409928,-2242527696804841224),(7,5,-2242545288991409928,-2242527696804841224),(7,6,-2242545288990885640,-2242527696804841224),(7,7,-2242545288990885640,-2242527696804841224),(7,8,-2242545288990885640,-2242545288990885640),(7,9,-4548388298204579592,-4548388298204579592),(7,10,-4548388298204579592,-4548388298204579592),(7,11,-4548388298204579588,-4548388298204579588),(7,12,-4548388298204579588,-4548388298204579588),(7,13,-4548388298204579588,-4548388298204579588),(7,14,-4548388366924056324,-4557395497459320580),(7,15,-4557395497459320580,-4557395497459320580),(7,16,-4557395497459319556,-4557395497459320580),(8,0,-1085102592571150096,-1085102592571150096),(8,1,-2238024097177997072,-1085102592571150096),(8,2,-2238024097177997072,-2238024097177997072),(8,3,-2242527696805365512,-2238024097177997064),(8,4,-2242527696805365512,-2242527696805367560),(8,5,-2242527696805365512,-2242527696805365512),(8,6,-2242527696805365512,-2242527696805365512),(8,7,-2242527696805365512,-2242527696805365512),(8,8,-2242545288991409928,-2242527696805365512),(8,9,-2242545288990885640,-2242545288991409928),(8,10,-2242545288990885640,-2242545288990885640),(8,11,-4548388298204579592,-4548388298204579592),(8,12,-4548388298204579588,-4548388298204579588),(8,13,-4548388298204579588,-4548388298204579588),(8,14,-4548388298204579588,-4548388298204579588),(8,15,-4548388298204579588,-4548388298204579588),(8,16,-4548388298204579588,-4548388298204579588),(9,0,-1085102592571150096,-1085102592571150096),(9,1,-1085102592571150096,-1085102592571150096),(9,2,-1085102592571150096,-2238024097177997072),(9,3,-2238024097177997072,-2238024097177997064),(9,4,-2238024097177997064,-2238024097177995016),(9,5,-2238024097177997064,-2242527696805365512),(9,6,-2242527696805367560,-2242527696805365512),(9,7,-2242527696805365512,-2242527696805365512),(9,8,-2242527696805365512,-2242527696805365512),(9,9,-2242527696805365512,-2242527696804841224),(9,10,-2242527696805365512,-2242545288990885640),(9,11,-2242545288991409928,-2242545288990885640),(9,12,-2242545288991409928,-2242545288990885640),(9,13,-4548388298205103880,-2242545288990885640),(9,14,-4548388298204579592,-4548388298204579588),(9,15,-4548388298204579588,-4548388298204579588),(9,16,-4548388298204579588,-4548388298204579588),(10,0,-1085102592571150096,-1085102592571150096),(10,1,-1085102592571150096,-1085102592571150096),(10,2,-2238024097177995016,-1085102592571150096),(10,3,-2238024097177995016,-2238024097177997064),(10,4,-2238024097177995016,-2238024097177997064),(10,5,-2238024097177995016,-2238024097177995016),(10,6,-2242527696804841224,-2242527696805365512),(10,7,-2242527696804841224,-2242527696805365512),(10,8,-2242527696804841224,-2242527696805365512),(10,9,-2242527696804841224,-2242527696805365512),(10,10,-2242527696804841224,-2242527696804841224),(10,11,-2242545288990885640,-2242527696804841224),(10,12,-2242545288990885640,-2242545288990885640),(10,13,-4548388298204579592,-2242545288990885640),(10,14,-4548388298204579592,-2242545288990885640),(10,15,-4548388298204579588,-4548388298204579588),(10,16,-4548388298204579588,-4548388298204579588),(11,0,-1085102592571150096,-1085102592571150096),(11,1,-1085102592571150096,-1085102592571150096),(11,2,-1085102592571150096,-2238024097177997072),(11,3,-2238024097177997072,-2238024097177997064),(11,4,-2238024097177997064,-2238024097177995016),(11,5,-2238024097177997064,-2242527696805365512),(11,6,-2242527696805367560,-2242527696805365512),(11,7,-2242527696805365512,-2242527696805365512),(11,8,-2242527696805365512,-2242527696805365512),(11,9,-2242527696805365512,-2242527696804841224),(11,10,-2242527696805365512,-2242545288990885640),(11,11,-2242545288991409928,-2242545288990885640),(11,12,-2242545288991409928,-2242545288990885640),(11,13,-2242545288991409928,-2242545288990885640),(11,14,-2242545288990885640,-2242545288990885640),(11,15,-2242545288990885640,-4548388298204579592),(11,16,-2242545288990885640,-4548388298204579588),(12,0,-1085102592571150096,-1085102592571150096),(12,1,-1085102592571150096,-1085102592571150096),(12,2,-1085102592571150096,-1085102592571150096),(12,3,-2238024097177997072,-2238024097177997072),(12,4,-2238024097177997064,-2238024097177997064),(12,5,-2238024097177997064,-2238024097177997064),(12,6,-2238024097177995016,-2242527696805365512),(12,7,-2242527696805365512,-2242527696805365512),(12,8,-2242527696805365512,-2242527696805365512),(12,9,-2242527696805365512,-2242527696805365512),(12,10,-2242527696805365512,-2242527696805365512),(12,11,-2242527696804841224,-2242527696805365512),(12,12,-2242545288991409928,-2242545288991409928),(12,13,-2242527696804841224,-2242545288990885640),(12,14,-2242545288990885640,-2242545288990885640),(12,15,-2242545288990885640,-2242545288990885640),(12,16,-2242545288990885640,-2242545288990885640),(13,0,-1085102592571150096,-1085102592571150096),(13,1,-1085102592571150096,-1085102592571150096),(13,2,-1085102592571150096,-1085102592571150096),(13,3,-2238024097177997072,-1085102592571150096),(13,4,-2238024097177997064,-1085102592571150088),(13,5,-2238024097177997064,-2238024097177997064),(13,6,-2242527696805367560,-2238024097177995016),(13,7,-2242527696805365512,-2238024097177995016),(13,8,-2242527696805365512,-2242527696805365512),(13,9,-2242527696805365512,-2242527696805365512),(13,10,-2242527696805365512,-2242527696805365512),(13,11,-2242545288991409928,-2242527696805365512),(13,12,-2242545288991409928,-2242527696805365512),(13,13,-2242545288991409928,-2242527696804841224),(13,14,-2242545288990885640,-2242527696804841224),(13,15,-2242545288990885640,-2242527696804841224),(13,16,-2242545288990885640,-2242545288990885640),(14,0,-1085102592571150096,-1085102592571150096),(14,1,-1085102592571150096,-1085102592571150096),(14,2,-1085102592571150096,-1085102592571150096),(14,3,-1085102592571150096,-1085102592571150096),(14,4,-1085102592571150088,-2238024097177997072),(14,5,-1085102592571150088,-2238024097177997064),(14,6,-2238024097177997064,-2238024097177997064),(14,7,-2238024097177995016,-2242527696805367560),(14,8,-2238024097177995016,-2242527696805365512),(14,9,-2238024097177995016,-2242527696805365512),(14,10,-2242527696805365512,-2242527696805365512),(14,11,-2242527696805365512,-2242527696805365512),(14,12,-2242527696805365512,-2242527696805365512),(14,13,-2242527696805365512,-2242527696805365512),(14,14,-2242527696804841224,-2242545288991409928),(14,15,-2242527696804841224,-2242545288990885640),(14,16,-2242527696804841224,-2242545288990885640),(15,0,-1085102592571150096,-1085102592571150096),(15,1,-1085102592571150096,-1085102592571150096),(15,2,-1085102592571150096,-1085102592571150096),(15,3,-2238024097177997072,-1085102592571150096),(15,4,-2238024097177997064,-1085102592571150088),(15,5,-2238024097177997064,-2238024097177997064),(15,6,-2242527696805367560,-2238024097177995016),(15,7,-2242527696805365512,-2238024097177995016),(15,8,-2242527696805365512,-2242527696805365512),(15,9,-2242527696805365512,-2242527696805365512),(15,10,-2242527696805365512,-2242527696805365512),(15,11,-2242545288991409928,-2242527696805365512),(15,12,-2242545288991409928,-2242527696805365512),(15,13,-2242545288991409928,-2242527696804841224),(15,14,-2242545288990885640,-2242527696804841224),(15,15,-2242545288990885640,-2242527696804841224),(15,16,-2242545288990885640,-2242545288990885640),(16,0,-1085102592571150096,-1085102592571150096),(16,1,-1085102592571150096,-1085102592571150096),(16,2,-1085102592571150096,-1085102592571150096),(16,3,-1085102592571150096,-1085102592571150096),(16,4,-1085102592571150096,-1085102592571150096),(16,5,-2238024097177997072,-1085102592571150096),(16,6,-2238024097177997064,-2238024097177997064),(16,7,-2238024097177997064,-2238024097177997064),(16,8,-2242527696805367560,-2238024097177997064),(16,9,-2242527696805365512,-2238024097177995016),(16,10,-2242527696805365512,-2242527696805365512),(16,11,-2242527696805365512,-2242527696805365512),(16,12,-2242527696805365512,-2242527696805365512),(16,13,-2242527696805365512,-2242527696805365512),(16,14,-2242527696805365512,-2242527696805365512),(16,15,-2242527696805365512,-2242527696805365512),(16,16,-2242545288991409928,-2242527696805365512),(17,0,-1085102592571150096,-1085102592571150096),(17,1,-1085102592571150096,-1085102592571150096),(17,2,-1085102592571150096,-1085102592571150096),(17,3,-1085102592571150096,-1085102592571150096),(17,4,-1085102592571150096,-1085102592571150096),(17,5,-1085102592571150096,-1085102592571150096),(17,6,-2238024097177997072,-2238024097177997064),(17,7,-2238024097177997072,-2238024097177997064),(17,8,-2238024097177997064,-2238024097177997064),(17,9,-2238024097177997064,-2238024097177995016),(17,10,-2242527696805367560,-2242527696805365512),(17,11,-2242527696805365512,-2242527696805365512),(17,12,-2242527696805365512,-2242527696805365512),(17,13,-2242527696805365512,-2242527696805365512),(17,14,-2242527696805365512,-2242527696805365512),(17,15,-2242527696805365512,-2242527696805365512),(17,16,-2242527696805365512,-2242527696805365512),(18,0,-1085102592571150096,-1085102592571150096),(18,1,-1085102592571150096,-1085102592571150096),(18,2,-1085102592571150096,-1085102592571150096),(18,3,-1085102592571150096,-1085102592571150096),(18,4,-1085102592571150088,-1085102592571150096),(18,5,-1085102592571150088,-1085102592571150096),(18,6,-2238024097177997064,-2238024097177997064),(18,7,-2238024097177995016,-2238024097177997064),(18,8,-2238024097177995016,-2238024097177997064),(18,9,-2238024097177995016,-2238024097177995016),(18,10,-2242527696805365512,-2242527696805365512),(18,11,-2242527696805365512,-2242527696805365512),(18,12,-2242527696805365512,-2242527696805365512),(18,13,-2242527696805365512,-2242527696805365512),(18,14,-2242527696804841224,-2242527696805365512),(18,15,-2242527696804841224,-2242527696805365512),(18,16,-2242527696804841224,-2242527696805365512),(19,0,-1085102592571150096,-1085102592571150096),(19,1,-1085102592571150096,-1085102592571150096),(19,2,-1085102592571150096,-1085102592571150096),(19,3,-1085102592571150096,-1085102592571150096),(19,4,-1085102592571150096,-1085102592571150096),(19,5,-1085102592571150096,-1085102592571150096),(19,6,-2238024097177997072,-2238024097177997064),(19,7,-2238024097177997072,-2238024097177997064),(19,8,-2238024097177997064,-2238024097177997064),(19,9,-2238024097177997064,-2238024097177995016),(19,10,-2242527696805367560,-2242527696805365512),(19,11,-2242527696805365512,-2242527696805365512),(19,12,-2242527696805365512,-2242527696805365512),(19,13,-2242527696805365512,-2242527696805365512),(19,14,-2242527696805365512,-2242527696805365512),(19,15,-2242527696805365512,-2242527696805365512),(19,16,-2242527696805365512,-2242527696805365512),(20,0,-1085102592571150096,-1085102592571150096),(20,1,-1085102592571150096,-1085102592571150096),(20,2,-1085102592571150096,-1085102592571150096),(20,3,-1085102592571150096,-1085102592571150096),(20,4,-1085102592571150096,-1085102592571150096),(20,5,-1085102592571150096,-1085102592571150096),(20,6,-1085102592571150096,-1085102592571150096),(20,7,-2238024097177997064,-2238024097177997064),(20,8,-2238024097177997064,-2238024097177997064),(20,9,-2238024097177997064,-2238024097177997064),(20,10,-2238024097177995016,-2238024097177997064),(20,11,-2242527696805365512,-2242527696805365512),(20,12,-2242527696805365512,-2242527696805365512),(20,13,-2242527696805365512,-2242527696805365512),(20,14,-2242527696805365512,-2242527696805365512),(20,15,-2242527696805365512,-2242527696805365512),(20,16,-2242527696805365512,-2242527696805365512),(21,0,-1085102592571150096,-1085102592571150096),(21,1,-1085102592571150096,-1085102592571150096),(21,2,-1085102592571150096,-1085102592571150096),(21,3,-1085102592571150096,-1085102592571150096),(21,4,-1085102592571150096,-1085102592571150096),(21,5,-1085102592571150096,-1085102592571150096),(21,6,-2238024097177997072,-1085102592571150096),(21,7,-2238024097177997072,-1085102592571150088),(21,8,-2238024097177997064,-2238024097177997064),(21,9,-2238024097177997064,-2238024097177997064),(21,10,-2242527696805367560,-2238024097177997064),(21,11,-2242527696805365512,-2238024097177995016),(21,12,-2242527696805365512,-2238024097177995016),(21,13,-2242527696805365512,-2242527696805365512),(21,14,-2242527696805365512,-2242527696805365512),(21,15,-2242527696805365512,-2242527696805365512),(21,16,-2242527696805365512,-2242527696805365512),(22,0,-1085102592571150096,-1085102592571150096),(22,1,-1085102592571150096,-1085102592571150096),(22,2,-1085102592571150096,-1085102592571150096),(22,3,-1085102592571150096,-1085102592571150096),(22,4,-1085102592571150096,-1085102592571150096),(22,5,-1085102592571150096,-1085102592571150096),(22,6,-1085102592571150096,-1085102592571150096),(22,7,-1085102592571150096,-1085102592571150096),(22,8,-1085102592571150088,-2238024097177997064),(22,9,-2238024097177997064,-2238024097177997064),(22,10,-2238024097177997064,-2238024097177997064),(22,11,-2238024097177995016,-2238024097177997064),(22,12,-2238024097177995016,-2242527696805365512),(22,13,-2238024097177995016,-2242527696805365512),(22,14,-2238024097177995016,-2242527696805365512),(22,15,-2242527696805365512,-2242527696805365512),(22,16,-2242527696805365512,-2242527696805365512),(23,0,-1085102592571150096,-1085102592571150096),(23,1,-1085102592571150096,-1085102592571150096),(23,2,-1085102592571150096,-1085102592571150096),(23,3,-1085102592571150096,-1085102592571150096),(23,4,-1085102592571150096,-1085102592571150096),(23,5,-1085102592571150096,-1085102592571150096),(23,6,-2238024097177997072,-1085102592571150096),(23,7,-2238024097177997072,-1085102592571150088),(23,8,-2238024097177997064,-2238024097177997064),(23,9,-2238024097177997064,-2238024097177997064),(23,10,-2242527696805367560,-2238024097177997064),(23,11,-2242527696805365512,-2238024097177995016),(23,12,-2242527696805365512,-2238024097177995016),(23,13,-2242527696805365512,-2242527696805365512),(23,14,-2242527696805365512,-2242527696805365512),(23,15,-2242527696805365512,-2242527696805365512),(23,16,-2242527696805365512,-2242527696805365512),(24,0,-1085102592571150096,-1085102592571150096),(24,1,-1085102592571150096,-1085102592571150096),(24,2,-1085102592571150096,-1085102592571150096),(24,3,-1085102592571150096,-1085102592571150096),(24,4,-1085102592571150096,-1085102592571150096),(24,5,-1085102592571150096,-1085102592571150096),(24,6,-1085102592571150096,-1085102592571150096),(24,7,-1085102592571150096,-1085102592571150096),(24,8,-2238024097177997072,-1085102592571150096),(24,9,-2238024097177997064,-2238024097177997064),(24,10,-2238024097177997064,-2238024097177997064),(24,11,-2238024097177997064,-2238024097177997064),(24,12,-2238024097177997064,-2238024097177997064),(24,13,-2238024097177997064,-2238024097177997064),(24,14,-2242527696805365512,-2242527696805365512),(24,15,-2242527696805365512,-2242527696805365512),(24,16,-2242527696805365512,-2242527696805365512),(25,0,-1085102592571150096,-1085102592571150096),(25,1,-1085102592571150096,-1085102592571150096),(25,2,-1085102592571150096,-1085102592571150096),(25,3,-1085102592571150096,-1085102592571150096),(25,4,-1085102592571150096,-1085102592571150096),(25,5,-1085102592571150096,-1085102592571150096),(25,6,-1085102592571150096,-1085102592571150096),(25,7,-1085102592571150096,-1085102592571150096),(25,8,-1085102592571150096,-1085102592571150096),(25,9,-2238024097177997072,-1085102592571150088),(25,10,-2238024097177997072,-2238024097177997064),(25,11,-2238024097177997064,-2238024097177997064),(25,12,-2238024097177997064,-2238024097177997064),(25,13,-2238024097177997064,-2238024097177997064),(25,14,-2238024097177997064,-2238024097177995016),(25,15,-2242527696805367560,-2242527696805365512),(25,16,-2242527696805365512,-2242527696805365512),(26,0,-1085102592571150096,-1085102592571150096),(26,1,-1085102592571150096,-1085102592571150096),(26,2,-1085102592571150096,-1085102592571150096),(26,3,-1085102592571150096,-1085102592571150096),(26,4,-1085102592571150096,-1085102592571150096),(26,5,-1085102592571150096,-1085102592571150096),(26,6,-1085102592571150096,-1085102592571150096),(26,7,-1085102592571150096,-1085102592571150096),(26,8,-1085102592571150088,-1085102592571150096),(26,9,-2238024097177997064,-1085102592571150096),(26,10,-2238024097177997064,-2238024097177997064),(26,11,-2238024097177995016,-2238024097177997064),(26,12,-2238024097177995016,-2238024097177997064),(26,13,-2238024097177995016,-2238024097177997064),(26,14,-2238024097177995016,-2238024097177997064),(26,15,-2242527696805365512,-2242527696805365512),(26,16,-2242527696805365512,-2242527696805365512),(27,0,-1085102592571150096,-1085102592571150096),(27,1,-1085102592571150096,-1085102592571150096),(27,2,-1085102592571150096,-1085102592571150096),(27,3,-1085102592571150096,-1085102592571150096),(27,4,-1085102592571150096,-1085102592571150096),(27,5,-1085102592571150096,-1085102592571150096),(27,6,-1085102592571150096,-1085102592571150096),(27,7,-1085102592571150096,-1085102592571150096),(27,8,-1085102592571150096,-1085102592571150096),(27,9,-2238024097177997072,-1085102592571150088),(27,10,-2238024097177997072,-2238024097177997064),(27,11,-2238024097177997064,-2238024097177997064),(27,12,-2238024097177997064,-2238024097177997064),(27,13,-2238024097177997064,-2238024097177997064),(27,14,-2238024097177997064,-2238024097177995016),(27,15,-2242527696805367560,-2242527696805365512),(27,16,-2242527696805365512,-2242527696805365512),(28,0,-1085102592571150096,-1085102592571150096),(28,1,-1085102592571150096,-1085102592571150096),(28,2,-1085102592571150096,-1085102592571150096),(28,3,-1085102592571150096,-1085102592571150096),(28,4,-1085102592571150096,-1085102592571150096),(28,5,-1085102592571150096,-1085102592571150096),(28,6,-1085102592571150096,-1085102592571150096),(28,7,-1085102592571150096,-1085102592571150096),(28,8,-1085102592571150096,-1085102592571150096),(28,9,-1085102592571150096,-1085102592571150096),(28,10,-2238024097177997064,-2238024097177997064),(28,11,-2238024097177997064,-2238024097177997064),(28,12,-2238024097177997064,-2238024097177997064),(28,13,-2238024097177997064,-2238024097177997064),(28,14,-2238024097177997064,-2238024097177997064),(28,15,-2238024097177995016,-2238024097177995016),(28,16,-2242527696805365512,-2242527696805365512)"
+_PHASH_WAV_PINS = "(0,0),(1,-1152921504606846976),(2,-2251799813685248),(3,-35184372088832),(4,-1099511627776),(5,-68719476736),(6,-4294967296),(7,1152921503533105152),(8,36028796884746240),(9,2251799780130816),(10,281474959933440),(11,35184367894528),(12,-9223367638810361856),(13,-576459652792844288),(14,-72057456599236608),(15,-18014329790267392),(16,-2251782633947136),(17,-562945658519552),(18,4611615651830661120),(19,576425569005043712),(20,144106392251252736),(21,36026598129917952),(22,9006649566027776),(23,2251524969328640),(24,-4611123205896146944),(25,-576320049158033408),(26,-288160024579016704),(27,-72040010437625856),(28,-18005606709330944),(29,9218872833128528896),(30,2303593407350569984),(31,575898351033121792),(32,287949175516560896),(33,71916993720352256),(34,35958496860306944),(35,-4602696377065800192),(36,-2301348171386585344),(37,-574213333389803776),(38,-287106666711679232),(39,-143553333355806976),(40,9187483429699124992),(41,4593741441045397376),(42,2296870720522715008),(43,571974607955853184),(44,285996100337287040),(45,142998050168651648),(46,-9151873028817141888),(47,-4575936514408570944),(48,-2287968257137696832),(49,-567523380560912448)"
+
+
+def _phash_oracle() -> str:
+    """DuckDB oracle for ext_multimodal_phash: a FULL SEMANTIC REPLAY
+    of the pigeonhole Hamming pairing under the pinned residue-class
+    hashes. The hashed table reconstructs closed-form (base + resized
+    + container-swapped variants for images, envelope hashes for WAV);
+    then the EXACT hamming_band_pairs algebra replays in SQL — 4x16-bit
+    chunks (signed->unsigned via HUGEINT for the logical shift), the
+    class-partitioned band buckets, the hot-bucket anti-join cap, the
+    d1 < d2 dedup and the bit_count(xor) <= 3 verify — so the driver
+    row grades the hashing kernels AND the whole dedup-stack pairing
+    machinery end-to-end. All-integer math: no cross-engine float risk
+    at all."""
+    from smartpipeline_spark.functions.dedup import HAMMING_MAX_BUCKET
+
+    return f"""WITH imgP(wr,hr,h0,h2x) AS (VALUES {_PHASH_PNG_PINS}),
+ imgB(wr,hr,h0,h2x) AS (VALUES {_PHASH_BMP_PINS}),
+ wavp(r, h) AS (VALUES {_PHASH_WAV_PINS}),
+ img AS (SELECT d.doc_id,
+                CASE d.doc_id % 3 WHEN 0 THEN p.h0 ELSE b.h0 END AS h0,
+                CASE d.doc_id % 3 WHEN 0 THEN p.h2x ELSE b.h2x END AS h2x
+         FROM documents d
+         LEFT JOIN imgP p ON p.wr = d.doc_id % 29 AND p.hr = d.doc_id % 17
+         LEFT JOIN imgB b ON b.wr = d.doc_id % 29 AND b.hr = d.doc_id % 17
+         WHERE d.doc_id % 3 < 2),
+ hashed AS (
+   SELECT doc_id, 'image' AS media_class, h0 AS phash FROM img
+   UNION ALL
+   SELECT doc_id + 1000000, 'image', h2x FROM img
+   UNION ALL
+   SELECT doc_id + 2000000, 'image', h0 FROM img
+   UNION ALL
+   SELECT d.doc_id, 'audio', w.h FROM documents d
+   JOIN wavp w ON w.r = d.doc_id % 50 WHERE d.doc_id % 3 = 2),
+ chunks AS (
+   SELECT doc_id, media_class, phash, j.j AS chunk_id,
+          CAST(((CAST(phash AS HUGEINT)
+                 + CASE WHEN phash < 0 THEN 18446744073709551616::HUGEINT
+                        ELSE 0::HUGEINT END) >> (j.j * 16)) & 65535 AS BIGINT) AS chunk_val
+   FROM hashed, (SELECT unnest([0,1,2,3]) AS j) j),
+ hot AS (SELECT media_class, chunk_id, chunk_val
+         FROM chunks GROUP BY media_class, chunk_id, chunk_val
+         HAVING COUNT(*) > {HAMMING_MAX_BUCKET}),
+ kept AS (SELECT c.* FROM chunks c ANTI JOIN hot h
+            USING (media_class, chunk_id, chunk_val)),
+ cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                 a.phash AS h1, b.phash AS h2
+          FROM kept a JOIN kept b
+            ON a.media_class = b.media_class AND a.chunk_id = b.chunk_id
+           AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
+SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(h1, h2)) <= 3"""
+
+
+@ext_query("ext_multimodal_phash", _phash_oracle())  # + planted-copy pytest
+
 def ext_multimodal_phash(spark, sf_dir):
     """Perceptual multimodal near-dup: the synthetic media corpus plus
     PLANTED near-duplicate variants — each image re-appears 2× upscaled
@@ -635,8 +701,11 @@ def ext_multimodal_phash(spark, sf_dir):
     100 TB: hashes are 8 bytes/asset computed in one mapInPandas pass
     over the binary column; only (id, class, hash) shuffles, never
     pixels; the band join is bucketed + capped like every other
-    self-join in the engine. Declared rows-only (a perceptual hash has
-    no SQL oracle); determinism pinned by the synthetic corpus."""
+    self-join in the engine. Oracled as of r10: on the synth corpus
+    every hash is a residue-class closed form, so the full pairing
+    algebra replays in SQL (:func:`_phash_oracle` — all-integer, no
+    float risk); the planted-copy recall/precision pytest remains for
+    general media."""
     from smartpipeline_spark.functions.dedup import hamming_band_pairs
 
     base = synth_media(spark, sf_dir)

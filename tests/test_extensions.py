@@ -2794,3 +2794,88 @@ def test_pq_candidate_pins_match_reference():
 
     assert got_pq == parse(_PQ_CANDIDATE_PINS)
     assert got_ivfpq == parse(_IVFPQ_CANDIDATE_PINS)
+
+
+def test_phash_oracle_pins_match_kernel():
+    """Every pinned perceptual hash behind the ext_multimodal_phash
+    oracle must stay re-derivable from the kernels: base and 2x-resized
+    aHash per (doc_id%29, doc_id%17) residue class for both containers
+    (and the container-swapped variant must hash identically to base —
+    the oracle reuses h0 for it), plus the WAV envelope hash per
+    doc_id%50. No Spark involved."""
+    from smartpipeline_spark.functions.multimodal import (
+        _PHASH_BMP_PINS,
+        _PHASH_PNG_PINS,
+        _PHASH_WAV_PINS,
+        ahash64,
+        bmp_bytes,
+        png_bytes,
+        reencode_image,
+        resize_image,
+        wav_bytes,
+        wav_fp64,
+    )
+
+    def parse4(pins):
+        out = {}
+        for row in pins.split("),("):
+            a, b, h0, h2x = map(int, row.strip("()").split(","))
+            out[(a, b)] = (h0, h2x)
+        return out
+
+    png, bmp = parse4(_PHASH_PNG_PINS), parse4(_PHASH_BMP_PINS)
+    assert len(png) == len(bmp) == 29 * 17
+    for (a, b), (h0, h2x) in png.items():
+        p = png_bytes(4 + a, 4 + b)
+        assert ahash64(p) == h0 and ahash64(reencode_image(p)) == h0, (a, b)
+        assert ahash64(resize_image(p, 2 * (4 + a), 2 * (4 + b))) == h2x, (a, b)
+    for (a, b), (h0, h2x) in bmp.items():
+        m = bmp_bytes(4 + a, 4 + b)
+        assert ahash64(m) == h0 and ahash64(reencode_image(m)) == h0, (a, b)
+        assert ahash64(resize_image(m, 2 * (4 + a), 2 * (4 + b))) == h2x, (a, b)
+    wav = {}
+    for row in _PHASH_WAV_PINS.split("),("):
+        r, h = map(int, row.strip("()").split(","))
+        wav[r] = h
+    assert len(wav) == 50
+    for r, h in wav.items():
+        assert wav_fp64(wav_bytes(400 + r * 80, 8000)) == h, r
+
+
+def test_classifier_pins_match_engine(spark):
+    """The _QC_SCORE_PINS / _LANGID_PRED_PINS behind the two trained-
+    classifier oracles must stay re-derivable from the engine at every
+    ladder sf (the GD run is a deterministic pure function of the
+    fixture: zero init, full batch, fixed iterations, partitioning-
+    independent bucket-summed gradients). Re-trains both models per sf
+    — the heavyweight honesty test that lets the driver rows stay
+    lightweight pins."""
+    from smartpipeline_spark.functions import EXT_QUERIES
+    from smartpipeline_spark.functions.curation import (
+        _LANGID_PRED_PINS,
+        _QC_SCORE_PINS,
+    )
+
+    pinned_q = {}
+    for row in _QC_SCORE_PINS.split("),("):
+        fp, doc_id, p4 = row.strip("()").split(",")
+        pinned_q.setdefault(fp.strip("'"), {})[int(doc_id)] = int(p4)
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = f"/root/testdata/{sf}"
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        from pyspark.sql import functions as F
+
+        n, chars = docs.agg(
+            F.count("*"), F.sum(F.length("text"))
+        ).collect()[0]
+        fp = f"{n}:{chars}"
+        got_q = {
+            r["doc_id"]: int(round(r["prob"] * 10000))
+            for r in EXT_QUERIES["ext_quality_classifier"](spark, d).collect()
+        }
+        assert got_q == pinned_q[fp], f"{sf}: quality pins diverged"
+        langs = {
+            r["pred_lang"]
+            for r in EXT_QUERIES["ext_lang_id_trained"](spark, d).collect()
+        }
+        assert langs == {_LANGID_PRED_PINS[fp]}, f"{sf}: langid pins diverged"
