@@ -572,6 +572,121 @@ def main() -> None:
                 counts["batch_inference_scored"] / timings["batch_inference_scored"]
             )
 
+    # --- end-to-end streaming ingest (the reference's flagship
+    # "pipeline of stages" story, README.rst:26-40, at rung scale):
+    # file-drop source -> quality gate -> checkpointed streaming exact
+    # dedup (stateful: one md5 per doc in the state store) -> trained-
+    # classifier scoring under a persisted model -> lang-partitioned
+    # parquet sink, drained availableNow through Pipeline.start_stream.
+    # Timed end to end EXCLUDING the one-time offline model training
+    # and the landing-zone write (production trains offline and the
+    # drop already exists); docs/s is input docs through the full
+    # curation chain to committed parquet. State-store sizing per the
+    # stateful-stream contract: shuffle partitions scoped to 32 for
+    # the drain (state partition count binds at first checkpoint; each
+    # costs state-store files per trigger) and restored after.
+    if want("streaming_ingest_curated"):
+        import shutil
+        import tempfile
+
+        from smartpipeline_spark import Pipeline
+        from smartpipeline_spark.functions.curation import (
+            assign_split,
+            classifier_scores,
+            load_classifier,
+            save_classifier,
+            train_text_classifier,
+        )
+        from smartpipeline_spark.functions.dedup import _norm_text
+        from smartpipeline_spark.functions.text import _quality_cols
+
+        work = tempfile.mkdtemp(prefix="ingest_rung_")
+        src, sink, ckpt = f"{work}/drop", f"{work}/curated", f"{work}/ckpt"
+        base_docs = sources.table(spark, "documents", sf_dir).select(
+            "doc_id", "lang", "text"
+        )
+        full = base_docs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("r"),
+            "doc_id",
+            "lang",
+            "text",
+        ).select(
+            (F.col("doc_id") * n + F.col("r")).alias("doc_id"),
+            "lang",
+            F.concat(
+                "text", F.lit(" rtag"), F.col("r").cast("string")
+            ).alias("text"),
+        )
+        # landing zone: 32 files so maxFilesPerTrigger=8 gives 4
+        # micro-batches (trigger count constant across rungs — the
+        # exponent measures per-doc work, not trigger overhead)
+        full.repartition(32).write.mode("overwrite").parquet(src)
+        n_in = spark.read.parquet(src).count()
+
+        labeled = base_docs.withColumn(
+            "label",
+            F.coalesce(F.col("text").contains("vector").cast("int"), F.lit(0)),
+        )
+        train = assign_split(labeled).filter(F.col("split") == "train")
+        save_classifier(
+            train_text_classifier(train.select("text", "label"), iters=10),
+            f"{work}/model.json",
+        )
+        model = load_classifier(f"{work}/model.json")
+
+        def gate(df):
+            n_chars, _, n_punct, n_stop = _quality_cols()
+            quality = (
+                F.when((n_chars >= 50) & (n_chars <= 100000), 0.4).otherwise(0.0)
+                + F.when(
+                    n_punct * 1.0 / F.greatest(n_chars, F.lit(1)) < 0.1, 0.3
+                ).otherwise(0.0)
+                + F.when(n_stop > 0, 0.3).otherwise(0.0)
+            )
+            return df.withColumn("quality", quality).filter("quality >= 0.7")
+
+        def dedup(df):
+            return df.withColumn("fp", F.md5(_norm_text())).dropDuplicates(["fp"])
+
+        def score(df):
+            return classifier_scores(df, model, passthrough=True).filter(
+                F.col("prob") >= 0.5
+            )
+
+        def _ingest():
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            try:
+                stream = (
+                    spark.readStream.schema(spark.read.parquet(src).schema)
+                    .option("maxFilesPerTrigger", 8)
+                    .parquet(src)
+                )
+                q = (
+                    Pipeline(spark)
+                    .set_source(stream)
+                    .transform("quality_gate", gate)
+                    .transform("dedup", dedup)
+                    .transform("classifier_score", score)
+                    .build()
+                    .start_stream(
+                        ckpt, sink=sink, available_now=True,
+                        partition_by=("lang",),
+                    )
+                )
+                q.awaitTermination()
+                return spark.read.parquet(sink).count()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+        timed("streaming_ingest_curated", _ingest)
+        if timings.get("streaming_ingest_curated"):
+            counts["streaming_ingest_docs_in"] = n_in
+            counts["streaming_ingest_docs_per_sec"] = int(
+                n_in / timings["streaming_ingest_curated"]
+            )
+        shutil.rmtree(work, ignore_errors=True)
+
     out = {"n_docs": n_docs, "replicas": n, "timings": timings, "counts": counts}
     if "--metrics" in sys.argv:
         # load-independent adjudication evidence (the r8 lesson: on a
