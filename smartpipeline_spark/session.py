@@ -213,8 +213,16 @@ def ensure_protobuf() -> bool:
     and only consulted when the import fails elsewhere.
 
     Returns True when google.protobuf is importable afterwards."""
+    import importlib
     import sys
 
+    if _protobuf_importable():
+        return True
+    # a negative find_spec can be a STALE FileFinder directory cache
+    # (site-packages mutated by another process within mtime
+    # granularity — e.g. a provision/unprovision roundtrip elsewhere);
+    # refresh the finders before concluding the runtime is missing
+    importlib.invalidate_caches()
     if _protobuf_importable():
         return True
     if provision_protobuf() is not None:

@@ -216,6 +216,15 @@ print("ROUNDTRIP-OK")
         [sys.executable, "-c", script], capture_output=True, text=True, env=env
     )
     assert out.returncode == 0 and "ROUNDTRIP-OK" in out.stdout, out.stderr
+    # the subprocess mutated site-packages under THIS process's feet;
+    # refresh our finders and prove the runtime is still reachable so
+    # a breakage fails HERE, not as a silent skip in a later TWS test
+    import importlib
+
+    importlib.invalidate_caches()
+    from smartpipeline_spark.session import ensure_protobuf
+
+    assert ensure_protobuf(), "protobuf unreachable after roundtrip"
 
 
 def test_no_provision_env_leaves_site_packages_untouched():
@@ -262,3 +271,9 @@ print("OPTOUT-OK")
         [sys.executable, "-c", script], capture_output=True, text=True, env=env
     )
     assert out.returncode == 0 and "OPTOUT-OK" in out.stdout, out.stderr
+    import importlib
+
+    importlib.invalidate_caches()
+    from smartpipeline_spark.session import ensure_protobuf
+
+    assert ensure_protobuf(), "protobuf unreachable after opt-out test"

@@ -24,10 +24,12 @@ def test_oracle_hash_match(spark, key):
     assert res["hash_match"], res
 
 
-@pytest.mark.parametrize("key", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_execute(spark, key):
-    df = QUERIES[key](spark, SF_SMOKE)
-    assert df.count() >= 0
+def test_rows_only_census_is_zero():
+    """Round-10 invariant: EVERY registered key carries a DuckDB
+    oracle. This replaces the old rows-only-keys-execute parametrize
+    (whose parameter set is now empty); a key registered without an
+    oracle from here on is a regression, not a category."""
+    assert set(QUERIES) == set(ORACLES), sorted(set(QUERIES) - set(ORACLES))
 
 
 def test_entry_smoke(spark):
