@@ -240,10 +240,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # slot: the n-gram count rollup is a strict subset of ext_pmi
 # (unigram+bigram counts THEN the PMI score), which stays in-window;
 # ext_ngram_stats holds its green r8 row and stays sweep/sim-green.
-# Born late-r9 OUT of window (attestation debt for the r10 rotation):
-# ext_pagerank (DECIMAL-exact power iteration, chained-CTE oracle) —
-# sweep/sim/pytest-green this round, takes its first driver row when
-# a slot frees up next round.
+# Round-10 rotation: the 12 keys graduated rows-only -> oracled this
+# round, plus the two late-r9 conversions that never held a driver row
+# (ext_pagerank, ext_html_boilerplate), take the 14 slots freed by
+# r<=9-green keys whose shapes stay covered — 4 TPC-H members rotate
+# out with q82/q83 retained as suite anchors; ext_knn_hnsw yields to
+# the five NEW ANN keys (lsh/ivf/pq/ivfpq + semantic dedup) now
+# carrying the ANN family in-window; the r9 conversion trio
+# (compression_ratio / bpe_encode / cdc_chunk_stats) and five
+# relational-band keys (q39/q40/q42/q45/q48/q56) hold their green r9
+# rows and stay sweep- and sim-verified.
 _WINDOW = (
     # round-7 flagships
     "ext_line_dedup", "ext_entropy_filter",
@@ -251,18 +257,24 @@ _WINDOW = (
     # round-8 attestation debt: born-r7 keys + rows-only conversions
     "ext_ccnet_buckets", "ext_readability", "ext_leakage_safe_split",
     "q22b_sliding_window", "ext_dedup_simhash", "ext_dedup_minhash",
-    # TPC-H members retained from the r7 debt drain
-    "q71_tpch_q15",
-    "q74_tpch_q22", "q76_tpch_q12", "q81_tpch_q11", "q82_tpch_q16",
-    "q83_tpch_q20",
-    # relational-band debt
-    "ext_compression_ratio", "q39_stat_moments", "q40_variant",
-    "q42_udaf_geomean", "q43_join_full_outer", "q45_unpivot",
-    "ext_bpe_encode", "q48_sql_udf", "q49_cross_join",
-    "q50_not_in_semantics", "q51_grouping_flags", "ext_cdc_chunk_stats",
-    "ext_knn_hnsw", "q55_transitions", "q56_union_by_name",
-    "q57_grouped_map",
-    # ext_* debt
+    # TPC-H anchors
+    "q82_tpch_q16", "q83_tpch_q20",
+    # r10 graduation debt: the ANN family, all five newly oracled
+    "ext_knn_lsh", "ext_knn_ivf", "ext_knn_pq", "ext_knn_ivfpq",
+    "ext_dedup_semantic",
+    # r10 graduation debt: trained models + deterministic pins
+    "ext_quality_classifier", "ext_lang_id_trained", "ext_bpe_train",
+    "q12b_approx_distinct",
+    # r10 graduation debt: multimodal closed forms
+    "ext_multimodal_resize", "ext_multimodal_frames",
+    "ext_multimodal_phash",
+    # late-r9 conversions taking their first driver rows
+    "ext_pagerank", "ext_html_boilerplate",
+    # relational-band keys retained from the r9 window
+    "q43_join_full_outer", "q49_cross_join",
+    "q50_not_in_semantics", "q51_grouping_flags",
+    "q55_transitions", "q57_grouped_map",
+    # ext_* debt retained from the r9 window
     "ext_chunk_docs", "ext_data_card", "ext_decay_trend",
     "ext_lm_score", "ext_lm_stupid_backoff",
     "ext_mmr_diversify", "ext_pmi", "ext_redact", "ext_rollup_reuse",
