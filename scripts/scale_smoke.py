@@ -598,7 +598,7 @@ def main() -> None:
             train_text_classifier,
         )
         from smartpipeline_spark.functions.dedup import _norm_text
-        from smartpipeline_spark.functions.text import _quality_cols
+        from smartpipeline_spark.functions.text import quality_expr
 
         work = tempfile.mkdtemp(prefix="ingest_rung_")
         src, sink, ckpt = f"{work}/drop", f"{work}/curated", f"{work}/ckpt"
@@ -628,22 +628,18 @@ def main() -> None:
             F.coalesce(F.col("text").contains("vector").cast("int"), F.lit(0)),
         )
         train = assign_split(labeled).filter(F.col("split") == "train")
+        # save/load treat the path as a DIRECTORY (the classifier json
+        # lands under it) — name it like one
         save_classifier(
             train_text_classifier(train.select("text", "label"), iters=10),
-            f"{work}/model.json",
+            f"{work}/model",
         )
-        model = load_classifier(f"{work}/model.json")
+        model = load_classifier(f"{work}/model")
 
         def gate(df):
-            n_chars, _, n_punct, n_stop = _quality_cols()
-            quality = (
-                F.when((n_chars >= 50) & (n_chars <= 100000), 0.4).otherwise(0.0)
-                + F.when(
-                    n_punct * 1.0 / F.greatest(n_chars, F.lit(1)) < 0.1, 0.3
-                ).otherwise(0.0)
-                + F.when(n_stop > 0, 0.3).otherwise(0.0)
-            )
-            return df.withColumn("quality", quality).filter("quality >= 0.7")
+            # the library's quality expression — one source of truth
+            # for the C4/Gopher weights (ADVICE r10)
+            return df.withColumn("quality", quality_expr()).filter("quality >= 0.7")
 
         def dedup(df):
             return df.withColumn("fp", F.md5(_norm_text())).dropDuplicates(["fp"])

@@ -95,6 +95,22 @@ def _quality_cols():
     return n_chars, n_tokens, n_punct, n_stop
 
 
+def quality_expr():
+    """The heuristic quality score as a reusable Column over a ``text``
+    column — the single source of truth for the C4/Gopher-style weights
+    (length band 0.4, punctuation ratio 0.3, stopword presence 0.3).
+    Used by :func:`ext_quality_score`, by the streaming-ingest quality
+    gate in ``scripts/scale_smoke.py``, and available to user pipelines
+    so a threshold change here propagates everywhere. Un-rounded; the
+    registered key floors to 2 decimals for oracle parity."""
+    n_chars, _, n_punct, n_stop = _quality_cols()
+    return (
+        F.when((n_chars >= 50) & (n_chars <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(n_punct * F.lit(1.0) / F.greatest(n_chars, F.lit(1)) < 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(n_stop > 0, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+
+
 def _quality_sql_stop_expr() -> str:
     parts = [
         "CAST((length(concat(' ', lower(text), ' ')) - "
@@ -126,11 +142,7 @@ def ext_quality_score(spark, sf_dir):
     JVM-side)."""
     d = sources.table(spark, "documents", sf_dir)
     n_chars, n_tokens, n_punct, n_stop = _quality_cols()
-    quality = (
-        F.when((n_chars >= 50) & (n_chars <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.when(n_punct * F.lit(1.0) / F.greatest(n_chars, F.lit(1)) < 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
-        + F.when(n_stop > 0, F.lit(0.3)).otherwise(F.lit(0.0))
-    )
+    quality = quality_expr()
     return d.select(
         "doc_id",
         n_chars.alias("n_chars"),

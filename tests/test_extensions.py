@@ -2879,3 +2879,138 @@ def test_classifier_pins_match_engine(spark):
             for r in EXT_QUERIES["ext_lang_id_trained"](spark, d).collect()
         }
         assert langs == {_LANGID_PRED_PINS[fp]}, f"{sf}: langid pins diverged"
+
+
+def test_classifier_pins_match_pure_reference():
+    """INDEPENDENT re-derivation of the trained-classifier pins — no
+    Spark anywhere (ADVICE r10: test_classifier_pins_match_engine
+    re-derives the pins via the same engine, so it only detects
+    drift; this test closes the loop the way the PQ/IVF/BPE pins do).
+    Pure hashlib/re/numpy twin of the whole chain: java-trim + \\s+
+    split + unigram/bigram md5 buckets, md5 train split, full-batch
+    GD (quality: 20 iters binary; langid: 8 iters one-vs-rest),
+    score every document, compare to _QC_SCORE_PINS /
+    _LANGID_PRED_PINS at ALL THREE ladder sfs.
+
+    Bitwise equality with the engine is not expected (JVM Math.exp vs
+    numpy exp differ by ~1 ulp per iteration), so the test also
+    asserts the DECISION margins that make the 1e-4-grid pins robust
+    to that noise: every prob at least 1e-7 from a rounding boundary
+    (measured >= 2.1e-4) and every argmax at least 1e-6 clear of the
+    runner-up (measured >= 0.32)."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    from smartpipeline_spark.functions.curation import (
+        _LANGID_PRED_PINS,
+        _QC_SCORE_PINS,
+        QC_BUCKETS,
+    )
+
+    m = QC_BUCKETS
+    jtrim = "".join(chr(c) for c in range(0x21))
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def buckets_of(text):
+        if text is None:
+            return [-1]
+        s = text.strip(jtrim).lower()
+        ws = [""] if s == "" else ws_re.split(s)
+        gs = list(ws)
+        if len(ws) >= 2:
+            gs += [ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)]
+        out, seen = [-1], {-1}
+        for g in gs:
+            b = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) % m
+            if b not in seen:
+                seen.add(b)
+                out.append(b)
+        return out
+
+    def csr(bls):
+        indptr = np.zeros(len(bls) + 1, dtype=np.int64)
+        for i, bs in enumerate(bls):
+            indptr[i + 1] = indptr[i] + len(bs)
+        idx = np.empty(indptr[-1], dtype=np.int64)
+        for i, bs in enumerate(bls):
+            idx[indptr[i] : indptr[i + 1]] = bs
+        return indptr, idx, np.diff(indptr)
+
+    def doc_sums(W2d, indptr, idx):
+        # per-doc sum of weights at the doc's buckets — same numpy
+        # fancy-index + .sum the engine's scoring UDF runs per row
+        return np.stack(
+            [
+                W2d[:, idx[indptr[i] : indptr[i + 1]]].sum(axis=1)
+                for i in range(len(indptr) - 1)
+            ]
+        )
+
+    pinned_q = {}
+    for row in _QC_SCORE_PINS.split("),("):
+        f_, d_, v_ = row.strip("()").split(",")
+        pinned_q.setdefault(f_.strip("'"), {})[int(d_)] = int(v_)
+
+    import pyarrow.parquet as pq
+
+    lr, l2 = 2.0, 1e-6
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        tbl = pq.read_table(
+            f"/root/testdata/{sf}/documents.parquet",
+            columns=["doc_id", "text", "lang"],
+        )
+        doc_ids = tbl["doc_id"].to_pylist()
+        texts = tbl["text"].to_pylist()
+        fp = f"{len(doc_ids)}:{sum(len(t) for t in texts if t is not None)}"
+        bls = [buckets_of(t) for t in texts]
+        is_train = np.array(
+            [
+                int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 100 < 80
+                for d in doc_ids
+            ]
+        )
+        indptr, idx, _ = csr(bls)
+        tr_bls = [b for b, t in zip(bls, is_train) if t]
+        tr_ptr, tr_idx, tr_counts = csr(tr_bls)
+        n = len(tr_bls)
+        seen = np.unique(tr_idx)
+
+        # --- quality classifier: binary GD, 20 iters (the key's value)
+        y = np.array(
+            [1.0 if (t is not None and "vector" in t) else 0.0 for t in texts]
+        )[is_train.astype(bool)]
+        w = np.zeros(m + 1)
+        for _ in range(20):
+            z = doc_sums(w[None, :], tr_ptr, tr_idx)[:, 0]
+            r = 1.0 / (1.0 + np.exp(-z)) - y
+            g = np.zeros(m + 1)
+            np.add.at(g, tr_idx, np.repeat(r, tr_counts))
+            w[seen] -= lr * (g[seen] / n + l2 * w[seen])
+        p = 1.0 / (1.0 + np.exp(-doc_sums(w[None, :], indptr, idx)[:, 0]))
+        scaled = p * 10000.0 + 0.5
+        fracs = scaled % 1.0
+        assert np.minimum(fracs, 1.0 - fracs).min() > 1e-7, f"{sf}: grid margin"
+        mine = {int(d): int(v) for d, v in zip(doc_ids, np.floor(scaled))}
+        assert mine == pinned_q[fp], f"{sf}: pure-reference quality pins diverged"
+
+        # --- langid: one-vs-rest GD, 8 iters (the key's value)
+        classes = sorted(set(tbl["lang"].to_pylist()))
+        cidx = {c: i for i, c in enumerate(classes)}
+        tr_y = np.array([cidx[lg] for lg in tbl["lang"].to_pylist()])[
+            is_train.astype(bool)
+        ]
+        W = np.zeros((len(classes), m + 1))
+        for _ in range(8):
+            P = 1.0 / (1.0 + np.exp(-doc_sums(W, tr_ptr, tr_idx)))
+            P[np.arange(n), tr_y] -= 1.0
+            G = np.zeros_like(W)
+            for c in range(len(classes)):
+                np.add.at(G[c], tr_idx, np.repeat(P[:, c], tr_counts))
+            W[:, seen] -= lr * (G[:, seen] / n + l2 * W[:, seen])
+        Z = doc_sums(W, indptr, idx)
+        top2 = np.sort(Z, axis=1)
+        assert (top2[:, -1] - top2[:, -2]).min() > 1e-6, f"{sf}: argmax margin"
+        preds = {classes[int(i)] for i in np.argmax(Z, axis=1)}
+        assert preds == {_LANGID_PRED_PINS[fp]}, f"{sf}: pure langid pin diverged"

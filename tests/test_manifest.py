@@ -117,7 +117,11 @@ def test_registry_is_the_full_union_no_key_dropped():
     assert tuple(entrymod.queries())[: len(entrymod._WINDOW)] == entrymod._WINDOW
 
 
-def test_html_oracle_corpus_assumptions_hold():
+import pytest
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_html_oracle_corpus_assumptions_hold(sf):
     """The ext_html_extract / ext_html_boilerplate closed-form oracles
     assume the fixture corpus: (a) documents.text and documents.lang
     contain ONLY ASCII whitespace [\\t\\n\\f\\r ] (DuckDB/RE2 '\\s+'
@@ -125,13 +129,16 @@ def test_html_oracle_corpus_assumptions_hold():
     Unicode spaces), (b) both are <,>,&-free (the synth HTML embeds
     them raw), (c) lang is never empty/whitespace-only (the
     boilerplate CASE relies on it). This test turns a silent
-    engine-divergence on a fixture change into a loud failure."""
+    engine-divergence on a fixture change into a loud failure —
+    checked over the FULL fixture ladder (the oracles are graded at
+    sf0.01 by the driver and sf0.1 by the sweep, not just SF_SMOKE;
+    ADVICE r10)."""
     import duckdb
 
     con = duckdb.connect()
     bad = con.sql(
         f"""
-        SELECT count(*) FROM read_parquet('{SF_SMOKE}/documents.parquet')
+        SELECT count(*) FROM read_parquet('/root/testdata/{sf}/documents.parquet')
         WHERE regexp_matches(text, '[<>&\\x0b\\x1c-\\x1f\\x{{85}}\\x{{a0}}\\x{{1680}}\\x{{2000}}-\\x{{200a}}\\x{{2028}}\\x{{2029}}\\x{{202f}}\\x{{205f}}\\x{{3000}}]')
            OR regexp_matches(lang, '[<>&\\x0b\\x1c-\\x1f\\x{{85}}\\x{{a0}}\\x{{1680}}\\x{{2000}}-\\x{{200a}}\\x{{2028}}\\x{{2029}}\\x{{202f}}\\x{{205f}}\\x{{3000}}]')
            OR trim(lang, E' \\t\\n\\f\\r') = ''
