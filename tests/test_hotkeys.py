@@ -112,3 +112,99 @@ def test_fuzzy_subblock_recurses_past_shared_first_char(spark):
         for r in fuzzy_pairs(df, "name", max_block=10, levels=1).collect()
     }
     assert len(one) > len(sub)
+
+
+# ---- partitions="auto" / anchored-form contracts (VERDICT r10 #1) ----
+
+
+def test_auto_partitions_floor_skip_keeps_small_plans_clean(spark):
+    """At fixture scale the one-pass estimate lands at/below the rule's
+    floor, so "auto" must inject NO explicit hash repartition — small
+    joins keep their pre-r11 plans (AQE stays free to broadcast)."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon word{i}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    plan = (
+        jaccard_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert not any(
+        "REPARTITION_BY_NUM" in line and "hashpartitioning" in line
+        for line in plan.splitlines()
+    ), "floor-skip failed: explicit width injected on a tiny join"
+
+
+def test_explicit_partitions_inject_width_and_preserve_values(spark):
+    """An int forces that exchange width on both the index join and
+    the pair-count exchange; results are bit-identical to None."""
+    docs = spark.createDataFrame(
+        [(i, f"shared common prefix words here tail{i % 7} x{i}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    forced = jaccard_pairs(docs, partitions=8)
+    plan = forced._jdf.queryExecution().executedPlan().toString()
+    widths = {
+        line.split("hashpartitioning(")[1].split("), REPARTITION_BY_NUM")[0].rsplit(", ", 1)[-1]
+        for line in plan.splitlines()
+        if "REPARTITION_BY_NUM" in line and "hashpartitioning" in line
+    }
+    assert widths == {"8"}, widths
+    base = {tuple(r) for r in jaccard_pairs(docs, partitions=None).collect()}
+    assert {tuple(r) for r in forced.collect()} == base
+
+
+def test_anchored_jaccard_equals_filtered_full_join(spark):
+    """anchor=pred must emit exactly the full join's pairs restated as
+    (d1 > d2=anchor), with identical jaccard values (sizes and common
+    counts still from the whole capped universe)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"zeta eta theta iota kappa t{i % 5} u{i % 3} v{i}") for i in range(24)],
+        ["doc_id", "text"],
+    )
+    pred = F.col("doc_id") % 6 < 2
+    full = {(r.d1, r.d2, r.jaccard) for r in jaccard_pairs(docs, threshold=0.3).collect()}
+    anch = {
+        (r.d1, r.d2, r.jaccard)
+        for r in jaccard_pairs(docs, threshold=0.3, anchor=pred).collect()
+    }
+    assert anch == {(y, x, j) for (x, y, j) in full if x % 6 < 2}
+    assert len(anch) > 0
+
+
+def test_anchored_minhash_equals_filtered_full_join(spark):
+    from pyspark.sql import functions as F
+
+    from smartpipeline_spark.functions.dedup import (
+        minhash_candidates,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"lorem ipsum dolor sit amet tail{i % 4}") for i in range(16)],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(docs)
+    pred = F.col("doc_id") % 4 < 1
+    full = {(r.d1, r.d2) for r in minhash_candidates(sigs).collect()}
+    anch = {(r.d1, r.d2) for r in minhash_candidates(sigs, anchor=pred).collect()}
+    assert anch == {(y, x) for (x, y) in full if x % 4 < 1}
+    assert len(anch) > 0
+
+
+def test_resolve_pair_partitions_contract(spark):
+    """None -> None; int -> int; "auto" -> None at/below floor (the
+    injection threshold is the tuned rule's 2 x parallelism floor)."""
+    from smartpipeline_spark.functions.dedup import (
+        _resolve_pair_partitions,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"one two three w{i}") for i in range(10)], ["doc_id", "text"]
+    )
+    idx = word_shingles(docs, 3)
+    assert _resolve_pair_partitions(None, idx, ["sh"]) is None
+    assert _resolve_pair_partitions(17, idx, ["sh"]) == 17
+    assert _resolve_pair_partitions("auto", idx, ["sh"]) is None
