@@ -70,7 +70,8 @@ def _scan_lines(text: str) -> dict:
         elif obj.get("artifact") == "plan_fp":
             extras["plan_fp"] = obj.get("plan_fp", {})
         elif obj.get("artifact") == "detail":
-            for k in ("queries", "queries_min", "reps"):
+            for k in ("queries", "queries_min", "queries_cpu",
+                      "queries_spill_gb", "reps", "isolation", "loadavg"):
                 if k in obj:
                     extras[k] = obj[k]
     return {**headline, **extras} if headline else {}
@@ -296,12 +297,24 @@ def adjudicate(
     plans_old: str | dict | None,
     plans_new: str | dict | None,
     git_since: str | None,
+    *,
+    cpu_old: dict | None = None,
+    cpu_new: dict | None = None,
 ) -> list[str]:
     """For each flagged regression, gather the mechanical evidence and
     emit a verdict line. Returns the lines (also printed). The plans
     arguments accept either a PLANS_r{N}.txt path or an
     already-loaded {key: fingerprint} dict (the round-8 bench
-    artifacts embed fingerprints directly)."""
+    artifacts embed fingerprints directly).
+
+    CPU co-primary (r10 verdict #2): when both artifacts carry the
+    per-key ``queries_cpu`` medians, a wall regression with FLAT
+    executor CPU (|delta| <= 15% or <= 0.2s) and an unchanged plan is
+    SELF-ADJUDICATED as host variance — the exact evidence form the
+    r9/r10 checkout-bisects established, now read straight from the
+    artifact. A wall regression whose CPU moved too is NOT dismissed
+    (could be real, could be contention inflating CPU — re-measure
+    solo/idle)."""
     fps_old = (
         plans_old
         if isinstance(plans_old, dict)
@@ -316,13 +329,25 @@ def adjudicate(
     for name, o, n, pct in regressions:
         facts = []
         changed = False
+        plan_same = None
+        cpu_flat = None
         if plans_old and plans_new:
             fo, fn_ = fps_old.get(name), fps_new.get(name)
             if fo != fn_:
                 changed = True
+                plan_same = False
                 facts.append(f"plan changed [{fo or '(absent)'}] -> [{fn_ or '(absent)'}]")
             else:
+                plan_same = True
                 facts.append("plan fingerprint unchanged")
+        if cpu_old and cpu_new and name in cpu_old and name in cpu_new:
+            co, cn = cpu_old[name], cpu_new[name]
+            cpu_pct = (cn - co) / co if co else 0.0
+            cpu_flat = abs(cpu_pct) <= 0.15 or abs(cn - co) <= 0.2
+            facts.append(
+                f"executor CPU {co:.2f}s -> {cn:.2f}s "
+                f"({cpu_pct:+.0%}{', flat' if cpu_flat else ''})"
+            )
         if git_since:
             spans = defining_spans(name)
             if spans:
@@ -361,11 +386,21 @@ def adjudicate(
                         )
             else:
                 facts.append("defining file unresolved")
-        verdict = (
-            'ADJUDICATION REFUSED: "unchanged/host variance" is falsified — '
-            if changed
-            else "eligible for host-variance adjudication — "
-        )
+        if changed:
+            verdict = 'ADJUDICATION REFUSED: "unchanged/host variance" is falsified — '
+        elif cpu_flat is True and plan_same is True:
+            verdict = (
+                "SELF-ADJUDICATED host variance: wall swing with flat "
+                "executor CPU and unchanged plan — "
+            )
+        elif cpu_flat is False:
+            verdict = (
+                "NOT dismissible from the artifact (CPU moved with wall; "
+                "real regression or contention-inflated CPU — re-measure "
+                "solo/idle) — "
+            )
+        else:
+            verdict = "eligible for host-variance adjudication — "
         lines.append(f"  {name}: {verdict}{'; '.join(facts) or 'no evidence sources given'}")
     for ln in lines:
         print(ln)
@@ -419,11 +454,14 @@ def main() -> int:
         plans_new = opts.get("plans-new") or (
             load_embedded_fingerprints(args[1]) or None
         )
+        o_all, n_all = _parse(args[0]), _parse(args[1])
         adjudicate(
             regressions,
             plans_old,
             plans_new,
             opts.get("git-since"),
+            cpu_old=o_all.get("queries_cpu"),
+            cpu_new=n_all.get("queries_cpu"),
         )
         return 1
     print("\nno regressions")

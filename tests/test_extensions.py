@@ -2080,6 +2080,87 @@ def test_bench_compare_git_leg_is_call_graph_scoped():
         assert any(c.startswith("de8f398") for c in got)
 
 
+def test_bench_compare_cpu_coprimary_self_adjudicates():
+    """r10 verdict #2: with per-key executor-CPU medians in both
+    artifacts, a wall regression with FLAT CPU and an unchanged plan
+    self-adjudicates as host variance (the r9/r10 checkout-bisect
+    evidence form, read straight from the artifact); CPU moving with
+    wall blocks the dismissal; and a plan change still REFUSES
+    regardless of CPU."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare", os.path.join(repo, "scripts", "bench_compare.py")
+    )
+    bc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bc)
+    fps = {"k": "exch= 2 bhj=1"}
+    # wall +35%, CPU +3% (flat), plan unchanged -> self-adjudicated
+    out = bc.adjudicate(
+        [("k", 2.0, 2.7, 0.35)], fps, dict(fps), None,
+        cpu_old={"k": 10.0}, cpu_new={"k": 10.3},
+    )
+    assert "SELF-ADJUDICATED host variance" in out[0]
+    assert "+3%" in out[0] and "flat" in out[0]
+    # CPU moved with wall -> not dismissible
+    out = bc.adjudicate(
+        [("k", 2.0, 2.7, 0.35)], fps, dict(fps), None,
+        cpu_old={"k": 10.0}, cpu_new={"k": 14.0},
+    )
+    assert "NOT dismissible" in out[0]
+    # plan changed -> refusal wins even with flat CPU
+    out = bc.adjudicate(
+        [("k", 2.0, 2.7, 0.35)], fps, {"k": "exch= 3 bhj=0"}, None,
+        cpu_old={"k": 10.0}, cpu_new={"k": 10.1},
+    )
+    assert "ADJUDICATION REFUSED" in out[0]
+    # no CPU channel (pre-r11 artifacts) -> the old eligible wording
+    out = bc.adjudicate([("k", 2.0, 2.7, 0.35)], fps, dict(fps), None)
+    assert "eligible for host-variance" in out[0]
+
+
+def test_html_oracles_survive_exotic_whitespace(spark, tmp_path):
+    """r10 verdict #4: the markup closed forms must no longer depend
+    on the fixture being plain-ASCII. Plants \\x0b, \\x1c, \\x85,
+    \\xa0, U+2028 and U+3000 (the python-str.split-vs-RE2 divergence
+    set) in document text, runs BOTH registered keys against their
+    REGISTERED DuckDB oracles on that corpus, and requires exact
+    equality — the synth expression's whitespace fold (markup.py)
+    must act identically in both engines."""
+    import duckdb
+
+    from smartpipeline_spark.functions import EXT_ORACLES, EXT_QUERIES
+
+    rows = [
+        (0, "en", "plain text stays plain"),
+        (1, "en", "vertical\x0btab and file\x1csep here"),
+        (2, "es", "next\x85line and nbsp\xa0joined words"),
+        (3, "de", "line sep plus　ideographic space"),
+        (4, "fr", "\xa0leading and trailing\x85"),
+        (5, "en", "\x0b\x1c\x85\xa0 　"),  # whitespace-only
+        (6, "en", "mixed \t ascii\nand exotic runs"),
+    ]
+    d = str(tmp_path / "planted")
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    for key in ("ext_html_extract", "ext_html_boilerplate"):
+        got = sorted(
+            (r["doc_id"], r["text"])
+            for r in EXT_QUERIES[key](spark, d).collect()
+        )
+        want = sorted(map(tuple, con.sql(EXT_ORACLES[key]).fetchall()))
+        assert got == want, f"{key} diverged on planted exotic whitespace"
+
+
 def test_html_extraction_drops_planted_boilerplate(spark):
     """Planted-boilerplate attestation for ext_html_boilerplate: chrome
     subtrees (head/nav/header/footer, script/style bodies) and
