@@ -197,16 +197,28 @@ def extract_html_text(
 # mode (chrome + link-density removal) is NOT SQL-expressible and is
 # attested by the planted-fixture pytest behind ext_html_boilerplate.
 #
-# CORPUS WHITESPACE ASSUMPTION (both oracles below): DuckDB/RE2
-# '\s+' collapses only ASCII [\t\n\f\r ], while the Spark-side parser
-# collapses via Python str.split(), which additionally splits on
-# \x0b, \x1c-\x1f, \x85 and Unicode space separators. The closed
-# forms therefore hold only because documents.text / documents.lang
-# in the fixture corpus contain ASCII whitespace exclusively (and are
-# <,>,&-free; lang is additionally never empty/whitespace-only, which
-# the boilerplate CASE relies on). test_manifest.py pins these corpus
-# properties so a fixture change fails loudly instead of silently
-# diverging the engines.
+# WHITESPACE HARDENING (r11, was a corpus ASSUMPTION through r10):
+# DuckDB/RE2 '\s+' collapses only ASCII [\t\n\v\f\r ], while the
+# Spark-side parser collapses via Python str.split(), which
+# additionally splits on \x1c-\x1f, \x85 and the Unicode space
+# separators. The synth expression therefore NORMALIZES every such
+# exotic-whitespace character to a plain space before wrapping — in
+# the Spark leg (java regex, _EXOTIC_WS_JAVA) and identically inside
+# both oracles (RE2, _EXOTIC_WS_RE2) — so the closed forms hold for
+# ANY corpus text, not just the ASCII-whitespace fixture. Remaining
+# corpus assumptions, still pinned by test_manifest.py: text/lang are
+# <,>,&-free (the synth embeds them raw) and lang is never
+# empty/whitespace-only (the boilerplate CASE relies on it).
+# Hardening attested by test_html_oracles_survive_exotic_whitespace
+# (plants \x0b/\x1c/\x85/\xa0/ /　 and replays both oracles).
+_EXOTIC_WS_JAVA = (
+    "[\\x0B\\x1C-\\x1F\\u0085\\u00A0\\u1680\\u2000-\\u200A"
+    "\\u2028\\u2029\\u202F\\u205F\\u3000]"
+)
+_EXOTIC_WS_RE2 = (
+    r"[\x{0b}\x{1c}-\x{1f}\x{85}\x{a0}\x{1680}\x{2000}-\x{200a}"
+    r"\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]"
+)
 _HTML_PREFIX = (
     '<html><head><title>doc</title></head><body>'
     '<nav><a href="/">home</a> <a href="/about">about</a></nav><h1>'
@@ -215,15 +227,21 @@ _HTML_MID = '</h1><div class="content"><p>'
 _HTML_SUFFIX = "</p></div><footer>contact us</footer></body></html>"
 
 
+def _norm_ws(col):
+    """Exotic-whitespace fold shared by both synth legs (see the
+    hardening note above)."""
+    return F.regexp_replace(col, _EXOTIC_WS_JAVA, " ")
+
+
 def _synth_html(spark, sf_dir):
     d = sources.table(spark, "documents", sf_dir)
     return d.select(
         "doc_id",
         F.concat(
             F.lit(_HTML_PREFIX),
-            F.col("lang"),
+            _norm_ws(F.col("lang")),
             F.lit(_HTML_MID),
-            F.col("text"),
+            _norm_ws(F.col("text")),
             F.lit(_HTML_SUFFIX),
         ).alias("html"),
     )
@@ -236,7 +254,10 @@ def _synth_html(spark, sf_dir):
                  regexp_replace(html, '<[^>]*>', ' ', 'g'),
                  '\s+', ' ', 'g')) AS text
         FROM (SELECT doc_id,
-                     '{_HTML_PREFIX}' || lang || '{_HTML_MID}' || text
+                     '{_HTML_PREFIX}'
+                     || regexp_replace(lang, '{_EXOTIC_WS_RE2}', ' ', 'g')
+                     || '{_HTML_MID}'
+                     || regexp_replace(text, '{_EXOTIC_WS_RE2}', ' ', 'g')
                      || '{_HTML_SUFFIX}' AS html
               FROM documents)""",
 )
@@ -251,13 +272,17 @@ def ext_html_extract(spark, sf_dir):
 
 @ext_query(
     "ext_html_boilerplate",
-    r"""SELECT doc_id,
-               CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = ''
-                    THEN lang
-                    ELSE lang || chr(10)
-                         || trim(regexp_replace(text, '\s+', ' ', 'g'))
+    rf"""SELECT doc_id,
+               CASE WHEN trim(regexp_replace(t, '\s+', ' ', 'g')) = ''
+                    THEN l
+                    ELSE l || chr(10)
+                         || trim(regexp_replace(t, '\s+', ' ', 'g'))
                END AS text
-        FROM documents""",
+        FROM (SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(
+                       lang, '{_EXOTIC_WS_RE2}', ' ', 'g'), '\s+', ' ', 'g')) AS l,
+                     regexp_replace(text, '{_EXOTIC_WS_RE2}', ' ', 'g') AS t
+              FROM documents)""",
 )
 def ext_html_boilerplate(spark, sf_dir):
     """Boilerplate-mode extraction over the same synthesized markup:

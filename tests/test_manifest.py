@@ -124,29 +124,105 @@ import pytest
 def test_html_oracle_corpus_assumptions_hold(sf):
     """The ext_html_extract / ext_html_boilerplate closed-form oracles
     assume the fixture corpus: (a) documents.text and documents.lang
-    contain ONLY ASCII whitespace [\\t\\n\\f\\r ] (DuckDB/RE2 '\\s+'
-    vs Python str.split() diverge on \\x0b, \\x1c-\\x1f, \\x85 and
-    Unicode spaces), (b) both are <,>,&-free (the synth HTML embeds
-    them raw), (c) lang is never empty/whitespace-only (the
-    boilerplate CASE relies on it). This test turns a silent
-    engine-divergence on a fixture change into a loud failure —
-    checked over the FULL fixture ladder (the oracles are graded at
-    sf0.01 by the driver and sf0.1 by the sweep, not just SF_SMOKE;
-    ADVICE r10)."""
+    are <,>,&-free (the synth HTML embeds them raw), (b) lang is
+    never empty/whitespace-only (the boilerplate CASE relies on it).
+    This test turns a silent engine-divergence on a fixture change
+    into a loud failure — checked over the FULL fixture ladder (the
+    oracles are graded at sf0.01 by the driver and sf0.1 by the
+    sweep, not just SF_SMOKE; ADVICE r10). The pre-r11 exotic-
+    whitespace assumption is GONE: the synth expression now
+    normalizes it identically in both engines (markup.py hardening,
+    attested by test_html_oracles_survive_exotic_whitespace)."""
     import duckdb
 
     con = duckdb.connect()
     bad = con.sql(
         f"""
         SELECT count(*) FROM read_parquet('/root/testdata/{sf}/documents.parquet')
-        WHERE regexp_matches(text, '[<>&\\x0b\\x1c-\\x1f\\x{{85}}\\x{{a0}}\\x{{1680}}\\x{{2000}}-\\x{{200a}}\\x{{2028}}\\x{{2029}}\\x{{202f}}\\x{{205f}}\\x{{3000}}]')
-           OR regexp_matches(lang, '[<>&\\x0b\\x1c-\\x1f\\x{{85}}\\x{{a0}}\\x{{1680}}\\x{{2000}}-\\x{{200a}}\\x{{2028}}\\x{{2029}}\\x{{202f}}\\x{{205f}}\\x{{3000}}]')
+        WHERE regexp_matches(text, '[<>&]')
+           OR regexp_matches(lang, '[<>&]')
            OR trim(lang, E' \\t\\n\\f\\r') = ''
            OR lang IS NULL
         """
     ).fetchone()[0]
     assert bad == 0, (
         f"{bad} documents rows violate the html-oracle corpus "
-        "assumptions (exotic whitespace, <>&, or empty lang) — the "
+        "assumptions (<>& in text/lang, or empty lang) — the "
         "closed-form oracles in functions/markup.py no longer hold"
     )
+
+
+def test_fp_gated_oracles_listed_in_audit():
+    """Census for the pin-liveness gate (r10 verdict #5): every oracle
+    whose pins are FINGERPRINT-gated (empty result on a corpus
+    change) must be in audit_oracle_types.PINNED_FP_KEYS, detected
+    mechanically from the committed SQL corpus — a new pinned key
+    can't silently skip the liveness gate, and a graduated key can't
+    linger in the list."""
+    import importlib.util
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "audit_oracle_types",
+        os.path.join(repo, "scripts", "audit_oracle_types.py"),
+    )
+    audit = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(audit)
+    detected = set()
+    for fn in os.listdir(os.path.join(repo, "queries")):
+        if not fn.endswith(".sql"):
+            continue
+        sql = open(os.path.join(repo, "queries", fn)).read()
+        gated = (
+            "corpus_fp" in sql
+            or re.search(r"CASE fp\.v", sql)
+            or ("pins(" in sql and "(SELECT COUNT(*) FROM" in sql)
+        )
+        if gated:
+            detected.add(fn[:-4])
+    assert detected == set(audit.PINNED_FP_KEYS), (
+        f"fp-gated census drifted: detected {sorted(detected)} vs "
+        f"listed {sorted(audit.PINNED_FP_KEYS)}"
+    )
+
+
+def test_pinned_fingerprint_liveness_trips_on_perturbed_fixture(tmp_path):
+    """The liveness gate must (a) pass on the live ladder and (b) trip
+    when the fixture is regenerated: dropping ONE documents row makes
+    the documents-fingerprinted pins (bpe/classifier/langid) stale
+    while the orders/embeddings-keyed pins stay live."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "audit_oracle_types",
+        os.path.join(repo, "scripts", "audit_oracle_types.py"),
+    )
+    audit = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(audit)
+    import __spark_entry__ as entrymod
+
+    oracles = entrymod.oracle_sql()
+    # (a) live ladder: nothing stale
+    assert audit.pinned_liveness(oracles) == {}
+    # (b) perturbed copy of sf0.001: documents loses one row
+    d = str(tmp_path / "perturbed")
+    os.makedirs(d)
+    for f in os.listdir(SF_SMOKE):
+        if f == "documents.parquet":
+            duckdb.sql(
+                f"COPY (SELECT * FROM read_parquet('{SF_SMOKE}/{f}') "
+                f"WHERE doc_id <> 0) TO '{d}/{f}' (FORMAT PARQUET)"
+            )
+        else:
+            os.symlink(os.path.join(SF_SMOKE, f), os.path.join(d, f))
+    stale = audit.pinned_liveness(oracles, [d])
+    stale_keys = {k.split("@")[0] for k in stale}
+    assert stale_keys == {
+        "ext_bpe_train", "ext_quality_classifier", "ext_lang_id_trained"
+    }, stale
