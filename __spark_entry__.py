@@ -250,39 +250,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # (compression_ratio / bpe_encode / cdc_chunk_stats) and five
 # relational-band keys (q39/q40/q42/q45/q48/q56) hold their green r9
 # rows and stay sweep- and sim-verified.
+# Round-11 rotation (r10 verdict stretch #8 — coverage-freshness):
+# with every key oracled and the full r10 window 50/50 green, the r11
+# window is built MECHANICALLY as the 50 keys whose most recent
+# driver-green row is OLDEST (union of CORRECTNESS_r01-r10; registry
+# order breaks ties) — all r1-r4 coverage plus the oldest r5 keys.
+# This rotates the early relational band (scans, joins, windows,
+# scalars), the event-time trio, the TPC-H anchor q38 and the early
+# ext keys back under the real driver, exactly the staleness the r10
+# verdict called out. Every r10-window key holds its fresh green row
+# and stays sweep- and sim-verified.
 _WINDOW = (
-    # round-7 flagships
-    "ext_line_dedup", "ext_entropy_filter",
-    "ext_weighted_sample", "ext_fuzzy_decontam",
-    # round-8 attestation debt: born-r7 keys + rows-only conversions
-    "ext_ccnet_buckets", "ext_readability", "ext_leakage_safe_split",
-    "q22b_sliding_window", "ext_dedup_simhash", "ext_dedup_minhash",
-    # TPC-H anchors
-    "q82_tpch_q16", "q83_tpch_q20",
-    # r10 graduation debt: the ANN family, all five newly oracled
-    "ext_knn_lsh", "ext_knn_ivf", "ext_knn_pq", "ext_knn_ivfpq",
-    "ext_dedup_semantic",
-    # r10 graduation debt: trained models + deterministic pins
-    "ext_quality_classifier", "ext_lang_id_trained", "ext_bpe_train",
-    "q12b_approx_distinct",
-    # r10 graduation debt: multimodal closed forms
-    "ext_multimodal_resize", "ext_multimodal_frames",
-    "ext_multimodal_phash",
-    # late-r9 conversions taking their first driver rows
-    "ext_pagerank", "ext_html_boilerplate",
-    # relational-band keys retained from the r9 window
-    "q43_join_full_outer", "q49_cross_join",
-    "q50_not_in_semantics", "q51_grouping_flags",
-    "q55_transitions", "q57_grouped_map",
-    # ext_* debt retained from the r9 window
-    "ext_chunk_docs", "ext_data_card", "ext_decay_trend",
-    "ext_lm_score", "ext_lm_stupid_backoff",
-    "ext_mmr_diversify", "ext_pmi", "ext_redact", "ext_rollup_reuse",
-    "ext_salted_join",
-    "ext_skew_report", "ext_emb_quantize", "ext_substring_strip",
-    "ext_unimax_budget", "ext_epoch_shuffle",
-    # family anchors
-    "ext_stream_enrich", "ext_stream_stateful_tws", "ext_stream_upsert",
+    # last driver-green r01
+    "q01_scan_count", "q33_filtered_agg", "q34_minby_maxby",
+    "q35_string_agg", "q21b_scalar_dates", "q21d_array_map",
+    "q27_explode_wordfreq",
+    # last driver-green r02
+    "q03_filter_project", "q12_count_distinct", "q14_cube",
+    "q18_orderby_limit", "q19_union", "q21c_scalar_json",
+    "ext_token_count", "ext_fingerprint",
+    # last driver-green r03
+    "q04_join_inner", "q05_join_left_agg", "q07_join_semi",
+    "q08_join_anti", "q09_join_3way", "q10_join_range", "q13_rollup",
+    "q16_window_running", "q17_window_lag", "q21_scalar_strings",
+    "q22_tumbling_window", "q23_session_window", "q32_pivot",
+    "q31_scalar_subquery", "q44_having_in", "ext_quality_score",
+    "ext_tfidf", "ext_lang_id", "ext_bm25", "ext_multimodal_meta",
+    "ext_contamination",
+    # last driver-green r04
+    "q28_percentiles", "q20_intersect_except", "q30_correlated_exists",
+    "q24_udf_stage", "ext_dedup_exact", "ext_stratified_sample",
+    "ext_pack_sequences",
+    # last driver-green r05 (oldest seven, registry order)
+    "q02_sink_roundtrip", "q06_join_broadcast", "q11_agg_pricing_summary",
+    "q13b_grouping_sets", "q15_window_topk", "q36_asof_join",
+    "q38_tpch_q5",
 )
 
 

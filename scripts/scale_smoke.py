@@ -492,6 +492,128 @@ def main() -> None:
                 counts["batch_inference_scored"] / timings["batch_inference_scored"]
             )
 
+    # --- RAG retrieval rung (r10 verdict stretch #7): the MMR-complete
+    # retrieval stack — BM25 lexical ranker + saved-IVF ANN + RRF
+    # fusion + MMR diversification — at rung scale with a queries/s
+    # number, composed ENTIRELY from the library surface the way a
+    # user would: build_ivf_index pays the layout once (timed
+    # separately as rag_index_build), then the timed op runs a
+    # 32-query batch end to end. Scale shape: the lexical leg is one
+    # postings-pruned corpus pass shared by the batch; the vector leg
+    # opens only the probed cell directories of the saved index; the
+    # fusion joins two 50-row-per-query survivor frames; MMR re-ranks
+    # a bounded pool per query in one applyInPandas group.
+    if want("rag_retrieval_qps"):
+        import shutil
+        import tempfile
+
+        from smartpipeline_spark.functions.similarity import (
+            HYBRID_POOL,
+            RRF_K,
+            build_ivf_index,
+            mmr_diversify,
+            query_ivf_index,
+        )
+        from smartpipeline_spark.functions.text import bm25_scores
+
+        n_queries = 32
+        emb_base = sources.table(spark, "embeddings", sf_dir)
+        emb_n = (
+            emb_base.select(
+                F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("r"),
+                "vec_id",
+                "embedding",
+            )
+            .select(
+                (F.col("vec_id") * n + F.col("r")).alias("vec_id"),
+                F.col("embedding").cast("array<double>").alias("emb"),
+            )
+            .repartition(32)
+            .persist()
+        )
+        counts["rag_corpus_vectors"] = emb_n.count()
+        rag_docs = sources.table(spark, "documents", sf_dir).select(
+            F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("r"),
+            "doc_id",
+            "text",
+        ).select(
+            (F.col("doc_id") * n + F.col("r")).alias("doc_id"),
+            F.concat("text", F.lit(" rtag"), F.col("r").cast("string")).alias(
+                "text"
+            ),
+        )
+        work = tempfile.mkdtemp(prefix="rag_rung_")
+        t0 = time.monotonic()
+        build_ivf_index(emb_n, f"{work}/ivf")
+        counts["rag_index_build_s"] = round(time.monotonic() - t0, 2)
+        queries_df = (
+            emb_base.filter(F.col("vec_id") < n_queries)
+            .select(
+                (F.col("vec_id") * n).alias("query_id"),
+                F.col("embedding").cast("array<double>").alias("q_emb"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        def _rag_batch():
+            from pyspark.sql import Window
+
+            # lexical leg: one corpus pass, batch-shared postings
+            lex_scored = bm25_scores(rag_docs).select(
+                "doc_id",
+                (F.floor(F.col("raw") * 10000.0 + 0.5) / 10000.0).alias("bm25"),
+            )
+            w_lex = Window.orderBy(F.col("bm25").desc(), F.asc("doc_id"))
+            lex = (
+                lex_scored.orderBy(F.col("bm25").desc(), F.asc("doc_id"))
+                .limit(HYBRID_POOL)
+                .withColumn("r_lex", F.row_number().over(w_lex))
+                .select("doc_id", "r_lex")
+            )
+            # vector leg: the 32-query batch against the saved index
+            ann = query_ivf_index(spark, f"{work}/ivf", queries_df)
+            w_vec = Window.partitionBy("query_id").orderBy(
+                F.col("score").desc(), F.asc("neighbor_id")
+            )
+            vec = (
+                ann.withColumn("r_vec", F.row_number().over(w_vec))
+                .filter(F.col("r_vec") <= HYBRID_POOL)
+                .select("query_id", F.col("neighbor_id").alias("doc_id"), "r_vec")
+            )
+            # RRF fusion per query (lexical list is batch-shared)
+            fused = (
+                vec.join(F.broadcast(lex), "doc_id", "full_outer")
+                .withColumn(
+                    "rrf",
+                    F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_vec")), F.lit(0.0))
+                    + F.coalesce(
+                        1.0 / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0)
+                    ),
+                )
+                .filter(F.col("query_id").isNotNull())
+            )
+            # MMR diversification over each query's fused pool
+            pool = fused.join(
+                emb_n.withColumnRenamed("vec_id", "doc_id"), "doc_id"
+            ).select(
+                "query_id",
+                F.col("doc_id").alias("neighbor_id"),
+                (F.floor(F.col("rrf") * 1000000.0 + 0.5) / 1000000.0).alias(
+                    "rel"
+                ),
+                "emb",
+            )
+            out = mmr_diversify(pool)
+            return out.count()
+
+        timed("rag_retrieval_qps", _rag_batch)
+        if timings.get("rag_retrieval_qps"):
+            counts["rag_queries_per_sec"] = round(
+                n_queries / timings["rag_retrieval_qps"], 2
+            )
+        emb_n.unpersist()
+        shutil.rmtree(work, ignore_errors=True)
+
     # --- end-to-end streaming ingest (the reference's flagship
     # "pipeline of stages" story, README.rst:26-40, at rung scale):
     # file-drop source -> quality gate -> checkpointed streaming exact
@@ -571,7 +693,17 @@ def main() -> None:
 
         def _ingest():
             prev = spark.conf.get("spark.sql.shuffle.partitions")
-            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            # state partitions bind at first checkpoint; r11 makes the
+            # width an experiment knob (--state-parts=N) for the CPU-
+            # exponent root-cause ladder (r10 verdict #3); default 32 =
+            # the r10 configuration
+            sp = next(
+                (a for a in sys.argv[1:] if a.startswith("--state-parts=")),
+                None,
+            )
+            state_parts = int(sp.split("=", 1)[1]) if sp else 32
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
+            counts["streaming_ingest_state_parts"] = state_parts
             try:
                 stream = (
                     spark.readStream.schema(spark.read.parquet(src).schema)
@@ -591,6 +723,28 @@ def main() -> None:
                     )
                 )
                 q.awaitTermination()
+                # per-micro-batch state-store telemetry (r10 verdict
+                # #3): where does the CPU exponent live — row
+                # processing (addBatch), state updates, or state
+                # commit? recentProgress survives termination.
+                prog = []
+                for p in q.recentProgress:
+                    so = (p.get("stateOperators") or [{}])[0]
+                    dur = p.get("durationMs") or {}
+                    prog.append(
+                        {
+                            "batch": p.get("batchId"),
+                            "rows_in": p.get("numInputRows"),
+                            "addBatch_ms": dur.get("addBatch"),
+                            "state_rows_total": so.get("numRowsTotal"),
+                            "state_updated": so.get("numRowsUpdated"),
+                            "updates_ms": so.get("allUpdatesTimeMs"),
+                            "removes_ms": so.get("allRemovalsTimeMs"),
+                            "commit_ms": so.get("commitTimeMs"),
+                            "state_mem_bytes": so.get("memoryUsedBytes"),
+                        }
+                    )
+                counts["streaming_ingest_progress"] = prog
                 return spark.read.parquet(sink).count()
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -212,14 +212,29 @@ def _resolve_pair_partitions(
     widths would buy nothing and would also pin tiny joins away from
     AQE's broadcast/coalesce choices (at fixture scale the b-side
     would be shuffled just to be broadcast). So small inputs keep
-    their pre-r11 plans bit-for-bit; big ones get the tuned width."""
+    their pre-r11 plans bit-for-bit; big ones get the tuned width.
+
+    One exception to the skip: an EGREGIOUSLY oversized session width
+    (> 8 x the tuned target) is clamped down by injecting the tuned
+    width anyway — measured at 1024x replicas, a 36M-row bucket join
+    under a 2048-partition session ran +49% wall vs the tuned 64
+    (per-task overhead, load-independent), while 8 x over (512 vs 64
+    at 256x) was still inside the flat band. Typical test/driver
+    sessions (32-200 partitions) stay under the 8 x line, so fixture
+    plans remain untouched."""
     if partitions is None:
         return None
     if partitions == "auto":
         spark = index.sparkSession
         floor = 2 * spark.sparkContext.defaultParallelism
         p = _pair_join_width(index, key_cols, anchor)
-        return p if p > floor else None
+        if p > floor:
+            return p
+        try:
+            sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            return None
+        return p if sess > 8 * p else None
     return int(partitions)
 
 

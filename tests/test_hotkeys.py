@@ -208,3 +208,28 @@ def test_resolve_pair_partitions_contract(spark):
     assert _resolve_pair_partitions(None, idx, ["sh"]) is None
     assert _resolve_pair_partitions(17, idx, ["sh"]) == 17
     assert _resolve_pair_partitions("auto", idx, ["sh"]) is None
+
+
+def test_auto_partitions_clamp_down_oversized_session(spark):
+    """The floor-skip's exception: under an egregiously oversized
+    session width (> 8x the tuned target) "auto" must inject the
+    tuned width anyway (measured +49% wall at 32x over-width), while
+    a session within the 8x band stays uninjected."""
+    from smartpipeline_spark.functions.dedup import (
+        _resolve_pair_partitions,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"one two three w{i}") for i in range(10)], ["doc_id", "text"]
+    )
+    idx = word_shingles(docs, 3)
+    floor = 2 * spark.sparkContext.defaultParallelism
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(8 * floor + 1))
+        assert _resolve_pair_partitions("auto", idx, ["sh"]) == floor
+        spark.conf.set("spark.sql.shuffle.partitions", str(8 * floor))
+        assert _resolve_pair_partitions("auto", idx, ["sh"]) is None
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
