@@ -233,3 +233,42 @@ def test_auto_partitions_clamp_down_oversized_session(spark):
         assert _resolve_pair_partitions("auto", idx, ["sh"]) is None
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_spread_width_is_byte_aware(spark):
+    """The shingle-map width helper: parallelism floor on a small scan
+    (live Catalyst-stats path — not the exception fallback), byte-based
+    growth past it (~128 MB/task), and the parallelism fallback when
+    the stats call is unavailable."""
+    from types import SimpleNamespace
+
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.functions.dedup import _spread_width
+
+    dp = spark.sparkContext.defaultParallelism
+    d = sources.table(spark, "documents", "/root/testdata/sf0.001")
+    # live path: a sub-MB scan floors at parallelism, and the stats
+    # call itself must work (guards against the byte-growth branch
+    # silently dying into the fallback)
+    assert int(d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()) > 0
+    assert _spread_width(d) == dp
+
+    class _Stats:
+        def __init__(self, n):
+            self._n = n
+
+        def sizeInBytes(self):
+            return self._n
+
+    def fake(nbytes):
+        qe = SimpleNamespace(
+            optimizedPlan=lambda: SimpleNamespace(stats=lambda: _Stats(nbytes))
+        )
+        return SimpleNamespace(
+            sparkSession=spark, _jdf=SimpleNamespace(queryExecution=lambda: qe)
+        )
+
+    assert _spread_width(fake(10 * 1024**3)) == 80  # 10 GB -> 80 tasks
+    assert _spread_width(fake(1 << 55)) == dp  # Catalyst "unknown" -> floor
+    broken = SimpleNamespace(sparkSession=spark)  # no _jdf -> fallback
+    assert _spread_width(broken) == dp
