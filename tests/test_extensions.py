@@ -3095,3 +3095,82 @@ def test_classifier_pins_match_pure_reference():
         assert (top2[:, -1] - top2[:, -2]).min() > 1e-6, f"{sf}: argmax margin"
         preds = {classes[int(i)] for i in np.argmax(Z, axis=1)}
         assert preds == {_LANGID_PRED_PINS[fp]}, f"{sf}: pure langid pin diverged"
+
+
+def test_bm25_index_lifecycle(spark, tmp_path):
+    """The persisted BM25 postings index (build/append/query — the
+    lexical member of the saved retrieval-index family): (a) the
+    indexed scorer is BIT-identical to the inline bm25_scores on raw
+    totals; (b) (build; append) equals build-on-concat in postings,
+    stats, and query results; (c) the term probe reaches the parquet
+    footers (PushedFilters In(w,...)) and the sorted layout gives
+    files disjoint term ranges."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from smartpipeline_spark.functions.text import (
+        BM25_TERMS,
+        append_to_bm25_index,
+        bm25_scores,
+        build_bm25_index,
+        query_bm25_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    full = str(tmp_path / "full")
+    stats = build_bm25_index(docs, full)
+    assert stats["n_docs"] == docs.count()
+
+    # (a) bit-identical raw totals vs the inline scorer
+    inline = {r["doc_id"]: r["raw"] for r in bm25_scores(docs).collect()}
+    indexed = {
+        r["doc_id"]: r["raw"]
+        for r in query_bm25_index(spark, full, BM25_TERMS).collect()
+    }
+    assert indexed == inline
+
+    # (b) build+append == rebuild
+    half_a = docs.filter("doc_id % 2 = 0")
+    half_b = docs.filter("doc_id % 2 = 1")
+    inc = str(tmp_path / "inc")
+    build_bm25_index(half_a, inc)
+    stats2 = append_to_bm25_index(half_b, inc)
+    assert stats2 == stats
+    p_full = {
+        tuple(r)
+        for r in spark.read.parquet(f"{full}/postings").collect()
+    }
+    p_inc = {
+        tuple(r) for r in spark.read.parquet(f"{inc}/postings").collect()
+    }
+    assert p_inc == p_full
+    inc_q = {
+        r["doc_id"]: r["raw"]
+        for r in query_bm25_index(spark, inc, BM25_TERMS).collect()
+    }
+    assert inc_q == inline
+
+    # (c) pushdown + sorted layout
+    plan = (
+        query_bm25_index(spark, full, BM25_TERMS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "In(w, [" in plan, "term probe not pushed to the scan"
+    ranges = []
+    pdir = f"{full}/postings"
+    for f in sorted(os.listdir(pdir)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(pdir, f)).metadata
+        lo = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"postings files overlap: {hi1!r} > {lo2!r}"
