@@ -147,6 +147,11 @@ BENCH_QUERIES = [
     # mask the headline set; its scale posture is one edge join + one
     # partial-agg groupBy per iteration, measured via the sweep.
     "ext_mmr_diversify",
+    # round-11 addition: BM25 through the persisted postings index —
+    # build amortizes across reps via the per-corpus cache, so the
+    # median prices the footer-pruned QUERY path (the number a user
+    # compares against ext_bm25's inline corpus pass).
+    "ext_bm25_indexed",
 ]
 
 

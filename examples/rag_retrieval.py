@@ -8,7 +8,13 @@ Plan shape at 100 TB: each ranker reduces the corpus to a 50-row
 candidate list inside its own scan (postings-pruned BM25; brute cosine
 here — swap in the IVF/LSH operators from ``functions/similarity`` for
 a billion-vector corpus); the fusion join touches 100 rows. Nothing in
-the retrieval path shuffles document bodies.
+the retrieval path shuffles document bodies. For a standing corpus,
+pre-build BOTH modalities' saved layouts once —
+``functions.text.build_bm25_index`` (sort-clustered postings,
+footer-pruned term probes) and ``functions.similarity.build_ivf_index``
+(cell-partitioned vectors) — and serve query batches from them; the
+end-to-end indexed composition is measured as the ``rag_retrieval_qps``
+rung in ``scripts/scale_smoke.py`` (SMOKE_r11.json).
 
 Run: python examples/rag_retrieval.py [sf_dir]
 """
