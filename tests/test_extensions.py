@@ -3174,3 +3174,37 @@ def test_bm25_index_lifecycle(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"postings files overlap: {hi1!r} > {lo2!r}"
+
+
+def test_bm25_index_survives_compaction(spark, tmp_path):
+    """The standing maintenance story for the append-heavy lexical
+    index: after appends accumulate files, operators.scale.compact on
+    the postings directory must leave the indexed scorer EXACT (the
+    stats file lives outside the compacted dir and postings rows are
+    order-free)."""
+    from smartpipeline_spark.functions.text import (
+        BM25_TERMS,
+        append_to_bm25_index,
+        build_bm25_index,
+        query_bm25_index,
+    )
+    from smartpipeline_spark.operators.scale import compact
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "idx")
+    build_bm25_index(docs.filter("doc_id % 3 = 0"), path)
+    append_to_bm25_index(docs.filter("doc_id % 3 = 1"), path)
+    append_to_bm25_index(docs.filter("doc_id % 3 = 2"), path)
+    before = {
+        r["doc_id"]: r["raw"]
+        for r in query_bm25_index(spark, path, BM25_TERMS).collect()
+    }
+    report = compact(spark, f"{path}/postings")
+    assert report["files_after"] <= report["files_before"]
+    after = {
+        r["doc_id"]: r["raw"]
+        for r in query_bm25_index(spark, path, BM25_TERMS).collect()
+    }
+    assert after == before
