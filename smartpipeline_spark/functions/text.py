@@ -682,7 +682,18 @@ def _bm25_index_for(spark, sf_dir: str) -> str:
         "/tmp", "spark_graft_bm25_idx", tag
     )
     if not os.path.exists(os.path.join(path, "_stats.json")):
-        build_bm25_index(sources.table(spark, "documents", sf_dir), path)
+        # concurrent sessions (driver + sweep) may race to build the
+        # same corpus tag: build into a private dir, publish with one
+        # atomic rename; the loser keeps the winner's copy
+        import shutil
+
+        staging = f"{path}.build-{os.getpid()}"
+        build_bm25_index(sources.table(spark, "documents", sf_dir), staging)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
     _BM25_IDX_CACHE[tag] = path
     return path
 
