@@ -338,6 +338,45 @@ def ext_dedup_ngram_jaccard(spark, sf_dir):
     return jaccard_pairs(d)
 
 
+@ext_query(
+    "ext_dedup_jaccard_anchored",
+    f"""WITH words AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+          FROM documents),
+        sh0 AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM words, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t),
+        hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+        sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS big, b.doc_id AS anc, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id > b.doc_id
+          WHERE b.doc_id % 10 < 2
+          GROUP BY 1, 2)
+        SELECT big AS d1, anc AS d2,
+               FLOOR(c * 1.0 / (sa.n + sb.n - c) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = big
+        JOIN sizes sb ON sb.doc_id = anc
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}""",
+)
+def ext_dedup_jaccard_anchored(spark, sf_dir):
+    """The ANCHORED (incremental) Jaccard form born r11: only anchor
+    documents (here the deterministic 20% doc_id % 10 < 2) sit on the
+    build side, pairs emit as (d1 > d2=anchor) — output grows
+    linearly in corpus size instead of quadratically, the shape an
+    ingestion pipeline uses to compare a new batch against
+    representative anchors. Jaccard values are computed over the same
+    capped shingle universe as the full join, so each emitted pair's
+    value matches ext_dedup_ngram_jaccard exactly (pinned by
+    test_anchored_jaccard_equals_filtered_full_join). Sized by
+    partitions="auto" like every pairing join."""
+    d = sources.table(spark, "documents", sf_dir)
+    return jaccard_pairs(d, anchor=F.col("doc_id") % 10 < 2)
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, h0..h{k-1}) MinHash signatures from word shingles."""
     return minhash_signatures_from_sets(shingle_sets(docs, n))
