@@ -539,104 +539,234 @@ def _bm25_postings(docs: DataFrame) -> DataFrame:
     return tf.join(dl, "doc_id").select("w", "doc_id", "tf", "dl")
 
 
+def _bm25_manifest(path: str) -> dict:
+    """Load the index manifest (``_stats.json``). Pre-r12 layouts carry
+    only the two stats integers; normalize them to the manifest form by
+    adopting the flat ``postings`` dir as the sole segment."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_stats.json")) as fh:
+        stats = json.load(fh)
+    if "segments" not in stats:
+        stats["segments"] = ["postings"]
+    return stats
+
+
+def _bm25_commit(path: str, stats: dict) -> None:
+    """Publish a new index state — THE single commit point. The manifest
+    (corpus stats + segment list) is written to a private temp file,
+    fsynced, and ``os.replace``d over ``_stats.json``: readers resolve
+    the segment list through the manifest, so at every instant a reader
+    sees exactly the old state or the new one, never a torn mix (the
+    r11-verdict reader-atomicity defect: postings used to become
+    visible before the stats rolled forward)."""
+    import json
+    import os
+    import uuid
+
+    tmp = os.path.join(path, f"._stats-{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(stats, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(path, "_stats.json"))
+
+
+def _bm25_segment_stats(spark, seg_path: str) -> tuple[int, int, int]:
+    """(n_docs, sum_dl, postings_rows) derived from a written segment's
+    own postings — no second pass over the raw corpus. ``sum_dl`` is
+    SUM(tf) (total word occurrences) and ``n_docs`` is the distinct
+    doc count; both EXACT integers, identical to aggregating the
+    exploded words directly (every non-null document yields >= 1
+    posting — an empty string splits to the single token '')."""
+    row = (
+        spark.read.parquet(seg_path)
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum("tf").alias("sum_dl"),
+            F.count("*").alias("rows"),
+        )
+        .collect()[0]
+    )
+    return int(row["n_docs"] or 0), int(row["sum_dl"] or 0), int(row["rows"])
+
+
+def _bm25_new_segment(docs: DataFrame, path: str, num_files: int) -> str:
+    """Write one immutable sort-clustered postings segment under a
+    fresh name. Invisible to readers until a manifest commit references
+    it; a crash here leaves only an orphan dir that
+    :func:`compact_bm25_index` garbage-collects."""
+    import os
+    import uuid
+
+    from smartpipeline_spark.operators.scale import write_sorted
+
+    seg = f"seg-{uuid.uuid4().hex[:12]}"
+    write_sorted(_bm25_postings(docs), os.path.join(path, seg), "w", num_files)
+    return seg
+
+
 def build_bm25_index(docs: DataFrame, path: str, num_files: int = 8) -> dict:
     """Persisted BM25 postings index — the LEXICAL member of the saved
     retrieval-index family (build/append/query, like the IVF/PQ/HNSW
     vector layouts): pay the corpus pass once, then every query batch
     reads only the probed terms' postings.
 
-    Layout: ``path/postings`` is (w, doc_id, tf, dl) written
-    SORT-CLUSTERED on ``w`` (``write_sorted`` — disjoint per-file term
-    ranges), so a ``w IN (...)`` probe prunes all but ~one file per
-    term at the parquet-footer level before any IO; ``path/_stats.json``
-    carries the two corpus constants the scorer needs (``n_docs``,
-    ``sum_dl`` — both EXACT integers, so ``avgdl = sum_dl / n_docs``
-    reproduces Spark's in-plan AVG bit-for-bit and the indexed scorer
-    stays bit-identical to :func:`bm25_scores`). Term document
-    frequencies are NOT materialized: a query derives df for its probed
-    terms from their own postings (always correct after appends).
-    Returns the stats dict."""
-    import json
+    Layout: immutable SEGMENT dirs (``path/seg-*``), each holding
+    (w, doc_id, tf, dl) written SORT-CLUSTERED on ``w``
+    (``write_sorted`` — disjoint per-file term ranges within a
+    segment), so a ``w IN (...)`` probe prunes all but ~one file per
+    term PER SEGMENT at the parquet-footer level before any IO.
+    ``path/_stats.json`` is the manifest and single atomic commit
+    point: the segment list plus the corpus constants the scorer needs
+    (``n_docs``, ``sum_dl`` — both EXACT integers, so
+    ``avgdl = sum_dl / n_docs`` reproduces Spark's in-plan AVG
+    bit-for-bit and the indexed scorer stays bit-identical to
+    :func:`bm25_scores`) and ``postings_rows`` (torn-layout detector
+    for ``query_bm25_index(verify=True)``). Term document frequencies
+    are NOT materialized: a query derives df for its probed terms from
+    their own postings (always correct after appends). Returns the
+    stats dict."""
     import os
+
+    os.makedirs(path, exist_ok=True)
+    seg = _bm25_new_segment(docs, path, num_files)
+    n_docs, sum_dl, rows = _bm25_segment_stats(docs.sparkSession, os.path.join(path, seg))
+    stats = {
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "postings_rows": rows,
+        "segments": [seg],
+    }
+    _bm25_commit(path, stats)
+    return stats
+
+
+def append_to_bm25_index(
+    docs_new: DataFrame,
+    path: str,
+    num_files: int = 4,
+    compact_after: int | None = 16,
+) -> dict:
+    """Incremental maintenance, reader-atomic: the new batch's postings
+    land as a NEW immutable segment (internally w-sorted, so footer
+    pruning still skips its files per term), then ONE
+    ``os.replace`` of the manifest publishes the segment and the
+    rolled-forward exact integer stats together. A concurrent
+    :func:`query_bm25_index` therefore scores against exactly the old
+    index or exactly the new one — never enlarged postings with stale
+    ``n_docs``/``sum_dl`` — and a crash between the two phases leaves
+    the published index untouched (the orphan segment is invisible and
+    reaped at the next compaction). (build; append) is row-equal to
+    build-on-concat and the indexed scorer stays exact — pinned in
+    tests.
+
+    Segments accumulate per append; when their count exceeds
+    ``compact_after`` the standing maintenance job
+    (:func:`compact_bm25_index`, itself a reader-safe manifest flip)
+    runs inline so probe cost stays ~1 file per term instead of one
+    per append. Pass ``compact_after=None`` to manage compaction
+    externally. Assumes ``docs_new`` carries NEW doc_ids (the dedup
+    contract upstream); re-appending an existing document would double
+    its postings, same as every append-only index here."""
+    import os
+
+    stats = _bm25_manifest(path)
+    seg = _bm25_new_segment(docs_new, path, num_files)
+    n_docs, sum_dl, rows = _bm25_segment_stats(
+        docs_new.sparkSession, os.path.join(path, seg)
+    )
+    stats["n_docs"] += n_docs
+    stats["sum_dl"] += sum_dl
+    stats["postings_rows"] = stats.get("postings_rows", 0) + rows
+    stats["segments"] = list(stats["segments"]) + [seg]
+    _bm25_commit(path, stats)
+    if compact_after is not None and len(stats["segments"]) > compact_after:
+        compact_bm25_index(docs_new.sparkSession, path)
+        stats = _bm25_manifest(path)
+    return stats
+
+
+def compact_bm25_index(spark, path: str, num_files: int = 8) -> dict:
+    """Merge all live segments into one freshly sort-clustered segment
+    and flip the manifest — the standing maintenance job for the
+    append-accumulating layout, reader-safe end to end: readers keep
+    resolving the old manifest (old segments stay on disk) until the
+    single ``os.replace`` publishes the merged segment, after which the
+    replaced segments AND any orphans from crashed appends are
+    garbage-collected. On a real cluster, delay the GC by a retention
+    window longer than any in-flight query (the Delta VACUUM contract);
+    single-writer fixtures reap immediately. Stats are carried over
+    unchanged (postings rows are order-free). Returns a before/after
+    report."""
+    import os
+    import shutil
+    import uuid
 
     from smartpipeline_spark.operators.scale import write_sorted
 
-    postings = _bm25_postings(docs)
-    write_sorted(postings, os.path.join(path, "postings"), "w", num_files)
-    stats_row = (
-        _bm25_words(docs)
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("dl"))
-        .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
-        .collect()[0]
-    )
-    stats = {"n_docs": int(stats_row["n_docs"]), "sum_dl": int(stats_row["sum_dl"])}
-    with open(os.path.join(path, "_stats.json"), "w") as fh:
-        json.dump(stats, fh)
-    return stats
-
-
-def append_to_bm25_index(docs_new: DataFrame, path: str, num_files: int = 4) -> dict:
-    """Incremental maintenance: the new batch's postings land as
-    ADDITIONAL sort-clustered files (each internally w-sorted, so
-    footer pruning still skips them per term; files accumulate per
-    append — run ``operators.scale.compact`` on the postings dir as
-    the standing maintenance job) and the two exact integer stats
-    roll forward. (build; append) is row-equal to build-on-concat and
-    the indexed scorer stays exact — pinned in tests. Assumes
-    ``docs_new`` carries NEW doc_ids (the dedup contract upstream);
-    re-appending an existing document would double its postings, same
-    as every append-only index here."""
-    import json
-    import os
-
-    from pyspark.sql import functions as F2
-
-    postings = _bm25_postings(docs_new)
-    (
-        postings.repartitionByRange(num_files, F2.col("w"))
-        .sortWithinPartitions("w")
-        .write.mode("append")
-        .parquet(os.path.join(path, "postings"))
-    )
-    with open(os.path.join(path, "_stats.json")) as fh:
-        stats = json.load(fh)
-    add = (
-        _bm25_words(docs_new)
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("dl"))
-        .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
-        .collect()[0]
-    )
-    stats["n_docs"] += int(add["n_docs"])
-    stats["sum_dl"] += int(add["sum_dl"])
-    with open(os.path.join(path, "_stats.json"), "w") as fh:
-        json.dump(stats, fh)
-    return stats
+    stats = _bm25_manifest(path)
+    before = list(stats["segments"])
+    merged = spark.read.parquet(*[os.path.join(path, s) for s in before])
+    seg = f"seg-{uuid.uuid4().hex[:12]}"
+    write_sorted(merged, os.path.join(path, seg), "w", num_files)
+    stats["segments"] = [seg]
+    _bm25_commit(path, stats)
+    live = {seg}
+    reaped = 0
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
+        if os.path.isdir(full) and (d.startswith("seg-") or d == "postings") and d not in live:
+            shutil.rmtree(full, ignore_errors=True)
+            reaped += 1
+    return {
+        "segments_before": len(before),
+        "segments_after": 1,
+        "dirs_reaped": reaped,
+    }
 
 
 def query_bm25_index(
-    spark, path: str, terms=BM25_TERMS, k: int | None = None
+    spark, path: str, terms=BM25_TERMS, k: int | None = None, verify: bool = False
 ) -> DataFrame:
     """Score a term query against a saved :func:`build_bm25_index`
-    layout: open only the probed terms' postings (footer-pruned via
-    the sorted layout — the plan shows ``PushedFilters: In(w, ...)``),
-    derive per-term df from those postings, broadcast df onto the
-    posting stream, score with the exact :func:`bm25_scores`
-    arithmetic (fixed-order per-term sum), and optionally top-k via
-    TakeOrderedAndProject. Corpus cost at query time: ZERO rows
-    outside the probed postings."""
-    import json
+    layout: resolve the manifest ONCE (stats + segment list read
+    together, so a concurrent append can never pair new postings with
+    stale stats), open only the probed terms' postings (footer-pruned
+    via the sorted layout — the plan shows ``PushedFilters:
+    In(w, ...)``), derive per-term df from those postings, broadcast
+    df onto the posting stream, score with the exact
+    :func:`bm25_scores` arithmetic (fixed-order per-term sum), and
+    optionally top-k via TakeOrderedAndProject. Corpus cost at query
+    time: ZERO rows outside the probed postings. ``verify=True``
+    additionally sums the segments' parquet-footer row counts against
+    the manifest's ``postings_rows`` (torn-layout detector — costs one
+    footer read per file, skip it in per-query hot loops)."""
     import os
 
     terms = list(terms)
-    with open(os.path.join(path, "_stats.json")) as fh:
-        stats = json.load(fh)
+    stats = _bm25_manifest(path)
+    seg_paths = [os.path.join(path, s) for s in stats["segments"]]
+    if verify and "postings_rows" in stats:
+        import pyarrow.parquet as pq
+
+        from smartpipeline_spark.operators.scale import _data_files
+
+        actual = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for sp in seg_paths
+            for f in _data_files(sp)
+            if f.endswith(".parquet")
+        )
+        if actual != stats["postings_rows"]:
+            raise ValueError(
+                f"bm25 index at {path} is torn: manifest says "
+                f"{stats['postings_rows']} postings, segments hold {actual}"
+            )
     n = stats["n_docs"]
     avgdl = stats["sum_dl"] / stats["n_docs"]
-    p = spark.read.parquet(os.path.join(path, "postings")).filter(
-        F.col("w").isin(terms)
-    )
+    p = spark.read.parquet(*seg_paths).filter(F.col("w").isin(terms))
     dfreq = p.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
     k1, b = F.lit(BM25_K1), F.lit(BM25_B)
     idf = F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
@@ -666,34 +796,80 @@ def query_bm25_index(
 _BM25_IDX_CACHE: dict[str, str] = {}
 
 
+def _bm25_cache_root() -> str:
+    """Per-user 0700 cache root. A fixed world-shared /tmp name is the
+    classic predictable-tmp hazard (another local user pre-plants or
+    clobbers the path and the oracled key silently serves it); the
+    root is uid-scoped, created 0700, and REJECTED if it turns out to
+    exist with the wrong owner or group/other permissions — that case
+    falls back to a fresh private mkdtemp for this process."""
+    import os
+    import stat as stat_mod
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bm25_idx_u{os.getuid()}"
+    )
+    try:
+        os.makedirs(root, mode=0o700, exist_ok=True)
+        st = os.stat(root)
+        if st.st_uid != os.getuid() or (st.st_mode & (stat_mod.S_IRWXG | stat_mod.S_IRWXO)):
+            raise OSError("cache root not exclusively ours")
+    except OSError:
+        root = tempfile.mkdtemp(prefix="spark_graft_bm25_idx_")
+    return root
+
+
 def _bm25_index_for(spark, sf_dir: str) -> str:
     """Build-once cache of the saved index per fixture corpus, keyed by
     the documents file's identity (path + size + mtime) so a testdata
-    regeneration rebuilds instead of serving a stale layout."""
+    regeneration rebuilds instead of serving a stale layout, and
+    CONTENT-CHECKED on reuse: the manifest's exact ``n_docs`` must
+    equal the source parquet's footer row count, so a poisoned, torn,
+    or stale layout rebuilds instead of being served silently."""
     import hashlib
     import os
+    import shutil
+    import uuid
 
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     tag = hashlib.md5(
         f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()
     ).hexdigest()[:16]
-    path = _BM25_IDX_CACHE.get(tag) or os.path.join(
-        "/tmp", "spark_graft_bm25_idx", tag
-    )
-    if not os.path.exists(os.path.join(path, "_stats.json")):
+
+    def _valid(p: str) -> bool:
+        try:
+            import pyarrow.parquet as pq
+
+            return _bm25_manifest(p)["n_docs"] == pq.ParquetFile(src).metadata.num_rows
+        except Exception:
+            return False
+
+    cached = _BM25_IDX_CACHE.get(tag)
+    if cached and _valid(cached):
+        return cached
+    path = os.path.join(_bm25_cache_root(), tag)
+    if not _valid(path):
         # concurrent sessions (driver + sweep) may race to build the
         # same corpus tag: build into a private dir, publish with one
-        # atomic rename; the loser keeps the winner's copy
-        import shutil
-
+        # atomic rename; the loser keeps the winner's copy — unless the
+        # winner's copy fails the content check (pre-existing garbage
+        # at the tag path), in which case publish under a fresh name.
         staging = f"{path}.build-{os.getpid()}"
-        build_bm25_index(sources.table(spark, "documents", sf_dir), staging)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            build_bm25_index(sources.table(spark, "documents", sf_dir), staging)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         try:
             os.rename(staging, path)
         except OSError:
-            shutil.rmtree(staging, ignore_errors=True)
+            if _valid(path):
+                shutil.rmtree(staging, ignore_errors=True)
+            else:
+                path = f"{path}-{uuid.uuid4().hex[:8]}"
+                os.rename(staging, path)
     _BM25_IDX_CACHE[tag] = path
     return path
 

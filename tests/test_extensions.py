@@ -3118,6 +3118,15 @@ def test_bm25_index_lifecycle(spark, tmp_path):
         query_bm25_index,
     )
 
+    from smartpipeline_spark.functions.text import _bm25_manifest
+
+    def seg_postings(path):
+        return {
+            tuple(r)
+            for s in _bm25_manifest(path)["segments"]
+            for r in spark.read.parquet(f"{path}/{s}").collect()
+        }
+
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
         "doc_id", "text"
     )
@@ -3125,11 +3134,12 @@ def test_bm25_index_lifecycle(spark, tmp_path):
     stats = build_bm25_index(docs, full)
     assert stats["n_docs"] == docs.count()
 
-    # (a) bit-identical raw totals vs the inline scorer
+    # (a) bit-identical raw totals vs the inline scorer (verify=True
+    # also exercises the torn-layout row-count detector on a good index)
     inline = {r["doc_id"]: r["raw"] for r in bm25_scores(docs).collect()}
     indexed = {
         r["doc_id"]: r["raw"]
-        for r in query_bm25_index(spark, full, BM25_TERMS).collect()
+        for r in query_bm25_index(spark, full, BM25_TERMS, verify=True).collect()
     }
     assert indexed == inline
 
@@ -3139,22 +3149,19 @@ def test_bm25_index_lifecycle(spark, tmp_path):
     inc = str(tmp_path / "inc")
     build_bm25_index(half_a, inc)
     stats2 = append_to_bm25_index(half_b, inc)
-    assert stats2 == stats
-    p_full = {
-        tuple(r)
-        for r in spark.read.parquet(f"{full}/postings").collect()
+    assert {k: stats2[k] for k in ("n_docs", "sum_dl", "postings_rows")} == {
+        k: stats[k] for k in ("n_docs", "sum_dl", "postings_rows")
     }
-    p_inc = {
-        tuple(r) for r in spark.read.parquet(f"{inc}/postings").collect()
-    }
-    assert p_inc == p_full
+    assert len(stats2["segments"]) == 2
+    assert seg_postings(inc) == seg_postings(full)
     inc_q = {
         r["doc_id"]: r["raw"]
         for r in query_bm25_index(spark, inc, BM25_TERMS).collect()
     }
     assert inc_q == inline
 
-    # (c) pushdown + sorted layout
+    # (c) pushdown + sorted layout (disjoint term ranges WITHIN each
+    # immutable segment — a probe opens ~1 file per term per segment)
     plan = (
         query_bm25_index(spark, full, BM25_TERMS)
         ._jdf.queryExecution()
@@ -3162,8 +3169,70 @@ def test_bm25_index_lifecycle(spark, tmp_path):
         .toString()
     )
     assert "In(w, [" in plan, "term probe not pushed to the scan"
+    for seg in _bm25_manifest(inc)["segments"]:
+        ranges = []
+        pdir = f"{inc}/{seg}"
+        for f in sorted(os.listdir(pdir)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(pdir, f)).metadata
+            lo = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+            ranges.append((lo, hi))
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, f"{seg} files overlap: {hi1!r} > {lo2!r}"
+
+
+def test_bm25_index_survives_compaction(spark, tmp_path):
+    """The standing maintenance story for the append-heavy lexical
+    index: after appends accumulate segments, compact_bm25_index must
+    merge them into ONE segment via a reader-safe manifest flip, reap
+    the replaced dirs, and leave the indexed scorer EXACT (stats carry
+    over unchanged; postings rows are order-free). The merged segment
+    must regain the disjoint-term-range layout (~1 file per term probe
+    total — the auto-compaction 'done' criterion)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from smartpipeline_spark.functions.text import (
+        BM25_TERMS,
+        _bm25_manifest,
+        append_to_bm25_index,
+        build_bm25_index,
+        compact_bm25_index,
+        query_bm25_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "idx")
+    build_bm25_index(docs.filter("doc_id % 3 = 0"), path)
+    append_to_bm25_index(docs.filter("doc_id % 3 = 1"), path, compact_after=None)
+    append_to_bm25_index(docs.filter("doc_id % 3 = 2"), path, compact_after=None)
+    assert len(_bm25_manifest(path)["segments"]) == 3
+    before = {
+        r["doc_id"]: r["raw"]
+        for r in query_bm25_index(spark, path, BM25_TERMS).collect()
+    }
+    report = compact_bm25_index(spark, path)
+    assert report["segments_before"] == 3 and report["segments_after"] == 1
+    assert report["dirs_reaped"] == 3
+    man = _bm25_manifest(path)
+    assert len(man["segments"]) == 1
+    # only the live segment remains on disk
+    seg_dirs = [d for d in os.listdir(path) if d.startswith("seg-")]
+    assert seg_dirs == man["segments"]
+    after = {
+        r["doc_id"]: r["raw"]
+        for r in query_bm25_index(spark, path, BM25_TERMS, verify=True).collect()
+    }
+    assert after == before
+    # merged segment is sort-clustered again: disjoint per-file ranges
+    pdir = os.path.join(path, man["segments"][0])
     ranges = []
-    pdir = f"{full}/postings"
     for f in sorted(os.listdir(pdir)):
         if not f.endswith(".parquet"):
             continue
@@ -3173,38 +3242,155 @@ def test_bm25_index_lifecycle(spark, tmp_path):
         ranges.append((lo, hi))
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
-        assert hi1 <= lo2, f"postings files overlap: {hi1!r} > {lo2!r}"
+        assert hi1 <= lo2
 
 
-def test_bm25_index_survives_compaction(spark, tmp_path):
-    """The standing maintenance story for the append-heavy lexical
-    index: after appends accumulate files, operators.scale.compact on
-    the postings directory must leave the indexed scorer EXACT (the
-    stats file lives outside the compacted dir and postings rows are
-    order-free)."""
+def test_bm25_append_reader_atomic(spark, tmp_path):
+    """The r11-verdict defect, pinned closed: a reader interleaved
+    BETWEEN the two append phases (segment written, manifest not yet
+    committed) must see EXACTLY the old index — never enlarged
+    postings scored with stale n_docs/sum_dl. The probe runs inside a
+    monkeypatched _bm25_commit, i.e. at the worst possible instant."""
+    from smartpipeline_spark.functions import text as text_mod
     from smartpipeline_spark.functions.text import (
         BM25_TERMS,
         append_to_bm25_index,
+        bm25_scores,
         build_bm25_index,
         query_bm25_index,
     )
-    from smartpipeline_spark.operators.scale import compact
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    old_docs = docs.filter("doc_id % 2 = 0")
+    new_docs = docs.filter("doc_id % 2 = 1")
+    path = str(tmp_path / "idx")
+    build_bm25_index(old_docs, path)
+    old_scores = {r["doc_id"]: r["raw"] for r in bm25_scores(old_docs).collect()}
+    full_scores = {r["doc_id"]: r["raw"] for r in bm25_scores(docs).collect()}
+
+    mid_append = {}
+    real_commit = text_mod._bm25_commit
+
+    def probing_commit(p, stats):
+        mid_append["scores"] = {
+            r["doc_id"]: r["raw"]
+            for r in query_bm25_index(spark, p, BM25_TERMS).collect()
+        }
+        real_commit(p, stats)
+
+    text_mod._bm25_commit = probing_commit
+    try:
+        append_to_bm25_index(new_docs, path)
+    finally:
+        text_mod._bm25_commit = real_commit
+
+    # mid-append reader saw exactly the OLD index...
+    assert mid_append["scores"] == old_scores
+    # ...and a post-commit reader sees exactly the NEW one
+    after = {
+        r["doc_id"]: r["raw"]
+        for r in query_bm25_index(spark, path, BM25_TERMS, verify=True).collect()
+    }
+    assert after == full_scores
+
+
+def test_bm25_append_crash_atomic(spark, tmp_path):
+    """A crash between segment write and manifest commit must leave the
+    published index bit-untouched (the orphan segment is invisible), a
+    retried append must converge to exactly the rebuild result, and the
+    next compaction must reap the orphan."""
+    import os
+
+    from smartpipeline_spark.functions import text as text_mod
+    from smartpipeline_spark.functions.text import (
+        BM25_TERMS,
+        _bm25_manifest,
+        append_to_bm25_index,
+        bm25_scores,
+        build_bm25_index,
+        compact_bm25_index,
+        query_bm25_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    old_docs = docs.filter("doc_id % 2 = 0")
+    new_docs = docs.filter("doc_id % 2 = 1")
+    path = str(tmp_path / "idx")
+    build_bm25_index(old_docs, path)
+    old_scores = {r["doc_id"]: r["raw"] for r in bm25_scores(old_docs).collect()}
+
+    real_commit = text_mod._bm25_commit
+
+    def crashing_commit(p, stats):
+        raise OSError("simulated crash before manifest commit")
+
+    text_mod._bm25_commit = crashing_commit
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(OSError, match="simulated crash"):
+            append_to_bm25_index(new_docs, path)
+    finally:
+        text_mod._bm25_commit = real_commit
+
+    # published index unchanged; orphan segment exists but is invisible
+    assert _bm25_manifest(path)["segments"] != []
+    assert len(_bm25_manifest(path)["segments"]) == 1
+    assert len([d for d in os.listdir(path) if d.startswith("seg-")]) == 2
+    crashed = {
+        r["doc_id"]: r["raw"]
+        for r in query_bm25_index(spark, path, BM25_TERMS, verify=True).collect()
+    }
+    assert crashed == old_scores
+
+    # retried append converges exactly; compaction reaps the orphan
+    append_to_bm25_index(new_docs, path)
+    full_scores = {r["doc_id"]: r["raw"] for r in bm25_scores(docs).collect()}
+    retried = {
+        r["doc_id"]: r["raw"]
+        for r in query_bm25_index(spark, path, BM25_TERMS).collect()
+    }
+    assert retried == full_scores
+    compact_bm25_index(spark, path)
+    assert len([d for d in os.listdir(path) if d.startswith("seg-")]) == 1
+    final = {
+        r["doc_id"]: r["raw"]
+        for r in query_bm25_index(spark, path, BM25_TERMS, verify=True).collect()
+    }
+    assert final == full_scores
+
+
+def test_bm25_append_auto_compacts(spark, tmp_path):
+    """compact_after: once segments exceed the threshold the append
+    APIs trigger the reader-safe compaction inline, so probe cost
+    returns to ~1 file per term without an external maintenance job."""
+    from smartpipeline_spark.functions.text import (
+        BM25_TERMS,
+        _bm25_manifest,
+        append_to_bm25_index,
+        bm25_scores,
+        build_bm25_index,
+        query_bm25_index,
+    )
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
         "doc_id", "text"
     )
     path = str(tmp_path / "idx")
-    build_bm25_index(docs.filter("doc_id % 3 = 0"), path)
-    append_to_bm25_index(docs.filter("doc_id % 3 = 1"), path)
-    append_to_bm25_index(docs.filter("doc_id % 3 = 2"), path)
-    before = {
+    build_bm25_index(docs.filter("doc_id % 4 = 0"), path)
+    append_to_bm25_index(docs.filter("doc_id % 4 = 1"), path, compact_after=2)
+    stats = append_to_bm25_index(docs.filter("doc_id % 4 = 2"), path, compact_after=2)
+    # third segment crossed the threshold -> compacted back to one
+    assert len(stats["segments"]) == 1
+    assert len(_bm25_manifest(path)["segments"]) == 1
+    part = docs.filter("doc_id % 4 < 3")
+    expected = {r["doc_id"]: r["raw"] for r in bm25_scores(part).collect()}
+    got = {
         r["doc_id"]: r["raw"]
-        for r in query_bm25_index(spark, path, BM25_TERMS).collect()
+        for r in query_bm25_index(spark, path, BM25_TERMS, verify=True).collect()
     }
-    report = compact(spark, f"{path}/postings")
-    assert report["files_after"] <= report["files_before"]
-    after = {
-        r["doc_id"]: r["raw"]
-        for r in query_bm25_index(spark, path, BM25_TERMS).collect()
-    }
-    assert after == before
+    assert got == expected
