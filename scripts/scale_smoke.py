@@ -212,10 +212,10 @@ def main() -> None:
                 _record("jaccard_pairs_capped2")
                 return out
             finally:
-                # the library persists its index frames internally;
-                # drop them so the next rung starts cold (per-process
-                # measurement protocol: probes are run solo anyway)
-                spark.catalog.clearCache()
+                # the library persists its index frames internally and
+                # tracks them; release so the next rung starts cold
+                # (per-process measurement protocol: probes run solo)
+                _dd.release_caches()
 
         def capped_minhash():
             try:
@@ -227,7 +227,7 @@ def main() -> None:
                 _record("minhash_candidates_capped2")
                 return out
             finally:
-                spark.catalog.clearCache()
+                _dd.release_caches()
 
         timed("jaccard_pairs_capped2", capped_jaccard)
         timed("minhash_candidates_capped2", capped_minhash)

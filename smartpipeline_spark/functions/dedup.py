@@ -106,6 +106,70 @@ def _spread_width(df: DataFrame) -> int:
     return max(dp, min(math.ceil(size / (128 * 1024 * 1024)), 1 << 20))
 
 
+def _heap_aware_level(df: DataFrame):
+    """Storage level for a big intermediate persist, sized against the
+    runtime's UNIFIED memory pool: a cached frame whose plan-estimated
+    size crowds the pool evicts itself and every execution page over
+    and over (SMOKE_r11: the 6.6 GB replicated-docs persist at a
+    default 8 GB heap ran minhash-1024x at 341 s vs 196.5 s on a 16 GB
+    heap — pure cache-store thrash) — park such frames on DISK_ONLY
+    instead, where a local-SSD columnar re-read is far cheaper than
+    storage/execution contention. Frames that comfortably fit (< ~80%
+    of the ``spark.memory.fraction`` pool) keep MEMORY_AND_DISK, so
+    fixture-scale behavior is unchanged. Any estimation failure
+    (connect mode, unknown stats) falls back to MEMORY_AND_DISK."""
+    from pyspark import StorageLevel
+
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        sc = df.sparkSession.sparkContext
+        heap = int(sc._jvm.java.lang.Runtime.getRuntime().maxMemory())
+        try:
+            frac = float(df.sparkSession.conf.get("spark.memory.fraction"))
+        except Exception:
+            frac = 0.6
+        pool = (heap - 300 * 1024 * 1024) * frac
+    except Exception:
+        return StorageLevel.MEMORY_AND_DISK
+    if 0 < size <= (1 << 50) and size > 0.8 * pool:
+        return StorageLevel.DISK_ONLY
+    return StorageLevel.MEMORY_AND_DISK
+
+
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def persist_intermediate(df: DataFrame) -> DataFrame:
+    """Persist a frame an operator reuses across its own plan —
+    heap-aware level (:func:`_heap_aware_level`) and REGISTERED for
+    :func:`release_caches`. The operators cannot unpersist these
+    themselves: the frames they return keep referencing the cached
+    data lazily, so releasing inside the operator would defeat the
+    persist. In a long-lived session the blocks therefore accumulate;
+    call :func:`release_caches` between corpus-scale jobs (after
+    materializing results) to drop them without nuking unrelated
+    caches the way ``spark.catalog.clearCache()`` does."""
+    df = df.persist(_heap_aware_level(df))
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate frame the pairing/dedup operators
+    persisted in this process (see :func:`persist_intermediate`).
+    Safe to call at any time — results already materialized are
+    unaffected; lazy result frames still holding a reference will
+    simply recompute. Returns the number of frames released."""
+    n = 0
+    while _TRACKED_CACHES:
+        try:
+            _TRACKED_CACHES.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def shingle_sets(df: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, sh_set): per-doc distinct shingle array.
 
@@ -115,9 +179,15 @@ def shingle_sets(df: DataFrame, n: int = 3) -> DataFrame:
     The shuffle is SKIPPED when the scan already yields at least the
     target width (a 100 TB corpus arrives as ~10^6 scan splits;
     re-shuffling it round-robin would be a full-corpus exchange that
-    buys nothing)."""
+    buys nothing). The partition probe goes through ``.rdd``, which
+    non-JVM plan wrappers (Spark Connect) don't expose — those fall
+    back to the unconditional repartition, same as pre-r11."""
     width = _spread_width(df)
-    if df.rdd.getNumPartitions() >= width:  # plan-only, no job
+    try:
+        cur = df.rdd.getNumPartitions()  # plan-only, no job
+    except Exception:  # Spark Connect / non-JVM plan wrappers
+        cur = None
+    if cur is not None and cur >= width:
         return df.select("doc_id", shingle_array_expr(n).alias("sh_set"))
     return df.repartition(width).select(
         "doc_id", shingle_array_expr(n).alias("sh_set")
@@ -269,12 +339,10 @@ def jaccard_pairs(
     size instead of quadratically. Jaccard values are identical to
     the full join's for the emitted pairs (sizes and common counts
     still use the whole capped universe)."""
-    from pyspark import StorageLevel
-
-    raw_sh = word_shingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    raw_sh = persist_intermediate(word_shingles(docs, n))
     # sh feeds three consumers (sizes + both join sides): persist so
     # the regex-shingle explode and the hot-key anti-join run once
-    sh = drop_hot_keys(raw_sh, "sh", max_df).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = persist_intermediate(drop_hot_keys(raw_sh, "sh", max_df))
     p = _resolve_pair_partitions(partitions, sh, ["sh"], anchor)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     side = sh if p is None else sh.repartition(p, "sh")
@@ -448,8 +516,6 @@ def minhash_candidates(
     exchanges from the one-pass Σ-per-bucket estimate; ``anchor``
     restricts the build side to anchor docs and emits (d1 > d2=anchor)
     — the linear-output incremental form."""
-    from pyspark import StorageLevel
-
     rows_per_band = _N_HASHES // _N_BANDS
     bands = F.array(
         *[
@@ -468,7 +534,7 @@ def minhash_candidates(
     if partitions == "auto":
         # the estimate pass + both join sides read the banded index —
         # persist so signatures compute once
-        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+        keyed = persist_intermediate(keyed)
     p = _resolve_pair_partitions(
         partitions, keyed, ["band_id", "band_key"], anchor
     )
@@ -557,10 +623,8 @@ def ext_dedup_minhash(spark, sf_dir):
     persisted and feeds both the signature fold and the verification
     joins (previously the regex-shingle pass ran twice — the single
     most expensive bench item; caching halved it)."""
-    from pyspark import StorageLevel
-
     d = sources.table(spark, "documents", sf_dir)
-    sets_ = shingle_sets(d).persist(StorageLevel.MEMORY_AND_DISK)
+    sets_ = persist_intermediate(shingle_sets(d))
     cands = minhash_candidates(minhash_signatures_from_sets(sets_))
     s1 = sets_.select(F.col("doc_id").alias("d1"), F.col("sh_set").alias("sh1"))
     s2 = sets_.select(F.col("doc_id").alias("d2"), F.col("sh_set").alias("sh2"))
@@ -1127,9 +1191,7 @@ def overlap_pairs(
     use the capped universe, so the ratio stays a true overlap over
     the kept fingerprints. The fp frame feeds three consumers
     (sizes + both join sides): persisted once."""
-    from pyspark import StorageLevel
-
-    fp = drop_hot_keys(fp, "fp", max_df).persist(StorageLevel.MEMORY_AND_DISK)
+    fp = persist_intermediate(drop_hot_keys(fp, "fp", max_df))
     p = _resolve_pair_partitions(partitions, fp, ["fp"])
     sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n"))
     side = fp if p is None else fp.repartition(p, "fp")
