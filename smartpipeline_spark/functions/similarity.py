@@ -805,11 +805,36 @@ def _ivf_assign_udf(cents: np.ndarray):
     return assign
 
 
+def _maybe_compact_index(spark, path: str, threshold: int | None) -> bool:
+    """Auto-compaction hook shared by the vector-index append APIs:
+    appends accumulate one file per (task x touched cell), so after N
+    appends a probed cell opens ~N files — open cost, not data, starts
+    to dominate the footer-pruned read. When any single directory's
+    data-file count exceeds ``threshold``, run
+    :func:`~smartpipeline_spark.operators.scale.compact` (reader-safe
+    swap; partition layout and the root ``_*.json`` sidecars are
+    preserved) so probes return to ~1 file per cell.
+    ``threshold=None`` disables (external maintenance)."""
+    import os
+    from collections import Counter
+
+    from smartpipeline_spark.operators.scale import _data_files, compact
+
+    if threshold is None:
+        return False
+    per_dir = Counter(os.path.dirname(f) for f in _data_files(path))
+    if not per_dir or max(per_dir.values()) <= threshold:
+        return False
+    compact(spark, path)
+    return True
+
+
 def append_to_ivf_index(
     spark,
     path: str,
     new_vectors: DataFrame,
     concentration_factor: float = 4.0,
+    compact_threshold: int | None = 8,
 ) -> dict:
     """Incremental IVF maintenance: real corpora APPEND, and a rebuild
     per append is the anti-pattern a 100 TB index exists to avoid. New
@@ -826,7 +851,12 @@ def append_to_ivf_index(
     batch's mean cosine to its assigned centroid (falling fit).
     ``retrain_recommended`` fires when the hottest cell exceeds
     ``concentration_factor`` x the uniform share — the signal to
-    retrain + re-layout, which is a new index build, not a mutation."""
+    retrain + re-layout, which is a new index build, not a mutation.
+
+    Appends accumulate files per cell; once any cell exceeds
+    ``compact_threshold`` data files the standing maintenance job
+    (:func:`_maybe_compact_index`) compacts the layout inline so
+    probed cells keep opening ~1 file."""
     import json
     import os
 
@@ -846,6 +876,7 @@ def append_to_ivf_index(
         "cell"
     ).parquet(path)
     assigned.unpersist()
+    compacted = _maybe_compact_index(spark, path, compact_threshold)
     max_frac = (max(r["n"] for r in stats) / n) if n else 0.0
     uniform = 1.0 / len(cents)
     return {
@@ -854,6 +885,7 @@ def append_to_ivf_index(
         "mean_sim": (sum(r["s"] for r in stats) / n) if n else None,
         "max_cell_frac": max_frac,
         "retrain_recommended": max_frac > concentration_factor * uniform,
+        "compacted": compacted,
     }
 
 
@@ -1310,6 +1342,7 @@ def append_to_pq_index(
     new_vectors: DataFrame,
     fit_drop_threshold: float = 0.05,
     concentration_factor: float = 4.0,
+    compact_threshold: int | None = 8,
 ) -> dict:
     """Incremental PQ maintenance, mirroring :func:`append_to_ivf_index`:
     new vectors are encoded with the SAVED codebooks (existing codes
@@ -1322,7 +1355,9 @@ def append_to_pq_index(
     concentration signal fires too (hottest cell >
     ``concentration_factor`` x uniform share). Either trips
     ``retrain_recommended`` — the signal for a new build, not a
-    mutation."""
+    mutation. File accumulation is handled like the IVF side: any
+    directory exceeding ``compact_threshold`` data files triggers the
+    inline reader-safe compaction (:func:`_maybe_compact_index`)."""
     import json
     import os
 
@@ -1359,6 +1394,7 @@ def append_to_pq_index(
         n = stats[0]["n"]
         assigned.select("vec_id", "codes").write.mode("append").parquet(path)
     assigned.unpersist()
+    compacted = _maybe_compact_index(spark, path, compact_threshold)
     mean_sim = (sum(r["s"] for r in stats) / n) if n else None
     fit_drop = (fit["mean_recon_sim"] - mean_sim) if n else 0.0
     max_frac = (
@@ -1375,6 +1411,7 @@ def append_to_pq_index(
         "cells_touched": len(stats) if has_cells else None,
         "max_cell_frac": max_frac,
         "retrain_recommended": bool(fit_drop > fit_drop_threshold or concentrated),
+        "compacted": compacted,
     }
 
 

@@ -903,6 +903,97 @@ def test_ivf_append_equals_rebuild_and_flags_drift(spark, tmp_path):
     assert rep2["retrain_recommended"] is True
 
 
+def test_ivf_append_auto_compacts_cells(spark, tmp_path):
+    """Verdict r11 #4: appends accumulate one file per (task x cell);
+    once a cell exceeds compact_threshold data files the append APIs
+    trigger the reader-safe compaction inline. After N appends the
+    layout must be back to ~1 file per cell (pyarrow/file-count
+    asserted), the _centroids.json sidecar must survive the swap, and
+    (build; append*) must still query-equal the rebuild."""
+    import os
+
+    from smartpipeline_spark.functions.similarity import (
+        N_QUERIES,
+        _emb,
+        append_to_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from smartpipeline_spark.operators.scale import _data_files
+
+    def max_files_per_cell(path):
+        from collections import Counter
+
+        per = Counter(os.path.dirname(f) for f in _data_files(path))
+        return max(per.values())
+
+    e = _emb(spark, SF_SMOKE)
+    hold = e.filter((F.col("vec_id") % 7 != 0) & (F.col("vec_id") % 11 == 3))
+    base = e.join(hold.select("vec_id"), "vec_id", "left_anti")
+    incr, full = str(tmp_path / "ivf_incr"), str(tmp_path / "ivf_full")
+    build_ivf_index(base, incr)
+    build_ivf_index(e, full)
+
+    # drive appends with a tight threshold until one reports compaction
+    slices = [hold.filter(F.col("vec_id") % 5 == i) for i in range(5)]
+    compact_seen = False
+    for s in slices:
+        rep = append_to_ivf_index(spark, incr, s, compact_threshold=2)
+        compact_seen = compact_seen or rep["compacted"]
+    assert compact_seen, "threshold never tripped the inline compaction"
+    # last append may have re-accumulated at most threshold files
+    assert max_files_per_cell(incr) <= 2 + 1
+    assert os.path.exists(os.path.join(incr, "_centroids.json"))
+
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    got = sorted(map(tuple, query_ivf_index(spark, incr, queries).collect()))
+    want = sorted(map(tuple, query_ivf_index(spark, full, queries).collect()))
+    assert got == want
+
+
+def test_pq_append_auto_compacts_and_keeps_sidecars(spark, tmp_path):
+    """Same contract on the PQ side (flat layout): threshold-tripped
+    inline compaction, _codebooks.json/_pq_fit.json survive, and the
+    compacted index queries identically to build-on-concat."""
+    import os
+
+    from smartpipeline_spark.functions.similarity import (
+        N_QUERIES,
+        _emb,
+        append_to_pq_index,
+        build_pq_index,
+        query_pq_index,
+    )
+    from smartpipeline_spark.operators.scale import _data_files
+
+    e = _emb(spark, SF_SMOKE)
+    hold = e.filter((F.col("vec_id") % 7 != 0) & (F.col("vec_id") % 11 == 3))
+    base = e.join(hold.select("vec_id"), "vec_id", "left_anti")
+    incr, full = str(tmp_path / "pq_incr"), str(tmp_path / "pq_full")
+    build_pq_index(base, incr)
+    build_pq_index(e, full)
+
+    compact_seen = False
+    for i in range(5):
+        rep = append_to_pq_index(
+            spark, incr, hold.filter(F.col("vec_id") % 5 == i), compact_threshold=2
+        )
+        compact_seen = compact_seen or rep["compacted"]
+    assert compact_seen
+    assert len(_data_files(incr)) <= 2 + 1
+    for sidecar in ("_codebooks.json", "_pq_fit.json"):
+        assert os.path.exists(os.path.join(incr, sidecar)), sidecar
+
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    got = sorted(map(tuple, query_pq_index(spark, incr, queries).collect()))
+    want = sorted(map(tuple, query_pq_index(spark, full, queries).collect()))
+    assert got == want
+
+
 # --------------------------------------------------- perceptual multimodal dedup
 
 
