@@ -1435,6 +1435,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_span: int = 1024,
+    partitions: int | str | None = "auto",
 ) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing: documents are
     concatenated in ``id_col`` order into one token stream that is cut
@@ -1453,16 +1454,29 @@ def pack_sequences(
     a ``partitionBy(bucket)`` window — parallel across buckets —
     finishes the within-bucket offsets. Integer arithmetic, so the
     decomposition is bit-exact vs the naive window. At 10^11 docs
-    raise ``bucket_span`` so the bucket table stays ~10^6 rows."""
+    raise ``bucket_span`` so the bucket table stays ~10^6 rows.
+
+    ``partitions="auto"`` (default) sizes the bucket exchange from the
+    document count (a metadata-cheap pre-pass on a parquet scan;
+    ~30 B per (id, tokens, bucket) row): the partial agg and the
+    within-bucket window then REUSE one exchange on ``bucket``; below
+    the pressure floor nothing is injected — fixture plans
+    unchanged."""
     from pyspark.sql.window import Window
 
     from smartpipeline_spark.functions.text import _word_count_expr
+    from smartpipeline_spark.operators.scale import resolve_exchange_width
 
     toks = df.select(
         F.col(id_col),
         _word_count_expr(F.col(text_col)).alias("tokens"),
         F.expr(f"{id_col} DIV {bucket_span}").alias("bucket"),
     )
+    p = resolve_exchange_width(
+        partitions, df.sparkSession, df.count, row_bytes=30
+    )
+    if p is not None:
+        toks = toks.repartition(p, "bucket")
     per_bucket = toks.groupBy("bucket").agg(F.sum("tokens").alias("bsum"))
     wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     base = per_bucket.select(
@@ -3312,7 +3326,10 @@ def _ccnet_line_norm(col):
 
 
 def line_dedup(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int | str | None = "auto",
 ) -> DataFrame:
     """CCNet-style corpus-level LINE deduplication with keep-first
     semantics: every non-empty line is hashed under the CCNet
@@ -3334,16 +3351,32 @@ def line_dedup(
     and reassembly is a bounded per-document ``collect_list`` (a
     document's own lines). Boilerplate hashes are hot keys by
     construction; the winner aggregation map-side-combines them and
-    AQE handles the residual join skew."""
+    AQE handles the residual join skew.
+
+    ``partitions="auto"`` (default) sizes the line-hash exchange from
+    a one-pass non-empty-line count (same estimate→inject contract as
+    the pairing joins; line rows carry their bodies through the join,
+    ~150 B serialized each); the winner aggregation and the tag join
+    then REUSE one exchange on ``fp``, and the reassembly gets the
+    same width on ``doc_id``. Below the pressure floor nothing is
+    injected — fixture plans unchanged."""
+    from smartpipeline_spark.operators.scale import resolve_exchange_width
+
+    nonempty = F.filter(
+        F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != F.lit("")
+    )
+    p = resolve_exchange_width(
+        partitions,
+        df.sparkSession,
+        lambda: df.agg(F.sum(F.size(nonempty)).alias("r")).collect()[0]["r"],
+        row_bytes=150,
+    )
     lines = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.filter(
-                F.split(F.col(text_col), "\n"),
-                lambda x: F.trim(x) != F.lit(""),
-            )
-        ).alias("pos", "line"),
+        F.posexplode(nonempty).alias("pos", "line"),
     ).withColumn("fp", F.md5(_ccnet_line_norm(F.col("line"))))
+    if p is not None:
+        lines = lines.repartition(p, "fp")
     keepers = lines.groupBy("fp").agg(
         F.min(F.struct("doc_id", "pos")).alias("k")
     )
@@ -3356,6 +3389,8 @@ def line_dedup(
             & (F.col("k.pos") == F.col("pos"))
         ).alias("kept"),
     )
+    if p is not None:
+        tagged = tagged.repartition(p, "doc_id")
     kept_n = F.sum(F.col("kept").cast("long"))
     return tagged.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_lines"),
@@ -3806,7 +3841,12 @@ def ext_leakage_safe_split(spark, sf_dir):
 
 # ---------------------------------------------- epoch shuffle ordering
 
-def epoch_shuffle(docs: DataFrame, epochs: int = 2, salt: str = "epoch") -> DataFrame:
+def epoch_shuffle(
+    docs: DataFrame,
+    epochs: int = 2,
+    salt: str = "epoch",
+    partitions: int | str | None = "auto",
+) -> DataFrame:
     """Deterministic per-epoch training order: every epoch gets an
     independent seeded permutation of the corpus (pos = the document's
     1-based position in that epoch's stream), the op every trainer
@@ -3824,9 +3864,23 @@ def epoch_shuffle(docs: DataFrame, epochs: int = 2, salt: str = "epoch") -> Data
     cumsum pattern the packing ops use), broadcast back. Determinism
     is exact at any parallelism and any input layout; both engines
     replay the identical md5 order, so the oracle is the naive global
-    window."""
+    window.
+
+    ``partitions="auto"`` (default) sizes the (epoch, bucket) exchange
+    from ``count(docs) x epochs`` (metadata-cheap on a parquet scan;
+    ~60 B per keyed row): the per-bucket window and the bucket-count
+    aggregate REUSE that one exchange; below the pressure floor
+    nothing is injected — fixture plans unchanged."""
     from pyspark.sql.window import Window
 
+    from smartpipeline_spark.operators.scale import resolve_exchange_width
+
+    p = resolve_exchange_width(
+        partitions,
+        docs.sparkSession,
+        lambda: docs.count() * epochs,
+        row_bytes=60,
+    )
     eps = F.explode(F.array(*[F.lit(i) for i in range(1, epochs + 1)])).alias("epoch")
     d = docs.select("doc_id", eps)
     key = F.md5(
@@ -3839,6 +3893,8 @@ def epoch_shuffle(docs: DataFrame, epochs: int = 2, salt: str = "epoch") -> Data
     )
     keyed = d.select(F.col("epoch").cast("bigint").alias("epoch"), "doc_id", key.alias("k"))
     keyed = keyed.withColumn("bucket", F.substring("k", 1, 2))
+    if p is not None:
+        keyed = keyed.repartition(p, "epoch", "bucket")
     w_in = Window.partitionBy("epoch", "bucket").orderBy("k", "doc_id")
     ranked = keyed.withColumn("intra", F.row_number().over(w_in))
     counts = keyed.groupBy("epoch", "bucket").agg(F.count("*").alias("n"))

@@ -264,7 +264,9 @@ def _pair_join_width(
     # diagnostics for benchmarks/smoke harnesses (last decision only;
     # not part of the API contract)
     LAST_AUTO_DECISION.clear()
-    LAST_AUTO_DECISION.update({"est_join_rows": int(est or 0), "partitions": p})
+    LAST_AUTO_DECISION.update(
+        {"est_join_rows": int(est or 0), "est_rows": int(est or 0), "partitions": p}
+    )
     return p
 
 
@@ -289,22 +291,17 @@ def _resolve_pair_partitions(
     width anyway — measured at 1024x replicas, a 36M-row bucket join
     under a 2048-partition session ran +49% wall vs the tuned 64
     (per-task overhead, load-independent), while 8 x over (512 vs 64
-    at 256x) was still inside the flat band. Typical test/driver
-    sessions (32-200 partitions) stay under the 8 x line, so fixture
-    plans remain untouched."""
+    at 256x) was still inside the flat band. The inject-or-skip rule
+    itself lives in :func:`~smartpipeline_spark.operators.scale.
+    should_inject_width`, shared with every other auto-sized
+    corpus-wide exchange."""
+    from smartpipeline_spark.operators.scale import should_inject_width
+
     if partitions is None:
         return None
     if partitions == "auto":
-        spark = index.sparkSession
-        floor = 2 * spark.sparkContext.defaultParallelism
         p = _pair_join_width(index, key_cols, anchor)
-        if p > floor:
-            return p
-        try:
-            sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        except Exception:
-            return None
-        return p if sess > 8 * p else None
+        return p if should_inject_width(p, index.sparkSession) else None
     return int(partitions)
 
 
@@ -1704,11 +1701,46 @@ def _merge_spans(occ: DataFrame, k: int) -> DataFrame:
     )
 
 
-def duplicate_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+def _kgram_width(docs: DataFrame, k: int, partitions) -> int | None:
+    """``partitions`` contract for the ExactSubstr family: the widest
+    exchanges carry the positional k-gram stream (groupBy g / window
+    over g / the join-back), whose row count is exactly
+    Σ max(n_words - k + 1, 0) — one row-local pre-pass over the corpus
+    estimates it (charged to the operator, same as the pairing joins).
+    ~64 B per serialized gram row (two longs + a 32-hex digest)."""
+    from smartpipeline_spark.operators.scale import resolve_exchange_width
+
+    def est():
+        return docs.agg(
+            F.sum(
+                F.greatest(
+                    F.expr(f"size(split(lower(trim(text)), '\\\\s+')) - {k - 1}"),
+                    F.lit(0),
+                )
+            ).alias("r")
+        ).collect()[0]["r"]
+
+    return resolve_exchange_width(
+        partitions, docs.sparkSession, est, row_bytes=64,
+        decision=LAST_AUTO_DECISION,
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame, k: int = SUBSTR_K, partitions: int | str | None = "auto"
+) -> DataFrame:
     """All maximal word spans of length >= k that occur verbatim more
     than once in the corpus (cross-document or repeated within one
-    document): (doc_id, span_start, span_end, n_words)."""
+    document): (doc_id, span_start, span_end, n_words).
+
+    ``partitions="auto"`` (default) sizes the gram exchanges from the
+    one-pass word-count estimate (:func:`_kgram_width`) — the groupBy
+    and the join then REUSE one exchange on ``g``; below the pressure
+    floor nothing is injected and fixture plans are untouched."""
     grams = positional_kgrams(docs, k)
+    p = _kgram_width(docs, k, partitions)
+    if p is not None:
+        grams = grams.repartition(p, "g")
     dup = grams.groupBy("g").agg(F.count("*").alias("_cnt")).filter(
         F.col("_cnt") >= 2
     )
@@ -1716,7 +1748,9 @@ def duplicate_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     return _merge_spans(occ, k)
 
 
-def strip_duplicate_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+def strip_duplicate_spans(
+    docs: DataFrame, k: int = SUBSTR_K, partitions: int | str | None = "auto"
+) -> DataFrame:
     """ExactSubstr REMOVAL: keep the globally FIRST occurrence of each
     duplicated k-gram (ordered by doc_id, then position) and cut every
     later occurrence's span out of its document, rebuilding the text
@@ -1736,10 +1770,20 @@ def strip_duplicate_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     text. To preserve original casing, split the raw ``text`` on the
     same word boundaries and cut the same [span_start, span_end]
     ranges — the positions line up because \\s+ tokenization is
-    case-insensitive."""
+    case-insensitive.
+
+    ``partitions="auto"`` (default) sizes the two corpus-wide exchange
+    families from the one-pass gram-count estimate
+    (:func:`_kgram_width`): the keep-first window over ``g`` (gram
+    rows), and the word-stream join-back + reassembly on ``doc_id``
+    (word rows — same cardinality, smaller rows, one shared width is
+    the right order of magnitude for both)."""
     from pyspark.sql import Window as _W
 
     grams = positional_kgrams(docs, k)
+    p = _kgram_width(docs, k, partitions)
+    if p is not None:
+        grams = grams.repartition(p, "g")
     later = grams.withColumn(
         "_rn", F.row_number().over(_W.partitionBy("g").orderBy("doc_id", "pos"))
     ).filter(F.col("_rn") > 1)  # rn>1 implies the gram occurs >= 2 times
@@ -1750,6 +1794,10 @@ def strip_duplicate_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
             "idx", "word"
         ),
     ).select("doc_id", (F.col("idx") + 1).alias("pos"), "word")
+    if p is not None:
+        # the anti-join and the reassembly groupBy both key on doc_id:
+        # one exchange, reused by both
+        words = words.repartition(p, "doc_id")
     kept = words.join(
         rm,
         (words.doc_id == rm.doc_id)

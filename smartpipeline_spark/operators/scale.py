@@ -86,6 +86,57 @@ def tuned_shuffle_partitions(
     return int(min(max(p, floor), ceiling))
 
 
+def should_inject_width(p: int, spark: SparkSession) -> bool:
+    """The inject-or-skip half of the ``partitions="auto"`` contract,
+    shared by every auto-sized corpus-wide exchange (pairing joins,
+    ExactSubstr, CCNet line dedup, packing, epoch shuffle): inject the
+    tuned width only when it exceeds the pressure floor
+    (2 x parallelism) — below it the measured curves are flat and an
+    explicit exchange would pin tiny jobs away from AQE's
+    broadcast/coalesce choices — EXCEPT when the session width is
+    egregiously oversized (> 8 x the tuned target), which measured
+    +49% wall at 1024x from per-task overhead alone; then the tuned
+    width is injected as a clamp. Typical test/driver sessions (32-200
+    partitions) stay under the 8 x line, so fixture plans remain
+    untouched."""
+    floor = 2 * spark.sparkContext.defaultParallelism
+    if p > floor:
+        return True
+    try:
+        sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return False
+    return sess > 8 * p
+
+
+def resolve_exchange_width(
+    partitions,
+    spark: SparkSession,
+    est_rows_fn,
+    row_bytes: int = 50,
+    decision: dict | None = None,
+) -> int | None:
+    """Full ``partitions`` contract for an auto-sized operator:
+    ``"auto"`` runs ``est_rows_fn()`` (the operator's one-pass estimate
+    of its widest exchange's row count — charged to the operator by
+    design), sizes it with :func:`tuned_shuffle_partitions` at
+    ``row_bytes`` per serialized row, and applies
+    :func:`should_inject_width`; an int forces that width; ``None``
+    leaves the session conf / AQE in charge. ``decision`` (optional
+    dict) receives the estimate + chosen width for smoke/bench
+    diagnostics."""
+    if partitions is None:
+        return None
+    if partitions == "auto":
+        est = int(est_rows_fn() or 0)
+        p = tuned_shuffle_partitions(est, row_bytes=row_bytes, spark=spark)
+        if decision is not None:
+            decision.clear()
+            decision.update({"est_rows": est, "partitions": p})
+        return p if should_inject_width(p, spark) else None
+    return int(partitions)
+
+
 def salted_join(
     skewed: DataFrame,
     small: DataFrame,
