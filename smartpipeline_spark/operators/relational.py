@@ -431,12 +431,12 @@ def q12_count_distinct(spark, sf_dir):
 # estimate of the true distinct count, and
 # test_q12b_oracle_pins_match_engine re-derives the pins via the
 # engine at every ladder sf so they cannot rot.
-# Independence class (ADVICE r10): unlike the BPE/PQ/classifier pins,
-# these ARE engine-produced (no independent HLL++ twin exists short of
-# reimplementing the sketch), so the driver row detects drift, not a
-# wrong-at-pin-time estimate — the rsd-bound pytest is the independent
-# semantic check, which is exactly what an approximate sketch can
-# promise. Documented in SURVEY §2's pin-independence note.
+# Independence class (closed r12): tests/hll_reference.py is a pure-
+# CPython HyperLogLog++ twin (xxHash64 from the public spec, the HLL++
+# paper's published p=14 bias tables, parquet read via pyarrow) and
+# test_q12b_pins_match_pure_hll_reference re-derives every pin with NO
+# SparkSession — the same recipe that de-circularized the classifier
+# pins in r11. The rsd-bound pytest remains as the semantic check.
 _Q12B_HLL_PINS = {1500: 151, 15000: 1507, 150000: 14897}
 
 
