@@ -251,40 +251,43 @@ def entry(spark: SparkSession) -> DataFrame:
 # relational-band keys (q39/q40/q42/q45/q48/q56) hold their green r9
 # rows and stay sweep- and sim-verified.
 # Round-11 rotation (r10 verdict stretch #8 — coverage-freshness):
-# with every key oracled and the full r10 window 50/50 green, the r11
-# window is built MECHANICALLY as the 50 keys whose most recent
-# driver-green row is OLDEST (union of CORRECTNESS_r01-r10; registry
-# order breaks ties) — all r1-r4 coverage plus the oldest r5 keys.
-# This rotates the early relational band (scans, joins, windows,
-# scalars), the event-time trio, the TPC-H anchor q38 and the early
-# ext keys back under the real driver, exactly the staleness the r10
-# verdict called out. Every r10-window key holds its fresh green row
-# and stays sweep- and sim-verified.
+# the r11 window was built MECHANICALLY as the 50 keys whose most
+# recent driver-green row was OLDEST (union of CORRECTNESS_r01-r10;
+# registry order breaks ties) — all r1-r4 coverage plus the oldest r5
+# keys — and came back 50/50 green, re-attesting the early relational
+# band, the event-time trio, q38 and the early ext keys.
+# Round-12 rotation (r11 verdict #7 — same mechanical rule over the
+# union of CORRECTNESS_r01-r11): the two r11-born keys that have never
+# faced the real driver lead (ext_dedup_jaccard_anchored,
+# ext_bm25_indexed — both PASS in the r11 judge's own bare-session
+# driver-sim), then the full r5-green band (13 keys), then the oldest
+# 35 of the r6-green band in registry order (the r6 band is wider than
+# the remaining slots, so the cut lands mid-band at ext_score_auc; the
+# rest of the band holds green r6 rows and stays sweep/sim-verified).
+# Every r11-window key holds its fresh r11 green row.
 _WINDOW = (
-    # last driver-green r01
-    "q01_scan_count", "q33_filtered_agg", "q34_minby_maxby",
-    "q35_string_agg", "q21b_scalar_dates", "q21d_array_map",
-    "q27_explode_wordfreq",
-    # last driver-green r02
-    "q03_filter_project", "q12_count_distinct", "q14_cube",
-    "q18_orderby_limit", "q19_union", "q21c_scalar_json",
-    "ext_token_count", "ext_fingerprint",
-    # last driver-green r03
-    "q04_join_inner", "q05_join_left_agg", "q07_join_semi",
-    "q08_join_anti", "q09_join_3way", "q10_join_range", "q13_rollup",
-    "q16_window_running", "q17_window_lag", "q21_scalar_strings",
-    "q22_tumbling_window", "q23_session_window", "q32_pivot",
-    "q31_scalar_subquery", "q44_having_in", "ext_quality_score",
-    "ext_tfidf", "ext_lang_id", "ext_bm25", "ext_multimodal_meta",
-    "ext_contamination",
-    # last driver-green r04
-    "q28_percentiles", "q20_intersect_except", "q30_correlated_exists",
-    "q24_udf_stage", "ext_dedup_exact", "ext_stratified_sample",
-    "ext_pack_sequences",
-    # last driver-green r05 (oldest seven, registry order)
-    "q02_sink_roundtrip", "q06_join_broadcast", "q11_agg_pricing_summary",
-    "q13b_grouping_sets", "q15_window_topk", "q36_asof_join",
-    "q38_tpch_q5",
+    # never driver-checked (born r11)
+    "ext_dedup_jaccard_anchored", "ext_bm25_indexed",
+    # last driver-green r05
+    "q59_ohlc_downsample", "q61_snapshot_diff", "q62_table_profile",
+    "ext_dedup_ngram_jaccard", "ext_fuzzy_match", "ext_winnow",
+    "ext_winnow_pairs", "ext_zipf_spectrum", "ext_quality_gate",
+    "ext_repetition", "ext_export_shards", "ext_mixture_sample",
+    "ext_stream_join",
+    # last driver-green r06 (oldest 35, registry order)
+    "q24b_udf_chain_throughput", "q36b_asof_forward_tolerance",
+    "q41_gapfill", "q46_recursive_cte", "q53_funnel",
+    "q58_merge_upsert", "q60_scd2", "q75_interval_join",
+    "q63_tpch_q3", "q64_tpch_q4", "q67_tpch_q8", "q68_tpch_q10",
+    "q70_tpch_q14", "q72_tpch_q17", "q73_tpch_q18", "q77_tpch_q19",
+    "q78_tpch_q21", "q79_tpch_q2", "q80_tpch_q9",
+    "ext_dedup_embedding", "ext_dedup_incremental",
+    "ext_substring_dedup", "ext_knn_bruteforce",
+    "ext_embedding_centroids", "ext_hybrid_search",
+    "ext_heavy_hitters", "ext_top_terms", "ext_multimodal_decode",
+    "ext_chunk_dedup", "ext_dedup_clusters", "ext_dsir_select",
+    "ext_contamination_bloom", "ext_pack_emit",
+    "ext_sample_per_group", "ext_score_auc",
 )
 
 

@@ -86,7 +86,7 @@ def main() -> None:
     # same guard the TPC-H and ANN blocks get; --ops exists exactly to
     # avoid paying for unselected work)
     n_docs = 0
-    if want("exact_dedup_groups", "minhash_candidate_pairs", "jaccard_verified_pairs", "exactsubstr_spans", "dsir_selected", "cdc_chunk_fps", "classifier_train_5it", "jaccard_pairs_capped2", "minhash_candidates_capped2", "c4_rules_report", "lm_stupid_backoff_scored", "line_dedup_kept_lines", "batch_inference_scored"):
+    if want("exact_dedup_groups", "minhash_candidate_pairs", "jaccard_verified_pairs", "exactsubstr_spans", "dsir_selected", "cdc_chunk_fps", "classifier_train_5it", "jaccard_pairs_capped2", "minhash_candidates_capped2", "c4_rules_report", "lm_stupid_backoff_scored", "line_dedup_kept_lines", "batch_inference_scored", "pack_sequences_placed", "epoch_shuffle_rows"):
         base = sources.table(spark, "documents", sf_dir).select("doc_id", "text")
         docs = base.select(
             F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("r"),
@@ -97,8 +97,16 @@ def main() -> None:
             F.concat("text", F.lit(" rtag"), F.col("r").cast("string")).alias("text"),
         )
         # materialize once so every operator reads the same physical
-        # corpus (the replicate explode isn't re-run inside each timing)
-        docs = docs.repartition(32).persist()
+        # corpus (the replicate explode isn't re-run inside each
+        # timing) — via the library's heap-aware persist (r11: at 1024x
+        # the 6.6GB corpus on an 8g heap thrashed the cache store for
+        # +73% wall; DISK_ONLY above ~80% of the unified pool is the
+        # fix, and the rung validates it through the same helper the
+        # operators use)
+        from smartpipeline_spark.functions.dedup import persist_intermediate
+
+        docs = persist_intermediate(docs.repartition(32))
+        counts["docs_storage_level"] = str(docs.storageLevel)
         n_docs = docs.count()
 
     from smartpipeline_spark.functions.dedup import (
@@ -157,6 +165,20 @@ def main() -> None:
             )
 
         timed("line_dedup_kept_lines", _line_dedup)
+
+    # --- packing + epoch shuffle (round-12): the two bounded-grid
+    # cumsum ops newly under partitions="auto" — placement volume is
+    # exactly linear in replicas (one row per doc resp. per doc-epoch),
+    # so the wall exponent isolates the exchange sizing the auto rule
+    # injects at rung scale while fixture plans stay untouched.
+    if want("pack_sequences_placed", "epoch_shuffle_rows"):
+        from smartpipeline_spark.functions.curation import (
+            epoch_shuffle,
+            pack_sequences,
+        )
+
+        timed("pack_sequences_placed", lambda: pack_sequences(docs).count())
+        timed("epoch_shuffle_rows", lambda: epoch_shuffle(docs, epochs=2).count())
 
     # --- capped-OUTPUT pair probes (round-6): the full pair-emitters
     # above are bounded below by their OUTPUT volume, which grows
