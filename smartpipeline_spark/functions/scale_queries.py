@@ -128,3 +128,42 @@ def ext_rollup_reuse(spark, sf_dir) -> DataFrame:
             r2(F.sum("s").cast("double")).alias("sum_value"),
         )
     )
+
+
+@ext_query(
+    "ext_global_index",
+    r"""WITH keyed AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS k
+          FROM documents)
+       SELECT doc_id, k,
+              CAST(ROW_NUMBER() OVER (ORDER BY k) - 1 AS BIGINT) AS row_idx
+       FROM keyed""",
+)
+def ext_global_index(spark, sf_dir) -> DataFrame:
+    """Dense 0-based global row numbering in a non-monotonic numeric
+    order WITHOUT a global sort — the driver-attested form of
+    :func:`smartpipeline_spark.operators.scale.with_global_index`
+    (the DataFrame answer to RDD ``zipWithIndex``): rows range-bucket
+    via ``width_bucket`` over an in-plan min/max, per-bucket counts
+    cumsum into broadcast base offsets, and a parallel
+    ``partitionBy(bucket)`` row_number finishes the index — no
+    single-partition window anywhere (the naive ``Window.orderBy``
+    sorts the corpus in ONE task at 100 TB). The order key is an
+    md5-derived 52-bit surrogate (engine-portable, unique on the
+    fixtures, and < 2^53 so the bucket bounds stay exact in doubles),
+    deliberately uncorrelated with doc_id so the oracle's naive global
+    window only matches if the two-level decomposition is exactly
+    right — same honesty pattern as ext_epoch_shuffle."""
+    from smartpipeline_spark.operators.scale import with_global_index
+
+    d = sources.table(spark, "documents", sf_dir).select("doc_id")
+    keyed = d.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("bigint")
+        .alias("k"),
+    )
+    return with_global_index(keyed, "k", "row_idx").select(
+        "doc_id", "k", F.col("row_idx").cast("bigint").alias("row_idx")
+    )

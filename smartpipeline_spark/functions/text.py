@@ -501,9 +501,16 @@ def bm25_scores(d, terms=BM25_TERMS):
         * F.col("tf") * (k1 + F.lit(1.0))
         / (F.col("tf") + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl")))
     ).alias("s")
+    # dfreq (<= |terms| rows) and stats (1 row) are bounded by
+    # construction: broadcast. dl is CORPUS-sized (one row per doc) —
+    # never broadcast it (the uncompressed collect is the driver OOM
+    # shape the r12 1024x rung hit in the postings builder); the
+    # shuffle_hash hint also blocks AQE from re-promoting it when the
+    # compressed shuffle measures under the threshold, and the doc_id
+    # exchange it introduces is reused by the pivot groupBy.
     scores = (
         tf.join(F.broadcast(dfreq), "w")
-        .join(F.broadcast(dl), "doc_id")
+        .join(dl.hint("shuffle_hash"), "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", "w", s)
     )
@@ -532,11 +539,21 @@ def _bm25_postings(docs: DataFrame) -> DataFrame:
     """(w, doc_id, tf, dl) — term frequencies with the document length
     DENORMALIZED onto every posting row, so a query never touches a
     corpus-sized doc-length table (the classic inverted-index layout:
-    everything a scorer needs rides the posting)."""
-    words = _bm25_words(docs)
-    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    return tf.join(dl, "doc_id").select("w", "doc_id", "tf", "dl")
+    everything a scorer needs rides the posting).
+
+    dl is derived IN PLACE as a window sum over the doc's own postings
+    (dl = Σ tf per doc = the doc's word count, exactly), not a second
+    corpus aggregate joined back: the join formulation cost an extra
+    corpus pass AND blew up at the r12 1024x rung — AQE measured the
+    compressed 5.12M-row dl shuffle under the broadcast threshold and
+    the broadcast COLLECT of the uncompressed rows exceeded
+    spark.driver.maxResultSize. Never route a corpus-sized frame
+    anywhere near a broadcast when the value is computable in plan."""
+    from pyspark.sql.window import Window
+
+    tf = _bm25_words(docs).groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dl = F.sum("tf").over(Window.partitionBy("doc_id"))
+    return tf.select("w", "doc_id", "tf", dl.alias("dl"))
 
 
 def _bm25_manifest(path: str) -> dict:
