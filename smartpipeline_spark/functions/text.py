@@ -609,7 +609,33 @@ def _bm25_segment_stats(spark, seg_path: str) -> tuple[int, int, int]:
     return int(row["n_docs"] or 0), int(row["sum_dl"] or 0), int(row["rows"])
 
 
-def _bm25_new_segment(docs: DataFrame, path: str, num_files: int) -> str:
+def _bm25_num_files(docs: DataFrame, num_files) -> int:
+    """``num_files`` contract for a postings segment: an int is
+    honored as-is; ``"auto"`` (default) sizes the sort-clustered
+    layout from a ONE-PASS word-count estimate so each file (= one
+    range-sort partition) holds ~128 MB of serialized postings
+    (~30 B/posting row). The r12 1024x RAG rung measured why a fixed
+    count cannot work: 8 files over ~500M postings put ~50M rows
+    through each sortWithinPartitions task — 73 GB of spill — while a
+    fixture corpus wants ~1 file so a term probe opens ~1 footer. The
+    estimate job is charged to the build, same as every auto-sizing
+    contract here."""
+    if num_files != "auto":
+        return int(num_files)
+    import math
+
+    words = docs.agg(
+        F.sum(
+            F.when(
+                F.length(F.trim(F.col("text"))) > 0,
+                F.size(F.split(F.lower(F.trim(F.col("text"))), "\\s+")),
+            ).otherwise(F.lit(1))
+        ).alias("r")
+    ).collect()[0]["r"]
+    return max(1, min(math.ceil(int(words or 1) * 30 / (128 * 1024 * 1024)), 8192))
+
+
+def _bm25_new_segment(docs: DataFrame, path: str, num_files) -> str:
     """Write one immutable sort-clustered postings segment under a
     fresh name. Invisible to readers until a manifest commit references
     it; a crash here leaves only an orphan dir that
@@ -620,11 +646,14 @@ def _bm25_new_segment(docs: DataFrame, path: str, num_files: int) -> str:
     from smartpipeline_spark.operators.scale import write_sorted
 
     seg = f"seg-{uuid.uuid4().hex[:12]}"
-    write_sorted(_bm25_postings(docs), os.path.join(path, seg), "w", num_files)
+    write_sorted(
+        _bm25_postings(docs), os.path.join(path, seg), "w",
+        _bm25_num_files(docs, num_files),
+    )
     return seg
 
 
-def build_bm25_index(docs: DataFrame, path: str, num_files: int = 8) -> dict:
+def build_bm25_index(docs: DataFrame, path: str, num_files: int | str = "auto") -> dict:
     """Persisted BM25 postings index — the LEXICAL member of the saved
     retrieval-index family (build/append/query, like the IVF/PQ/HNSW
     vector layouts): pay the corpus pass once, then every query batch
@@ -663,7 +692,7 @@ def build_bm25_index(docs: DataFrame, path: str, num_files: int = 8) -> dict:
 def append_to_bm25_index(
     docs_new: DataFrame,
     path: str,
-    num_files: int = 4,
+    num_files: int | str = "auto",
     compact_after: int | None = 16,
 ) -> dict:
     """Incremental maintenance, reader-atomic: the new batch's postings
@@ -705,7 +734,7 @@ def append_to_bm25_index(
     return stats
 
 
-def compact_bm25_index(spark, path: str, num_files: int = 8) -> dict:
+def compact_bm25_index(spark, path: str, num_files: int | str = "auto") -> dict:
     """Merge all live segments into one freshly sort-clustered segment
     and flip the manifest — the standing maintenance job for the
     append-accumulating layout, reader-safe end to end: readers keep
@@ -726,6 +755,18 @@ def compact_bm25_index(spark, path: str, num_files: int = 8) -> dict:
     stats = _bm25_manifest(path)
     before = list(stats["segments"])
     merged = spark.read.parquet(*[os.path.join(path, s) for s in before])
+    if num_files == "auto":
+        # the manifest already knows the exact postings row count —
+        # size ~128 MB/file with no estimate job at all
+        import math
+
+        num_files = max(
+            1,
+            min(
+                math.ceil(stats.get("postings_rows", 1) * 30 / (128 * 1024 * 1024)),
+                8192,
+            ),
+        )
     seg = f"seg-{uuid.uuid4().hex[:12]}"
     write_sorted(merged, os.path.join(path, seg), "w", num_files)
     stats["segments"] = [seg]
