@@ -14,18 +14,22 @@ OUT = "/root/repo/SMOKE_r12.json"
 
 def main() -> None:
     text = open(RAW, errors="replace").read().replace("\r", "\n")
-    tags = re.findall(r"=== RUNG (\S+) \| pre-uptime:([^\n]*)", text)
-    posts = dict(
-        re.findall(r"=== RUNG (\S+) done rc=\d+ wall=\d+s \| post-uptime:([^\n]*)", text)
-    )
-    jsons = [json.loads(m) for m in re.findall(r"^\{\"n_docs\".*\}$", text, re.M)]
+    # pair each rung's JSON with the header ABOVE it (a crashed rung
+    # emits no JSON, so positional zip would misalign everything after)
     runs = {}
-    for (tag, pre), js in zip(tags, jsons):
-        runs[tag] = {
-            "pre_uptime": pre.strip(),
-            "post_uptime": posts.get(tag, "").strip(),
-            **js,
-        }
+    cur = pre = None
+    for line in text.splitlines():
+        m = re.match(r"=== RUNG (\S+) \| pre-uptime:(.*)", line)
+        if m:
+            cur, pre = m.group(1), m.group(2).strip()
+            continue
+        m = re.match(r"=== RUNG (\S+) done rc=(\d+)[^|]*\| post-uptime:(.*)", line)
+        if m and m.group(1) in runs:
+            runs[m.group(1)]["rc"] = int(m.group(2))
+            runs[m.group(1)]["post_uptime"] = m.group(3).strip()
+            continue
+        if cur and line.startswith('{"n_docs"'):
+            runs[cur] = {"pre_uptime": pre, **json.loads(line)}
 
     def wall(tag, key):
         return runs[tag]["timings"][key]
@@ -98,9 +102,14 @@ def main() -> None:
             k: expo(wall("autoops_256x", k), wall("autoops_1024x", k))
             for k in runs["autoops_1024x"]["timings"]
         }
-    if "rag_1024x" in runs:
-        r = runs["rag_1024x"]
+    rag_tag = next(
+        (t for t in ("rag_1024x_final", "rag_1024x_retry", "rag_1024x") if t in runs),
+        None,
+    )
+    if rag_tag:
+        r = runs[rag_tag]
         art["rag_retrieval_1024x"] = {
+            "rung": rag_tag,
             "wall_s": r["timings"].get("rag_retrieval_qps"),
             "qps": r["counts"].get("rag_queries_per_sec"),
             "ivf_build_s": r["counts"].get("rag_index_build_s"),

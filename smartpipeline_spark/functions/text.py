@@ -535,7 +535,7 @@ def _bm25_words(docs: DataFrame) -> DataFrame:
     )
 
 
-def _bm25_postings(docs: DataFrame) -> DataFrame:
+def _bm25_postings(docs: DataFrame, partitions: int | None = None) -> DataFrame:
     """(w, doc_id, tf, dl) — term frequencies with the document length
     DENORMALIZED onto every posting row, so a query never touches a
     corpus-sized doc-length table (the classic inverted-index layout:
@@ -548,10 +548,21 @@ def _bm25_postings(docs: DataFrame) -> DataFrame:
     compressed 5.12M-row dl shuffle under the broadcast threshold and
     the broadcast COLLECT of the uncompressed rows exceeded
     spark.driver.maxResultSize. Never route a corpus-sized frame
-    anywhere near a broadcast when the value is computable in plan."""
+    anywhere near a broadcast when the value is computable in plan.
+
+    ``partitions`` (injected by the index builder's auto sizing)
+    explicitly widths the two corpus-wide exchanges — the (doc_id, w)
+    aggregate and the per-doc window — instead of letting AQE coalesce
+    them to its compressed-bytes advisory target, which at 1024x
+    overshot executor memory ~5x uncompressed and spilled ~73 GB."""
     from pyspark.sql.window import Window
 
-    tf = _bm25_words(docs).groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    words = _bm25_words(docs)
+    if partitions is not None:
+        words = words.repartition(partitions, "doc_id", "w")
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    if partitions is not None:
+        tf = tf.repartition(partitions, "doc_id")
     dl = F.sum("tf").over(Window.partitionBy("doc_id"))
     return tf.select("w", "doc_id", "tf", dl.alias("dl"))
 
@@ -609,22 +620,12 @@ def _bm25_segment_stats(spark, seg_path: str) -> tuple[int, int, int]:
     return int(row["n_docs"] or 0), int(row["sum_dl"] or 0), int(row["rows"])
 
 
-def _bm25_num_files(docs: DataFrame, num_files) -> int:
-    """``num_files`` contract for a postings segment: an int is
-    honored as-is; ``"auto"`` (default) sizes the sort-clustered
-    layout from a ONE-PASS word-count estimate so each file (= one
-    range-sort partition) holds ~128 MB of serialized postings
-    (~30 B/posting row). The r12 1024x RAG rung measured why a fixed
-    count cannot work: 8 files over ~500M postings put ~50M rows
-    through each sortWithinPartitions task — 73 GB of spill — while a
-    fixture corpus wants ~1 file so a term probe opens ~1 footer. The
-    estimate job is charged to the build, same as every auto-sizing
+def _bm25_word_estimate(docs: DataFrame) -> int:
+    """One-pass word-count estimate (upper bound on postings rows) —
+    the sizing input for both the segment file count and the build
+    exchanges. Charged to the build, same as every auto-sizing
     contract here."""
-    if num_files != "auto":
-        return int(num_files)
-    import math
-
-    words = docs.agg(
+    row = docs.agg(
         F.sum(
             F.when(
                 F.length(F.trim(F.col("text"))) > 0,
@@ -632,23 +633,52 @@ def _bm25_num_files(docs: DataFrame, num_files) -> int:
             ).otherwise(F.lit(1))
         ).alias("r")
     ).collect()[0]["r"]
-    return max(1, min(math.ceil(int(words or 1) * 30 / (128 * 1024 * 1024)), 8192))
+    return int(row or 1)
+
+
+def _files_for_rows(rows: int, row_bytes: int = 30) -> int:
+    """~128 MB of serialized postings per sorted file. The r12 1024x
+    RAG rung measured why a fixed count cannot work: 8 files over
+    ~500M postings put ~50M rows through each sortWithinPartitions
+    task, while a fixture corpus wants ~1 file so a term probe opens
+    ~1 footer."""
+    import math
+
+    return max(1, min(math.ceil(rows * row_bytes / (128 * 1024 * 1024)), 8192))
 
 
 def _bm25_new_segment(docs: DataFrame, path: str, num_files) -> str:
     """Write one immutable sort-clustered postings segment under a
     fresh name. Invisible to readers until a manifest commit references
     it; a crash here leaves only an orphan dir that
-    :func:`compact_bm25_index` garbage-collects."""
+    :func:`compact_bm25_index` garbage-collects.
+
+    ``num_files="auto"`` runs the one-pass word estimate and derives
+    BOTH knobs from it: the segment file count (~128 MB per sorted
+    file) and — through the shared inject-above-floor contract
+    (``scale.should_inject_width``) — explicit widths for the
+    builder's two corpus-wide exchanges, so AQE's compressed-bytes
+    coalescing can't overshoot executor memory at corpus scale while
+    fixture-scale plans stay untouched."""
     import os
     import uuid
 
-    from smartpipeline_spark.operators.scale import write_sorted
+    from smartpipeline_spark.operators.scale import (
+        should_inject_width,
+        tuned_shuffle_partitions,
+        write_sorted,
+    )
 
+    width = None
+    if num_files == "auto":
+        words = _bm25_word_estimate(docs)
+        num_files = _files_for_rows(words)
+        spark = docs.sparkSession
+        p = tuned_shuffle_partitions(words, row_bytes=120, spark=spark)
+        width = p if should_inject_width(p, spark) else None
     seg = f"seg-{uuid.uuid4().hex[:12]}"
     write_sorted(
-        _bm25_postings(docs), os.path.join(path, seg), "w",
-        _bm25_num_files(docs, num_files),
+        _bm25_postings(docs, width), os.path.join(path, seg), "w", int(num_files)
     )
     return seg
 
