@@ -152,6 +152,13 @@ BENCH_QUERIES = [
     # median prices the footer-pruned QUERY path (the number a user
     # compares against ext_bm25's inline corpus pass).
     "ext_bm25_indexed",
+    # round-12 addition: dense global row numbering via the bucketed
+    # two-level decomposition — benched because the naive formulation
+    # (ROW_NUMBER over an unpartitioned window) is the classic
+    # single-task scale-killer this op exists to replace; the timing
+    # prices the bucket histogram + broadcast offsets + per-bucket
+    # numbering chain.
+    "ext_global_index",
 ]
 
 

@@ -103,7 +103,11 @@ def main() -> None:
             for k in runs["autoops_1024x"]["timings"]
         }
     rag_tag = next(
-        (t for t in ("rag_1024x_final", "rag_1024x_retry", "rag_1024x") if t in runs),
+        (
+            t
+            for t in ("rag_1024x_v3", "rag_1024x_final", "rag_1024x_retry", "rag_1024x")
+            if t in runs
+        ),
         None,
     )
     if rag_tag:

@@ -233,39 +233,91 @@ def drop_hot_keys(df: DataFrame, key: str, max_df: int | None) -> DataFrame:
     return df.join(F.broadcast(hot), key, "left_anti")
 
 
+# The estimate pass's key-sample rate and its two trust gates: the
+# scaled sample is believed only when it aggregates enough keys for
+# concentration (>= _EST_MIN_SAMPLED_KEYS) AND no single key carries
+# more than _EST_MAX_KEY_SHARE of the sampled mass (a dominant bucket
+# means the estimate rides on a handful of hot keys, where a 1-in-16
+# key sample is Poisson-noisy — exactly the replica-ladder shape).
+_EST_SAMPLE_MOD = 16
+_EST_MIN_SAMPLED_KEYS = 4096
+_EST_MAX_KEY_SHARE = 1.0 / 16.0
+
+
 def _pair_join_width(
     index: DataFrame, key_cols: list[str], anchor=None
 ) -> int:
     """The partition-sizing rule applied to an inverted-index pairing
-    join: ONE cheap pre-aggregation over the (persisted) index
-    estimates the join's output cardinality — Σ_k C(n_k, 2) for the
-    full self-join, Σ_k n_k·a_k when only ``anchor`` rows sit on the
-    build side — and :func:`~smartpipeline_spark.operators.scale.
+    join: a cheap pre-aggregation over the (persisted) index estimates
+    the join's output cardinality — Σ_k C(n_k, 2) for the full
+    self-join, Σ_k n_k·a_k when only ``anchor`` rows sit on the build
+    side — and :func:`~smartpipeline_spark.operators.scale.
     tuned_shuffle_partitions` turns it into the exchange width
     (~128 MB serialized per task, nearest pow2, floored at
     2×parallelism). SMOKE_r10 measured helper-sized joins 27-66%
     faster than the r9 hand-tuned constants; this is that rule as
     DEFAULT library behavior (VERDICT r10 #1). The estimate pass is
-    charged to the operator by design — it is part of the join."""
+    charged to the operator by design — it is part of the join.
+
+    The estimate is SAMPLE-FIRST (r12): a 1-in-16 key sample
+    (``xxhash64(key) % 16 == 0`` — the filter prunes ~15/16 of the
+    index BEFORE the estimate's groupBy exchange) scaled back up by
+    16. The width only needs the right power-of-two bucket (nearest-
+    pow2 rounding tolerates ±41% before the bucket flips, and the
+    measured curves are flat within a 2× band), so a concentrated
+    sample is plenty — but concentration must be CHECKED, not
+    assumed: the sample is trusted only when it covers >= 4096 keys
+    and its largest single-key contribution is <= 1/16 of the sampled
+    mass. Otherwise (small index, or a mass dominated by a few hot
+    buckets — where a key sample is genuinely noisy) it falls back to
+    the exact pass, which is cheap in exactly those regimes."""
     from smartpipeline_spark.operators.scale import tuned_shuffle_partitions
 
-    grouped = index.groupBy(*key_cols)
-    if anchor is None:
-        per_key = grouped.agg(F.count("*").alias("na"))
-        est_col = F.col("na") * (F.col("na") - 1) / 2
-    else:
-        per_key = grouped.agg(
-            F.count("*").alias("na"),
-            F.sum(F.when(anchor, 1).otherwise(0)).alias("nb"),
+    def agg_est(frame):
+        grouped = frame.groupBy(*key_cols)
+        if anchor is None:
+            per_key = grouped.agg(F.count("*").alias("na"))
+            est_col = F.col("na") * (F.col("na") - 1) / 2
+        else:
+            per_key = grouped.agg(
+                F.count("*").alias("na"),
+                F.sum(F.when(anchor, 1).otherwise(0)).alias("nb"),
+            )
+            est_col = F.col("na") * F.col("nb")
+        return (
+            per_key.select(est_col.alias("e"))
+            .agg(
+                F.sum("e").alias("r"),
+                F.count("*").alias("k"),
+                F.max("e").alias("m"),
+            )
+            .collect()[0]
         )
-        est_col = F.col("na") * F.col("nb")
-    est = per_key.agg(F.sum(est_col).alias("r")).collect()[0]["r"]
-    p = tuned_shuffle_partitions(int(est or 0), spark=index.sparkSession)
+
+    sampled = agg_est(
+        index.filter(F.pmod(F.xxhash64(*key_cols), F.lit(_EST_SAMPLE_MOD)) == 0)
+    )
+    mode = "sampled"
+    if (
+        (sampled["k"] or 0) >= _EST_MIN_SAMPLED_KEYS
+        and (sampled["r"] or 0) > 0
+        and sampled["m"] <= sampled["r"] * _EST_MAX_KEY_SHARE
+    ):
+        est = int(sampled["r"]) * _EST_SAMPLE_MOD
+    else:
+        mode = "exact"
+        est = int(agg_est(index)["r"] or 0)
+    p = tuned_shuffle_partitions(est, spark=index.sparkSession)
     # diagnostics for benchmarks/smoke harnesses (last decision only;
     # not part of the API contract)
     LAST_AUTO_DECISION.clear()
     LAST_AUTO_DECISION.update(
-        {"est_join_rows": int(est or 0), "est_rows": int(est or 0), "partitions": p}
+        {
+            "est_join_rows": est,
+            "est_rows": est,
+            "partitions": p,
+            "est_mode": mode,
+        }
     )
     return p
 
