@@ -652,6 +652,213 @@ def main() -> None:
 
     # --- end-to-end streaming ingest (the reference's flagship
     # "pipeline of stages" story, README.rst:26-40, at rung scale):
+    # r12 index-maintenance rung: the append-accumulating BM25 layout's
+    # full lifecycle at scale — build, probe, N appends (compaction
+    # deferred so the degradation is MEASURED, not hidden), probe the
+    # multi-segment layout, compact (reader-safe manifest flip), probe
+    # again. The interesting numbers: query wall 1-segment vs
+    # (1+N)-segment vs compacted, and the compact cost itself.
+    if want(
+        "bm25_index_maintenance",
+        "bm25_maint_build",
+        "bm25_maint_query_1seg",
+        "bm25_maint_appends4",
+        "bm25_maint_query_5seg",
+        "bm25_maint_compact",
+        "bm25_maint_query_compacted",
+    ):
+        import shutil
+        import tempfile
+
+        from smartpipeline_spark.functions.text import (
+            append_to_bm25_index,
+            build_bm25_index,
+            compact_bm25_index,
+            query_bm25_index,
+        )
+
+        base_docs = sources.table(spark, "documents", sf_dir).select(
+            "doc_id", "text"
+        )
+        n_base = base_docs.count()
+        rep = base_docs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("r"),
+            "doc_id",
+            "text",
+        ).select(
+            (F.col("doc_id") * n + F.col("r")).alias("doc_id"),
+            F.concat(
+                "text", F.lit(" rtag"), F.col("r").cast("string")
+            ).alias("text"),
+        )
+        work = tempfile.mkdtemp(prefix="bm25_maint_rung_")
+        idxp = f"{work}/idx"
+        timed("bm25_maint_build", lambda: build_bm25_index(rep, idxp)["n_docs"])
+        timed(
+            "bm25_maint_query_1seg",
+            lambda: query_bm25_index(spark, idxp, k=100).count(),
+        )
+        app_off = n_base * n
+
+        def _appends():
+            segs = None
+            for j in range(4):
+                batch = base_docs.select(
+                    (F.col("doc_id") + F.lit(app_off + j * n_base)).alias(
+                        "doc_id"
+                    ),
+                    F.concat("text", F.lit(f" atag{j}")).alias("text"),
+                )
+                segs = append_to_bm25_index(batch, idxp, compact_after=None)
+            return len(segs["segments"])
+
+        timed("bm25_maint_appends4", _appends)
+        timed(
+            "bm25_maint_query_5seg",
+            lambda: query_bm25_index(spark, idxp, k=100).count(),
+        )
+
+        def _compact():
+            counts["bm25_maint_compact_report"] = compact_bm25_index(spark, idxp)
+            return 1
+
+        timed("bm25_maint_compact", _compact)
+        timed(
+            "bm25_maint_query_compacted",
+            lambda: query_bm25_index(spark, idxp, k=100, verify=True).count(),
+        )
+        shutil.rmtree(work, ignore_errors=True)
+
+    # r12 WIDENED ingest rung (the r11 memory candidate): the full
+    # incremental-ingestion shape against a PERSISTED dedup index.
+    # Quality gate runs in the streaming plan; each micro-batch then
+    # (a) dedups exact+near AGAINST the index seeded from the base
+    # corpus (dedup_against, append=True — availableNow micro-batches
+    # are serial, satisfying the single-writer append contract), (b)
+    # classifier-scores the survivors, (c) CDC-chunks the kept docs
+    # (the storage-dedup fingerprint accounting a delta-sync layer
+    # keys on), and (d) appends to the curated sink. The index GROWS
+    # by each batch's fp-new signatures, so later batches join a
+    # bigger index — the honest 100 TB ingestion curve.
+    if want("streaming_ingest_incremental"):
+        import shutil
+        import tempfile
+
+        from smartpipeline_spark import Pipeline
+        from smartpipeline_spark.functions.curation import (
+            assign_split,
+            classifier_scores,
+            load_classifier,
+            save_classifier,
+            train_text_classifier,
+        )
+        from smartpipeline_spark.functions.dedup import (
+            build_dedup_index,
+            cdc_chunks,
+            dedup_against,
+        )
+        from smartpipeline_spark.functions.text import quality_expr
+
+        work = tempfile.mkdtemp(prefix="ingest_inc_rung_")
+        src, sink, ckpt, idx = (
+            f"{work}/drop",
+            f"{work}/curated",
+            f"{work}/ckpt",
+            f"{work}/idx",
+        )
+        base_docs = sources.table(spark, "documents", sf_dir).select(
+            "doc_id", "lang", "text"
+        )
+        t0 = time.monotonic()
+        seed = build_dedup_index(spark, base_docs.select("doc_id", "text"), idx)
+        counts["ingest_inc_index_seed"] = seed
+        counts["ingest_inc_index_seed_s"] = round(time.monotonic() - t0, 2)
+        id_off = base_docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        full = base_docs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("r"),
+            "doc_id",
+            "lang",
+            "text",
+        ).select(
+            (F.col("doc_id") * n + F.col("r") + F.lit(id_off)).alias("doc_id"),
+            "lang",
+            F.concat(
+                "text", F.lit(" rtag"), F.col("r").cast("string")
+            ).alias("text"),
+        )
+        full.repartition(32).write.mode("overwrite").parquet(src)
+        n_in = spark.read.parquet(src).count()
+
+        labeled = base_docs.withColumn(
+            "label",
+            F.coalesce(F.col("text").contains("vector").cast("int"), F.lit(0)),
+        )
+        train = assign_split(labeled).filter(F.col("split") == "train")
+        save_classifier(
+            train_text_classifier(train.select("text", "label"), iters=10),
+            f"{work}/inc_model",
+        )
+        inc_model = load_classifier(f"{work}/inc_model")
+        inc_batches: list[dict] = []
+
+        def _curate_batch(batch_df, batch_id):
+            bt0 = time.monotonic()
+            survivors = dedup_against(
+                spark, idx, batch_df.select("doc_id", "text"), append=True
+            )
+            scored = classifier_scores(
+                survivors, inc_model, passthrough=True
+            ).filter(F.col("prob") >= 0.5)
+            scored = scored.persist()
+            try:
+                kept = scored.count()
+                n_chunks = cdc_chunks(scored).count()
+                scored.write.mode("append").parquet(sink)
+            finally:
+                scored.unpersist()
+            inc_batches.append(
+                {
+                    "batch": batch_id,
+                    "rows_in": batch_df.count(),
+                    "kept": kept,
+                    "cdc_chunks": n_chunks,
+                    "wall_s": round(time.monotonic() - bt0, 2),
+                }
+            )
+
+        def _ingest_inc():
+            stream = (
+                spark.readStream.schema(spark.read.parquet(src).schema)
+                .option("maxFilesPerTrigger", 8)
+                .parquet(src)
+            )
+            q = (
+                Pipeline(spark)
+                .set_source(stream)
+                .transform(
+                    "quality_gate",
+                    lambda df: df.withColumn("quality", quality_expr()).filter(
+                        "quality >= 0.7"
+                    ),
+                )
+                .build()
+                .start_stream(ckpt, sink=_curate_batch, available_now=True)
+            )
+            q.awaitTermination()
+            return spark.read.parquet(sink).count()
+
+        timed("streaming_ingest_incremental", _ingest_inc)
+        if timings.get("streaming_ingest_incremental"):
+            counts["ingest_inc_docs_in"] = n_in
+            counts["ingest_inc_docs_per_sec"] = int(
+                n_in / timings["streaming_ingest_incremental"]
+            )
+            counts["ingest_inc_batches"] = inc_batches
+            counts["ingest_inc_index_sigs_final"] = spark.read.parquet(
+                idx + "/signatures"
+            ).count()
+        shutil.rmtree(work, ignore_errors=True)
+
     # file-drop source -> quality gate -> checkpointed streaming exact
     # dedup (stateful: one md5 per doc in the state store) -> trained-
     # classifier scoring under a persisted model -> lang-partitioned
