@@ -25,6 +25,7 @@ def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(pos[0]) if pos else 256
     sf_dir = pos[1] if len(pos) > 1 else "/root/testdata/sf0.1"
+    skip_bm25 = "--skip-bm25" in sys.argv
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g" if n >= 256 else "32g")
 
     from pyspark.sql import functions as F
@@ -116,8 +117,9 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="rag_phase_")
     build_ivf_index(emb_n, f"{work}/ivf")
     phase("ivf_build")
-    build_bm25_index(rag_docs, f"{work}/bm25")
-    phase("bm25_build")
+    if not skip_bm25:
+        build_bm25_index(rag_docs, f"{work}/bm25")
+        phase("bm25_build")
     queries_df = (
         emb_base.filter(F.col("vec_id") < n_queries)
         .select(
@@ -130,19 +132,24 @@ def main() -> None:
 
     from pyspark.sql import Window
 
-    lex_scored = query_bm25_index(spark, f"{work}/bm25", BM25_TERMS).select(
-        "doc_id",
-        (F.floor(F.col("raw") * 10000.0 + 0.5) / 10000.0).alias("bm25"),
-    )
-    w_lex = Window.orderBy(F.col("bm25").desc(), F.asc("doc_id"))
-    lex = (
-        lex_scored.orderBy(F.col("bm25").desc(), F.asc("doc_id"))
-        .limit(HYBRID_POOL)
-        .withColumn("r_lex", F.row_number().over(w_lex))
-        .select("doc_id", "r_lex")
-    )
-    lex = lex.localCheckpoint(eager=True)
-    phase("lex_leg")
+    if skip_bm25:
+        lex = spark.range(0).select(
+            F.col("id").alias("doc_id"), F.lit(1).alias("r_lex")
+        )
+    else:
+        lex_scored = query_bm25_index(spark, f"{work}/bm25", BM25_TERMS).select(
+            "doc_id",
+            (F.floor(F.col("raw") * 10000.0 + 0.5) / 10000.0).alias("bm25"),
+        )
+        w_lex = Window.orderBy(F.col("bm25").desc(), F.asc("doc_id"))
+        lex = (
+            lex_scored.orderBy(F.col("bm25").desc(), F.asc("doc_id"))
+            .limit(HYBRID_POOL)
+            .withColumn("r_lex", F.row_number().over(w_lex))
+            .select("doc_id", "r_lex")
+        )
+        lex = lex.localCheckpoint(eager=True)
+        phase("lex_leg")
     ann = query_ivf_index(spark, f"{work}/ivf", queries_df)
     w_vec = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.asc("neighbor_id")

@@ -561,14 +561,20 @@ def _ivf_cells_udf(cents: np.ndarray, nprobe: int):
 
 def _exact_topk(cands: DataFrame) -> DataFrame:
     """Shared tail of every ANN path: exact cosine re-score of the
-    candidate set, deterministic per-query top-k."""
+    candidate set, deterministic per-query top-k. A caller that has
+    already scored map-side (``score`` present — the IVF candidate
+    algebra, which scores inside the broadcast-join stage so its dedup
+    exchange never carries embeddings) skips straight to the top-k."""
     from pyspark.sql.window import Window
 
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        round4(cosine_expr(F.col("q_emb"), F.col("emb"))).alias("score"),
-    )
+    if "score" in cands.columns:
+        scored = cands.select("query_id", "neighbor_id", "score")
+    else:
+        scored = cands.select(
+            "query_id",
+            "neighbor_id",
+            round4(cosine_expr(F.col("q_emb"), F.col("emb"))).alias("score"),
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -760,12 +766,26 @@ def _ivf_candidates(
     corpus vec_id share one namespace (the corpus-self-join deployment
     every inline key runs). An EXTERNAL query batch whose ids can
     coincidentally collide with unrelated corpus vec_ids must pass
-    ``exclude_self=False`` or it silently loses those neighbors."""
+    ``exclude_self=False`` or it silently loses those neighbors.
+
+    The exact cosine is computed MAP-SIDE, inside the broadcast-join
+    stage, so the candidate dedup exchange and the top-k sort carry
+    (query_id, neighbor_id, score) — ~24 bytes a row — instead of two
+    embedding arrays (~1 KB a row). Rows that duplicate a
+    (query, neighbor) pair across probed cells carry bit-identical
+    embeddings, so scoring before the dedup keeps the surviving row's
+    score identical. This ordering is what the r12 1024x RAG probe
+    demanded: the embedding-carrying formulation shuffled 13 GB and
+    spilled 73 GB in the saved-index query leg — the widest exchange
+    of the whole retrieval stack — while every other phase ran
+    spill-free."""
     j = keyed.join(F.broadcast(q), ["cell"])
     if exclude_self:
         j = j.filter(F.col("vec_id") != F.col("query_id"))
     return j.select(
-        "query_id", "q_emb", F.col("vec_id").alias("neighbor_id"), "emb"
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        round4(cosine_expr(F.col("q_emb"), F.col("emb"))).alias("score"),
     ).dropDuplicates(["query_id", "neighbor_id"])
 
 
