@@ -551,18 +551,22 @@ def _bm25_postings(docs: DataFrame, partitions: int | None = None) -> DataFrame:
     anywhere near a broadcast when the value is computable in plan.
 
     ``partitions`` (injected by the index builder's auto sizing)
-    explicitly widths the two corpus-wide exchanges — the (doc_id, w)
-    aggregate and the per-doc window — instead of letting AQE coalesce
-    them to its compressed-bytes advisory target, which at 1024x
-    overshot executor memory ~5x uncompressed and spilled ~73 GB."""
+    repartitions the DOC rows ahead of tokenization, so the
+    explode+partial-agg map work spreads across the cluster even when
+    the input arrives in a handful of scan splits (the replicated-
+    corpus shape: a 1024x explode of a 4-split parquet would otherwise
+    tokenize 2.6B words on 4 threads). The exploded words themselves
+    are NEVER exchanged: the (doc_id, w) aggregate runs its partial
+    map-side and shuffles only distinct pairs (~5% of the words here)
+    — the r12 formulation that repartitioned post-explode shuffled all
+    2.6B raw word rows and cost +45% build wall for zero spill saved
+    (the 73 GB it chased belonged to the IVF query leg all along,
+    rag_phase_probe)."""
     from pyspark.sql.window import Window
 
-    words = _bm25_words(docs)
     if partitions is not None:
-        words = words.repartition(partitions, "doc_id", "w")
-    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    if partitions is not None:
-        tf = tf.repartition(partitions, "doc_id")
+        docs = docs.repartition(partitions)
+    tf = _bm25_words(docs).groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     dl = F.sum("tf").over(Window.partitionBy("doc_id"))
     return tf.select("w", "doc_id", "tf", dl.alias("dl"))
 
@@ -621,19 +625,29 @@ def _bm25_segment_stats(spark, seg_path: str) -> tuple[int, int, int]:
 
 
 def _bm25_word_estimate(docs: DataFrame) -> int:
-    """One-pass word-count estimate (upper bound on postings rows) —
-    the sizing input for both the segment file count and the build
-    exchanges. Charged to the build, same as every auto-sizing
-    contract here."""
-    row = docs.agg(
-        F.sum(
-            F.when(
-                F.length(F.trim(F.col("text"))) > 0,
-                F.size(F.split(F.lower(F.trim(F.col("text"))), "\\s+")),
-            ).otherwise(F.lit(1))
-        ).alias("r")
-    ).collect()[0]["r"]
-    return int(row or 1)
+    """Word-count estimate (upper bound on postings rows) — the sizing
+    input for both the segment file count and the build parallelism.
+    Charged to the build, same as every auto-sizing contract here.
+
+    SAMPLE-FIRST (r12, same contract as the dedup pairing estimate): a
+    1-in-16 doc_id sample is tokenize-sized and scaled x16 when it
+    covers >= 4096 docs — per-doc word counts are bounded, so a doc
+    sample concentrates fast and the estimate only has to land in the
+    right power-of-two bucket. Small corpora (where the sample is
+    noisy AND the exact pass is cheap) fall back to the full pass."""
+    wc = F.when(
+        F.length(F.trim(F.col("text"))) > 0,
+        F.size(F.split(F.lower(F.trim(F.col("text"))), "\\s+")),
+    ).otherwise(F.lit(1))
+
+    def agg(frame):
+        r = frame.agg(F.sum(wc).alias("r"), F.count("*").alias("k")).collect()[0]
+        return int(r["r"] or 1), int(r["k"] or 0)
+
+    words, k = agg(docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(16)) == 0))
+    if k >= 4096:
+        return words * 16
+    return agg(docs)[0]
 
 
 def _files_for_rows(rows: int, row_bytes: int = 30) -> int:
