@@ -105,7 +105,13 @@ def main() -> None:
     rag_tag = next(
         (
             t
-            for t in ("rag_1024x_v3", "rag_1024x_final", "rag_1024x_retry", "rag_1024x")
+            for t in (
+                "rag_1024x_v4",
+                "rag_1024x_v3",
+                "rag_1024x_final",
+                "rag_1024x_retry",
+                "rag_1024x",
+            )
             if t in runs
         ),
         None,
@@ -127,6 +133,50 @@ def main() -> None:
                 else None
             ),
         }
+    # r12 spill adjudication: the rung-level 73GB was phase-attributed
+    # by scripts/rag_phase_probe.py + scripts/bm25_build_probe.py to
+    # the IVF query leg (NOT the BM25 build, which three variants had
+    # been rewritten against); both fixes measured solo at 1024x.
+    art["spill_attribution_1024x"] = {
+        "rung_spill_gb_constant_across_3_bm25_variants": 73.16,
+        "solo_bm25_build_spill_gb": 0.0,
+        "phase_probe_vec_leg_spill_gb": 73.16,
+        "fix_map_side_scored_ivf_candidates": {
+            "shuffle_gb": {"before": 12.95, "after": 0.51},
+            "spill_gb": {"before": 73.16, "after": 0.0},
+            "vec_leg_wall_s": {"before_loaded": 209.6, "after_idle": 238.4},
+            "vec_leg_cpu_s": {"before_loaded": 4922, "after_idle": 5498},
+        },
+        "fix_bm25_doc_repartition": {
+            "solo_build_wall_s": {"exploded_words_repartition": 669.0, "doc_repartition": 249.9},
+            "postings_rows_bit_equal": 124140544,
+            "spill_gb": 0.0,
+        },
+    }
+    for tag in ("bm25_maint_64x", "bm25_maint_256x"):
+        if tag in runs:
+            r = runs[tag]
+            art.setdefault("bm25_index_maintenance", {})[tag.split("_")[-1]] = {
+                "timings": r["timings"],
+                "compact_report": r["counts"].get("bm25_maint_compact_report"),
+                "execCpuSec": r["metrics"]["executorCpuSec"],
+                "spillGB": r["metrics"]["memSpillGB"] + r["metrics"]["diskSpillGB"],
+            }
+    for tag in ("ingest_inc_64x", "ingest_inc_256x"):
+        if tag in runs:
+            r = runs[tag]
+            art.setdefault("streaming_ingest_incremental", {})[
+                tag.split("_")[-1]
+            ] = {
+                "wall_s": r["timings"].get("streaming_ingest_incremental"),
+                "docs_per_sec": r["counts"].get("ingest_inc_docs_per_sec"),
+                "docs_in": r["counts"].get("ingest_inc_docs_in"),
+                "index_seed_s": r["counts"].get("ingest_inc_index_seed_s"),
+                "batches": r["counts"].get("ingest_inc_batches"),
+                "index_sigs_final": r["counts"].get("ingest_inc_index_sigs_final"),
+                "execCpuSec": r["metrics"]["executorCpuSec"],
+                "spillGB": r["metrics"]["memSpillGB"] + r["metrics"]["diskSpillGB"],
+            }
     art["raw_runs"] = runs
     with open(OUT, "w") as fh:
         json.dump(art, fh, indent=1)
