@@ -60,7 +60,23 @@ def main() -> None:
             "reference (exactsubstr 64x 20.8s vs r5's 48.5s; line_dedup "
             "256x 8.6s vs r7's 42.9s; pack/epoch flat ~1-3s at every rung "
             "— their exchanges stay under the pressure floor by design). "
-            "RAG 1024x octave (verdict #6) appended from the same ladder."
+            "RAG 1024x octave (verdict #6): rung v4 carries BOTH r12 "
+            "fixes born from the spill adjudication (see "
+            "spill_attribution_1024x) — the 73GB 'BM25 build spill' three "
+            "build variants were rewritten against was phase-attributed to "
+            "the IVF query leg, which now scores map-side; the build "
+            "repartitions doc rows pre-explode. v3 -> v4: rung wall 971s "
+            "-> 336s, build 734.6 -> 252.8s, query leg 147.9 -> 41.6s "
+            "(FASTER than the r11 256x reference: exponent -0.27), spill "
+            "73.2 -> 0 GB. Part-2 rungs: the BM25 segment-manifest "
+            "lifecycle (build/probe/4 deferred appends/multi-segment "
+            "probe/compact/probe) at 64x/256x — zero spill, build "
+            "exponent 0.50, compact 6.4s at 1.28M docs, compacted probe "
+            "back at the 1-segment floor; and the incremental-ingest "
+            "curve (quality gate -> dedup_against a GROWING persisted "
+            "index -> classifier scoring -> CDC chunk accounting -> "
+            "curated append): 3952 -> 6002 docs/s at 64x -> 256x with "
+            "FLAT per-batch walls as the index grows, zero spill."
         ),
         "heap_aware_persist_1024x_minhash": {
             "8g": {
