@@ -261,14 +261,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # real driver lead — the two born r11 (ext_dedup_jaccard_anchored,
 # ext_bm25_indexed — both PASS in the r11 judge's own bare-session
 # driver-sim) and the one born THIS round (ext_global_index) — then
-# the full r5-green band (13 keys), then the oldest 34 of the r6-green
+# the full r5-green band (13 keys), then the oldest 33 of the r6-green
 # band in registry order (the r6 band is wider than the remaining
-# slots, so the cut lands mid-band at ext_sample_per_group; the rest
-# of the band holds green r6 rows and stays sweep/sim-verified).
+# slots — ext_hybrid_indexed, born late r12, takes the fourth
+# never-checked slot, so the cut lands mid-band at ext_pack_emit; the
+# rest of the band holds green r6 rows and stays sweep/sim-verified).
 # Every r11-window key holds its fresh r11 green row.
 _WINDOW = (
     # never driver-checked (born r11/r12)
     "ext_dedup_jaccard_anchored", "ext_bm25_indexed", "ext_global_index",
+    "ext_hybrid_indexed",
     # last driver-green r05
     "q59_ohlc_downsample", "q61_snapshot_diff", "q62_table_profile",
     "ext_dedup_ngram_jaccard", "ext_fuzzy_match", "ext_winnow",
@@ -288,7 +290,6 @@ _WINDOW = (
     "ext_heavy_hitters", "ext_top_terms", "ext_multimodal_decode",
     "ext_chunk_dedup", "ext_dedup_clusters", "ext_dsir_select",
     "ext_contamination_bloom", "ext_pack_emit",
-    "ext_sample_per_group",
 )
 
 

@@ -159,6 +159,12 @@ BENCH_QUERIES = [
     # prices the bucket histogram + broadcast offsets + per-bucket
     # numbering chain.
     "ext_global_index",
+    # round-12 addition: hybrid RRF retrieval served entirely from the
+    # persisted BM25 + IVF layouts — prices the indexed query-time
+    # read path (footer-pruned postings probe + partition-pruned cell
+    # scan + 50-row fusion), the number a RAG deployment actually pays
+    # per query batch.
+    "ext_hybrid_indexed",
 ]
 
 

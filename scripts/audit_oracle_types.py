@@ -44,6 +44,7 @@ PINNED_FP_KEYS = (
     "ext_knn_ivf",                # embeddings DECIMAL fp (centroids)
     "ext_knn_pq",                 # embeddings DECIMAL fp (candidates)
     "ext_knn_ivfpq",              # embeddings DECIMAL fp (candidates)
+    "ext_hybrid_indexed",         # embeddings DECIMAL fp (ivf centroids)
 )
 
 LADDER = ("sf0.001", "sf0.01", "sf0.1")

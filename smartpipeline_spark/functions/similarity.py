@@ -559,7 +559,7 @@ def _ivf_cells_udf(cents: np.ndarray, nprobe: int):
     return cells
 
 
-def _exact_topk(cands: DataFrame) -> DataFrame:
+def _exact_topk(cands: DataFrame, k: int | None = None) -> DataFrame:
     """Shared tail of every ANN path: exact cosine re-score of the
     candidate set, deterministic per-query top-k. A caller that has
     already scored map-side (``score`` present — the IVF candidate
@@ -578,7 +578,7 @@ def _exact_topk(cands: DataFrame) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= K_NEIGHBORS)
+        .filter(F.col("rank") <= (K_NEIGHBORS if k is None else k))
         .select("query_id", "neighbor_id", "rank", "score")
     )
 
@@ -915,6 +915,7 @@ def query_ivf_index(
     queries: DataFrame,
     nprobe: int | None = None,
     exclude_self: bool = True,
+    k: int | None = None,
 ) -> DataFrame:
     """ANN top-k against a saved :func:`build_ivf_index` layout.
     ``queries`` carries (query_id, q_emb). The probed cell ids become
@@ -946,7 +947,74 @@ def query_ivf_index(
     ).localCheckpoint(eager=True)
     probed = [r.cell for r in q.select("cell").distinct().collect()]
     idx = spark.read.parquet(path).filter(F.col("cell").isin(probed))
-    return _exact_topk(_ivf_candidates(idx, q, exclude_self))
+    return _exact_topk(_ivf_candidates(idx, q, exclude_self), k=k)
+
+
+_IVF_IDX_CACHE: dict[str, str] = {}
+
+
+def _ivf_index_for(spark, sf_dir: str) -> str:
+    """Build-once cache of the saved IVF layout per fixture corpus —
+    the vector twin of ``text._bm25_index_for`` and the same hardening:
+    per-uid 0700 cache root (no predictable world-shared /tmp name),
+    keyed by the embeddings file's identity (path + size + mtime), and
+    CONTENT-CHECKED on reuse — the layout's total row count must equal
+    the source parquet's footer row count, so a stale, torn, or
+    pre-planted layout rebuilds instead of being served silently.
+    Concurrent builders race through a private staging dir + one
+    atomic rename."""
+    import hashlib
+    import os
+    import shutil
+    import stat as stat_mod
+    import tempfile
+    import uuid
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:16]
+
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_idx_u{os.getuid()}")
+    try:
+        os.makedirs(root, mode=0o700, exist_ok=True)
+        rst = os.stat(root)
+        if rst.st_uid != os.getuid() or (rst.st_mode & (stat_mod.S_IRWXG | stat_mod.S_IRWXO)):
+            raise OSError("cache root not exclusively ours")
+    except OSError:
+        root = tempfile.mkdtemp(prefix="spark_graft_ivf_idx_")
+
+    def _valid(p: str) -> bool:
+        try:
+            import pyarrow.dataset as ds
+            import pyarrow.parquet as pq
+
+            n_src = pq.ParquetFile(src).metadata.num_rows
+            n_idx = ds.dataset(p, format="parquet", partitioning="hive").count_rows()
+            return os.path.exists(os.path.join(p, "_centroids.json")) and n_idx == n_src
+        except Exception:
+            return False
+
+    cached = _IVF_IDX_CACHE.get(tag)
+    if cached and _valid(cached):
+        return cached
+    path = os.path.join(root, tag)
+    if not _valid(path):
+        staging = f"{path}.build-{os.getpid()}"
+        try:
+            build_ivf_index(_emb(spark, sf_dir), staging)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        try:
+            os.rename(staging, path)
+        except OSError:
+            if _valid(path):
+                shutil.rmtree(staging, ignore_errors=True)
+            else:
+                path = f"{path}-{uuid.uuid4().hex[:8]}"
+                os.rename(staging, path)
+    _IVF_IDX_CACHE[tag] = path
+    return path
 
 
 # ---------------------------------------------------------------------------
@@ -1613,6 +1681,160 @@ def ext_hybrid_search(spark, sf_dir):
         .withColumn("r_vec", F.row_number().over(w_vec))
         .select("vec_id", "r_vec")
     )
+
+    fused = lex.join(vec, lex.doc_id == vec.vec_id, "full_outer").select(
+        F.coalesce("doc_id", "vec_id").alias("doc_id"),
+        "r_lex",
+        "r_vec",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_vec")), F.lit(0.0))
+        ).alias("rrf_raw"),
+    )
+    return (
+        fused.orderBy(F.col("rrf_raw").desc(), F.asc("doc_id"))
+        .limit(HYBRID_TOPK)
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_vec",
+            (F.floor(F.col("rrf_raw") * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias("rrf"),
+        )
+    )
+
+
+def _hybrid_indexed_oracle() -> str:
+    """DuckDB oracle for ext_hybrid_indexed: the lexical leg replays
+    ext_bm25's full-corpus postings computation (the saved index holds
+    the WHOLE corpus, query doc included in df/avgdl — the deployment
+    shape; only the ranking excludes the query doc), the vector leg
+    replays ext_knn_ivf's saved-layout read path (pinned centroids,
+    argmax assignment, nprobe probing, cell join, self-filter, exact
+    rounded re-score) for the single query vector, both ranked to the
+    50-deep hybrid pool on rounded scores with id tiebreaks, fused by
+    reciprocal rank. Every decision rides margins already measured for
+    the parent keys (assignment >= 3.85e-6, probe >= 1.75e-4, 1e-4
+    score grid)."""
+    from smartpipeline_spark.functions.text import BM25_B as _BM25_B
+    from smartpipeline_spark.functions.text import BM25_K1 as _BM25_K1
+
+    return f"""WITH words AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+    stats AS (SELECT AVG(dl * 1.0) AS avgdl, COUNT(*) AS n FROM dl),
+    dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words
+              WHERE w IN ('spark', 'table', 'merge') GROUP BY w),
+    s AS (
+      SELECT tf.doc_id,
+             ln((n - df + 0.5) / (df + 0.5) + 1.0)
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl)) AS sc,
+             tf.w
+      FROM tf JOIN dfreq ON tf.w = dfreq.w
+      JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+    lex0 AS (
+      SELECT doc_id,
+             COALESCE(SUM(CASE WHEN w = 'spark' THEN sc END), 0.0)
+             + COALESCE(SUM(CASE WHEN w = 'table' THEN sc END), 0.0)
+             + COALESCE(SUM(CASE WHEN w = 'merge' THEN sc END), 0.0) AS bm25
+      FROM s WHERE doc_id <> 0 GROUP BY doc_id),
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY FLOOR(bm25 * 10000.0 + 0.5) / 10000.0 DESC,
+                                doc_id) AS r_lex
+      FROM lex0),
+    fp AS (SELECT CAST(COUNT(*) AS VARCHAR) || ':' ||
+               CAST(SUM(CAST(embedding[1] AS DECIMAL(28,14))) AS VARCHAR) AS v
+        FROM embeddings),
+    cents(corpus_fp, cell, cvec) AS (VALUES {_ivf_cent_values()}),
+    live AS (SELECT cell, cvec FROM cents, fp WHERE corpus_fp = fp.v),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cn AS (SELECT vec_id, emb,
+               list_transform(emb,
+                 x -> x / (sqrt(list_dot_product(emb, emb)) + 1e-12)) AS nemb
+        FROM c),
+    sims AS (SELECT v.vec_id, lc.cell, list_dot_product(v.nemb, lc.cvec) AS sim
+          FROM cn v CROSS JOIN live lc),
+    assign AS (SELECT vec_id, cell FROM (
+              SELECT vec_id, cell,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, cell) AS rn
+              FROM sims) t WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cell FROM (
+              SELECT vec_id, cell,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, cell) AS rn
+              FROM sims WHERE vec_id = 0) t WHERE rn <= {_IVF_NPROBE}),
+    cand AS (SELECT DISTINCT a.vec_id AS neighbor_id
+          FROM probes p JOIN assign a ON a.cell = p.cell
+          WHERE a.vec_id <> 0),
+    vscored AS (SELECT cand.neighbor_id,
+                   FLOOR(list_cosine_similarity(eq.emb, ec.emb) * 10000.0 + 0.5)
+                     / 10000.0 AS score
+            FROM cand JOIN c eq ON eq.vec_id = 0
+                      JOIN c ec ON ec.vec_id = cand.neighbor_id),
+    vec AS (SELECT neighbor_id AS vec_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, neighbor_id) AS r_vec
+            FROM vscored),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id, l.r_lex, v.r_vec,
+             COALESCE(1.0 / ({RRF_K} + l.r_lex), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + v.r_vec), 0.0) AS rrf
+      FROM (SELECT * FROM lex WHERE r_lex <= {HYBRID_POOL}) l
+      FULL OUTER JOIN (SELECT * FROM vec WHERE r_vec <= {HYBRID_POOL}) v
+        ON l.doc_id = v.vec_id)
+    SELECT doc_id, r_lex, r_vec,
+           FLOOR(rrf * 1000000.0 + 0.5) / 1000000.0 AS rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT {HYBRID_TOPK}"""
+
+
+@ext_query("ext_hybrid_indexed", _hybrid_indexed_oracle())
+def ext_hybrid_indexed(spark, sf_dir):
+    """Hybrid RRF retrieval served ENTIRELY from the two persisted
+    index layouts — the query-time deployment shape of the saved-index
+    family: the lexical leg probes the sort-clustered BM25 postings
+    segments (footer-pruned to ~one file per term,
+    ``text.query_bm25_index``), the vector leg opens only the probed
+    cell directories of the saved IVF layout (``query_ivf_index`` —
+    partition-pruned scan), and the fusion joins two 50-row survivor
+    frames. Unlike ext_hybrid_search (inline corpus passes, brute
+    vector leg) this key grades the INDEXED read paths end to end:
+    full-corpus index stats (the query doc stays in df/avgdl — it is
+    indexed; only the ranking excludes it) and the nprobe-bounded
+    candidate set, replayed exactly by the oracle."""
+    from smartpipeline_spark.functions.text import (
+        BM25_TERMS,
+        _bm25_index_for,
+        query_bm25_index,
+    )
+
+    lex_scored = (
+        query_bm25_index(spark, _bm25_index_for(spark, sf_dir), BM25_TERMS)
+        .filter(F.col("doc_id") != 0)
+        .select(
+            "doc_id",
+            (F.floor(F.col("raw") * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias("bm25"),
+        )
+    )
+    w_lex = Window.orderBy(F.col("bm25").desc(), F.asc("doc_id"))
+    lex = (
+        lex_scored.orderBy(F.col("bm25").desc(), F.asc("doc_id"))
+        .limit(HYBRID_POOL)
+        .withColumn("r_lex", F.row_number().over(w_lex))
+        .select("doc_id", "r_lex")
+    )
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).agg(
+        F.lit(0).cast("long").alias("query_id"), F.first("emb").alias("q_emb")
+    )
+    ann = query_ivf_index(
+        spark, _ivf_index_for(spark, sf_dir), q, k=HYBRID_POOL
+    )
+    vec = ann.select(F.col("neighbor_id").alias("vec_id"), F.col("rank").alias("r_vec"))
 
     fused = lex.join(vec, lex.doc_id == vec.vec_id, "full_outer").select(
         F.coalesce("doc_id", "vec_id").alias("doc_id"),
