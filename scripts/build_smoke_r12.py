@@ -169,7 +169,7 @@ def main() -> None:
             "spill_gb": 0.0,
         },
     }
-    for tag in ("bm25_maint_64x", "bm25_maint_256x"):
+    for tag in ("bm25_maint_64x", "bm25_maint_256x", "bm25_maint_1024x"):
         if tag in runs:
             r = runs[tag]
             art.setdefault("bm25_index_maintenance", {})[tag.split("_")[-1]] = {
@@ -178,7 +178,7 @@ def main() -> None:
                 "execCpuSec": r["metrics"]["executorCpuSec"],
                 "spillGB": r["metrics"]["memSpillGB"] + r["metrics"]["diskSpillGB"],
             }
-    for tag in ("ingest_inc_64x", "ingest_inc_256x"):
+    for tag in ("ingest_inc_64x", "ingest_inc_256x", "ingest_inc_1024x"):
         if tag in runs:
             r = runs[tag]
             art.setdefault("streaming_ingest_incremental", {})[
