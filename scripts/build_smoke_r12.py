@@ -122,6 +122,7 @@ def main() -> None:
         (
             t
             for t in (
+                "rag_1024x_v5",
                 "rag_1024x_v4",
                 "rag_1024x_v3",
                 "rag_1024x_final",
