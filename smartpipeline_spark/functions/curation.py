@@ -1473,7 +1473,7 @@ def pack_sequences(
         F.expr(f"{id_col} DIV {bucket_span}").alias("bucket"),
     )
     p = resolve_exchange_width(
-        partitions, df.sparkSession, df.count, row_bytes=30
+        partitions, df.sparkSession, df.count, row_bytes=30, input_df=df
     )
     if p is not None:
         toks = toks.repartition(p, "bucket")
@@ -3370,6 +3370,7 @@ def line_dedup(
         df.sparkSession,
         lambda: df.agg(F.sum(F.size(nonempty)).alias("r")).collect()[0]["r"],
         row_bytes=150,
+        input_df=df,
     )
     lines = df.select(
         F.col(id_col).alias("doc_id"),
@@ -3880,6 +3881,7 @@ def epoch_shuffle(
         docs.sparkSession,
         lambda: docs.count() * epochs,
         row_bytes=60,
+        input_df=docs,
     )
     eps = F.explode(F.array(*[F.lit(i) for i in range(1, epochs + 1)])).alias("epoch")
     d = docs.select("doc_id", eps)

@@ -242,6 +242,16 @@ def drop_hot_keys(df: DataFrame, key: str, max_df: int | None) -> DataFrame:
 _EST_SAMPLE_MOD = 16
 _EST_MIN_SAMPLED_KEYS = 4096
 _EST_MAX_KEY_SHARE = 1.0 / 16.0
+# Plan-size gate under which the sampled pre-pass is SKIPPED and the
+# exact estimate runs directly: the sample exists to make the estimate
+# cheap on BIG indexes; on a small index the exact pass is itself one
+# cheap job, while the sample almost always fails the >= 4096-key
+# trust gate and falls back — costing TWO estimate jobs where r11 paid
+# one (measured in the r12 idle bench as ext_dedup_minhash +13% wall,
+# pure fixed overhead at fixture scale). 256 MB keeps every regime
+# where sampling measurably pays (the 256x/1024x ladder rungs,
+# multi-GB materialized indexes) on the sampled path.
+_EST_SAMPLE_MIN_BYTES = 256 * 1024 * 1024
 
 
 def _pair_join_width(
@@ -294,18 +304,26 @@ def _pair_join_width(
             .collect()[0]
         )
 
-    sampled = agg_est(
-        index.filter(F.pmod(F.xxhash64(*key_cols), F.lit(_EST_SAMPLE_MOD)) == 0)
-    )
+    from smartpipeline_spark.operators.scale import plan_size_bytes
+
+    size = plan_size_bytes(index)
+    sampled = None
+    if size is None or size > _EST_SAMPLE_MIN_BYTES:
+        sampled = agg_est(
+            index.filter(
+                F.pmod(F.xxhash64(*key_cols), F.lit(_EST_SAMPLE_MOD)) == 0
+            )
+        )
     mode = "sampled"
     if (
-        (sampled["k"] or 0) >= _EST_MIN_SAMPLED_KEYS
+        sampled is not None
+        and (sampled["k"] or 0) >= _EST_MIN_SAMPLED_KEYS
         and (sampled["r"] or 0) > 0
         and sampled["m"] <= sampled["r"] * _EST_MAX_KEY_SHARE
     ):
         est = int(sampled["r"]) * _EST_SAMPLE_MOD
     else:
-        mode = "exact"
+        mode = "exact" if sampled is None else "exact_fallback"
         est = int(agg_est(index)["r"] or 0)
     p = tuned_shuffle_partitions(est, spark=index.sparkSession)
     # diagnostics for benchmarks/smoke harnesses (last decision only;
@@ -1774,7 +1792,7 @@ def _kgram_width(docs: DataFrame, k: int, partitions) -> int | None:
 
     return resolve_exchange_width(
         partitions, docs.sparkSession, est, row_bytes=64,
-        decision=LAST_AUTO_DECISION,
+        decision=LAST_AUTO_DECISION, input_df=docs,
     )
 
 

@@ -422,6 +422,13 @@ def ext_data_card(spark, sf_dir):
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TERMS = ("spark", "table", "merge")
+# Docs-frame plan-size gate above which the corpus-sized dl side of
+# the inline BM25 score join gets the explicit shuffle_hash hint (see
+# bm25_scores): 256 MB compressed docs ≈ multi-million-row dl, the
+# regime where an AQE broadcast promotion risks the driver collect;
+# under it dl is dimension-sized and AQE's own choice is both safe
+# and measurably faster at fixture scale.
+_BM25_NO_BROADCAST_BYTES = 256 * 1024 * 1024
 
 
 @ext_query(
@@ -502,15 +509,24 @@ def bm25_scores(d, terms=BM25_TERMS):
         / (F.col("tf") + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl")))
     ).alias("s")
     # dfreq (<= |terms| rows) and stats (1 row) are bounded by
-    # construction: broadcast. dl is CORPUS-sized (one row per doc) —
-    # never broadcast it (the uncompressed collect is the driver OOM
-    # shape the r12 1024x rung hit in the postings builder); the
-    # shuffle_hash hint also blocks AQE from re-promoting it when the
-    # compressed shuffle measures under the threshold, and the doc_id
-    # exchange it introduces is reused by the pivot groupBy.
+    # construction: broadcast. dl SCALES WITH THE CORPUS (one row per
+    # doc) — on a big corpus it must never be broadcast (the
+    # uncompressed collect is the driver OOM shape the r12 1024x rung
+    # hit: AQE saw the COMPRESSED shuffle under the 10 MB threshold
+    # and the collect blew maxResultSize), so above the plan-size gate
+    # the shuffle_hash hint blocks AQE's re-promotion and the doc_id
+    # exchange it introduces is reused by the pivot groupBy. BELOW the
+    # gate (docs plan-estimate <= 256 MB compressed, i.e. dl well
+    # under any collect limit) the hint is withheld and AQE keeps its
+    # broadcast choice: forcing shuffle_hash there measured +135%
+    # executor CPU on ext_hybrid_search in the r12 idle bench — the
+    # classic config-only-for-one-scale trap, parameterized away.
+    from smartpipeline_spark.operators.scale import plan_size_bytes
+
+    big_corpus = (plan_size_bytes(d) or (1 << 51)) > _BM25_NO_BROADCAST_BYTES
     scores = (
         tf.join(F.broadcast(dfreq), "w")
-        .join(dl.hint("shuffle_hash"), "doc_id")
+        .join(dl.hint("shuffle_hash") if big_corpus else dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", "w", s)
     )

@@ -109,12 +109,50 @@ def should_inject_width(p: int, spark: SparkSession) -> bool:
     return sess > 8 * p
 
 
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's plan-estimated size of a frame, or None when it is
+    unavailable (Spark Connect / non-JVM plan wrappers) or is the
+    "unknown" sentinel (~8 EB). For a parquet scan this is the
+    COMPRESSED file bytes; for a materialized cache it is the actual
+    in-memory size — both usable as a conservative smallness witness
+    (callers must treat None/huge as "not small", never the reverse)."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    if size <= 0 or size > (1 << 50):
+        return None
+    return size
+
+
+# Plan-size gate under which an auto-sized operator SKIPS its estimate
+# job outright: at <= 64 MB of plan-estimated input (compressed scan
+# bytes or materialized cache bytes), every exchange these operators
+# derive from the input is in the pressure-floor region where the
+# measured width curves are flat (r10/r11 idle matrices) — the only
+# decisions the estimate could produce are "don't inject" or the 8x
+# session clamp, and the clamp precondition is checked separately
+# before bypassing. The estimate job itself, by contrast, is a real
+# cost at exactly this scale: the r12 idle bench measured the added
+# pre-pass at +62% executor CPU on ext_line_dedup (1.23 -> 1.99 s) and
+# +34% wall on ext_epoch_shuffle — fixed job overhead that buys a
+# number which changes nothing. At 16 MB the bound is tight even
+# adversarially: <= ~128 MB decompressed, and at the operators' linear
+# row multipliers (<= ~1 row / 2 raw bytes) the widest exchange's
+# working set stays ~<= the floor's 8 GB budget at 150 B/row. SMOKE
+# ladder rungs (64x+ replicated corpora, >= ~200 MB materialized) stay
+# far above the gate, so every measured injection decision is
+# unchanged.
+ESTIMATE_BYPASS_BYTES = 16 * 1024 * 1024
+
+
 def resolve_exchange_width(
     partitions,
     spark: SparkSession,
     est_rows_fn,
     row_bytes: int = 50,
     decision: dict | None = None,
+    input_df: DataFrame | None = None,
 ) -> int | None:
     """Full ``partitions`` contract for an auto-sized operator:
     ``"auto"`` runs ``est_rows_fn()`` (the operator's one-pass estimate
@@ -124,10 +162,42 @@ def resolve_exchange_width(
     :func:`should_inject_width`; an int forces that width; ``None``
     leaves the session conf / AQE in charge. ``decision`` (optional
     dict) receives the estimate + chosen width for smoke/bench
-    diagnostics."""
+    diagnostics.
+
+    ``input_df`` (optional) enables the small-input bypass: when the
+    operator's input frame plan-estimates under
+    :data:`ESTIMATE_BYPASS_BYTES` AND the session width cannot trip the
+    8x clamp (``sess <= 8 x floor`` — exact: the tuned width is always
+    >= floor, so ``sess <= 8 x p`` for any estimate and the clamp
+    branch of :func:`should_inject_width` is provably off), the
+    estimate job is skipped and None returned directly. For the
+    linear-output operators this gate serves, a 16 MB input keeps the
+    widest exchange at/near the pressure floor where the measured
+    width curves are flat — so skipping costs nothing and saves the
+    estimate job, the dominant fixture-scale cost."""
     if partitions is None:
         return None
     if partitions == "auto":
+        if input_df is not None:
+            size = plan_size_bytes(input_df)
+            floor = 2 * spark.sparkContext.defaultParallelism
+            try:
+                sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            except Exception:
+                sess = None
+            if (
+                size is not None
+                and size <= ESTIMATE_BYPASS_BYTES
+                and sess is not None
+                and sess <= 8 * floor
+            ):
+                if decision is not None:
+                    decision.clear()
+                    decision.update(
+                        {"est_rows": None, "partitions": None,
+                         "bypass_bytes": size}
+                    )
+                return None
         est = int(est_rows_fn() or 0)
         p = tuned_shuffle_partitions(est, row_bytes=row_bytes, spark=spark)
         if decision is not None:

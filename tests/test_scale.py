@@ -1049,13 +1049,17 @@ def test_auto_width_ops_keep_fixture_plans_unchanged(spark):
         assert "4096" not in none_plan, name
 
 
-def test_pair_join_width_sample_first_with_trust_gates(spark):
+def test_pair_join_width_sample_first_with_trust_gates(spark, monkeypatch):
     """The r12 sample-first estimate pass: a 1-in-16 key sample scaled
     x16 is trusted only under the two concentration gates (enough
     sampled keys, no single-key dominance); hot-bucket-dominated and
     small indexes fall back to the exact pass — where exactness is
-    cheap and sampling is genuinely noisy."""
+    cheap and sampling is genuinely noisy. The gates are exercised with
+    the plan-size skip disabled (these in-memory frames plan-estimate
+    tiny); the skip itself is pinned separately below."""
     from smartpipeline_spark.functions import dedup
+
+    monkeypatch.setattr(dedup, "_EST_SAMPLE_MIN_BYTES", 0)
 
     # 1) concentrated: 100k keys x 2 rows, per-key C(2,2)=1 -> exact
     # sum = 100k; the sample must be trusted and land within 10%.
@@ -1069,25 +1073,41 @@ def test_pair_join_width_sample_first_with_trust_gates(spark):
 
     # 2) dominance: 100k singleton keys + ONE hot key carrying all the
     # mass (C(1000,2) = 499500). Whether or not the hot key lands in
-    # the sample, the gates must force the exact pass.
+    # the sample, the gates must force the exact fallback.
     hot = spark.range(100_000).select(
         F.concat(F.lit("k"), F.col("id")).alias("sh")
     ).union(spark.range(1_000).select(F.lit("HOT").alias("sh")))
     dedup._pair_join_width(hot, ["sh"])
     d = dict(dedup.LAST_AUTO_DECISION)
-    assert d["est_mode"] == "exact", d
+    assert d["est_mode"] == "exact_fallback", d
     assert d["est_join_rows"] == 499_500, d
 
     # 3) small index (< 4096 keys): exact, bit-for-bit.
     small = spark.range(30).select((F.col("id") % 10).cast("string").alias("sh"))
     dedup._pair_join_width(small, ["sh"])
     d = dict(dedup.LAST_AUTO_DECISION)
-    assert d["est_mode"] == "exact", d
+    assert d["est_mode"] == "exact_fallback", d
     assert d["est_join_rows"] == 10 * 3, d
 
     # 4) anchored form keeps the same contract (exact at small scale:
     # sum_k na*nb over the anchor predicate).
     dedup._pair_join_width(small, ["sh"], anchor=F.col("sh") == "0")
     d = dict(dedup.LAST_AUTO_DECISION)
-    assert d["est_mode"] == "exact", d
+    assert d["est_mode"] == "exact_fallback", d
     assert d["est_join_rows"] == 3 * 3, d
+
+
+def test_pair_join_width_skips_sample_below_plan_size_gate(spark):
+    """r12 idle-bench fix: on an index that plan-estimates under
+    _EST_SAMPLE_MIN_BYTES the sampled pre-pass is skipped outright
+    (est_mode == "exact", not "exact_fallback") — one estimate job,
+    the r11 cost — while the estimate itself stays bit-exact."""
+    from smartpipeline_spark.functions import dedup
+
+    wide = spark.range(200_000).select(
+        (F.col("id") % 100_000).cast("string").alias("sh")
+    )
+    dedup._pair_join_width(wide, ["sh"])
+    d = dict(dedup.LAST_AUTO_DECISION)
+    assert d["est_mode"] == "exact", d
+    assert d["est_join_rows"] == 100_000, d
