@@ -195,7 +195,11 @@ def dedup_chunks(
         f"transform(sequence(0, int(ceil(size(words)/{n}.0))-1), "
         f"i -> array_join(slice(words, i*{n}+1, {n}), ' '))"
     )
-    c = w.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    # posexplode_outer + isNotNull (see dedup.word_shingles): chunk
+    # elements are array_join results, never null
+    c = w.select(
+        "doc_id", F.posexplode_outer(chunks).alias("pos", "chunk")
+    ).filter(F.col("chunk").isNotNull())
     hs = c.select(
         "doc_id",
         "pos",
@@ -328,8 +332,12 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         "CASE WHEN size(w) < 2 THEN array() "
         "ELSE transform(sequence(1, size(w)-1), i -> struct(w[i-1] AS w1, w[i] AS w2)) END"
     )
+    # explode_outer + isNotNull: the inferred size(pairs)>0 filter
+    # would re-run the bigram transform twice more per doc pre-explode
+    # (see dedup.word_shingles); struct elements are never null
     words = (
-        w.select("doc_id", F.explode(pairs).alias("bg"))
+        w.select("doc_id", F.explode_outer(pairs).alias("bg"))
+        .filter(F.col("bg").isNotNull())
         .select("doc_id", "bg.w1", "bg.w2")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -521,7 +529,8 @@ def dsir_logratio(raw: DataFrame, target: DataFrame, m: int = DSIR_BUCKETS) -> d
         target.select(F.lit(1).alias("_t"), "text")
     )
     rows = (
-        both.select("_t", F.explode(_unigram_bigram_expr()).alias("g"))
+        both.select("_t", F.explode_outer(_unigram_bigram_expr()).alias("g"))
+        .filter(F.col("g").isNotNull())
         .select("_t", _gram_bucket(F.col("g"), m).alias("b"))
         .groupBy("_t", "b")
         .agg(F.count("*").alias("c"))
@@ -767,9 +776,13 @@ def contamination_report_bloom(
         .select(F.col("doc_id").alias("bench_id"), "sh")
         .localCheckpoint(eager=True)
     )
-    # sizing count: distinct benchmark shingles (the small side; one
-    # bounded aggregate job, same order as the filter build itself)
-    n_items = bench_sh.select("sh").distinct().count()
+    # sizing count: benchmark shingle ROWS (cheap count over the
+    # checkpointed blocks — no distinct exchange; a whole extra job at
+    # build time bought nothing: rows >= distinct, and Bloom sizing
+    # only requires expectedNumItems >= the true count, so the filter
+    # comes out the same size or marginally larger / lower-fpp; the
+    # exact-verify join keeps the RESULT bit-identical regardless)
+    n_items = bench_sh.count()
     if n_items == 0:
         return corpus_sh.limit(0).groupBy("doc_id").agg(
             F.count_distinct("sh").alias("n_shared_shingles"),
@@ -804,8 +817,15 @@ def contamination_report_bloom(
         hit = (bitmap[w] >> bit) & np.uint64(1) == 1
         return pd.Series(hit.all(axis=1))
 
+    # asNondeterministic (guide §4.4 shape): the probe IS deterministic,
+    # but left deterministic the optimizer propagates the Python filter
+    # through the join's sh-equivalence onto the BENCH side too — a
+    # second ArrowEvalPython pass whose every row passes by
+    # construction. Non-determinism pins the single evaluation where
+    # it is written; placement (above the shingle projection, below
+    # the verify join) is unchanged, so results are identical.
     survivors = corpus_sh.withColumn("_pos", _bloom_positions(m, k)).filter(
-        might_contain(F.col("_pos"))
+        might_contain.asNondeterministic()(F.col("_pos"))
     )
     hits = survivors.join(bench_sh, "sh")  # exact verify: FPs die here
     return hits.groupBy("doc_id").agg(
@@ -2955,7 +2975,8 @@ def stupid_backoff_scores(
         "i -> struct(w[i-1] AS w1, w[i] AS w2, w[i+1] AS w3)) END"
     )
     grams = (
-        w.select("doc_id", "_is_ref", F.explode(tris).alias("g"))
+        w.select("doc_id", "_is_ref", F.explode_outer(tris).alias("g"))
+        .filter(F.col("g").isNotNull())
         .select("doc_id", "_is_ref", "g.w1", "g.w2", "g.w3")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -3372,10 +3393,18 @@ def line_dedup(
         row_bytes=150,
         input_df=df,
     )
-    lines = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(nonempty).alias("pos", "line"),
-    ).withColumn("fp", F.md5(_ccnet_line_norm(F.col("line"))))
+    # posexplode_outer + isNotNull: the inferred size(nonempty)>0
+    # filter would re-run the HOF line-filter twice more per doc in
+    # the scan stage (see dedup.word_shingles); kept lines are
+    # non-null by the nonempty filter itself
+    lines = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode_outer(nonempty).alias("pos", "line"),
+        )
+        .filter(F.col("line").isNotNull())
+        .withColumn("fp", F.md5(_ccnet_line_norm(F.col("line"))))
+    )
     if p is not None:
         lines = lines.repartition(p, "fp")
     keepers = lines.groupBy("fp").agg(
@@ -3573,14 +3602,17 @@ def fuzzy_decontamination(
     never shuffled, and there is no corpus-side self-join anywhere."""
     from smartpipeline_spark.functions.dedup import shingle_sets
 
+    # explode_outer + isNotNull on both sides (see dedup.word_shingles):
+    # an inner explode would push a duplicated shingle-fold filter
+    # below each side's spread exchange
     c = shingle_sets(corpus, n).select(
-        "doc_id", F.size("sh_set").alias("a_sz"), F.explode("sh_set").alias("sh")
-    )
+        "doc_id", F.size("sh_set").alias("a_sz"), F.explode_outer("sh_set").alias("sh")
+    ).filter(F.col("sh").isNotNull())
     b = shingle_sets(benchmark, n).select(
         F.col("doc_id").alias("bench_id"),
         F.size("sh_set").alias("b_sz"),
-        F.explode("sh_set").alias("sh"),
-    )
+        F.explode_outer("sh_set").alias("sh"),
+    ).filter(F.col("sh").isNotNull())
     pairs = (
         c.join(F.broadcast(b), "sh")
         .groupBy("doc_id", "bench_id", "a_sz", "b_sz")

@@ -305,7 +305,13 @@ def ext_heavy_hitters(spark, sf_dir):
                         i -> concat_ws(' ', slice(ws, i + 1, 3)))
                    ELSE CAST(array() AS array<string>) END)[0]"""
     )
-    grams = d.select(F.explode(tri).alias("g")).persist()
+    # explode_outer + isNotNull: the inferred size(tri)>0 filter would
+    # run the whole trigram fold twice more per doc in the scan stage
+    grams = (
+        d.select(F.explode_outer(tri).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .persist()
+    )
     # width must beat the threshold for the CANDIDATE bound to hold:
     # CMS overestimates by up to N/width (all-colliding worst case),
     # so candidates = {keys with est >= N/5000} is only
@@ -1078,7 +1084,7 @@ def train_bpe(docs: DataFrame, n_merges: int = 30) -> list[tuple[str, str]]:
     for i in range(n_merges):
         pairs = (
             vocab.select(
-                F.explode(
+                F.explode_outer(
                     F.expr(
                         "CASE WHEN size(syms) >= 2 THEN "
                         "transform(sequence(0, size(syms) - 2), "
@@ -1088,6 +1094,7 @@ def train_bpe(docs: DataFrame, n_merges: int = 30) -> list[tuple[str, str]]:
                 ).alias("p"),
                 "freq",
             )
+            .filter(F.col("p").isNotNull())
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("n"))
             .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
