@@ -3365,22 +3365,41 @@ def line_dedup(
     ``dup_frac`` and the reassembled ``clean_text`` (empty string
     when nothing survives).
 
-    100 TB design: instances shuffle ONCE keyed by the 16-byte line
-    hash (bodies ride along only for the surviving join-back), the
-    keep-first winner per hash is a partial-agg-friendly
-    ``min(struct(doc_id, pos))`` — NOT a window over the corpus —
-    and reassembly is a bounded per-document ``collect_list`` (a
-    document's own lines). Boilerplate hashes are hot keys by
-    construction; the winner aggregation map-side-combines them and
-    AQE handles the residual join skew.
+    100 TB design: the keep-first winner per hash is a partial-agg-
+    friendly ``min(struct(doc_id, pos))`` — NOT a window over the
+    corpus — so boilerplate hashes (hot keys by construction) map-side
+    combine, and AQE handles the residual join skew. The operator has
+    TWO physical shapes, chosen by the same measured-input-size rule
+    that sizes its exchanges (r12 A/B, alternating fresh-JVM min-of-N
+    at 1×/256×/1024× fixture replication):
+
+    * **Below the pressure floor** (fixture/driver scale): one pass —
+      lines explode WITH their bodies, the fp exchange and the per-doc
+      reassembly ``collect_list`` carry them, documents are rebuilt
+      directly. Cheapest when the whole corpus is a few hundred MB
+      (the skinny alternative measured +22% at sf0.1 and +27% at 256×:
+      its second corpus pass costs more than the small shuffles save).
+    * **Above the floor** (the width rule fires): the guide-§8 proxy
+      shape — decision passes run over skinny ``(doc_id, pos, fp)``
+      rows, the per-document verdict folds to ``(doc_id, n_lines,
+      n_kept, kept-positions array)``, and the ONLY exchange that
+      sees document text is the final verdict⋈corpus attach;
+      ``clean_text`` is rebuilt ROW-LOCALLY by indexing the document's
+      own line array with its kept positions. At 1024× (5.12M docs,
+      ~60M line instances) this measured 62s vs the one-pass shape's
+      149s min — line bodies cross one exchange instead of two, which
+      is what bounds the reassembly tail the r12 ladder flagged as
+      super-linear.
+
+    Both shapes produce identical rows (pytest-pinned equality; the
+    oracle covers the one-pass form at fixture scale).
 
     ``partitions="auto"`` (default) sizes the line-hash exchange from
     a one-pass non-empty-line count (same estimate→inject contract as
-    the pairing joins; line rows carry their bodies through the join,
-    ~150 B serialized each); the winner aggregation and the tag join
-    then REUSE one exchange on ``fp``, and the reassembly gets the
-    same width on ``doc_id``. Below the pressure floor nothing is
-    injected — fixture plans unchanged."""
+    the pairing joins); the winner aggregation and the tag join then
+    REUSE one exchange on ``fp``, and the verdict fold gets the same
+    width on ``doc_id``. Below the pressure floor nothing is injected
+    — fixture plans unchanged."""
     from smartpipeline_spark.operators.scale import resolve_exchange_width
 
     nonempty = F.filter(
@@ -3390,59 +3409,102 @@ def line_dedup(
         partitions,
         df.sparkSession,
         lambda: df.agg(F.sum(F.size(nonempty)).alias("r")).collect()[0]["r"],
-        row_bytes=150,
+        row_bytes=56,
         input_df=df,
     )
     # posexplode_outer + isNotNull: the inferred size(nonempty)>0
     # filter would re-run the HOF line-filter twice more per doc in
     # the scan stage (see dedup.word_shingles); kept lines are
     # non-null by the nonempty filter itself
-    lines = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode_outer(nonempty).alias("pos", "line"),
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode_outer(nonempty).alias("pos", "line"),
+    ).filter(F.col("line").isNotNull())
+    fp = F.md5(_ccnet_line_norm(F.col("line")))
+    kept_n = F.sum(F.col("kept").cast("long"))
+    dup_frac = (
+        F.floor(
+            (F.lit(1.0) - kept_n / F.count("*")) * F.lit(10000.0) + F.lit(0.5)
         )
-        .filter(F.col("line").isNotNull())
-        .withColumn("fp", F.md5(_ccnet_line_norm(F.col("line"))))
+        / F.lit(10000.0)
     )
-    if p is not None:
-        lines = lines.repartition(p, "fp")
+
+    if p is None:
+        # one-pass shape: bodies ride the (small) exchanges
+        lines = exploded.withColumn("fp", fp)
+        keepers = lines.groupBy("fp").agg(
+            F.min(F.struct("doc_id", "pos")).alias("k")
+        )
+        tagged = lines.join(keepers, "fp").select(
+            "doc_id",
+            "pos",
+            "line",
+            (
+                (F.col("k.doc_id") == F.col("doc_id"))
+                & (F.col("k.pos") == F.col("pos"))
+            ).alias("kept"),
+        )
+        return tagged.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("n_lines"),
+            kept_n.cast("long").alias("n_kept"),
+            dup_frac.alias("dup_frac"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("kept"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+
+    # proxy shape: bodies cross exactly one exchange (the attach)
+    lines = exploded.select("doc_id", "pos", fp.alias("fp")).repartition(p, "fp")
     keepers = lines.groupBy("fp").agg(
         F.min(F.struct("doc_id", "pos")).alias("k")
     )
-    tagged = lines.join(keepers, "fp").select(
-        "doc_id",
-        "pos",
-        "line",
-        (
-            (F.col("k.doc_id") == F.col("doc_id"))
-            & (F.col("k.pos") == F.col("pos"))
-        ).alias("kept"),
+    tagged = (
+        lines.join(keepers, "fp")
+        .select(
+            "doc_id",
+            "pos",
+            (
+                (F.col("k.doc_id") == F.col("doc_id"))
+                & (F.col("k.pos") == F.col("pos"))
+            ).alias("kept"),
+        )
+        .repartition(p, "doc_id")
     )
-    if p is not None:
-        tagged = tagged.repartition(p, "doc_id")
-    kept_n = F.sum(F.col("kept").cast("long"))
-    return tagged.groupBy("doc_id").agg(
+    verdict = tagged.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_lines"),
         kept_n.cast("long").alias("n_kept"),
-        (
-            F.floor(
-                (F.lit(1.0) - kept_n / F.count("*")) * F.lit(10000.0)
-                + F.lit(0.5)
-            )
-            / F.lit(10000.0)
-        ).alias("dup_frac"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("kept"), F.struct("pos", "line"))
-                    )
+        dup_frac.alias("dup_frac"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("kept"), F.col("pos")))
+        ).alias("_kpos"),
+    )
+    # documents with zero non-empty lines emit no line rows, hence no
+    # verdict row, hence (inner join) no output row — same contract as
+    # the one-pass reassembly
+    return (
+        df.select(F.col(id_col).alias("doc_id"), nonempty.alias("_nl"))
+        .join(verdict, "doc_id")
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_kept",
+            "dup_frac",
+            F.array_join(
+                F.transform(
+                    F.col("_kpos"),
+                    lambda i: F.element_at(F.col("_nl"), i + F.lit(1)),
                 ),
-                lambda x: x["line"],
-            ),
-            "\n",
-        ).alias("clean_text"),
+                "\n",
+            ).alias("clean_text"),
+        )
     )
 
 

@@ -1508,7 +1508,14 @@ def _fp_col():
     return F.md5(_norm_text()).alias("fp")
 
 
-def build_dedup_index(spark, docs: DataFrame, path: str, n: int = 3) -> dict:
+def build_dedup_index(
+    spark,
+    docs: DataFrame,
+    path: str,
+    n: int = 3,
+    near: bool = True,
+    stats: bool = True,
+) -> dict:
     """Persist the dedup INDEX for a corpus — the production ingestion
     shape: a 100 TB corpus is deduped once, then every arriving batch
     is deduped AGAINST the index instead of re-scanning the corpus
@@ -1528,21 +1535,33 @@ def build_dedup_index(spark, docs: DataFrame, path: str, n: int = 3) -> dict:
       hold exactly; dropping them would let a dup-of-a-dropped-dup
       slip through.
 
-    Returns {"n_docs", "n_fps"}."""
+    ``near=False`` builds a fingerprints-only index for callers that
+    will only ever run EXACT dedup against it (``dedup_against(...,
+    near=False)``) — the MinHash signature pass is the expensive leg
+    of the build (a window over fp plus 16 hash folds per doc) and is
+    pure thrown-away work when no near-dup query will read it.
+    ``stats=False`` skips the two count jobs behind the returned
+    {"n_docs", "n_fps"} dict (two extra full jobs) for callers that
+    discard it.
+
+    Returns {"n_docs", "n_fps"} (None values when ``stats=False``)."""
     from pyspark.sql import Window as _W
 
     fps = docs.select("doc_id", _fp_col())
     keepers = fps.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
     keepers.write.mode("overwrite").parquet(path.rstrip("/") + "/fingerprints")
-    # signatures for the keeper (min doc_id) of each fp group
-    kept_docs = (
-        docs.select("doc_id", "text", _fp_col())
-        .withColumn("_keep", F.min("doc_id").over(_W.partitionBy("fp")))
-        .filter(F.col("doc_id") == F.col("_keep"))
-        .select("doc_id", "text")
-    )
-    sigs = minhash_signatures(kept_docs, n)
-    sigs.write.mode("overwrite").parquet(path.rstrip("/") + "/signatures")
+    if near:
+        # signatures for the keeper (min doc_id) of each fp group
+        kept_docs = (
+            docs.select("doc_id", "text", _fp_col())
+            .withColumn("_keep", F.min("doc_id").over(_W.partitionBy("fp")))
+            .filter(F.col("doc_id") == F.col("_keep"))
+            .select("doc_id", "text")
+        )
+        sigs = minhash_signatures(kept_docs, n)
+        sigs.write.mode("overwrite").parquet(path.rstrip("/") + "/signatures")
+    if not stats:
+        return {"n_docs": None, "n_fps": None}
     return {
         "n_docs": docs.count(),
         "n_fps": spark.read.parquet(path.rstrip("/") + "/fingerprints").count(),
@@ -1640,8 +1659,12 @@ def dedup_against(
     # this materialization, so an unpersist can never run — a persist
     # here would pin a CacheManager entry per invocation for the whole
     # session (the heavy-hitters lesson). Checkpoint blocks are
-    # GC-cleaned with the frame instead.
-    fp_new = fp_new.localCheckpoint(eager=True)
+    # GC-cleaned with the frame instead. Only worth it when fp_new is
+    # consumed more than once (the near-dup legs and/or the append
+    # write-back); the exact-only single-consumer path skips the
+    # materialization job outright.
+    if near or append:
+        fp_new = fp_new.localCheckpoint(eager=True)
     survivors = fp_new
     new_sigs = minhash_signatures(fp_new.select("doc_id", "text"), n)
     if near:
@@ -1711,7 +1734,11 @@ def ext_dedup_incremental(spark, sf_dir):
     root = os.path.join(
         "/tmp", "spark_graft_dedup_index", sf_dir.strip("/").replace("/", "_")
     )
-    build_dedup_index(spark, corpus, root)
+    # the declared key only exercises EXACT dedup (near=False below;
+    # the near leg is pytest-pinned with planted duplicates): build
+    # the fingerprints-only index and skip the stats jobs the dict of
+    # which is discarded — guide §1.2, don't compute what's thrown away
+    build_dedup_index(spark, corpus, root, near=False, stats=False)
     out = dedup_against(spark, root, batch, near=False, append=False)
     return out.select("doc_id", _fp_col())
 
@@ -1829,7 +1856,19 @@ def duplicate_spans(
     ``partitions="auto"`` (default) sizes the gram exchanges from the
     one-pass word-count estimate (:func:`_kgram_width`) — the groupBy
     and the join then REUSE one exchange on ``g``; below the pressure
-    floor nothing is injected and fixture plans are untouched."""
+    floor nothing is injected and fixture plans are untouched.
+
+    Measured dead end (r12): injecting an AQE-sized ``repartition("g")``
+    below the floor, hoping both consumers would reuse one exchange and
+    evaluate the md5 k-gram fold once, does NOT work — column pruning
+    gives the aggregate branch a ``g``-only projection while the probe
+    branch keeps ``(doc_id, pos, g)``, the two exchange subtrees no
+    longer canonicalize equal, ReuseExchange never fires, and the key
+    measured +127% CPU (the extra full-row exchange on top of the
+    still-duplicated fold). A ``count() OVER (PARTITION BY g)`` window
+    would genuinely fold once but buffers every occurrence of a hot
+    gram in one window group — the exact hot-key hazard the
+    groupBy-partial-agg + join-back shape exists to avoid."""
     grams = positional_kgrams(docs, k)
     p = _kgram_width(docs, k, partitions)
     if p is not None:

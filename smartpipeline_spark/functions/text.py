@@ -1701,7 +1701,12 @@ def entropy_metrics(
     # distinct char's count is computed ONCE into a counts array
     # before the fold — inlining the split/count into the fold body
     # would re-run the regex per distinct char per reference
-    # (measured 4.9x slower at sf0.1)
+    # (measured 4.9x slower at sf0.1). An O(n log n) sorted-runs
+    # rewrite (array_sort + run-length ends + map lookup) was measured
+    # in r12 and LOST to this O(n x d) form at fixture document shapes
+    # (+26% CPU: per-element interpreted-lambda constants — element_at
+    # pairs, sequence allocation, map construction — outweigh the
+    # asymptotic gain at n~300, d~40), so the direct fold stays.
     csum = F.expr(
         f"""transform(array(split({text_col}, '')), cs ->
               aggregate(

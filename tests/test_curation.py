@@ -836,6 +836,38 @@ def test_line_dedup_digit_bucketing_and_empty_survivor(spark):
     assert rows[2].dup_frac == 1.0
 
 
+def test_line_dedup_proxy_shape_matches_one_pass(spark):
+    """The above-floor proxy shape (bodies cross only the final attach
+    exchange, clean_text rebuilt row-locally from kept positions) must
+    produce row-identical output to the below-floor one-pass shape on
+    a corpus exercising every edge: cross-doc and within-doc dups,
+    normalization collapses, blank-line gaps (explode positions are
+    NOT contiguous word indexes), zero-survivor docs, and an
+    all-blank doc that must be ABSENT from both outputs."""
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.functions.curation import line_dedup
+
+    df = spark.createDataFrame([
+        {"doc_id": 1, "text": "Accept our cookies\nalpha one\nalpha one\n\nmid gap line"},
+        {"doc_id": 2, "text": "accept  our COOKIES\nbeta two"},
+        {"doc_id": 3, "text": "Page 3 of 10\nreal content"},
+        {"doc_id": 4, "text": "page 0 of 00"},
+        {"doc_id": 5, "text": " \n\n   "},  # no non-empty lines -> no row
+    ])
+    one_pass = {r.doc_id: r for r in line_dedup(df, partitions=None).collect()}
+    proxy = {r.doc_id: r for r in line_dedup(df, partitions=8).collect()}
+    assert set(one_pass) == set(proxy) == {1, 2, 3, 4}
+    for k in one_pass:
+        assert one_pass[k] == proxy[k], (k, one_pass[k], proxy[k])
+    # and on the real fixture corpus, full-frame equality
+    d = sources.table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    a = line_dedup(d, partitions=None)
+    b = line_dedup(d, partitions=8)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 # ------------------------------- weighted sampling without replacement
 
 def test_weighted_sample_matches_local_es_ranking(spark):

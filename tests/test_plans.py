@@ -341,10 +341,31 @@ def test_weighted_sample_is_take_ordered_not_global_sort(spark, queries):
 def test_line_dedup_no_corpus_window_and_bounded_exchanges(spark, queries):
     """Keep-first must be the partial-agg min(struct) + join-back, not
     a window over the corpus: no Window node anywhere, and exchanges
-    only for the fp agg/join and the per-doc reassembly."""
+    only for the fp agg/join and the per-doc reassembly (the fixture
+    corpus sits below the width rule's pressure floor, so the benched
+    key plans the one-pass shape — the r12 proxy shape is pinned by
+    test_line_dedup_proxy_shape_* instead)."""
     plan = _plan(queries["ext_line_dedup"](spark, SF_SMOKE))
     assert "Window" not in plan, plan
     assert plan.count("Exchange") <= 6, plan
+
+
+def test_line_dedup_proxy_shape_bodies_shuffle_once(spark):
+    """Forcing the width (partitions=<int>) selects the above-floor
+    proxy shape: the decision passes run over skinny (doc_id, pos, fp)
+    rows and line bodies appear ONLY in the final verdict-attach
+    exchange (guide §8 — every shuffle but the last moves a proxy). No
+    hashpartitioning exchange output may carry a line/body column; the
+    attach side is the broadcast/final join exchange only."""
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.functions.curation import line_dedup
+
+    d = sources.table(spark, "documents", SF_SMOKE).select("doc_id", "text")
+    plan = _plan(line_dedup(d, partitions=8))
+    assert "Window" not in plan, plan
+    for block in re.split(r"\n\n", plan):
+        if re.match(r"\(\d+\) Exchange", block) and "hashpartitioning" in block:
+            assert not re.search(r"Output.*\b(line|text|_nl)#", block), block
 
 
 def test_fuzzy_decontam_broadcasts_benchmark_only(spark, queries):
