@@ -1868,11 +1868,32 @@ def duplicate_spans(
     still-duplicated fold). A ``count() OVER (PARTITION BY g)`` window
     would genuinely fold once but buffers every occurrence of a hot
     gram in one window group — the exact hot-key hazard the
-    groupBy-partial-agg + join-back shape exists to avoid."""
+    groupBy-partial-agg + join-back shape exists to avoid.
+
+    What DOES work (r12, measured): on a provably small input
+    (plan-estimated <= the same 16 MB bound that gates the estimate
+    job) the gram stream is eagerly localCheckpointed so the md5
+    k-gram fold — the dominant per-row cost, duplicated verbatim into
+    both consumers by the optimizer — evaluates ONCE; isolated
+    min-of-5 at sf0.1 measured −12% wall min / −22% median vs the
+    double-fold shape, row-identical output. Above the bound the
+    recompute shape stays: materializing the gram stream scales at
+    ~50 B x Σ n_words (~75 GB at the 1024x rung) and the store+reread
+    I/O there costs more than the fold it saves, while below the bound
+    the materialization is <= a few hundred MB by construction."""
+    from smartpipeline_spark.operators.scale import (
+        ESTIMATE_BYPASS_BYTES,
+        plan_size_bytes,
+    )
+
     grams = positional_kgrams(docs, k)
     p = _kgram_width(docs, k, partitions)
     if p is not None:
         grams = grams.repartition(p, "g")
+    elif partitions == "auto":
+        size = plan_size_bytes(docs)
+        if size is not None and size <= ESTIMATE_BYPASS_BYTES:
+            grams = grams.localCheckpoint(eager=True)
     dup = grams.groupBy("g").agg(F.count("*").alias("_cnt")).filter(
         F.col("_cnt") >= 2
     )

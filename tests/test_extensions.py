@@ -1343,6 +1343,40 @@ def test_substring_spans_find_planted_passage_and_merge_maximally(spark):
     assert spans == {0: (4, 13, 10), 1: (2, 11, 10)}
 
 
+def test_substring_spans_single_fold_shape_matches_recompute(spark):
+    """On a provably small input duplicate_spans(partitions="auto")
+    evaluates the md5 k-gram fold ONCE (eager localCheckpoint of the
+    gram stream — the fold is gone from the declared plan), while
+    partitions=None keeps the recompute shape (the fold appears in
+    BOTH consumers). The two shapes must be row-identical, on the
+    edge fixture and on the real sf0.001 corpus."""
+    from smartpipeline_spark import sources
+    from smartpipeline_spark.functions.dedup import duplicate_spans
+
+    docs = _substr_fixture(spark)
+    # a LocalRelation plan-estimates as the unknown sentinel -> NOT
+    # provably small -> conservative recompute shape even under "auto"
+    fixture_auto = duplicate_spans(docs, k=8)
+    fx_plan = fixture_auto._jdf.queryExecution().executedPlan().toString()
+    assert fx_plan.count("posexplode") == 2
+    a = sorted(tuple(r) for r in fixture_auto.collect())
+    b = sorted(
+        tuple(r) for r in duplicate_spans(docs, k=8, partitions=None).collect()
+    )
+    assert a == b
+    # a small parquet scan IS provably small -> single-fold checkpoint
+    d = sources.table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    x = duplicate_spans(d)  # default partitions="auto"
+    y = duplicate_spans(d, partitions=None)
+    x_plan = x._jdf.queryExecution().executedPlan().toString()
+    y_plan = y._jdf.queryExecution().executedPlan().toString()
+    assert "md5" not in x_plan  # fold ran once, eagerly
+    assert y_plan.count("posexplode") == 2  # fold in both consumers
+    assert x.exceptAll(y).count() == 0 and y.exceptAll(x).count() == 0
+
+
 def test_substring_strip_keeps_first_occurrence_only(spark):
     from smartpipeline_spark.functions.dedup import (
         duplicate_spans,
