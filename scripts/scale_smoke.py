@@ -419,6 +419,164 @@ def main() -> None:
         timed("tpch_q18_replicated", tpch_q18)
         timed("tpch_q9_replicated", tpch_q9)
 
+    # --- TPC-H big-dimension block (guide §3.2): the flagship plans
+    # broadcast every dimension because fixture dims are tiny; the
+    # block above deliberately keeps dims at 1x, so the one posture it
+    # can never exercise is the dimension that SCALES past the
+    # broadcast cap. Here part replicates alongside lineitem (same
+    # k*n+r key remap) and the Q9-shaped li(partkey)⋈part('%red%',
+    # 12.9% selective) leg is measured three ways:
+    #   plain — as written, no hints: whatever the planner picks once
+    #           the filtered dim no longer broadcasts
+    #   bloom — SPARK-32268 runtime Bloom injection given room to fire
+    #           (creation/application thresholds opened; the guide's
+    #           caveat — with default thresholds it "frequently does
+    #           not fire when you expect it to" — is what the plain
+    #           variant documents)
+    #   semi  — the manual §3.2 recipe: prune the fact side with a
+    #           broadcast LEFT SEMI join on the filtered dim's DISTINCT
+    #           KEYS before the join (keys-only broadcast stays far
+    #           under the cap even when the dim itself does not)
+    # Every variant must return the same aggregate (25 brands); each
+    # records its join strategy, whether might_contain fired, and the
+    # per-variant shuffle-write/CPU deltas from the status API.
+    if want("tpch_q9_bigdim_plain", "tpch_q9_bigdim_bloom",
+            "tpch_q9_bigdim_semi"):
+        # repartition BEFORE the explode (the BM25-build lesson): the
+        # 11MB lineitem parquet arrives in 3 scan splits, so exploding
+        # first leaves one task holding a ~205M-row tail at 1024x
+        li = sources.table(spark, "lineitem", sf_dir).repartition(32)
+        p = sources.table(spark, "part", sf_dir).repartition(32)
+        rep = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("r")
+        li_f = li.select(
+            rep, "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ).withColumn(
+            "l_partkey", F.col("l_partkey") * n + F.col("r")
+        ).drop("r")
+        p_big = p.select(rep, "*").withColumn(
+            "p_partkey", F.col("p_partkey") * n + F.col("r")
+        ).drop("r")
+        from smartpipeline_spark.functions.dedup import persist_intermediate
+
+        li_f = persist_intermediate(li_f)
+        p_big = persist_intermediate(p_big)
+        counts["bigdim_lineitem_rows"] = li_f.count()
+        counts["bigdim_part_rows"] = p_big.count()
+
+        def _stageshot():
+            try:
+                import urllib.request as _rq
+
+                url = (
+                    f"{spark.sparkContext.uiWebUrl}/api/v1/applications/"
+                    f"{spark.sparkContext.applicationId}/stages"
+                )
+                with _rq.urlopen(url, timeout=10) as resp:
+                    stages = json.load(resp)
+                return {
+                    (s["stageId"], s.get("attemptId", 0)): (
+                        s.get("executorCpuTime", 0),
+                        s.get("shuffleWriteBytes", 0),
+                        s.get("memoryBytesSpilled", 0)
+                        + s.get("diskBytesSpilled", 0),
+                    )
+                    for s in stages
+                }
+            except Exception:
+                return None
+
+        def _q9_leg():
+            dim = p_big.filter(F.col("p_name").like("%red%"))
+            rev = (
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).cast("decimal(28,12)")
+            return dim, rev
+
+        def _bigdim_variant(name, build, confs=None):
+            if ops is not None and name not in ops:
+                return
+            saved = {}
+            for ck, cv in (confs or {}).items():
+                try:
+                    saved[ck] = spark.conf.get(ck)
+                except Exception:
+                    saved[ck] = None
+                spark.conf.set(ck, cv)
+            try:
+                before = _stageshot()
+                t0 = time.monotonic()
+                df = build()
+                counts[name] = df.count()
+                timings[name] = round(time.monotonic() - t0, 2)
+                after = _stageshot()
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                counts[name + "_join"] = (
+                    f"bhj={plan.count('BroadcastHashJoin')}"
+                    f" shj={plan.count('ShuffledHashJoin')}"
+                    f" smj={plan.count('SortMergeJoin')}"
+                )
+                counts[name + "_bloom_fired"] = int("might_contain" in plan)
+                if before is not None and after is not None:
+                    z = (0, 0, 0)
+                    counts[name + "_cpu_s"] = round(
+                        sum(v[0] - before.get(k, z)[0] for k, v in after.items())
+                        / 1e9, 1,
+                    )
+                    counts[name + "_shuffle_write_gb"] = round(
+                        sum(v[1] - before.get(k, z)[1] for k, v in after.items())
+                        / 2**30, 2,
+                    )
+                    counts[name + "_spill_gb"] = round(
+                        sum(v[2] - before.get(k, z)[2] for k, v in after.items())
+                        / 2**30, 2,
+                    )
+            finally:
+                for ck, cv in saved.items():
+                    if cv is None:
+                        spark.conf.unset(ck)
+                    else:
+                        spark.conf.set(ck, cv)
+
+        def _plain():
+            dim, rev = _q9_leg()
+            return (
+                li_f.join(dim, li_f.l_partkey == dim.p_partkey)
+                .groupBy("p_brand").agg(F.sum(rev).alias("revenue"))
+            )
+
+        def _semi():
+            dim, rev = _q9_leg()
+            keys = dim.select("p_partkey").distinct()
+            pruned = li_f.join(
+                F.broadcast(keys),
+                li_f.l_partkey == keys.p_partkey,
+                "left_semi",
+            )
+            return (
+                pruned.join(dim, pruned.l_partkey == dim.p_partkey)
+                .groupBy("p_brand").agg(F.sum(rev).alias("revenue"))
+            )
+
+        _bigdim_variant("tpch_q9_bigdim_plain", _plain)
+        _bigdim_variant(
+            "tpch_q9_bigdim_bloom",
+            _plain,
+            confs={
+                # the two gates the guide names as the reason auto-
+                # injection "frequently does not fire": creation side
+                # must estimate under 10MB, application side's scan
+                # over 10GB — both far from this regime's reality
+                "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "512MB",
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "64MB",
+                # size for the 1024x rung's 2.6M filtered keys (the
+                # 1M-item/8M-bit defaults would run ~25% fpp there)
+                "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems": "4000000",
+                "spark.sql.optimizer.runtime.bloomFilter.numBits": "33554432",
+            },
+        )
+        _bigdim_variant("tpch_q9_bigdim_semi", _semi)
+
     # --- ANN block: IVF retrieval as the embedding corpus multiplies
     # N-fold with NEAR-duplicate vectors (each base vector gets N-1
     # slightly perturbed twins — maximum cell crowding, the ANN analog
