@@ -1040,10 +1040,28 @@ def test_auto_width_ops_keep_fixture_plans_unchanged(spark):
     for name, op in ops.items():
         auto_plan = plan_of(op("auto"))
         none_plan = plan_of(op(None))
-        assert norm(auto_plan) == norm(none_plan), (
-            f"{name}: auto injected at fixture scale"
-        )
-        assert fingerprint_of_plan(auto_plan) == fingerprint_of_plan(none_plan)
+        if name == "duplicate_spans":
+            # r12: on a provably small input, "auto" additionally
+            # dispatches the single-fold shape (the gram stream is
+            # eagerly localCheckpointed so the md5 k-gram fold — which
+            # the optimizer otherwise duplicates into both consumers —
+            # evaluates once). So auto ≠ none here BY CONTRACT: the
+            # auto plan must carry NO fold (it reads the checkpoint)
+            # and no injected width; none keeps the double-fold
+            # recompute shape. Row-equality of the two shapes is
+            # pinned in test_extensions.
+            assert "md5" not in auto_plan, "single-fold did not engage"
+            # formatted explain prints each operator in the tree view
+            # AND as a numbered detail block — count operators
+            assert len(set(re.findall(r"\((\d+)\) Scan ExistingRDD", auto_plan))) == 2
+            assert len(set(re.findall(r"\((\d+)\) Generate", none_plan))) == 2
+        else:
+            assert norm(auto_plan) == norm(none_plan), (
+                f"{name}: auto injected at fixture scale"
+            )
+            assert fingerprint_of_plan(auto_plan) == fingerprint_of_plan(
+                none_plan
+            )
         forced_plan = plan_of(op(4096))
         assert "4096" in forced_plan, f"{name}: forced width had no effect"
         assert "4096" not in none_plan, name
