@@ -49,5 +49,20 @@ def fingerprint_of_plan(p: str) -> str:
     )
 
 
+def operator_counts(p: str) -> dict:
+    """Structural operator histogram of a formatted plan: operator
+    name -> count, parsed from the numbered detail blocks (one block
+    per physical operator, so the count is per-operator regardless of
+    how many times the tree view mentions a name). For tests that need
+    to pin a plan SHAPE ("no Generate", "two checkpoint scans") this
+    beats substring probes of explain text, which break on rendering
+    changes."""
+    counts: dict = {}
+    for m in re.finditer(r"^\(\d+\) (.+?)(?: \[codegen id : \d+\])?$", p, re.M):
+        name = m.group(1).strip()
+        counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
 def fingerprint(df) -> str:
     return fingerprint_of_plan(plan_of(df))

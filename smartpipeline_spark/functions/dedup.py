@@ -1821,13 +1821,21 @@ def _merge_spans(occ: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _kgram_width(docs: DataFrame, k: int, partitions) -> int | None:
+def _kgram_width(
+    docs: DataFrame, k: int, partitions, decision: dict | None = None
+) -> int | None:
     """``partitions`` contract for the ExactSubstr family: the widest
     exchanges carry the positional k-gram stream (groupBy g / window
     over g / the join-back), whose row count is exactly
     Σ max(n_words - k + 1, 0) — one row-local pre-pass over the corpus
     estimates it (charged to the operator, same as the pairing joins).
-    ~64 B per serialized gram row (two longs + a 32-hex digest)."""
+    ~64 B per serialized gram row (two longs + a 32-hex digest).
+
+    ``decision`` (optional dict) receives
+    :func:`resolve_exchange_width`'s decision record — including
+    ``bypass_bytes`` when the small-input estimate bypass fired — so
+    callers can key follow-on shape choices on the SAME gate instead of
+    re-deriving it; defaults to the module diagnostics channel."""
     from smartpipeline_spark.operators.scale import resolve_exchange_width
 
     def est():
@@ -1842,7 +1850,8 @@ def _kgram_width(docs: DataFrame, k: int, partitions) -> int | None:
 
     return resolve_exchange_width(
         partitions, docs.sparkSession, est, row_bytes=64,
-        decision=LAST_AUTO_DECISION, input_df=docs,
+        decision=LAST_AUTO_DECISION if decision is None else decision,
+        input_df=docs,
     )
 
 
@@ -1870,30 +1879,44 @@ def duplicate_spans(
     gram in one window group — the exact hot-key hazard the
     groupBy-partial-agg + join-back shape exists to avoid.
 
-    What DOES work (r12, measured): on a provably small input
-    (plan-estimated <= the same 16 MB bound that gates the estimate
-    job) the gram stream is eagerly localCheckpointed so the md5
-    k-gram fold — the dominant per-row cost, duplicated verbatim into
-    both consumers by the optimizer — evaluates ONCE; isolated
-    min-of-5 at sf0.1 measured −12% wall min / −22% median vs the
-    double-fold shape, row-identical output. Above the bound the
-    recompute shape stays: materializing the gram stream scales at
-    ~50 B x Σ n_words (~75 GB at the 1024x rung) and the store+reread
-    I/O there costs more than the fold it saves, while below the bound
-    the materialization is <= a few hundred MB by construction."""
-    from smartpipeline_spark.operators.scale import (
-        ESTIMATE_BYPASS_BYTES,
-        plan_size_bytes,
-    )
+    What DOES work (r12, measured): on a provably small input — the
+    dispatch is :func:`resolve_exchange_width`'s estimate bypass
+    itself (plan-estimated <= its 16 MB bound AND a sane session
+    width), read back from the decision record so there is exactly one
+    source of truth for the gate — the gram stream is eagerly
+    localCheckpointed so the md5 k-gram fold — the dominant per-row
+    cost, duplicated verbatim into both consumers by the optimizer —
+    evaluates ONCE; isolated min-of-5 at sf0.1 measured −12% wall min /
+    −22% median vs the double-fold shape, row-identical output. Above
+    the bound the recompute shape stays: materializing the gram stream
+    scales at ~64 B x Σ max(n_words − k + 1, 0) (the
+    :func:`_kgram_width` sizing: ~75 GB at the 1024x rung) and the
+    store+reread I/O there costs more than the fold it saves, while
+    below the bound the materialization is <= a few hundred MB by
+    construction.
 
+    Side effects of the single-fold shape (``partitions="auto"`` on a
+    small input only): ``localCheckpoint(eager=True)`` runs a Spark
+    job at DataFrame-CONSTRUCTION time (this call is not fully lazy in
+    that regime), the checkpointed blocks stay resident on executors
+    until the returned frame is garbage-collected on the driver (long
+    sessions issuing many calls accumulate them until GC), and the
+    truncated lineage is not recoverable on executor loss — acceptable
+    for a <= few-hundred-MB fixture-scale intermediate, which is the
+    only regime the gate admits. Pass ``partitions=None`` to keep the
+    fully lazy double-fold shape."""
     grams = positional_kgrams(docs, k)
-    p = _kgram_width(docs, k, partitions)
+    decision: dict = {}
+    p = _kgram_width(docs, k, partitions, decision=decision)
+    if decision:
+        # mirror into the module diagnostics channel (same record the
+        # default path would have written)
+        LAST_AUTO_DECISION.clear()
+        LAST_AUTO_DECISION.update(decision)
     if p is not None:
         grams = grams.repartition(p, "g")
-    elif partitions == "auto":
-        size = plan_size_bytes(docs)
-        if size is not None and size <= ESTIMATE_BYPASS_BYTES:
-            grams = grams.localCheckpoint(eager=True)
+    elif decision.get("bypass_bytes") is not None:
+        grams = grams.localCheckpoint(eager=True)
     dup = grams.groupBy("g").agg(F.count("*").alias("_cnt")).filter(
         F.col("_cnt") >= 2
     )

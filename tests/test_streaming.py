@@ -688,3 +688,60 @@ def test_stream_outer_join_equals_batch_left_join(spark):
     last_click = clicks.orderBy(F.col("ts").desc()).first().click_id
     if last_click in nulls:
         assert (last_click, None) in rows
+
+
+def test_state_width_rule_and_scope(spark, tmp_path):
+    """r13: the scale-derived state-partition width for availableNow
+    drains — one state partition per ~2 MiB of staged input, floor 8,
+    session conf in charge once the derived width reaches it — and the
+    conf scope's restore semantics (including on error)."""
+    from smartpipeline_spark.functions.streaming_queries import (
+        _scoped_state_width,
+        _state_width,
+    )
+
+    def staged(n_bytes: int) -> str:
+        p = tmp_path / f"in_{n_bytes}"
+        p.write_bytes(b"\0" * n_bytes)
+        return str(p)
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "64")
+        # fixture-scale input (2 MiB) -> the floor
+        assert _state_width(spark, staged(2 * 1024 * 1024)) == 8
+        # 64 MiB -> 32 (one partition per 2 MiB, pow2)
+        assert _state_width(spark, staged(64 * 1024 * 1024)) == 32
+        # >= session width -> None (session conf stays in charge)
+        assert _state_width(spark, staged(512 * 1024 * 1024)) is None
+        # unsizable input -> None
+        assert _state_width(spark, str(tmp_path / "missing")) is None
+        # multiple paths sum
+        assert (
+            _state_width(
+                spark, staged(32 * 1024 * 1024), staged(32 * 1024 * 1024 + 1)
+            )
+            == 32
+        )
+
+        # scope sets the derived width for the drain and restores after
+        with _scoped_state_width(spark, staged(2 * 1024 * 1024 + 2)):
+            assert spark.conf.get(key) == "8"
+        assert spark.conf.get(key) == "64"
+        # ... including when the drain raises
+        try:
+            with _scoped_state_width(spark, staged(2 * 1024 * 1024 + 3)):
+                assert spark.conf.get(key) == "8"
+                raise RuntimeError("drain failed")
+        except RuntimeError:
+            pass
+        assert spark.conf.get(key) == "64"
+
+        # below the floor the scope is a no-op (the pytest session's
+        # own width-4 regime)
+        spark.conf.set(key, "4")
+        with _scoped_state_width(spark, staged(2 * 1024 * 1024 + 4)):
+            assert spark.conf.get(key) == "4"
+    finally:
+        spark.conf.set(key, prev)
