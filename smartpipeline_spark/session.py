@@ -24,6 +24,18 @@ _ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Always use the sort-based shuffle writer, never the bypass-merge
+    # writer. Bypass (the default for <= 200 reduce partitions) opens
+    # one file + compression stream per (map task x reduce partition);
+    # that per-BLOCK fixed cost measured ~4 ms CPU here, so a plain
+    # 32-map x 64-reduce exchange burned ~10 executor-CPU-s in file
+    # opens alone (r13 probe: repartition(64) of 190k rows 11.5 -> 0.4
+    # CPU-s, ext_contamination_bloom 18.7 -> 3.9 CPU-s with the sort
+    # writer). Above 200 partitions — i.e. at scale — Spark already
+    # takes the sort path, so this aligns small-shuffle behavior with
+    # the at-scale write path instead of paying M x R block creation
+    # (guide §2.2's quadratic) on every fixture-scale exchange.
+    "spark.shuffle.sort.bypassMergeThreshold": "2",
     # Arrow everywhere Python touches rows (pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Deterministic wall-clock semantics for tests/oracles.
