@@ -3519,3 +3519,36 @@ def test_bm25_append_auto_compacts(spark, tmp_path):
         for r in query_bm25_index(spark, path, BM25_TERMS, verify=True).collect()
     }
     assert got == expected
+
+
+def test_overlap_legs_order_and_error_propagation(spark):
+    """r13: the hybrid keys run their independent retrieval legs on
+    concurrent driver threads (guide §2.6). Results come back in
+    submission order regardless of completion order, and a failing leg
+    raises in the caller instead of being swallowed."""
+    import time
+
+    from smartpipeline_spark.functions.similarity import _overlap_legs
+
+    def slow():
+        time.sleep(0.2)
+        return spark.range(3).selectExpr("id").localCheckpoint(eager=True)
+
+    def fast():
+        return spark.range(5).selectExpr("id * 10 as id").localCheckpoint(
+            eager=True
+        )
+
+    a, b = _overlap_legs(slow, fast)
+    assert sorted(r.id for r in a.collect()) == [0, 1, 2]
+    assert sorted(r.id for r in b.collect()) == [0, 10, 20, 30, 40]
+
+    def boom():
+        raise ValueError("leg failed")
+
+    try:
+        _overlap_legs(fast, boom)
+    except ValueError as e:
+        assert "leg failed" in str(e)
+    else:
+        raise AssertionError("leg exception did not propagate")
